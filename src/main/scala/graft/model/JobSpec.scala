@@ -1,0 +1,143 @@
+package graft.model
+
+/**
+ * Control-plane model: the unit-of-work specification for a forwarding job
+ * group (one Kafka topic consumed on behalf of one consumer group, dispatched
+ * to one RPC endpoint, with tiered retry / DLQ / resilience queues and flow
+ * control).
+ *
+ * Shape mirrors the reference protos `Job`/`JobGroup`
+ * (reference: idl/src/main/proto/data/data-transfer/job.proto:16-199,
+ * idl/.../job_group.proto:86-121) re-expressed as plain Scala case classes;
+ * these are small driver-side values broadcast to executors, or loaded as a
+ * tiny dimension Dataset for control-plane joins.
+ */
+final case class RetryTier(
+    topic: String,
+    processingDelayMs: Long,
+    maxRetryCount: Int)
+
+final case class FlowControl(
+    messagesPerSec: Double,
+    bytesPerSec: Double,
+    maxInflightMessages: Double)
+
+object FlowControl {
+  val unlimited: FlowControl =
+    FlowControl(Double.MaxValue, Double.MaxValue, Double.MaxValue)
+}
+
+final case class RpcSpec(
+    uri: String,
+    procedure: String,
+    rpcTimeoutMs: Long = 1000L,
+    maxRpcTimeouts: Int = 0,
+    dlqTopic: String = "")
+
+final case class JobSpec(
+    jobGroupId: String,
+    cluster: String,
+    topic: String,
+    consumerGroup: String,
+    rpc: RpcSpec,
+    retryEnabled: Boolean = false,
+    retryTiers: Seq[RetryTier] = Nil,
+    resqTopic: String = "",
+    flowControl: FlowControl = FlowControl.unlimited,
+    processingDelayMs: Long = 0L) {
+
+  /** Retry tiers sorted by visibility delay — the tier escalation order
+    * (reference: uforwarder/.../utils/RetryUtils.java:50-58). */
+  def sortedTiers: Seq[RetryTier] = retryTiers.sortBy(_.processingDelayMs)
+
+  def hasTieredRetry: Boolean = retryEnabled && retryTiers.nonEmpty
+
+  def isRetryTopic(t: String): Boolean = retryTiers.exists(_.topic == t)
+  def isDlqTopic(t: String): Boolean = rpc.dlqTopic.nonEmpty && rpc.dlqTopic == t
+  def isResqTopic(t: String): Boolean = resqTopic.nonEmpty && resqTopic == t
+
+  /** Any topic whose records carry a DLQMetadata-wrapped key. */
+  def isWrappedTopic(t: String): Boolean =
+    isRetryTopic(t) || isDlqTopic(t) || isResqTopic(t)
+}
+
+/**
+ * Topic-naming convention for derived queue topics
+ * (reference: uforwarder/src/integrationTest/.../UforwarderIntegrationTests.java:76-86):
+ *   single retry: `<topic>__<group>__retry`
+ *   tiered retry: `<topic>__<group>__<tier>__retry`
+ *   DLQ:          `<topic>__<group>__dlq`
+ */
+object TopicNames {
+  def retry(topic: String, group: String): String = s"${topic}__${group}__retry"
+  def retry(topic: String, group: String, tier: Int): String =
+    s"${topic}__${group}__${tier}__retry"
+  def dlq(topic: String, group: String): String = s"${topic}__${group}__dlq"
+  def resq(topic: String, group: String): String = s"${topic}__${group}__resq"
+}
+
+object Routing {
+
+  /**
+   * Tiered retry-topic selection: walk tiers in delay order accumulating
+   * `maxRetryCount` ceilings; the first tier whose cumulative ceiling covers
+   * the message's retry count wins; overflow → DLQ; empty DLQ → last tier.
+   *
+   * Behavioral contract mirrored from
+   * `RetryUtils.getKafkaDestinationRetryTopic`
+   * (reference: uforwarder/.../utils/RetryUtils.java:23-43).
+   */
+  def destinationRetryTopic(spec: JobSpec, retryCount: Long): String = {
+    if (!spec.hasTieredRetry) return spec.rpc.dlqTopic
+    val tiers = spec.sortedTiers
+    var ceiling = 0L
+    tiers.foreach { t =>
+      ceiling += t.maxRetryCount
+      if (retryCount <= ceiling) return t.topic
+    }
+    if (spec.rpc.dlqTopic.isEmpty) tiers.last.topic else spec.rpc.dlqTopic
+  }
+
+  /**
+   * Timeout (BACKOFF) escalation: DLQ-origin stays in DLQ; resq-origin does
+   * in-memory retry (INVALID); otherwise, once `timeoutCount` reaches
+   * `maxRpcTimeouts` and a DLQ token is available → DLQ, else RETRY.
+   *
+   * Behavioral contract mirrored from `ProcessorImpl.handleTimeout`
+   * (reference: uforwarder/.../worker/processor/ProcessorImpl.java:417-465).
+   */
+  def escalateBackoff(
+      spec: JobSpec,
+      sourceTopic: String,
+      timeoutCount: Long,
+      dlqTokenAvailable: Boolean): DispatchCode = {
+    if (spec.isDlqTopic(sourceTopic)) DispatchCode.Dlq
+    else if (spec.isResqTopic(sourceTopic)) DispatchCode.Invalid
+    else {
+      val max = spec.rpc.maxRpcTimeouts
+      if (max > 0 && timeoutCount >= max && dlqTokenAvailable) DispatchCode.Dlq
+      else DispatchCode.Retry
+    }
+  }
+
+  /**
+   * Full routing decision: where does a message with dispatch outcome `code`
+   * go? COMMIT/SKIP/DROPPED → ack (None); RETRY → tier topic; DLQ → dlq
+   * topic (or tier fallback); RESQ → resq topic; BACKOFF must be escalated
+   * first via [[escalateBackoff]]; INVALID → in-memory retry (None here).
+   *
+   * (reference: uforwarder/.../worker/processor/ProcessorImpl.java:367-394,736-888)
+   */
+  def destinationTopic(spec: JobSpec, code: DispatchCode, retryCount: Long): Option[String] =
+    code match {
+      case DispatchCode.Retry =>
+        Some(destinationRetryTopic(spec, retryCount)).filter(_.nonEmpty)
+      case DispatchCode.Dlq =>
+        val t = if (spec.rpc.dlqTopic.nonEmpty) spec.rpc.dlqTopic
+                else if (spec.hasTieredRetry) spec.sortedTiers.last.topic
+                else ""
+        Some(t).filter(_.nonEmpty)
+      case DispatchCode.Resq => Some(spec.resqTopic).filter(_.nonEmpty)
+      case _ => None
+    }
+}
