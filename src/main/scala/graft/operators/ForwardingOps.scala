@@ -1,0 +1,519 @@
+package graft.operators
+
+import graft.functions.RoutingColumns
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-plane and control-plane operators of the forwarding engine, expressed
+ * as batch DataFrame transformations over the `events` table viewed as a
+ * message stream. Each query has an exactly-equivalent DuckDB oracle whose
+ * SQL is generated from the same model constants (see RoutingColumns), so
+ * the engine and the oracle cannot drift.
+ *
+ * Message derivation (shared by all queries): an event becomes a Kafka-shaped
+ * record with topic = event_type, partition = user_id % 8, offset = event_id,
+ * plus deterministic dispatch-outcome fields (status/overdue/counters) so the
+ * routing decision tree is exercised over every branch.
+ *
+ * Scale note: every operator here is a pure projection + hash aggregation /
+ * window over the message stream — no driver-side loops, no UDFs; all
+ * expressions stay inside whole-stage codegen and aggregations are partial
+ * (map-side combine) before the single shuffle on the group keys.
+ */
+object ForwardingOps {
+
+  /** The demo consumer group used to derive queue-topic names. */
+  val Group = "grp"
+  /** Tier ceilings: tier 1 covers retryCount<=2, tier 2 covers <=4, else DLQ
+    * (mirrors RetryUtils cumulative-ceiling walk over sorted tiers). */
+  val TierCeilings: Seq[(Int, Long)] = Seq(1 -> 2L, 2 -> 4L)
+  val MaxRpcTimeouts = 3
+
+  import RoutingColumns.{codeColumn, codeSql, latencyBucketColumn, latencyBucketSql, statusFromIdColumn, statusFromIdSql}
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a raw
+    * nanos long; minute bucketing is done with integer arithmetic on nanos
+    * (a double roundtrip would lose precision at 1.7e18). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Shared Kafka-record-shaped projection of the events table. */
+  def messages(ev: DataFrame): DataFrame = {
+    val c = ev.col _
+    ev.select(
+      c("event_type").as("topic"),
+      pmod(c("user_id"), lit(8)).cast("int").as("partition"),
+      c("event_id").as("offset"),
+      octet_length(c("props")).cast("long").as("bytes"),
+      statusFromIdColumn(c("event_id")).as("status"),
+      (c("value") > 0.5).as("overdue"),
+      pmod(c("event_id"), lit(8)).as("retry_count"),
+      pmod(c("event_id"), lit(5)).as("timeout_count"),
+      (pmod(c("user_id"), lit(2)) === 0).as("dlq_token"),
+      pmod(c("event_id"), lit(10)).as("role_id"),
+      (expr("ts DIV 60000000000") * 60).as("minute_ts"),
+      c("value"))
+  }
+
+  /** Same projection as a DuckDB CTE body. */
+  val messagesSql: String =
+    s"""SELECT event_type AS topic, CAST(user_id % 8 AS INTEGER) AS "partition",
+       | event_id AS "offset", CAST(octet_length(encode(props)) AS BIGINT) AS bytes,
+       | ${statusFromIdSql("event_id")} AS status, value > 0.5 AS overdue,
+       | event_id % 8 AS retry_count, event_id % 5 AS timeout_count,
+       | (user_id % 2) = 0 AS dlq_token, event_id % 10 AS role_id,
+       | CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_ts, value
+       |FROM events""".stripMargin.replace("\n", " ")
+
+  private def withCode(msgs: DataFrame): DataFrame =
+    msgs.withColumn("code",
+      codeColumn(col("status"), col("overdue"), lit(null).cast("string")))
+
+  private val codeSqlExpr: String =
+    codeSql("status", "overdue", "CAST(NULL AS VARCHAR)")
+
+  /** BACKOFF escalation on the relative (per-topic) queue layout:
+    * role 8 = consumed from DLQ, role 9 = from resq. */
+  private def withFinalCode(df: DataFrame): DataFrame =
+    df.withColumn("final_code",
+      when(col("code") === DispatchCode.Backoff.name,
+        when(col("role_id") === 8, DispatchCode.Dlq.name)
+          .when(col("role_id") === 9, DispatchCode.Invalid.name)
+          .when(col("timeout_count") >= MaxRpcTimeouts && col("dlq_token"),
+            DispatchCode.Dlq.name)
+          .otherwise(DispatchCode.Retry.name))
+        .otherwise(col("code")))
+
+  private val finalCodeSqlExpr: String =
+    s"""CASE WHEN code = 'BACKOFF' THEN
+       | CASE WHEN role_id = 8 THEN 'DLQ' WHEN role_id = 9 THEN 'INVALID'
+       |  WHEN timeout_count >= $MaxRpcTimeouts AND dlq_token THEN 'DLQ'
+       |  ELSE 'RETRY' END
+       | ELSE code END""".stripMargin.replace("\n", " ")
+
+  /** Per-topic destination: tiered retry walk, DLQ, resq, or ack marker. */
+  private def destColumn: org.apache.spark.sql.Column = {
+    val retryDest = TierCeilings.foldLeft(None: Option[org.apache.spark.sql.Column]) {
+      case (acc, (tier, ceil)) =>
+        val t = concat(col("topic"), lit(s"__${Group}__${tier}__retry"))
+        Some(acc.fold(when(col("retry_count") <= ceil, t))(_.when(col("retry_count") <= ceil, t)))
+    }.get.otherwise(concat(col("topic"), lit(s"__${Group}__dlq")))
+    when(col("final_code") === DispatchCode.Retry.name, retryDest)
+      .when(col("final_code") === DispatchCode.Dlq.name,
+        concat(col("topic"), lit(s"__${Group}__dlq")))
+      .when(col("final_code") === DispatchCode.Resq.name,
+        concat(col("topic"), lit(s"__${Group}__resq")))
+      .otherwise(concat(lit("ack:"), col("final_code")))
+  }
+
+  private val destSqlExpr: String = {
+    val tierWhens = TierCeilings.map { case (tier, ceil) =>
+      s"WHEN retry_count <= $ceil THEN topic || '__${Group}__${tier}__retry'"
+    }.mkString(" ")
+    s"""CASE WHEN final_code = 'RETRY' THEN
+       | (CASE $tierWhens ELSE topic || '__${Group}__dlq' END)
+       | WHEN final_code = 'DLQ' THEN topic || '__${Group}__dlq'
+       | WHEN final_code = 'RESQ' THEN topic || '__${Group}__resq'
+       | ELSE 'ack:' || final_code END""".stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
+  // q01 — response-code distribution (DispatcherResponse histogram;
+  // reference: ProcessorImpl.java:287-298)
+  // ===========================================================
+  def q01CodeDistribution(spark: SparkSession, dir: String): DataFrame =
+    withCode(messages(events(spark, dir)))
+      .groupBy("code")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
+      .orderBy("code")
+
+  val q01Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | coded AS (SELECT *, $codeSqlExpr AS code FROM msgs)
+       |SELECT code, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes
+       |FROM coded GROUP BY code ORDER BY code""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q02 — full routing: code -> escalation -> per-row destination topic
+  // (the Kafka sink's per-row `topic` column; ProcessorImpl.java:367-394)
+  // ===========================================================
+  def q02RouteDestinations(spark: SparkSession, dir: String): DataFrame =
+    withFinalCode(withCode(messages(events(spark, dir))))
+      .withColumn("destination", destColumn)
+      .groupBy("destination")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
+      .orderBy("destination")
+
+  val q02Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | coded AS (SELECT *, $codeSqlExpr AS code FROM msgs),
+       | esc AS (SELECT *, $finalCodeSqlExpr AS final_code FROM coded),
+       | routed AS (SELECT *, $destSqlExpr AS destination FROM esc)
+       |SELECT destination, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes
+       |FROM routed GROUP BY destination ORDER BY destination""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q03 — timeout escalation outcome distribution
+  // (ProcessorImpl.handleTimeout; reference: ProcessorImpl.java:417-465)
+  // ===========================================================
+  def q03BackoffEscalation(spark: SparkSession, dir: String): DataFrame =
+    withFinalCode(withCode(messages(events(spark, dir))))
+      .groupBy("final_code")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("final_code")
+
+  val q03Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | coded AS (SELECT *, $codeSqlExpr AS code FROM msgs),
+       | esc AS (SELECT *, $finalCodeSqlExpr AS final_code FROM coded)
+       |SELECT final_code, COUNT(*) AS n FROM esc
+       |GROUP BY final_code ORDER BY final_code""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q04 — per-topic per-minute throughput (msgs/sec + bytes/sec)
+  // (ThroughputTracker; reference: ThroughputTracker.java:11,50-75)
+  // ===========================================================
+  def q04ThroughputWindow(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .groupBy("topic", "minute_ts")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
+      .withColumn("msgs_per_sec", col("n") / 60.0)
+      .withColumn("bytes_per_sec", col("total_bytes") / 60.0)
+      .orderBy("topic", "minute_ts")
+
+  val q04Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | agg AS (
+       |  SELECT topic, minute_ts,
+       |   COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes
+       |  FROM msgs GROUP BY topic, minute_ts)
+       |SELECT topic, minute_ts, n, total_bytes, n / 60.0 AS msgs_per_sec,
+       | total_bytes / 60.0 AS bytes_per_sec
+       |FROM agg ORDER BY topic, minute_ts""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q05 — contiguous commit watermark per partition (the ack-tracking
+  // queue's relational shadow; reference: LinkedAckTrackingQueue.java:90-150)
+  // acked := offset % 3 <> 0; watermark = longest all-acked prefix.
+  // ===========================================================
+  def q05CommitWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val m = messages(events(spark, dir))
+      .withColumn("acked", (pmod(col("offset"), lit(3)) =!= 0).cast("int"))
+    val w = Window.partitionBy("topic", "partition").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("unacked_so_far", sum(lit(1) - col("acked")).over(w))
+      .groupBy("topic", "partition")
+      .agg(
+        count(lit(1)).as("received"),
+        sum("acked").cast("long").as("acked_cnt"),
+        sum(when(col("unacked_so_far") === 0, 1).otherwise(0)).cast("long").as("committed_cnt"),
+        coalesce(max(when(col("unacked_so_far") === 0, col("offset"))), lit(-1L)).as("commit_offset"))
+      .orderBy("topic", "partition")
+  }
+
+  val q05Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | acks AS (SELECT topic, "partition", "offset",
+       |   CASE WHEN "offset" % 3 <> 0 THEN 1 ELSE 0 END AS acked FROM msgs),
+       | pref AS (SELECT *, SUM(1 - acked) OVER
+       |   (PARTITION BY topic, "partition" ORDER BY "offset"
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS unacked_so_far
+       |  FROM acks)
+       |SELECT topic, "partition", COUNT(*) AS received,
+       | CAST(SUM(acked) AS BIGINT) AS acked_cnt,
+       | CAST(SUM(CASE WHEN unacked_so_far = 0 THEN 1 ELSE 0 END) AS BIGINT) AS committed_cnt,
+       | COALESCE(MAX(CASE WHEN unacked_so_far = 0 THEN "offset" END), -1) AS commit_offset
+       |FROM pref GROUP BY topic, "partition" ORDER BY topic, partition""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q06 — E2E latency histogram with explicit bucket boundaries
+  // (reference: ProcessorImpl.java:120-186, LatencyTracker.java)
+  // latency_ms := floor(value * 1000)
+  // ===========================================================
+  def q06LatencyHistogram(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .withColumn("latency_ms", floor(col("value") * 1000).cast("long"))
+      .withColumn("bucket", latencyBucketColumn(col("latency_ms")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  val q06Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | lat AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS latency_ms FROM msgs),
+       | b AS (SELECT ${latencyBucketSql("latency_ms")} AS bucket FROM lat)
+       |SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q07 — per-partition checkpoint bookkeeping: fetch offset (max),
+  // start offset (min), received count
+  // (reference: KafkaCheckpointManager.java, CheckpointInfo.java:9-82)
+  // ===========================================================
+  def q07CheckpointInfo(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .groupBy("topic", "partition")
+      .agg(
+        min("offset").as("start_offset"),
+        (max("offset") + 1).as("fetch_offset"),
+        count(lit(1)).as("received"))
+      .orderBy("topic", "partition")
+
+  val q07Sql: String =
+    s"""WITH msgs AS ($messagesSql)
+       |SELECT topic, "partition", MIN("offset") AS start_offset,
+       | MAX("offset") + 1 AS fetch_offset, COUNT(*) AS received
+       |FROM msgs GROUP BY topic, "partition" ORDER BY topic, partition""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q08 — flow-control quota division: a job group's msgs/sec and bytes/sec
+  // quota split evenly across its partitions
+  // (reference: KafkaPipelineStateManager.java flow merge; FlowControl
+  //  defaults 4000 msgs/s, 16 MiB/s per worker: AutoScalarConfiguration.java:21-22)
+  // ===========================================================
+  def q08FlowControlQuota(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .groupBy("topic")
+      .agg(countDistinct("partition").as("partitions"))
+      .withColumn("msgs_per_sec_per_partition", lit(4000.0) / col("partitions"))
+      .withColumn("bytes_per_sec_per_partition", lit(16777216.0) / col("partitions"))
+      .orderBy("topic")
+
+  val q08Sql: String =
+    s"""WITH msgs AS ($messagesSql)
+       |SELECT topic, COUNT(DISTINCT "partition") AS partitions,
+       | 4000.0 / COUNT(DISTINCT "partition") AS msgs_per_sec_per_partition,
+       | 16777216.0 / COUNT(DISTINCT "partition") AS bytes_per_sec_per_partition
+       |FROM msgs GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q09 — expected vs actual job reconciliation -> command matrix
+  // (CommandListBuilder full-outer join; reference:
+  //  uforwarder-core/.../controller/rpc/CommandListBuilder.java:29-103)
+  // expected := job groups whose min offset % 3 <> 0 (RUNNING expected)
+  // actual   := job groups whose max offset % 2 = 0 (RUNNING actual)
+  // ===========================================================
+  def q09ReconcileCommands(spark: SparkSession, dir: String): DataFrame = {
+    val g = messages(events(spark, dir))
+      .groupBy("topic", "partition")
+      .agg(min("offset").as("mn"), max("offset").as("mx"))
+    val expected = g.filter(pmod(col("mn"), lit(3)) =!= 0)
+      .select(col("topic"), col("partition"), lit(true).as("expected"))
+    val actual = g.filter(pmod(col("mx"), lit(2)) === 0)
+      .select(col("topic"), col("partition"), lit(true).as("actual"))
+    expected.join(actual, Seq("topic", "partition"), "full_outer")
+      .withColumn("command",
+        when(col("actual").isNull, "RUN_JOB")
+          .when(col("expected").isNull, "CANCEL_JOB")
+          .otherwise("NOOP"))
+      .select("topic", "partition", "command")
+      .orderBy("topic", "partition")
+  }
+
+  val q09Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | g AS (SELECT topic, "partition", MIN("offset") AS mn, MAX("offset") AS mx
+       |   FROM msgs GROUP BY topic, "partition"),
+       | expected AS (SELECT topic, "partition", TRUE AS expected FROM g WHERE mn % 3 <> 0),
+       | actual AS (SELECT topic, "partition", TRUE AS actual FROM g WHERE mx % 2 = 0)
+       |SELECT COALESCE(e.topic, a.topic) AS topic,
+       | COALESCE(e."partition", a."partition") AS "partition",
+       | CASE WHEN a.actual IS NULL THEN 'RUN_JOB'
+       |  WHEN e.expected IS NULL THEN 'CANCEL_JOB' ELSE 'NOOP' END AS command
+       |FROM expected e FULL OUTER JOIN actual a
+       | ON e.topic = a.topic AND e."partition" = a."partition"
+       |ORDER BY topic, partition""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q10 — partition-expansion diff: old vs new assignment anti-joins
+  // (reference: AbstractKafkaFetcherThread.extractTopicPartitionMap:598-685,
+  //  KafkaPartitionExpansionWatcher.java:33-60)
+  // Fine-grained assignment: partition := user_id (wide id space so both
+  // sides of the diff are non-empty). old := assignments seen in the first
+  // tenth of each topic's stream (offset*10 <= max), new := the rest.
+  // ===========================================================
+  def q10PartitionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val m = events(spark, dir).select(
+      col("event_type").as("topic"),
+      col("user_id").cast("int").as("partition"),
+      col("event_id").as("offset"))
+    val half = m.groupBy("topic").agg(max("offset").as("mx"))
+    val j = m.join(broadcast(half), "topic")
+    val old = j.filter(col("offset") * 10 <= col("mx")).select("topic", "partition").distinct()
+    val nw = j.filter(col("offset") * 10 > col("mx")).select("topic", "partition").distinct()
+    val added = nw.join(old, Seq("topic", "partition"), "left_anti")
+      .withColumn("change", lit("ADDED"))
+    val removed = old.join(nw, Seq("topic", "partition"), "left_anti")
+      .withColumn("change", lit("REMOVED"))
+    added.unionByName(removed).orderBy("topic", "partition", "change")
+  }
+
+  val q10Sql: String =
+    s"""WITH m AS (SELECT event_type AS topic, CAST(user_id AS INTEGER) AS "partition",
+       |   event_id AS "offset" FROM events),
+       | half AS (SELECT topic, MAX("offset") AS mx FROM m GROUP BY topic),
+       | j AS (SELECT m.topic, m."partition", m."offset", h.mx FROM m JOIN half h ON m.topic = h.topic),
+       | old AS (SELECT DISTINCT topic, "partition" FROM j WHERE "offset" * 10 <= mx),
+       | nw AS (SELECT DISTINCT topic, "partition" FROM j WHERE "offset" * 10 > mx),
+       | added AS (SELECT n.topic, n."partition", 'ADDED' AS change FROM nw n
+       |   WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.topic = n.topic AND o."partition" = n."partition")),
+       | removed AS (SELECT o.topic, o."partition", 'REMOVED' AS change FROM old o
+       |   WHERE NOT EXISTS (SELECT 1 FROM nw n WHERE n.topic = o.topic AND n."partition" = o."partition"))
+       |SELECT * FROM (SELECT * FROM added UNION ALL SELECT * FROM removed)
+       |ORDER BY topic, "partition", change""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q11 — autoscaler percentile windows: p50/p99 of per-minute throughput
+  // per topic, scale = max(msgs/4000, bytes/16MiB)
+  // (reference: ScaleWindow.getByPercentile, ScaleState.java:353-440,
+  //  AutoScalarConfiguration.java:11-27; ScaleConverter max rule :60-63)
+  // ===========================================================
+  def q11ScalePercentiles(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .groupBy("topic", "minute_ts")
+      .agg(count(lit(1)).as("n"), sum("bytes").cast("double").as("b"))
+      .groupBy("topic")
+      .agg(
+        expr("percentile(n, 0.5)").as("p50_msgs_per_min"),
+        expr("percentile(n, 0.99)").as("p99_msgs_per_min"),
+        expr("percentile(b, 0.5)").as("p50_bytes_per_min"))
+      .withColumn("scale", round(
+        greatest(
+          col("p50_msgs_per_min") / 60.0 / 4000.0,
+          col("p50_bytes_per_min") / 60.0 / 16777216.0), 8))
+      .withColumn("p50_msgs_per_min", round(col("p50_msgs_per_min"), 6))
+      .withColumn("p99_msgs_per_min", round(col("p99_msgs_per_min"), 6))
+      .withColumn("p50_bytes_per_min", round(col("p50_bytes_per_min"), 6))
+      .orderBy("topic")
+
+  val q11Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | perMin AS (SELECT topic, minute_ts,
+       |   COUNT(*) AS n, CAST(SUM(bytes) AS DOUBLE) AS b
+       |  FROM msgs GROUP BY topic, minute_ts),
+       | pct AS (SELECT topic,
+       |   quantile_cont(n, 0.5) AS p50_msgs_per_min,
+       |   quantile_cont(n, 0.99) AS p99_msgs_per_min,
+       |   quantile_cont(b, 0.5) AS p50_bytes_per_min
+       |  FROM perMin GROUP BY topic)
+       |SELECT topic, round(p50_msgs_per_min, 6) AS p50_msgs_per_min,
+       | round(p99_msgs_per_min, 6) AS p99_msgs_per_min,
+       | round(p50_bytes_per_min, 6) AS p50_bytes_per_min,
+       | round(greatest(p50_msgs_per_min / 60.0 / 4000.0,
+       |   p50_bytes_per_min / 60.0 / 16777216.0), 8) AS scale
+       |FROM pct ORDER BY topic""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q12 — audit: exact distinct counts per topic
+  // (AUDIT_TYPE_EXACT_UNIQ, spec-only in the reference: job.proto:313-334)
+  // ===========================================================
+  def q12AuditExactUniq(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("offset").as("uniq_offsets"),
+        countDistinct(col("partition")).as("uniq_partitions"))
+      .orderBy("topic")
+
+  val q12Sql: String =
+    s"""WITH msgs AS ($messagesSql)
+       |SELECT topic, COUNT(*) AS n, COUNT(DISTINCT "offset") AS uniq_offsets,
+       | COUNT(DISTINCT "partition") AS uniq_partitions
+       |FROM msgs GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q13 — bounded DLQ merge/purge: per partition, consume only
+  // [start_offset, end_offset); purge partitions (partition % 4 = 0) have
+  // start == end and consume nothing
+  // (reference: DlqTopicKafkaFetcher.java:66-79,103-115; CheckpointInfo.bounded)
+  // start := (partition + 1) * 50, end := start + 300 (0 for purge)
+  // ===========================================================
+  def q13BoundedDlqMerge(spark: SparkSession, dir: String): DataFrame = {
+    val m = messages(events(spark, dir))
+      .withColumn("start_offset", (col("partition") + 1) * 50)
+      .withColumn("end_offset",
+        when(pmod(col("partition"), lit(4)) === 0, (col("partition") + 1) * 50)
+          .otherwise((col("partition") + 1) * 50 + 300))
+    m.filter(col("offset") >= col("start_offset") && col("offset") < col("end_offset"))
+      .groupBy("topic", "partition")
+      .agg(count(lit(1)).as("merged"), min("offset").as("lo"), max("offset").as("hi"))
+      .orderBy("topic", "partition")
+  }
+
+  val q13Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | b AS (SELECT *, ("partition" + 1) * 50 AS start_offset,
+       |   CASE WHEN "partition" % 4 = 0 THEN ("partition" + 1) * 50
+       |    ELSE ("partition" + 1) * 50 + 300 END AS end_offset
+       |  FROM msgs)
+       |SELECT topic, "partition", COUNT(*) AS merged, MIN("offset") AS lo, MAX("offset") AS hi
+       |FROM b WHERE "offset" >= start_offset AND "offset" < end_offset
+       |GROUP BY topic, "partition" ORDER BY topic, partition""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q14 — literal-spec tier selection (spec-driven codegen parity check:
+  // the Column chain and the SQL CASE are generated from the same JobSpec)
+  // ===========================================================
+  val literalSpec: JobSpec = JobSpec(
+    jobGroupId = s"events__$Group", cluster = "local", topic = "events",
+    consumerGroup = Group,
+    rpc = RpcSpec("grpc://consumer", s"kafka.consumerproxy.$Group/events",
+      maxRpcTimeouts = MaxRpcTimeouts, dlqTopic = TopicNames.dlq("events", Group)),
+    retryEnabled = true,
+    retryTiers = TierCeilings.map { case (tier, ceil) =>
+      RetryTier(TopicNames.retry("events", Group, tier), tier * 1000L, ceil.toInt)
+    })
+
+  def q14TierSelect(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .withColumn("retry_destination",
+        RoutingColumns.retryDestinationColumn(literalSpec, col("retry_count")))
+      .groupBy("retry_destination")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("retry_destination")
+
+  val q14Sql: String =
+    s"""WITH msgs AS ($messagesSql)
+       |SELECT ${RoutingColumns.retryDestinationSql(literalSpec, "retry_count")} AS retry_destination,
+       | COUNT(*) AS n
+       |FROM msgs GROUP BY retry_destination ORDER BY retry_destination""".stripMargin.replace("\n", " ")
+
+  // ---- registry ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_code_distribution" -> (q01CodeDistribution _),
+    "q02_route_destinations" -> (q02RouteDestinations _),
+    "q03_backoff_escalation" -> (q03BackoffEscalation _),
+    "q04_throughput_window" -> (q04ThroughputWindow _),
+    "q05_commit_watermark" -> (q05CommitWatermark _),
+    "q06_latency_histogram" -> (q06LatencyHistogram _),
+    "q07_checkpoint_info" -> (q07CheckpointInfo _),
+    "q08_flow_control_quota" -> (q08FlowControlQuota _),
+    "q09_reconcile_commands" -> (q09ReconcileCommands _),
+    "q10_partition_diff" -> (q10PartitionDiff _),
+    "q11_scale_percentiles" -> (q11ScalePercentiles _),
+    "q12_audit_exact_uniq" -> (q12AuditExactUniq _),
+    "q13_bounded_dlq_merge" -> (q13BoundedDlqMerge _),
+    "q14_tier_select" -> (q14TierSelect _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_code_distribution" -> q01Sql,
+    "q02_route_destinations" -> q02Sql,
+    "q03_backoff_escalation" -> q03Sql,
+    "q04_throughput_window" -> q04Sql,
+    "q05_commit_watermark" -> q05Sql,
+    "q06_latency_histogram" -> q06Sql,
+    "q07_checkpoint_info" -> q07Sql,
+    "q08_flow_control_quota" -> q08Sql,
+    "q09_reconcile_commands" -> q09Sql,
+    "q10_partition_diff" -> q10Sql,
+    "q11_scale_percentiles" -> q11Sql,
+    "q12_audit_exact_uniq" -> q12Sql,
+    "q13_bounded_dlq_merge" -> q13Sql,
+    "q14_tier_select" -> q14Sql)
+}

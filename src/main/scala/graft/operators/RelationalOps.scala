@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * General relational analytics over the star schema — the engine's
+ * batch-query surface (aggregation, multi-way joins, windows, top-n).
+ *
+ * Determinism policy for the DuckDB oracle: money sums are computed in
+ * DECIMAL (exact, order-independent) and cast to DECIMAL(30,4) on both
+ * sides; averages divide an exact decimal sum by a count in DOUBLE (single
+ * IEEE op, deterministic); every output is fully ordered with unique
+ * tie-breakers.
+ *
+ * Scale notes: dimension tables (region/nation/customer/supplier/part) are
+ * broadcast — no shuffle on the fact side for those joins; fact-fact joins
+ * (orders⋈lineitem) shuffle on the join key once and AQE handles skew.
+ */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+
+  /** exact 4-decimal discounted price: ep*(1-disc) has exactly 4 decimals,
+    * so the narrowing cast is lossless and both engines agree bit-for-bit. */
+  private def discPrice: org.apache.spark.sql.Column =
+    (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+      .cast("decimal(18,4)")
+
+  private val discPriceSql: String =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+
+  // ===========================================================
+  // q20 — pricing summary (TPC-H Q1 shape): wide aggregation with decimal
+  // exactness, grouped by returnflag/linestatus
+  // ===========================================================
+  def q20PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(30,4)").as("sum_base_price"),
+        sum(discPrice).cast("decimal(30,4)").as("sum_disc_price"),
+        sum((discPrice * (lit(1).cast("decimal(18,2)") + dec(col("l_tax"))))
+          .cast("decimal(18,6)")).cast("decimal(30,6)").as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q20Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_base_price,
+      | CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS sum_disc_price,
+      | CAST(SUM(CAST($discPriceSql * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_charge,
+      | SUM(l_quantity) / COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q21 — revenue top-10 customers (TPC-H Q3 shape): fact-fact join with
+  // broadcast dimension, top-n with unique tie-break
+  // ===========================================================
+  def q21TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(discPrice).cast("decimal(30,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val q21Sql: String =
+    s"""SELECT c_custkey, c_name,
+      | CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q22 — revenue by nation within a region (TPC-H Q5 shape): 5-way join
+  // through broadcast dims with a date-range filter
+  // ===========================================================
+  def q22RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("decimal(30,4)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q22Sql: String =
+    s"""SELECT n_name,
+      | CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q23 — per-supplier running totals (window functions with unique
+  // tie-break ordering)
+  // ===========================================================
+  def q23RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q23Sql: String =
+    """SELECT l_suppkey,
+      | ROW_NUMBER() OVER w AS rn, l_orderkey, l_linenumber, l_quantity,
+      | SUM(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, rn""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q24 — order-priority counts with EXISTS semi-join (TPC-H Q4 shape)
+  // ===========================================================
+  def q24OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    // EXISTS: lineitems shipped after 1997-06-01 mark "late" orders
+    val lateKeys = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      .select("l_orderkey").distinct()
+    orders.join(lateKeys, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      | AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |   AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_pricing_summary" -> (q20PricingSummary _),
+    "q21_top_customers" -> (q21TopCustomers _),
+    "q22_region_revenue" -> (q22RegionRevenue _),
+    "q23_running_window" -> (q23RunningWindow _),
+    "q24_order_priority" -> (q24OrderPriority _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_pricing_summary" -> q20Sql,
+    "q21_top_customers" -> q21Sql,
+    "q22_region_revenue" -> q22Sql,
+    "q23_running_window" -> q23Sql,
+    "q24_order_priority" -> q24Sql)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table and hash-based near-dup
+ * discovery over `documents`.
+ *
+ * Scale design:
+ *  - Brute-force cosine top-k is the correctness baseline: broadcast the
+ *    (small) query set, one pass over the corpus, per-query top-k via window.
+ *    At 100 TB the corpus side stays partition-parallel; only k rows per
+ *    query survive the shuffle.
+ *  - The LSH path (q41) buckets by banded MinHash signatures so candidate
+ *    generation is an equi-join on (band, signature) — no all-pairs blowup.
+ *  - SimHash (q42) reduces each doc to a 64-bit signature usable for
+ *    Hamming-radius probing.
+ * All hashes are built from xxhash64/md5 built-ins — deterministic,
+ * codegen'd, no UDFs.
+ */
+object SimilarityOps {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** dot product of two double arrays (sequential fold — deterministic). */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def l2(a: String) =
+    expr(s"sqrt(aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+
+  // ===========================================================
+  // q40 — brute-force cosine top-10 neighbors for query vectors vec_id < 5
+  // ===========================================================
+  def q40AnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val joined = e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        dot("v", "qv") / (l2("v") * l2("qv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("qid", "rank", "vec_id", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val q40Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      | j AS (SELECT e.vec_id, q.qid,
+      |   round(list_dot_product(e.v, q.qv) /
+      |     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+      |  FROM e, q WHERE e.vec_id <> q.qid),
+      | r AS (SELECT qid, vec_id, cos,
+      |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |  FROM j)
+      |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q43 — embedding norms / centroid stats per label (aggregate + zip_with)
+  // ===========================================================
+  def q43EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", l2("v"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("norm"), 4).as("sum_norm"),
+        round(min("norm"), 6).as("min_norm"),
+        round(max("norm"), 6).as("max_norm"))
+      .orderBy("label")
+
+  val q43Sql: String =
+    """WITH e AS (SELECT label,
+      |  sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+      | FROM embeddings)
+      |SELECT label, COUNT(*) AS n, round(SUM(norm), 4) AS sum_norm,
+      | round(MIN(norm), 6) AS min_norm, round(MAX(norm), 6) AS max_norm
+      |FROM e GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q41 — MinHash + LSH near-dup candidates (Spark-only; rows-only oracle).
+  // 32 hash functions = xxhash64(shingle, seed); 8 bands × 4 rows; candidate
+  // pairs bucket-join on (band, band_signature); verified with true Jaccard.
+  // Output: top-20 most similar verified pairs (always non-empty).
+  // ===========================================================
+  val NumHashes = 32
+  val BandSize = 4
+
+  def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+          .as("sh"))
+    // minhash signature: for each seed, min over shingles of xxhash64(shingle, seed)
+    val sigExprs = (0 until NumHashes).map { s =>
+      expr(s"array_min(transform(sh, x -> xxhash64(x, $s)))")
+    }
+    val sig = d.withColumn("sig", array(sigExprs: _*))
+    // bands: (doc_id, band_idx, band_sig)
+    val bands = sig.select(col("doc_id"), col("sh"), posexplode(
+      expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), b -> " +
+        s"concat_ws(':', transform(slice(sig, b * $BandSize + 1, $BandSize), x -> CAST(x AS STRING))))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+    val left = bands.select(col("band"), col("band_sig"),
+      col("doc_id").as("a"), col("sh").as("sha"))
+    val right = bands.select(col("band"), col("band_sig"),
+      col("doc_id").as("b"), col("sh").as("shb"))
+    val cand = left.join(right, Seq("band", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sha", "shb").dropDuplicates("a", "b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .select("a", "b", "inter", "uni", "jaccard")
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  // ===========================================================
+  // q42 — SimHash 64-bit signatures (Spark-only; rows-only oracle).
+  // Token hashes vote per bit; signature = sign vector packed to a long.
+  // ===========================================================
+  def q42SimHash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        expr("transform(regexp_extract_all(lower(text), '\\\\S+', 0), t -> xxhash64(t))").as("hashes"))
+    // per bit i: sum over tokens of (bit set ? 1 : -1); simhash bit = vote > 0
+    val sim = d.withColumn("simhash", expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+        | acc + CAST(if(
+        |   aggregate(hashes, CAST(0 AS BIGINT), (s, h) -> s + if(((h >> i) & 1) = 1, 1, -1)) > 0,
+        |   shiftleft(CAST(1 AS BIGINT), i), 0) AS BIGINT))""".stripMargin))
+    val w = Window.orderBy("doc_id")
+    sim.select(col("doc_id"), col("simhash"))
+      .withColumn("next_simhash", lead("simhash", 1).over(w))
+      .withColumn("hamming_to_next",
+        when(col("next_simhash").isNotNull,
+          expr("bit_count(simhash ^ next_simhash)")).otherwise(lit(null)))
+      .filter(col("doc_id") < 100)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_cosine" -> (q40AnnCosine _),
+    "q41_minhash_lsh" -> (q41MinHashLsh _),
+    "q42_simhash" -> (q42SimHash _),
+    "q43_embedding_stats" -> (q43EmbeddingStats _))
+
+  /** q41/q42 are hash-function-specific (xxhash64) — not expressible in
+    * DuckDB SQL, so they get the driver's rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q40_ann_cosine" -> q40Sql,
+    "q43_embedding_stats" -> q43Sql)
+}

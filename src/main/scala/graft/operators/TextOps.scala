@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis and deduplication operators for large-scale training-data
+ * pipelines, over the `documents` table. Everything uses codegen'd built-in
+ * functions (regexp/md5/array ops) — no UDFs — so the plans whole-stage
+ * compile and scale linearly; the only shuffles are the final group-bys.
+ *
+ * Every query here has an exact DuckDB oracle (regex subset chosen to behave
+ * identically under Java regex and RE2: \S, \s, explicit char classes).
+ */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** normalized text: lowercase, whitespace squeezed, trimmed. */
+  private def norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ===========================================================
+  // q30 — exact dedup via content hash (hash-groupBy; scale path:
+  // one shuffle on a 128-bit digest, no text comparison)
+  // ===========================================================
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(md5(norm.cast("binary")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+      .agg(
+        count(lit(1)).as("distinct_texts"),
+        sum("copies").cast("long").as("total_docs"),
+        sum(when(col("copies") > 1, col("copies") - 1).otherwise(0)).cast("long").as("removable_dups"))
+
+  val q30Sql: String =
+    s"""WITH h AS (SELECT md5($normSql) AS h, doc_id FROM documents),
+       | g AS (SELECT h, COUNT(*) AS copies, MIN(doc_id) AS keeper FROM h GROUP BY h)
+       |SELECT COUNT(*) AS distinct_texts, CAST(SUM(copies) AS BIGINT) AS total_docs,
+       | CAST(SUM(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS BIGINT) AS removable_dups
+       |FROM g""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q31 — token counting per (lang, source): whitespace tokens via \S+
+  // ===========================================================
+  def q31TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("tokens").as("total_tokens"),
+        (sum("tokens").cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang", "source")
+
+  val q31Sql: String =
+    """WITH t AS (SELECT lang, source,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens FROM documents)
+      |SELECT lang, source, COUNT(*) AS docs,
+      | CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      | CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q32 — quality scoring: char/token/punct ratios -> quality label
+  // (length, punctuation density, mean token length)
+  // ===========================================================
+  def q32QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("chars", length(col("text")).cast("long"))
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("puncts", size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
+      .withColumn("mean_token_len",
+        when(col("tokens") > 0, col("chars").cast("double") / col("tokens")).otherwise(0.0))
+      .withColumn("label",
+        when(col("tokens") < 20, "too_short")
+          .when(col("puncts") * 10 > col("tokens"), "punct_heavy")
+          .when(col("mean_token_len") > 12.0, "long_tokens")
+          .otherwise("ok"))
+    d.groupBy("lang", "label")
+      .agg(count(lit(1)).as("docs"), sum("tokens").as("total_tokens"))
+      .orderBy("lang", "label")
+  }
+
+  val q32Sql: String =
+    """WITH d AS (SELECT lang,
+      |  CAST(length(text) AS BIGINT) AS chars,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+      |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS puncts
+      | FROM documents),
+      | lab AS (SELECT lang, tokens,
+      |  CASE WHEN tokens < 20 THEN 'too_short'
+      |   WHEN puncts * 10 > tokens THEN 'punct_heavy'
+      |   WHEN (CASE WHEN tokens > 0 THEN CAST(chars AS DOUBLE)/tokens ELSE 0.0 END) > 12.0 THEN 'long_tokens'
+      |   ELSE 'ok' END AS label
+      | FROM d)
+      |SELECT lang, label, COUNT(*) AS docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      |FROM lab GROUP BY lang, label ORDER BY lang, label""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q33 — language-ID heuristic (stopword hits) vs labeled lang:
+  // confusion matrix
+  // ===========================================================
+  def q33LangGuess(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = concat(lit(" "), regexp_replace(lower(col("text")), "\\s+", " "), lit(" "))
+    val d = docs(spark, dir).withColumn("padded", lowered)
+      .withColumn("guess",
+        when(col("padded").contains(" the ") || col("padded").contains(" and "), "en")
+          .when(col("padded").contains(" der ") || col("padded").contains(" und "), "de")
+          .when(col("padded").contains(" le ") || col("padded").contains(" et "), "fr")
+          .when(col("padded").contains(" el ") || col("padded").contains(" los "), "es")
+          .otherwise("unk"))
+    d.groupBy("lang", "guess").agg(count(lit(1)).as("n")).orderBy("lang", "guess")
+  }
+
+  val q33Sql: String =
+    s"""WITH d AS (SELECT lang, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS padded
+       |  FROM documents),
+       | g AS (SELECT lang,
+       |  CASE WHEN padded LIKE '% the %' OR padded LIKE '% and %' THEN 'en'
+       |   WHEN padded LIKE '% der %' OR padded LIKE '% und %' THEN 'de'
+       |   WHEN padded LIKE '% le %' OR padded LIKE '% et %' THEN 'fr'
+       |   WHEN padded LIKE '% el %' OR padded LIKE '% los %' THEN 'es'
+       |   ELSE 'unk' END AS guess
+       | FROM d)
+       |SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY lang, guess
+       |ORDER BY lang, guess""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q34 — document fingerprinting: md5 of normalized text (stable id for
+  // dedup joins); per-doc listing bounded to doc_id < 50
+  // ===========================================================
+  def q34Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val q34Sql: String =
+    s"""SELECT doc_id, md5($normSql) AS fingerprint
+       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q35 — character-3-gram Jaccard near-dup scan over adjacent doc pairs
+  // (within source, ordered by doc_id): set ops on shingle arrays.
+  // The LSH-bucketed variant for all-pairs at scale is SimilarityOps.
+  // ===========================================================
+  def q35NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = array_distinct(expr(
+      "transform(sequence(1, greatest(length(ntext) - 2, 0)), i -> substring(ntext, i, 3))"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs(spark, dir)
+      .withColumn("ntext", norm)
+      .withColumn("sh", shingles)
+      .withColumn("next_id", lead("doc_id", 1).over(w))
+      .withColumn("next_sh", lead("sh", 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .withColumn("inter", size(array_intersect(col("sh"), col("next_sh"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh"), col("next_sh"))).cast("long"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
+      .withColumn("near_dup", col("jaccard") >= 0.8)
+      .select("source", "doc_id", "next_id", "inter", "uni", "jaccard", "near_dup")
+      .orderBy("source", "doc_id")
+  }
+
+  val q35Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, $normSql AS ntext FROM documents),
+       | s AS (SELECT source, doc_id,
+       |   list_distinct(list_transform(generate_series(1, greatest(length(ntext) - 2, 0)),
+       |     i -> substring(ntext, i, 3))) AS sh
+       |  FROM d),
+       | p AS (SELECT source, doc_id, sh,
+       |   LEAD(doc_id) OVER w AS next_id, LEAD(sh) OVER w AS next_sh
+       |  FROM s WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+       | j AS (SELECT source, doc_id, next_id,
+       |   CAST(len(list_intersect(sh, next_sh)) AS BIGINT) AS inter,
+       |   CAST(len(list_distinct(list_concat(sh, next_sh))) AS BIGINT) AS uni
+       |  FROM p WHERE next_id IS NOT NULL)
+       |SELECT source, doc_id, next_id, inter, uni,
+       | CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE)/uni ELSE 0.0 END AS jaccard,
+       | (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE)/uni ELSE 0.0 END) >= 0.8 AS near_dup
+       |FROM j ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_token_stats" -> (q31TokenStats _),
+    "q32_quality_score" -> (q32QualityScore _),
+    "q33_lang_guess" -> (q33LangGuess _),
+    "q34_fingerprint" -> (q34Fingerprint _),
+    "q35_ngram_jaccard" -> (q35NgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_token_stats" -> q31Sql,
+    "q32_quality_score" -> q32Sql,
+    "q33_lang_guess" -> q33Sql,
+    "q34_fingerprint" -> q34Sql,
+    "q35_ngram_jaccard" -> q35Sql)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape tests for every SparkEntry query at sf0.001. Value-level
+  * correctness is checked against the DuckDB oracle by the driver (and by
+  * tools/check_oracle.py in dev). */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has either an oracle or is a documented rows-only op") {
+    val rowsOnly = Set("q41_minhash_lsh", "q42_simhash", "q45_decode_features")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+    // oracle keys must be a subset of query keys
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 and returns rows") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      if (name == "q41_minhash_lsh") assert(n >= 0) // LSH candidates may be absent at tiny SF
+      else assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("routing queries are deterministic across runs") {
+    val a = SparkEntry.queries("q02_route_destinations")(spark, dir).collect().map(_.toString)
+    val b = SparkEntry.queries("q02_route_destinations")(spark, dir).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("q02 destinations cover retry tiers, dlq and ack markers") {
+    val dests = SparkEntry.queries("q02_route_destinations")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(dests.exists(_.endsWith("__grp__1__retry")))
+    assert(dests.exists(_.endsWith("__grp__dlq")))
+    assert(dests.exists(_.startsWith("ack:")))
+  }
+}
