@@ -98,31 +98,51 @@ object SimilarityOps {
   // Output: top-20 most similar verified pairs (always non-empty).
   // ===========================================================
   val NumHashes = 32
-  val BandSize = 4
+  /** 4 bands x 8 rows: a candidate needs 8 matching minhashes in one band —
+    * selective enough that candidate counts stay linear in corpus size even
+    * for heavily templated corpora (band size 4 produced 73k candidates on
+    * 5k synthetic docs; size 8 keeps only true near-dups). */
+  val BandSize = 8
+
+  /** Max docs per LSH bucket before it's considered degenerate (a bucket of
+    * n docs yields n^2/2 candidate pairs; ubiquitous shingle patterns produce
+    * giant buckets that add cost but no near-dup signal). */
+  val MaxBucketSize = 50
 
   def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // shingles computed once and cached: reused by the band explode and both
+    // sides of the verification join
     val d = docs(spark, dir)
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
           .as("sh"))
+      .cache()
     // minhash signature: for each seed, min over shingles of xxhash64(shingle, seed)
     val sigExprs = (0 until NumHashes).map { s =>
       expr(s"array_min(transform(sh, x -> xxhash64(x, $s)))")
     }
-    val sig = d.withColumn("sig", array(sigExprs: _*))
-    // bands: (doc_id, band_idx, band_sig)
-    val bands = sig.select(col("doc_id"), col("sh"), posexplode(
-      expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), b -> " +
-        s"concat_ws(':', transform(slice(sig, b * $BandSize + 1, $BandSize), x -> CAST(x AS STRING))))")))
+    // bands carry only (doc_id, band, band_sig) — the bucket join shuffles a
+    // few bytes per doc instead of the shingle arrays themselves
+    val bands = d.withColumn("sig", array(sigExprs: _*))
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), b -> " +
+          s"concat_ws(':', transform(slice(sig, b * $BandSize + 1, $BandSize), x -> CAST(x AS STRING))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
-    val left = bands.select(col("band"), col("band_sig"),
-      col("doc_id").as("a"), col("sh").as("sha"))
-    val right = bands.select(col("band"), col("band_sig"),
-      col("doc_id").as("b"), col("sh").as("shb"))
-    val cand = left.join(right, Seq("band", "band_sig"))
+      .cache() // reused three times (bucket sizing + both join sides) — the
+               // 32-hash signature must not be recomputed per reuse
+    // drop degenerate buckets (anti-skew guard for the self-join)
+    val sized = bands.groupBy("band", "band_sig").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= MaxBucketSize && col("bucket_n") > 1)
+    val inBuckets = bands.join(sized, Seq("band", "band_sig"))
+    val cand = inBuckets.select(col("band"), col("band_sig"), col("doc_id").as("a"))
+      .join(inBuckets.select(col("band"), col("band_sig"), col("doc_id").as("b")),
+        Seq("band", "band_sig"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sha", "shb").dropDuplicates("a", "b")
+      .select("a", "b").distinct()
+    // verify candidates with true Jaccard: re-join the cached shingle table
     cand
+      .join(d.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
