@@ -1,0 +1,133 @@
+package graft.control
+
+import graft.model.JobSpec
+import graft.streaming.{DispatcherFactory, ForwardingEngine, QueueStore}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import scala.collection.concurrent.TrieMap
+
+/**
+ * Driver-side pipeline registry: one StreamingQuery per job group,
+ * start/stop/update lifecycle and status reporting.
+ *
+ * Replaces the reference's master/worker protocol wholesale
+ * (reference: PipelineManager.java:35,299-302, JobManager.java:39-59,
+ *  StateWorking.java:37-140): Spark's scheduler owns task placement and
+ * executor liveness, so "commands" reduce to starting/stopping queries on
+ * the driver; worker heartbeats reduce to StreamingQuery.lastProgress.
+ */
+final class JobManager(spark: SparkSession) {
+
+  /** Worker-reported actuals — the JobStatus analog
+    * (reference: idl/.../job_status.proto:16-52). */
+  final case class JobStatus(
+      jobGroupId: String,
+      state: String, // RUNNING | CANCELED | FAILED
+      inputRowsPerSec: Double,
+      processedRowsPerSec: Double,
+      numInputRows: Long,
+      batchId: Long)
+
+  private val queries = TrieMap.empty[String, (JobSpec, StreamingQuery)]
+
+  def running: Seq[String] = queries.keys.toSeq.sorted
+
+  /** RUN_JOB: start a pipeline for a job group (idempotent). */
+  def run(
+      spec: JobSpec,
+      dispatcherFactory: DispatcherFactory,
+      localCluster: String,
+      stream: Dataset[ForwardingEngine.KafkaRecord],
+      store: QueueStore,
+      checkpointDir: String): StreamingQuery = synchronized {
+    queries.get(spec.jobGroupId) match {
+      case Some((_, q)) if q.isActive => q
+      case _ =>
+        val q = ForwardingEngine.run(spec, dispatcherFactory, localCluster,
+          stream, store, s"$checkpointDir/${spec.jobGroupId}", spec.jobGroupId)
+        queries.put(spec.jobGroupId, (spec, q))
+        q
+    }
+  }
+
+  /** CANCEL_JOB: stop the group's query. */
+  def cancel(jobGroupId: String): Boolean = synchronized {
+    queries.remove(jobGroupId) match {
+      case Some((_, q)) => if (q.isActive) q.stop(); true
+      case None => false
+    }
+  }
+
+  /** UPDATE_JOB: flow-control/config change = restart with the new spec
+    * (maxOffsetsPerTrigger is fixed at query start). The caller re-runs with
+    * the updated spec; offsets resume from the checkpoint. */
+  def update(
+      spec: JobSpec,
+      dispatcherFactory: DispatcherFactory,
+      localCluster: String,
+      stream: Dataset[ForwardingEngine.KafkaRecord],
+      store: QueueStore,
+      checkpointDir: String): StreamingQuery = synchronized {
+    cancel(spec.jobGroupId)
+    run(spec, dispatcherFactory, localCluster, stream, store, checkpointDir)
+  }
+
+  /** Status snapshot from streaming progress (the heartbeat payload). */
+  def status(jobGroupId: String): Option[JobStatus] =
+    queries.get(jobGroupId).map { case (_, q) =>
+      val p = Option(q.lastProgress)
+      JobStatus(
+        jobGroupId,
+        state = if (q.isActive) "RUNNING" else "CANCELED",
+        inputRowsPerSec = p.map(_.inputRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
+        processedRowsPerSec = p.map(_.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
+        numInputRows = p.map(_.numInputRows).getOrElse(0L),
+        batchId = p.map(_.batchId).getOrElse(-1L))
+    }
+
+  /** GC stopped queries (reference: PipelineManager gc, 1-min cadence). */
+  def gc(): Int = synchronized {
+    val dead = queries.collect { case (id, (_, q)) if !q.isActive => id }.toSeq
+    dead.foreach(queries.remove)
+    dead.size
+  }
+
+  def stopAll(): Unit = synchronized {
+    queries.values.foreach { case (_, q) => if (q.isActive) q.stop() }
+    queries.clear()
+  }
+}
+
+/**
+ * Versioned job-spec store on parquet — the ZK store analog
+ * (reference: ZKStore.java:44,194-302, VersionedProto.java). Each save
+ * writes a new version directory; load reads the latest.
+ */
+final class ParquetJobStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private def versions: Seq[Long] = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) Nil
+    else dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong).sorted
+  }
+
+  def latestVersion: Option[Long] = versions.lastOption
+
+  def save(specs: Seq[JobSpec]): Long = {
+    val v = latestVersion.getOrElse(0L) + 1
+    specs.toDS().coalesce(1).write.mode("overwrite").parquet(s"$path/v$v")
+    v
+  }
+
+  def load(): Seq[JobSpec] = latestVersion match {
+    case None => Nil
+    case Some(v) => spark.read.parquet(s"$path/v$v").as[JobSpec].collect().toSeq
+  }
+
+  def load(version: Long): Seq[JobSpec] =
+    spark.read.parquet(s"$path/v$version").as[JobSpec].collect().toSeq
+}

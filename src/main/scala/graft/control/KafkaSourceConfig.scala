@@ -1,0 +1,115 @@
+package graft.control
+
+import graft.model.{FlowControl, JobSpec}
+
+/**
+ * Pure builders translating control-plane specs into Spark Kafka
+ * source/sink options. The reference's hand-rolled fetcher machinery
+ * (assignment, seeking, offset resolution, partition discovery —
+ * AbstractKafkaFetcherThread.java:231-362) collapses into these options:
+ * the Kafka source owns polling/seeking/discovery.
+ */
+object KafkaSourceConfig {
+
+  /** Seek policy — mirrors SeekStartOffsetOption
+    * (reference: uforwarder-core/.../fetchers/kafka/SeekStartOffsetOption.java:1-13). */
+  sealed trait StartOffsets
+  object StartOffsets {
+    case object Earliest extends StartOffsets
+    case object Latest extends StartOffsets
+    /** resume from the consumer group's committed offsets (default) */
+    case object Committed extends StartOffsets
+    final case class Specified(offsets: Map[Int, Long]) extends StartOffsets
+    /** timestamp->offset resolution, done natively by the source
+      * (reference: BatchJobCreator.java:117-260 resolves via offsetsForTimes) */
+    final case class ByTimestamp(tsMs: Long) extends StartOffsets
+  }
+
+  sealed trait EndOffsets
+  object EndOffsets {
+    case object Unbounded extends EndOffsets
+    final case class Specified(offsets: Map[Int, Long]) extends EndOffsets
+    final case class ByTimestamp(tsMs: Long) extends EndOffsets
+  }
+
+  private def offsetsJson(topic: String, offsets: Map[Int, Long]): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p": $o""" }
+      .mkString(s"""{"$topic": {""", ", ", "}}")
+
+  private def tsJson(topic: String, partitions: Seq[Int], tsMs: Long): String =
+    partitions.sorted.map(p => s""""$p": $tsMs""")
+      .mkString(s"""{"$topic": {""", ", ", "}}")
+
+  /**
+   * Streaming-source options for one consumption job.
+   * Flow control maps to maxOffsetsPerTrigger
+   * (messages_per_sec × trigger seconds), the Spark-native equivalent of the
+   * reference's rate limiters (FlowControl, job.proto:359-366).
+   */
+  def sourceOptions(
+      spec: JobSpec,
+      bootstrapServers: String,
+      start: StartOffsets,
+      partitions: Seq[Int] = Nil,
+      triggerSec: Double = 1.0): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> spec.topic, // partition discovery is free in subscribe mode
+      "includeHeaders" -> "true",
+      "kafka.isolation.level" -> "read_committed",
+      "failOnDataLoss" -> "false")
+    val startOpt = start match {
+      case StartOffsets.Earliest => Map("startingOffsets" -> "earliest")
+      case StartOffsets.Latest => Map("startingOffsets" -> "latest")
+      case StartOffsets.Committed => Map(
+        "kafka.group.id" -> spec.consumerGroup,
+        "startingOffsets" -> "earliest")
+      case StartOffsets.Specified(offs) =>
+        Map("startingOffsets" -> offsetsJson(spec.topic, offs),
+          "assign" -> s"""{"${spec.topic}": [${offs.keys.toSeq.sorted.mkString(",")}]}""")
+      case StartOffsets.ByTimestamp(ts) =>
+        Map("startingOffsetsByTimestamp" -> tsJson(spec.topic, partitions, ts))
+    }
+    val flow = maxOffsetsPerTrigger(spec.flowControl, triggerSec)
+      .map(n => Map("maxOffsetsPerTrigger" -> n.toString)).getOrElse(Map.empty)
+    base ++ startOpt ++ flow
+  }
+
+  /** Bounded (batch) read options for DLQ merge/purge jobs
+    * (reference: DlqTopicKafkaFetcher.java:66-79 bounded consumption). */
+  def boundedReadOptions(
+      spec: JobSpec,
+      bootstrapServers: String,
+      topic: String,
+      start: Map[Int, Long],
+      end: Map[Int, Long]): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "assign" -> s"""{"$topic": [${start.keys.toSeq.sorted.mkString(",")}]}""",
+    "startingOffsets" -> offsetsJson(topic, start),
+    "endingOffsets" -> offsetsJson(topic, end),
+    "includeHeaders" -> "true")
+
+  /** Producer options for the retry/DLQ/resq sink: lossless acks, snappy
+    * compression (reference: application-uforwarder-worker.yaml:85-100).
+    * The DataFrame's per-row `topic` column routes each record natively. */
+  def sinkOptions(bootstrapServers: String, lossless: Boolean = true): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "kafka.acks" -> (if (lossless) "all" else "1"),
+    "kafka.compression.type" -> "snappy",
+    "kafka.max.request.size" -> (30 * 1024 * 1024).toString)
+
+  /** messages_per_sec × trigger window, the micro-batch admission quota. */
+  def maxOffsetsPerTrigger(fc: FlowControl, triggerSec: Double): Option[Long] =
+    if (fc.messagesPerSec >= Double.MaxValue) None
+    else Some(math.max(1L, (fc.messagesPerSec * triggerSec).toLong))
+
+  /** Visibility-delay gate for retry tiers: a record fetched from a tier
+    * topic may only be processed once now >= record_ts + tier delay
+    * (reference: KafkaDelayProcessManager.shouldDelayProcess:53-61).
+    * Spark-side: `filter(delayGateSql)` per micro-batch; held-back records
+    * are picked up by the next trigger (AvailableNow/ProcessingTime cadence
+    * = the reference's pause/resume loop without blocking the poll). */
+  def delayGateSql(delayMs: Long, nowMs: Long): String =
+    s"(timestampNs DIV 1000000) + $delayMs <= $nowMs"
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.control._
+import graft.control.AutoScaler.Phase
+import graft.control.Rebalancer.JobKey
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ControlPlaneSpec extends AnyFunSuite {
+
+  private val spec = JobSpec(
+    jobGroupId = "t__g", cluster = "c", topic = "t", consumerGroup = "g",
+    rpc = RpcSpec("grpc://svc", "kafka.consumerproxy.g/t", dlqTopic = "t__g__dlq"),
+    flowControl = FlowControl(4000.0, 16 * 1024 * 1024.0, 400.0))
+
+  // ---- Kafka option builders ----
+
+  test("source options: committed offsets + flow control") {
+    val opts = KafkaSourceConfig.sourceOptions(spec, "broker:9092",
+      KafkaSourceConfig.StartOffsets.Committed, triggerSec = 2.0)
+    assert(opts("subscribe") == "t")
+    assert(opts("kafka.group.id") == "g")
+    assert(opts("includeHeaders") == "true")
+    assert(opts("maxOffsetsPerTrigger") == "8000")
+  }
+
+  test("source options: specified offsets produce assign + JSON") {
+    val opts = KafkaSourceConfig.sourceOptions(spec, "b:9092",
+      KafkaSourceConfig.StartOffsets.Specified(Map(0 -> 100L, 2 -> 50L)))
+    assert(opts("startingOffsets") == """{"t": {"0": 100, "2": 50}}""")
+    assert(opts("assign") == """{"t": [0,2]}""")
+  }
+
+  test("source options: timestamp start resolves per partition") {
+    val opts = KafkaSourceConfig.sourceOptions(spec, "b:9092",
+      KafkaSourceConfig.StartOffsets.ByTimestamp(1700000000000L), partitions = Seq(1, 0))
+    assert(opts("startingOffsetsByTimestamp") == """{"t": {"0": 1700000000000, "1": 1700000000000}}""")
+  }
+
+  test("bounded read options for DLQ merge") {
+    val opts = KafkaSourceConfig.boundedReadOptions(spec, "b:9092", "t__g__dlq",
+      Map(0 -> 10L), Map(0 -> 20L))
+    assert(opts("startingOffsets") == """{"t__g__dlq": {"0": 10}}""")
+    assert(opts("endingOffsets") == """{"t__g__dlq": {"0": 20}}""")
+  }
+
+  test("unlimited flow control means no trigger cap") {
+    assert(KafkaSourceConfig.maxOffsetsPerTrigger(FlowControl.unlimited, 1.0).isEmpty)
+  }
+
+  // ---- AutoScaler state machine ----
+
+  test("scale unit is max of msgs and bytes demand") {
+    assert(AutoScaler.scaleOf(8000.0, 0.0) == 2.0)
+    assert(AutoScaler.scaleOf(0.0, 32.0 * 1024 * 1024) == 2.0)
+    assert(AutoScaler.scaleOf(4000.0, 32.0 * 1024 * 1024) == 2.0)
+  }
+
+  test("calibrating tracks max then transitions to running") {
+    val as = new AutoScaler(AutoScaler.Config(calibrateMs = 60000L))
+    var t = 0L
+    as.onSample("g", 8000.0, 0.0, t) // scale 2
+    assert(as.state("g").get.phase == Phase.Calibrating)
+    t += 30000
+    as.onSample("g", 16000.0, 0.0, t) // scale 4
+    assert(as.state("g").get.scale == 4.0)
+    t += 31000
+    as.onSample("g", 4000.0, 0.0, t)
+    assert(as.state("g").get.phase == Phase.Running)
+  }
+
+  test("up-scale is percentile-gated and bounded") {
+    val cfg = AutoScaler.Config(calibrateMs = 0L, upWindowMs = 10000L)
+    val as = new AutoScaler(cfg)
+    var t = 0L
+    as.onSample("g", 4000.0, 0.0, t) // scale 1, Running next sample
+    // sustained 4x load: p50 over window gates the jump to <= 2x per step
+    (1 to 5).foreach { i =>
+      t += 1000
+      as.onSample("g", 16000.0, 0.0, t)
+    }
+    val s = as.state("g").get
+    assert(s.phase == Phase.Running)
+    assert(s.scale > 1.0 && s.scale <= 4.0)
+  }
+
+  test("hibernates after sustained zero and wakes on traffic") {
+    val cfg = AutoScaler.Config(calibrateMs = 0L, hibernateMs = 10000L)
+    val as = new AutoScaler(cfg)
+    var t = 0L
+    as.onSample("g", 4000.0, 0.0, t)
+    t += 5000
+    as.onSample("g", 0.0, 0.0, t)
+    t += 6000
+    as.onSample("g", 0.0, 0.0, t)
+    assert(as.state("g").get.phase == Phase.Hibernating)
+    assert(as.desiredWorkers("g") == 0)
+    t += 1000
+    as.onSample("g", 4000.0, 0.0, t)
+    assert(as.state("g").get.phase == Phase.Calibrating)
+    assert(as.desiredWorkers("g") >= 1)
+  }
+
+  // ---- Rebalancer ----
+
+  test("placement is deterministic and covers all jobs") {
+    val jobs = (0 until 64).map(p => JobKey("g1", p)) ++ (0 until 32).map(p => JobKey("g2", p))
+    val workers = Seq("w1", "w2", "w3", "w4")
+    val p1 = Rebalancer.place(jobs, workers)
+    val p2 = Rebalancer.place(jobs, workers)
+    assert(p1 == p2)
+    assert(p1.assignments.size == 96)
+    assert(p1.assignments.values.toSet.subsetOf(workers.toSet))
+  }
+
+  test("load cap bounds the worst worker") {
+    val jobs = (0 until 100).map(p => JobKey("g", p))
+    val workers = (1 to 5).map(i => s"w$i")
+    val placement = Rebalancer.place(jobs, workers, tolerance = 0.25)
+    val loads = workers.map(w => placement.jobsOf(w).size)
+    assert(loads.sum == 100)
+    assert(loads.max <= math.ceil(100.0 / 5 * 1.25).toInt)
+  }
+
+  test("consistent hashing keeps most placements stable under worker churn") {
+    val jobs = (0 until 200).map(p => JobKey(s"g${p % 10}", p))
+    val before = Rebalancer.place(jobs, Seq("w1", "w2", "w3", "w4"))
+    val after = Rebalancer.place(jobs, Seq("w1", "w2", "w3", "w4", "w5"))
+    val movedJobs = Rebalancer.moved(before, after)
+    // adding one of five workers should move well under half the jobs
+    assert(movedJobs.size < jobs.size / 2, s"moved ${movedJobs.size}")
+  }
+
+  test("hibernated groups receive no placement") {
+    val jobs = Seq(JobKey("live", 0), JobKey("hib", 0))
+    val p = Rebalancer.placeWithScale(jobs, Map("live" -> 1.0, "hib" -> 0.0), Seq("w1"))
+    assert(p.assignments.keySet == Set(JobKey("live", 0)))
+  }
+
+  // ---- delay gate ----
+
+  test("delay gate SQL holds back young records") {
+    assert(KafkaSourceConfig.delayGateSql(1000L, 5000L) ==
+      "(timestampNs DIV 1000000) + 1000 <= 5000")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.control.{JobManager, ParquetJobStore}
+import graft.model._
+import graft.streaming.ForwardingEngine.KafkaRecord
+import graft.streaming.{DispatchRequest, DispatchResult, Dispatcher, DispatcherFactory}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object AlwaysOkDispatcherFactory extends DispatcherFactory {
+  def create(): Dispatcher = new Dispatcher {
+    def dispatch(req: DispatchRequest): DispatchResult =
+      DispatchResult("OK", None, overdue = false)
+  }
+}
+
+class JobManagerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def spec(id: String) = JobSpec(
+    jobGroupId = id, cluster = "local", topic = "t", consumerGroup = "g",
+    rpc = RpcSpec("grpc://svc", "kafka.consumerproxy.g/t"))
+
+  test("job manager runs, reports status, cancels and GCs") {
+    val jm = new JobManager(spark)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaRecord](
+      implicitly[org.apache.spark.sql.Encoder[KafkaRecord]], spark.sqlContext)
+    input.addData((0 until 5).map(i =>
+      KafkaRecord(Array[Byte](1), s"m$i".getBytes, "t", 0, i.toLong, 0L, Map.empty)))
+    val ckpt = java.nio.file.Files.createTempDirectory("jm-ckpt").toString
+
+    val q = jm.run(spec("t__g"), AlwaysOkDispatcherFactory, "local",
+      input.toDS(), InMemoryQueueStore, ckpt)
+    assert(jm.running == Seq("t__g"))
+    // idempotent run returns the live query
+    assert(jm.run(spec("t__g"), AlwaysOkDispatcherFactory, "local",
+      input.toDS(), InMemoryQueueStore, ckpt) eq q)
+    q.processAllAvailable()
+    val st = jm.status("t__g").get
+    // an AvailableNow query self-terminates once it drains the source
+    assert(st.state == "RUNNING" || st.state == "CANCELED")
+    assert(st.numInputRows == 5)
+    assert(jm.cancel("t__g"))
+    assert(!jm.cancel("t__g"))
+    assert(jm.running.isEmpty)
+    jm.stopAll()
+  }
+
+  test("parquet job store versions specs") {
+    val dir = java.nio.file.Files.createTempDirectory("job-store").toString
+    val store = new ParquetJobStore(spark, dir)
+    assert(store.load().isEmpty)
+    val s1 = spec("a__g").copy(retryEnabled = true,
+      retryTiers = Seq(RetryTier("a__g__retry", 1000L, 3)))
+    store.save(Seq(s1))
+    assert(store.latestVersion == Some(1L))
+    assert(store.load() == Seq(s1))
+    val s2 = s1.copy(flowControl = FlowControl(100.0, 1000.0, 10.0))
+    store.save(Seq(s1, s2.copy(jobGroupId = "b__g")))
+    assert(store.latestVersion == Some(2L))
+    assert(store.load().map(_.jobGroupId).sorted == Seq("a__g", "b__g"))
+    // old version still readable
+    assert(store.load(1L) == Seq(s1))
+  }
+}
