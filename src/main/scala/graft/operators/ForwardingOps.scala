@@ -483,6 +483,23 @@ object ForwardingOps {
        | COUNT(*) AS n
        |FROM msgs GROUP BY retry_destination ORDER BY retry_destination""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q15 — audit: approximate distinct counts (HLL) per topic
+  // (AUDIT_TYPE_APPROX_UNIQ, spec-only in the reference: job.proto:313-334).
+  // Rows-only oracle: HLL implementations differ across engines by design.
+  // ===========================================================
+  def q15AuditApproxUniq(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("offset"), 0.01).as("approx_uniq_offsets"),
+        countDistinct("offset").as("exact_uniq_offsets"))
+      .withColumn("rel_err",
+        abs(col("approx_uniq_offsets") - col("exact_uniq_offsets")).cast("double") /
+          col("exact_uniq_offsets"))
+      .orderBy("topic")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -499,7 +516,8 @@ object ForwardingOps {
     "q11_scale_percentiles" -> (q11ScalePercentiles _),
     "q12_audit_exact_uniq" -> (q12AuditExactUniq _),
     "q13_bounded_dlq_merge" -> (q13BoundedDlqMerge _),
-    "q14_tier_select" -> (q14TierSelect _))
+    "q14_tier_select" -> (q14TierSelect _),
+    "q15_audit_approx_uniq" -> (q15AuditApproxUniq _))
 
   val oracles: Map[String, String] = Map(
     "q01_code_distribution" -> q01Sql,

@@ -215,6 +215,24 @@ object ForwardingEngine {
   }
 
   /**
+   * Streaming throughput tracker: per-topic msgs/sec + bytes/sec over
+   * 1-minute event-time windows (the ThroughputTracker analog; reference:
+   * uforwarder-core/.../fetchers/kafka/ThroughputTracker.java:11,50-75).
+   * Watermarked windowed aggregation — partial aggregation happens map-side,
+   * state is bounded by the watermark horizon.
+   */
+  def throughput(records: Dataset[KafkaRecord]): org.apache.spark.sql.DataFrame =
+    records
+      .withColumn("ts", timestamp_micros(expr("timestampNs DIV 1000")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("topic"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(octet_length(col("value"))).cast("long").as("bytes"))
+      .withColumn("msgs_per_sec", col("n") / 60.0)
+      .withColumn("bytes_per_sec", col("bytes") / 60.0)
+
+  /**
    * Start the streaming pipeline: source stream → processBatch → produce
    * routed records to the queue store + expose outcomes.
    */

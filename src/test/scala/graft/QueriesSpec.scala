@@ -22,7 +22,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query key has either an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("q41_minhash_lsh", "q42_simhash", "q45_decode_features")
+    val rowsOnly = Set("q41_minhash_lsh", "q42_simhash", "q45_decode_features",
+      "q15_audit_approx_uniq")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     // oracle keys must be a subset of query keys
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
