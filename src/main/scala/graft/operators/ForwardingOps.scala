@@ -342,13 +342,19 @@ object ForwardingOps {
       col("user_id").cast("int").as("partition"),
       col("event_id").as("offset"))
     val half = m.groupBy("topic").agg(max("offset").as("mx"))
-    val j = m.join(broadcast(half), "topic")
-    val old = j.filter(col("offset") * 10 <= col("mx")).select("topic", "partition").distinct()
-    val nw = j.filter(col("offset") * 10 > col("mx")).select("topic", "partition").distinct()
-    val added = nw.join(old, Seq("topic", "partition"), "left_anti")
-      .withColumn("change", lit("ADDED"))
-    val removed = old.join(nw, Seq("topic", "partition"), "left_anti")
-      .withColumn("change", lit("REMOVED"))
+    // single-shuffle formulation: one aggregation computes membership flags
+    // for both halves; the anti-join semantics become cheap filters on the
+    // aggregated (topic, partition) rows (the two-anti-join version costs 4
+    // extra exchanges of the full fact table at scale)
+    val flags = m.join(broadcast(half), "topic")
+      .groupBy("topic", "partition")
+      .agg(
+        max(when(col("offset") * 10 <= col("mx"), 1).otherwise(0)).as("in_old"),
+        max(when(col("offset") * 10 > col("mx"), 1).otherwise(0)).as("in_new"))
+    val added = flags.filter(col("in_new") === 1 && col("in_old") === 0)
+      .select(col("topic"), col("partition"), lit("ADDED").as("change"))
+    val removed = flags.filter(col("in_old") === 1 && col("in_new") === 0)
+      .select(col("topic"), col("partition"), lit("REMOVED").as("change"))
     added.unionByName(removed).orderBy("topic", "partition", "change")
   }
 

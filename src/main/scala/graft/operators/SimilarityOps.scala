@@ -27,12 +27,14 @@ object SimilarityOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** dot product of two double arrays (sequential fold — deterministic). */
+  /** dot product via the native codegen'd ArrayDot expression (sequential
+    * left-to-right summation — bit-identical to the fold it replaces, but a
+    * primitive loop instead of the interpreted higher-order path). */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.plans.ArrayDot.array_dot(col(a), col(b))
 
   private def l2(a: String) =
-    expr(s"sqrt(aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    sqrt(graft.plans.ArrayDot.array_dot(col(a), col(a)))
 
   // ===========================================================
   // q40 — brute-force cosine top-10 neighbors for query vectors vec_id < 5

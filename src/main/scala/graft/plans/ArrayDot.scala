@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Shims
+
+/**
+ * `array_dot(a, b)`: dot product of two numeric arrays as a native Catalyst
+ * expression with whole-stage codegen.
+ *
+ * Why custom: the composable alternative —
+ * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)` — runs on
+ * the interpreted higher-order-function path (one closure call per element,
+ * boxed lambda variables). For similarity search over billions of vectors
+ * the dot product IS the hot loop; this expression compiles to a tight
+ * primitive `for` over the array words. Summation is sequential
+ * left-to-right, bit-identical to the fold it replaces.
+ *
+ * Accepts float or double element types (floats are widened per element,
+ * matching `CAST(embedding AS DOUBLE[])` semantics).
+ */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def elemOk(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val af = isFloat(left); val bf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getA * $getB;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_dot"
+}
+
+object ArrayDot {
+  /** Column API: dot product. */
+  def array_dot(a: Column, b: Column): Column =
+    Shims.column(ArrayDot(Shims.expression(a), Shims.expression(b)))
+
+  /** Column API: cosine similarity built from three dots (one codegen'd
+    * pass each; numerically identical to the fold-based formulation). */
+  def array_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
+  }
+
+  /** Register `array_dot` for SQL on an already-built session (equivalent
+    * to configuring [[GraftExtensions]] at session build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Shims.registerFunction(spark, "array_dot",
+      exprs => ArrayDot(exprs(0), exprs(1)))
+}
+
+/**
+ * Session extension registering graft's native functions for SQL use:
+ * `spark.sql("SELECT array_dot(a, b) ...")`.
+ *
+ * Wire up with
+ * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+ * `.withExtensions(new GraftExtensions)`.
+ */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+  }
+}
