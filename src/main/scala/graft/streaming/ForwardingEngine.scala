@@ -139,63 +139,129 @@ object ForwardingEngine {
   def processSlice(
       spec: JobSpec,
       dispatcherFactory: DispatcherFactory,
-      localCluster: String)(records: Iterator[KafkaRecord]): Iterator[Outcome] = {
+      localCluster: String,
+      ackCapacity: Int = 10000,
+      holDetector: HeadBlockingDetector = HeadBlockingDetector())(
+      records: Iterator[KafkaRecord]): Iterator[Outcome] = {
+    import java.util.concurrent.{CompletableFuture, Executors, TimeUnit}
+
     val dispatcher = dispatcherFactory.create()
+    val poolSize = {
+      val mi = spec.flowControl.maxInflightMessages
+      if (mi >= Double.MaxValue) 32 else math.max(1, math.min(mi.toInt, 64))
+    }
+    val pool = Executors.newFixedThreadPool(poolSize)
+    val vegas = new VegasLimiter(initialLimit = math.min(100, poolSize * 4),
+      maxLimit = poolSize * 8)
+    val lock = new Object // guards queues/tokens/results across completions
     val queues = scala.collection.mutable.Map.empty[(String, Int), AckTrackingQueue]
     val tokens = scala.collection.mutable.Map.empty[(String, Int), TokenBucket]
-    val out = scala.collection.mutable.ArrayBuffer.empty[Outcome]
+    val results = scala.collection.mutable.ArrayBuffer.empty[Outcome]
+    val inflightCfs = scala.collection.mutable.Map.empty[(String, Int, Long), CompletableFuture[DispatchCode]]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[CompletableFuture[Void]]
 
+    /** terminal handling for one completed (or canceled) dispatch — runs on
+      * whichever thread completes the future first (out-of-order acks). */
+    def complete(idx: Int, r: KafkaRecord, m: ProcessorMessage, mapped: DispatchCode): Unit =
+      lock.synchronized {
+        val q = queues((r.topic, r.partition))
+        val tb = tokens((r.topic, r.partition))
+        val (code: DispatchCode, finalTimeout: Long) = mapped match {
+          case DispatchCode.Commit | DispatchCode.Skip =>
+            tb.credit(1) // successes credit the DLQ token bucket
+            (mapped, m.timeoutCount)
+          case DispatchCode.Backoff =>
+            val esc = Routing.escalateBackoff(spec, r.topic, m.timeoutCount,
+              tb.tryAcquire(1))
+            (esc, m.timeoutCount + 1) // handleTimeout increments the counter
+          case other => (other, m.timeoutCount)
+        }
+        val newRetryCount = m.retryCount + 1 // incremented before every produce
+        val dest = Routing.destinationTopic(spec, code, newRetryCount).getOrElse("")
+        val (outKey, outValue) =
+          if (dest.nonEmpty) wrapForProduce(m, newRetryCount, finalTimeout)
+          else (null, null)
+        // at-least-once: if the downstream produce fails the batch retries
+        // wholesale; within the batch, nack precedes the queue produce
+        if (dest.nonEmpty) q.nack(r.offset + 1)
+        val wm = q.ack(r.offset + 1)
+        val watermark = if (wm >= 0) wm else q.highestCommittedOffset
+        while (results.size <= idx) results += null
+        results(idx) = Outcome(r.topic, r.partition, r.offset, code.name, dest,
+          outKey, outValue, m.retryCount, finalTimeout, watermark)
+        inflightCfs.remove((r.topic, r.partition, r.offset))
+        lock.notifyAll() // wake the producer waiting on capacity/permits
+      }
+
+    var idx = 0
     records.foreach { r =>
-      val q = queues.getOrElseUpdate((r.topic, r.partition), new AckTrackingQueue(10000))
-      val tb = tokens.getOrElseUpdate((r.topic, r.partition), new TokenBucket(1000))
-      q.receive(r.offset)
+      val key = (r.topic, r.partition)
+      val q = lock.synchronized(queues.getOrElseUpdate(key, new AckTrackingQueue(ackCapacity)))
+      lock.synchronized(tokens.getOrElseUpdate(key, new TokenBucket(1000)))
       val m = unwrap(spec, r)
 
-      // dispatch with in-memory retry of INVALID outcomes (mirrors the
-      // Failsafe gRPC retry policy, ProcessorImpl.java:645-706; bounded
-      // attempts instead of wall-clock backoff to keep batches finite)
-      val maxInMemoryAttempts = 3
-      var attempt = 0L
-      var mapped: DispatchCode = DispatchCode.Invalid
+      // admission backpressure: wait for ack-queue capacity AND a Vegas
+      // permit. Completions notify; if the head of line blocks a nearly-
+      // all-acked queue, cancel it (poison pill -> retry route) exactly like
+      // HeadBlockingDetector + MessageStub.cancel
+      // (reference: BlockingQueueStubManager.java:43-376)
+      lock.synchronized {
+        var waitedMs = 0L
+        while (q.isFull || !vegas.tryAcquire()) {
+          if (q.isFull) {
+            holDetector.detect(q).foreach { headOffset =>
+              if (q.cancel(headOffset + 1)) {
+                inflightCfs.get((r.topic, r.partition, headOffset))
+                  .foreach(_.complete(DispatchCode.Retry)) // resolve pending RPC now
+              }
+            }
+          }
+          lock.wait(1)
+          waitedMs += 1
+          require(waitedMs < 60000, "ack queue wedged: no completions for 60s")
+        }
+        q.receive(r.offset)
+      }
+      val myIdx = idx
+      idx += 1
+
       if (!clusterFilter(localCluster)(m)) {
-        mapped = DispatchCode.Dropped // dropped messages ack immediately
+        vegas.release(0L, dropped = false)
+        complete(myIdx, r, m, DispatchCode.Dropped) // dropped = acked immediately
       } else {
-        var continueRetry = true
-        while (continueRetry) {
-          val res = dispatcher.dispatch(DispatchRequest(m.value, rpcHeaders(spec, m, attempt)))
-          mapped = Responses.codeFor(res.statusCode, res.overdue, res.action)
-          attempt += 1
-          continueRetry = mapped == DispatchCode.Invalid && attempt < maxInMemoryAttempts
+        val cf = new CompletableFuture[DispatchCode]()
+        lock.synchronized(inflightCfs.put((r.topic, r.partition, r.offset), cf))
+        val t0 = System.nanoTime()
+        pool.execute(() => {
+          // in-memory retry of INVALID outcomes (mirrors the Failsafe gRPC
+          // retry policy, ProcessorImpl.java:645-706; bounded attempts
+          // instead of wall-clock backoff to keep batches finite)
+          try {
+            var attempt = 0L
+            var mapped: DispatchCode = DispatchCode.Invalid
+            var continueRetry = true
+            while (continueRetry && !cf.isDone) {
+              val res = dispatcher.dispatch(DispatchRequest(m.value, rpcHeaders(spec, m, attempt)))
+              mapped = Responses.codeFor(res.statusCode, res.overdue, res.action)
+              attempt += 1
+              continueRetry = mapped == DispatchCode.Invalid && attempt < 3
+            }
+            cf.complete(mapped)
+            ()
+          } catch { case e: Throwable => cf.complete(DispatchCode.Invalid); () }
+        })
+        // the barrier must await the *handler*, not just the dispatch result
+        pending += cf.thenAccept { code =>
+          vegas.release(System.nanoTime() - t0, dropped = false)
+          complete(myIdx, r, m, code)
         }
       }
-
-      val (code: DispatchCode, finalTimeout: Long) = mapped match {
-        case DispatchCode.Commit | DispatchCode.Skip =>
-          tb.credit(1) // successes credit the DLQ token bucket
-          (mapped, m.timeoutCount)
-        case DispatchCode.Backoff =>
-          val esc = Routing.escalateBackoff(spec, r.topic, m.timeoutCount,
-            tb.tryAcquire(1))
-          (esc, m.timeoutCount + 1) // handleTimeout increments the counter
-        case other => (other, m.timeoutCount)
-      }
-
-      val newRetryCount = m.retryCount + 1 // incremented before every produce
-      val dest = Routing.destinationTopic(spec, code, newRetryCount).getOrElse("")
-      val (outKey, outValue) =
-        if (dest.nonEmpty) wrapForProduce(m, newRetryCount, finalTimeout)
-        else (null, null)
-
-      // terminal: ack (commit watermark) — produce handled downstream; at
-      // least-once: if the produce later fails the batch retries wholesale.
-      if (dest.nonEmpty) q.nack(r.offset + 1) // nack precedes queue produce
-      val wm = q.ack(r.offset + 1)
-      val watermark = if (wm >= 0) wm else q.highestCommittedOffset
-      out += Outcome(r.topic, r.partition, r.offset, code.name, dest,
-        outKey, outValue, m.retryCount, finalTimeout, watermark)
     }
+
+    CompletableFuture.allOf(pending.toSeq: _*).get(10, TimeUnit.MINUTES)
+    pool.shutdown()
     dispatcher.close()
-    out.iterator
+    results.iterator.filter(_ != null)
   }
 
   /** Batch-process a Dataset of records (the foreachBatch body). */

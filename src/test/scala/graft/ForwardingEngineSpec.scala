@@ -242,6 +242,57 @@ class ForwardingEngineSpec extends AnyFunSuite {
     assert(outcomes.map(_.commitWatermark).max == 3L)
   }
 
+  // === async dispatch: out-of-order completions still commit contiguously ===
+  test("async dispatch acks out of order but commits the contiguous prefix") {
+    TestConsumer.reset()
+    TestConsumer.behaviors += "ooo" -> { req =>
+      // head of each partition is slow: completions arrive out of order
+      val off = req.headers("kafka-offset").toLong
+      if (off == 0) Thread.sleep(200)
+      DispatchResult("OK", None, overdue = false)
+    }
+    val spec = specWithTiers(0).copy(flowControl =
+      graft.model.FlowControl(Double.MaxValue, Double.MaxValue, 8.0))
+    val recs = (0 until 8).map(i =>
+      KafkaRecord(null, s"o$i".getBytes, topic, 0, i.toLong, 0L, Map.empty))
+    val outcomes = ForwardingEngine.processSlice(spec, MockDispatcherFactory("ooo"),
+      "local-cluster")(recs.iterator).toSeq
+    assert(outcomes.size == 8)
+    assert(outcomes.forall(_.code == "COMMIT"))
+    // the slow head gates the watermark: its own ack commits everything
+    val headOutcome = outcomes.find(_.physicalOffset == 0L).get
+    assert(headOutcome.commitWatermark == 8L)
+  }
+
+  // === head-of-line blocking: full queue + acked tail cancels the head ===
+  test("head-of-line blocking cancels the stuck head into the retry route") {
+    TestConsumer.reset()
+    TestConsumer.behaviors += "hol" -> { req =>
+      val off = req.headers("kafka-offset").toLong
+      if (off == 0) Thread.sleep(5000) // stuck head far beyond the test budget
+      DispatchResult("OK", None, overdue = false)
+    }
+    val spec = specWithTiers(1).copy(flowControl =
+      graft.model.FlowControl(Double.MaxValue, Double.MaxValue, 4.0))
+    val recs = (0 until 8).map(i =>
+      KafkaRecord(null, s"h$i".getBytes, topic, 0, i.toLong, 0L, Map.empty))
+    val t0 = System.nanoTime()
+    val outcomes = ForwardingEngine.processSlice(spec, MockDispatcherFactory("hol"),
+      "local-cluster", ackCapacity = 4,
+      holDetector = graft.streaming.HeadBlockingDetector(0.9, 0.7))(recs.iterator).toSeq
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(outcomes.size == 8)
+    val head = outcomes.find(_.physicalOffset == 0L).get
+    // canceled head resolves to RETRY and is produced to the retry tier
+    assert(head.code == "RETRY")
+    assert(head.destination == TopicNames.retry(topic, group, 1))
+    assert(outcomes.filter(_.physicalOffset > 0).forall(_.code == "COMMIT"))
+    // the batch must not have waited for the 5s-stuck dispatch
+    assert(elapsedSec < 4.0, s"took $elapsedSec s")
+    // watermark still reaches the end: cancel -> ack keeps the prefix moving
+    assert(outcomes.map(_.commitWatermark).max == 8L)
+  }
+
   // === streaming windowed throughput (ThroughputTracker analog) ===
   test("streaming throughput aggregates per-topic 1-minute windows") {
     val minuteNs = 60L * 1000 * 1000 * 1000
