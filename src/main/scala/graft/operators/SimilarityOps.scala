@@ -95,9 +95,9 @@ object SimilarityOps {
 
   // ===========================================================
   // q41 — MinHash + LSH near-dup candidates (Spark-only; rows-only oracle).
-  // 32 hash functions = xxhash64(shingle, seed); 8 bands × 4 rows; candidate
-  // pairs bucket-join on (band, band_signature); verified with true Jaccard.
-  // Output: top-20 most similar verified pairs (always non-empty).
+  // One-pass native signature (graft.plans.MinHashSig, rolling k-gram hash);
+  // 4 bands × 8 rows; candidate pairs bucket-join on (band, band_signature);
+  // verified with true Jaccard on candidate docs only.
   // ===========================================================
   val NumHashes = 32
   /** 4 bands x 8 rows: a candidate needs 8 matching minhashes in one band —
@@ -112,26 +112,18 @@ object SimilarityOps {
   val MaxBucketSize = 50
 
   def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // shingles computed once and cached: reused by the band explode and both
-    // sides of the verification join
-    val d = docs(spark, dir)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
-          .as("sh"))
-      .cache()
-    // minhash signature: for each seed, min over shingles of xxhash64(shingle, seed)
-    val sigExprs = (0 until NumHashes).map { s =>
-      expr(s"array_min(transform(sh, x -> xxhash64(x, $s)))")
-    }
+    import graft.plans.MinHashSig.minhash_sig
+    // one-pass native signature: no shingle arrays materialized corpus-wide
+    val sig = docs(spark, dir)
+      .select(col("doc_id"), minhash_sig(col("text"), 5, NumHashes).as("sig"))
     // bands carry only (doc_id, band, band_sig) — the bucket join shuffles a
-    // few bytes per doc instead of the shingle arrays themselves
-    val bands = d.withColumn("sig", array(sigExprs: _*))
+    // few bytes per doc instead of the documents themselves
+    val bands = sig
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), b -> " +
           s"concat_ws(':', transform(slice(sig, b * $BandSize + 1, $BandSize), x -> CAST(x AS STRING))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
-      .cache() // reused three times (bucket sizing + both join sides) — the
-               // 32-hash signature must not be recomputed per reuse
+      .cache() // reused by bucket sizing + both self-join sides
     // drop degenerate buckets (anti-skew guard for the self-join)
     val sized = bands.groupBy("band", "band_sig").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= MaxBucketSize && col("bucket_n") > 1)
@@ -141,10 +133,19 @@ object SimilarityOps {
         Seq("band", "band_sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verify candidates with true Jaccard: re-join the cached shingle table
+    // verify candidates with true Jaccard: restrict to candidate docs FIRST
+    // (broadcast semi-join), THEN project the shingle arrays — the expensive
+    // shingling runs on the tiny candidate set, not the corpus
+    val candidateIds = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shingleSets = docs(spark, dir)
+      .join(broadcast(candidateIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+          .as("sh"))
     cand
-      .join(d.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(d.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shingleSets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
