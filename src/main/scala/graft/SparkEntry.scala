@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ForwardingOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries ++
+      SessionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-function-specific ops
     * (q41/q42/q45) which get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
     ForwardingOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles
+      SimilarityOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++
+      SessionOps.oracles
 }

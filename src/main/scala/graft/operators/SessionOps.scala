@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Session/sequence analytics over the events stream + additional text and
+ * vector operators with exact DuckDB oracles.
+ */
+object SessionOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ===========================================================
+  // q16 — gap-based sessionization: a >30-minute silence starts a new
+  // session. The batch shadow of stateful stream sessionization
+  // (flatMapGroupsWithState with a session timer); lag + running sum.
+  // ===========================================================
+  private val GapNs = 30L * 60 * 1000 * 1000 * 1000
+
+  def q16Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > GapNs, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        sum("new_session").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .withColumn("events_per_session",
+        col("n_events").cast("double") / col("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  val q16Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events),
+       | lagd AS (SELECT user_id, ts, event_id,
+       |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM e),
+       | marks AS (SELECT user_id,
+       |   CASE WHEN prev_ts IS NULL OR ts - prev_ts > $GapNs THEN 1 ELSE 0 END AS new_session
+       |  FROM lagd)
+       |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       | COUNT(*) AS n_events,
+       | CAST(COUNT(*) AS DOUBLE) / SUM(new_session) AS events_per_session
+       |FROM marks GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q36 — top-5 tokens per language (explode + count + windowed top-n):
+  // the vocabulary-analysis primitive for corpus curation
+  // ===========================================================
+  def q36TopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = docs(spark, dir)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("token"))
+    val counts = tokens.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "token", "n")
+      .orderBy("lang", "rank")
+  }
+
+  val q36Sql: String =
+    """WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      |  FROM documents),
+      | c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY lang, token),
+      | r AS (SELECT lang, token, n,
+      |   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      |  FROM c)
+      |SELECT lang, rank, token, n FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q46 — IVF-style bucketed ANN (the scale path): coarse quantizer =
+  // sign bits of the first 8 dimensions -> 256 buckets; probe only the
+  // query's bucket. At 100 TB the bucket is the partition key: candidate
+  // generation becomes an equi-join instead of a cross join.
+  // ===========================================================
+  def q46AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = (0 until 8)
+      .map(j => when(element_at(col("embedding"), j + 1) > 0.0f, 1 << j).otherwise(0))
+      .reduce(_ + _)
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("bucket"), col("v").as("qv"))
+    val dot = graft.plans.ArrayDot.array_dot _
+    val joined = e.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(
+        dot(col("v"), col("qv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "bucket", "rank", "vec_id", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  val q46Sql: String = {
+    val bucketSql = (0 until 8)
+      .map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, $bucketSql AS bucket,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | q AS (SELECT vec_id AS qid, bucket, v AS qv FROM e WHERE vec_id < 20),
+       | j AS (SELECT e.vec_id, q.qid, e.bucket,
+       |   round(list_dot_product(e.v, q.qv) /
+       |     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+       |  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.qid),
+       | r AS (SELECT qid, bucket, vec_id, cos,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM j)
+       |SELECT qid, bucket, rank, vec_id, cos FROM r WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
+  // q17 — stream-to-dimension enrichment: events joined to the customer
+  // dimension (broadcast) -> per-segment traffic stats. The control-plane
+  // "enrich the message stream with a small spec table" pattern.
+  // ===========================================================
+  def q17UserEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    events(spark, dir)
+      .withColumn("c_custkey", col("user_id") + 1)
+      .join(broadcast(customer), Seq("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("user_id").as("users"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(30,4)").as("total_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  val q17Sql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      | COUNT(DISTINCT user_id) AS users,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS total_value
+      |FROM events JOIN customer ON c_custkey = user_id + 1
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q38 — end-to-end corpus curation: quality gate + language agreement +
+  // fingerprint dedup (keep lowest doc_id) -> kept-corpus stats per lang.
+  // Composes the training-data operators into one pipeline with one oracle.
+  // ===========================================================
+  def q38Curation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("ntext", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("tokens",
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("fp", md5(col("ntext").cast("binary")))
+      .withColumn("padded", concat(lit(" "), col("ntext"), lit(" ")))
+      .withColumn("guess",
+        when(col("padded").contains(" the ") || col("padded").contains(" and "), "en")
+          .when(col("padded").contains(" der ") || col("padded").contains(" und "), "de")
+          .when(col("padded").contains(" le ") || col("padded").contains(" et "), "fr")
+          .when(col("padded").contains(" el ") || col("padded").contains(" los "), "es")
+          .otherwise("unk"))
+      .filter(col("tokens") >= 20) // quality gate
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val kept = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    kept.groupBy("lang")
+      .agg(
+        count(lit(1)).as("kept_docs"),
+        sum("tokens").as("kept_tokens"),
+        sum(when(col("guess") === col("lang"), 1).otherwise(0)).cast("long").as("lang_agreed"))
+      .orderBy("lang")
+  }
+
+  val q38Sql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+      | FROM documents),
+      | f AS (SELECT *, md5(ntext) AS fp, ' ' || ntext || ' ' AS padded FROM d
+      |  WHERE tokens >= 20),
+      | g AS (SELECT *,
+      |  CASE WHEN padded LIKE '% the %' OR padded LIKE '% and %' THEN 'en'
+      |   WHEN padded LIKE '% der %' OR padded LIKE '% und %' THEN 'de'
+      |   WHEN padded LIKE '% le %' OR padded LIKE '% et %' THEN 'fr'
+      |   WHEN padded LIKE '% el %' OR padded LIKE '% los %' THEN 'es'
+      |   ELSE 'unk' END AS guess,
+      |  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      | FROM f)
+      |SELECT lang, COUNT(*) AS kept_docs, CAST(SUM(tokens) AS BIGINT) AS kept_tokens,
+      | CAST(SUM(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_agreed
+      |FROM g WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_sessionize" -> (q16Sessionize _),
+    "q17_user_enrichment" -> (q17UserEnrichment _),
+    "q36_top_tokens" -> (q36TopTokens _),
+    "q38_curation" -> (q38Curation _),
+    "q46_ann_ivf" -> (q46AnnIvf _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_sessionize" -> q16Sql,
+    "q17_user_enrichment" -> q17Sql,
+    "q36_top_tokens" -> q36Sql,
+    "q38_curation" -> q38Sql,
+    "q46_ann_ivf" -> q46Sql)
+}
