@@ -33,11 +33,16 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // forwarding throughput: full engine path (q50) rows per second
-    val eventsRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    // forwarding throughput: full engine path (q50) rows + payload bytes/sec
+    import org.apache.spark.sql.functions.{octet_length, sum => fsum, col}
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val eventsRows = ev.count()
+    val eventsBytes = ev.select(fsum(octet_length(col("props")).cast("long")))
+      .head().getLong(0)
     val q50Sec = results.find(_._1 == "q50_forwarding_pipeline").map(_._2).getOrElse(0.0)
     val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
+    val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
     spark.stop()
   }
 }

@@ -153,6 +153,7 @@ object ForwardingEngine {
     val pool = Executors.newFixedThreadPool(poolSize)
     val vegas = new VegasLimiter(initialLimit = math.min(100, poolSize * 4),
       maxLimit = poolSize * 8)
+    val latency = new LatencyTracker()
     val lock = new Object // guards queues/tokens/results across completions
     val queues = scala.collection.mutable.Map.empty[(String, Int), AckTrackingQueue]
     val tokens = scala.collection.mutable.Map.empty[(String, Int), TokenBucket]
@@ -252,7 +253,9 @@ object ForwardingEngine {
         })
         // the barrier must await the *handler*, not just the dispatch result
         pending += cf.thenAccept { code =>
-          vegas.release(System.nanoTime() - t0, dropped = false)
+          val rtt = System.nanoTime() - t0
+          latency.record(rtt)
+          vegas.release(rtt, dropped = false)
           complete(myIdx, r, m, code)
         }
       }
@@ -261,6 +264,12 @@ object ForwardingEngine {
     CompletableFuture.allOf(pending.toSeq: _*).get(10, TimeUnit.MINUTES)
     pool.shutdown()
     dispatcher.close()
+    // degraded-consumer health signal (reference: LatencyTracker median-vs-
+    // timeout check feeding KafkaPipelineIssue)
+    if (latency.isDegraded(spec.rpc.rpcTimeoutMs * 1000000L))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft] ${spec.jobGroupId}: median dispatch latency " +
+          s"${latency.stats.medianNanos / 1000000} ms exceeds rpc timeout ${spec.rpc.rpcTimeoutMs} ms")
     results.iterator.filter(_ != null)
   }
 

@@ -69,6 +69,41 @@ final class VegasLimiter(
 }
 
 /**
+ * Bounded-window RPC latency statistics: median / p99 / max over the last
+ * `capacity` samples, used by the dispatch sink to spot latency regressions
+ * against the configured rpc timeout
+ * (reference: uforwarder/.../dispatcher/LatencyTracker.java).
+ * Ring buffer, O(capacity log capacity) per stats read, worker-local.
+ */
+final class LatencyTracker(val capacity: Int = 1024) {
+  private val ring = new Array[Long](capacity)
+  private var n = 0
+  private var pos = 0
+
+  def record(nanos: Long): Unit = synchronized {
+    ring(pos) = nanos
+    pos = (pos + 1) % capacity
+    if (n < capacity) n += 1
+  }
+
+  final case class Stats(count: Int, medianNanos: Long, p99Nanos: Long, maxNanos: Long)
+
+  def stats: Stats = synchronized {
+    if (n == 0) return Stats(0, 0L, 0L, 0L)
+    val xs = java.util.Arrays.copyOf(ring, n)
+    java.util.Arrays.sort(xs)
+    Stats(n, xs(n / 2), xs(math.min(n - 1, (n * 99) / 100)), xs(n - 1))
+  }
+
+  /** True when median latency exceeds the given budget — the signal the
+    * reference uses to flag a degraded downstream consumer. */
+  def isDegraded(budgetNanos: Long): Boolean = {
+    val s = stats
+    s.count > 0 && s.medianNanos > budgetNanos
+  }
+}
+
+/**
  * Simple msgs/sec + bytes/sec budget for one micro-batch: given the trigger
  * interval, how many records/bytes may pass. The driver applies this as
  * `maxOffsetsPerTrigger`; this class is the per-batch byte-accounting
