@@ -35,7 +35,23 @@ object AckTrackingQueue {
     case object Nacked   extends AckStatus(1)
     case object Canceled extends AckStatus(2)
     case object Acked    extends AckStatus(3)
+    def fromRank(r: Int): AckStatus = r match {
+      case 0 => Unset
+      case 1 => Nacked
+      case 2 => Canceled
+      case _ => Acked
+    }
   }
+
+  /** Encodable queue state for Spark state stores. */
+  final case class Snapshot(
+      capacity: Int,
+      highestReceivedOffset: Long,
+      highestAckedOffset: Long,
+      highestCommittedOffset: Long,
+      headOffset: Long,
+      statuses: Seq[(Long, Int)],
+      cancelable: Seq[Long])
 }
 
 final class AckTrackingQueue(val capacity: Int = 10000) {
@@ -44,6 +60,11 @@ final class AckTrackingQueue(val capacity: Int = 10000) {
   // insertion-ordered: offsets arrive in increasing order
   private val statuses = mutable.LinkedHashMap.empty[Long, AckStatus]
   private val cancelable = mutable.LinkedHashSet.empty[Long]
+
+  private[streaming] def restoreStatus(offset: Long, rank: Int): Unit =
+    statuses.put(offset, AckStatus.fromRank(rank))
+  private[streaming] def restoreCancelable(offset: Long): Unit =
+    cancelable.add(offset)
 
   var highestReceivedOffset: Long = InitialOffset
   var highestAckedOffset: Long = InitialOffset
@@ -138,6 +159,30 @@ final class AckTrackingQueue(val capacity: Int = 10000) {
   def ackedFraction: Double = {
     if (statuses.isEmpty) return 0.0
     statuses.valuesIterator.count(_ == AckStatus.Acked).toDouble / statuses.size
+  }
+
+  /** Serializable snapshot for cross-batch state stores
+    * (flatMapGroupsWithState keeps this in the Spark state store). */
+  def snapshot: AckTrackingQueue.Snapshot = AckTrackingQueue.Snapshot(
+    capacity, highestReceivedOffset, highestAckedOffset, highestCommittedOffset,
+    headOffset,
+    statuses.toSeq.map { case (o, s) => (o, s.rank) },
+    cancelable.toSeq)
+}
+
+object AckTrackingQueueRestore {
+  /** Rebuild a queue from a snapshot (inverse of [[AckTrackingQueue.snapshot]]). */
+  def restore(s: AckTrackingQueue.Snapshot): AckTrackingQueue = {
+    val q = new AckTrackingQueue(s.capacity)
+    q.highestReceivedOffset = s.highestReceivedOffset
+    q.highestAckedOffset = s.highestAckedOffset
+    q.highestCommittedOffset = s.highestCommittedOffset
+    q.headOffset = s.headOffset
+    s.statuses.foreach { case (o, rank) =>
+      q.restoreStatus(o, rank)
+    }
+    s.cancelable.foreach(q.restoreCancelable)
+    q
   }
 }
 
