@@ -290,6 +290,25 @@ object ForwardingEngine {
   }
 
   /**
+   * Visibility-delay gate for retry-tier consumption: a record fetched from
+   * tier topic T may only be processed once
+   * `now >= record_timestamp + T.processingDelayMs`; younger records are
+   * filtered out of this trigger and picked up by a later one (the
+   * trigger-cadence equivalent of the reference's partition pause/resume —
+   * reference: KafkaDelayProcessManager.shouldDelayProcess:53-61).
+   * Non-tier topics pass through untouched.
+   */
+  def delayGate(records: Dataset[KafkaRecord], spec: JobSpec, nowMs: Long): Dataset[KafkaRecord] = {
+    val tiers = spec.sortedTiers
+    if (tiers.isEmpty) return records
+    val delayByTopic = tiers.map(t => t.topic -> t.processingDelayMs).toMap
+    val delayCol = delayByTopic.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("topic") === t, lit(d)).otherwise(acc)
+    }
+    records.filter(expr("timestampNs DIV 1000000") + delayCol <= nowMs)
+  }
+
+  /**
    * Streaming throughput tracker: per-topic msgs/sec + bytes/sec over
    * 1-minute event-time windows (the ThroughputTracker analog; reference:
    * uforwarder-core/.../fetchers/kafka/ThroughputTracker.java:11,50-75).
