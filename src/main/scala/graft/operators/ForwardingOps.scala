@@ -506,6 +506,37 @@ object ForwardingOps {
           col("exact_uniq_offsets"))
       .orderBy("topic")
 
+  // ===========================================================
+  // q18 — skew-safe aggregation: the events stream has only 5 topics, so a
+  // plain groupBy(topic) funnels 20% of all rows into single reducers. The
+  // two-stage salted aggregation (partial per (topic, salt), then re-agg)
+  // bounds any single reducer's input at 1/SaltBuckets of a key's rows —
+  // the standard hot-key pattern at 100 TB. Results are identical to the
+  // plain aggregation, which is exactly what the oracle checks.
+  // ===========================================================
+  val SaltBuckets = 16
+
+  def q18SaltedHotKeyAgg(spark: SparkSession, dir: String): DataFrame =
+    messages(events(spark, dir))
+      .withColumn("salt", pmod(col("offset"), lit(SaltBuckets)))
+      .groupBy("topic", "salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum("bytes").as("pbytes"),
+        max("offset").as("pmax"))
+      .groupBy("topic")
+      .agg(
+        sum("pn").cast("long").as("n"),
+        sum("pbytes").cast("long").as("total_bytes"),
+        max("pmax").as("max_offset"))
+      .orderBy("topic")
+
+  val q18Sql: String =
+    s"""WITH msgs AS ($messagesSql)
+       |SELECT topic, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       | MAX("offset") AS max_offset
+       |FROM msgs GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -523,7 +554,8 @@ object ForwardingOps {
     "q12_audit_exact_uniq" -> (q12AuditExactUniq _),
     "q13_bounded_dlq_merge" -> (q13BoundedDlqMerge _),
     "q14_tier_select" -> (q14TierSelect _),
-    "q15_audit_approx_uniq" -> (q15AuditApproxUniq _))
+    "q15_audit_approx_uniq" -> (q15AuditApproxUniq _),
+    "q18_salted_hotkey_agg" -> (q18SaltedHotKeyAgg _))
 
   val oracles: Map[String, String] = Map(
     "q01_code_distribution" -> q01Sql,
@@ -539,5 +571,6 @@ object ForwardingOps {
     "q11_scale_percentiles" -> q11Sql,
     "q12_audit_exact_uniq" -> q12Sql,
     "q13_bounded_dlq_merge" -> q13Sql,
-    "q14_tier_select" -> q14Sql)
+    "q14_tier_select" -> q14Sql,
+    "q18_salted_hotkey_agg" -> q18Sql)
 }

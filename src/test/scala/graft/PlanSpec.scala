@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the plans we designed for 100 TB must
+  * stay the plans Catalyst actually picks — filters/projection pushed into
+  * the parquet scan, dimension joins broadcast, bucketed joins shuffle-free,
+  * top-n via TakeOrderedAndProject. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q20 pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan("q20_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 7 needed columns are read, not the full 11-column schema
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "projection not pruned:\n" + p.take(2000))
+  }
+
+  test("q21 broadcasts the dimension side and uses TakeOrderedAndProject for top-n") {
+    val p = plan("q21_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "unexpected sort-merge join")
+  }
+
+  test("q02 routing stays in whole-stage codegen with a single aggregation shuffle") {
+    val df = SparkEntry.queries("q02_route_destinations")(spark, dir)
+    df.collect() // materialize with AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // AQE plan strings mark codegen stages as "*(n)"
+    assert(p.contains("*("), "no whole-stage codegen stages:\n" + p.take(1500))
+    // one shuffle for the groupBy + one for the output sort — nothing else
+    // (AQE shows each exchange twice: once in the final plan, once cached)
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"too many exchanges ($exchanges):\n" + p.take(2000))
+  }
+
+  test("bucketed co-located join runs without any shuffle") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val or = spark.read.parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    or.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("or_bucketed")
+    // force the shuffle-based join path so bucketing is what avoids it
+    // (at this tiny SF AQE would otherwise broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("or_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(1200))
+      // the join itself must not shuffle: both sides pre-bucketed on the key
+      val exchangesOnJoinKey = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+        .findAllIn(p).size
+      assert(exchangesOnJoinKey == 0,
+        "bucketed join still shuffles on the join key:\n" + p.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q41 LSH bucket join carries only ids and signatures (no shingle arrays)") {
+    val p = plan("q41_minhash_lsh")
+    // the self-join inputs must not include the text column
+    val joinIdx = p.indexOf("SortMergeJoin")
+    if (joinIdx >= 0) {
+      val before = p.substring(0, joinIdx)
+      assert(!before.contains("text#"), "document text flows into the LSH join")
+    }
+  }
+}
