@@ -97,6 +97,54 @@ final class JobManager(spark: SparkSession) {
     queries.values.foreach { case (_, q) => if (q.isActive) q.stop() }
     queries.clear()
   }
+
+  /** Management endpoint payload: all groups' status as one JSON document
+    * (reference: the management HTML/JSON debug pages). */
+  def statusJson: String =
+    running.flatMap(status).map { s =>
+      s"""{"jobGroupId":"${s.jobGroupId}","state":"${s.state}",""" +
+        s""""inputRowsPerSec":${s.inputRowsPerSec},""" +
+        s""""processedRowsPerSec":${s.processedRowsPerSec},""" +
+        s""""numInputRows":${s.numInputRows},"batchId":${s.batchId}}"""
+    }.mkString("[", ",", "]")
+}
+
+/**
+ * The autoscaling feedback loop (SURVEY.md §3.3): streaming-progress
+ * throughput feeds the AutoScaler state machine; scale decisions become
+ * updated FlowControl quotas (maxOffsetsPerTrigger on restart) and desired
+ * worker counts (executor demand).
+ *
+ * Driver-side, called on a cadence (the reference samples every 5s).
+ */
+final class ScalingLoop(
+    jm: JobManager,
+    scaler: AutoScaler,
+    bytesPerMsgEstimate: Double = 1024.0) {
+
+  final case class Decision(
+      jobGroupId: String,
+      scale: Double,
+      desiredWorkers: Int,
+      messagesPerSec: Double)
+
+  /** Sample every running group once; returns the scale decisions. */
+  def tick(nowMs: Long): Seq[Decision] =
+    jm.running.flatMap { id =>
+      jm.status(id).map { st =>
+        val msgsPerSec = math.max(st.processedRowsPerSec, st.inputRowsPerSec)
+        val scale = scaler.onSample(id, msgsPerSec, msgsPerSec * bytesPerMsgEstimate, nowMs)
+        Decision(id, scale, scaler.desiredWorkers(id),
+          scale * AutoScaler.MessagesPerWorker)
+      }
+    }
+
+  /** Apply a decision to a spec: the new FlowControl quota the group should
+    * run with (the reference's UPDATE_JOB quota push —
+    * ProcessorImpl.updateQuota). */
+  def updatedSpec(spec: graft.model.JobSpec, d: Decision): graft.model.JobSpec =
+    spec.copy(flowControl = spec.flowControl.copy(
+      messagesPerSec = math.max(d.messagesPerSec, AutoScaler.MessagesPerWorker)))
 }
 
 /**

@@ -337,11 +337,15 @@ object ForwardingEngine {
       stream: Dataset[KafkaRecord],
       store: QueueStore,
       checkpointDir: String,
-      queryName: String): StreamingQuery = {
+      queryName: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    // default trigger: continuous micro-batches — a long-running forwarding
+    // job keeps consuming as data arrives (AvailableNow would snapshot the
+    // offsets at start and self-terminate, which only fits drain jobs)
     stream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[KafkaRecord], batchId: Long) =>
         val outcomes = processBatch(spec, dispatcherFactory, localCluster, batch)
         store.produce(outcomes)

@@ -336,6 +336,7 @@ class ForwardingEngineSpec extends AnyFunSuite {
   // === streaming path: MemoryStream -> foreachBatch -> outcomes ===
   test("streaming run() processes a MemoryStream end to end") {
     TestConsumer.reset()
+    InMemoryQueueStore.collected.set(0) // shared across suites
     TestConsumer.behaviors += "stream" -> (_ => DispatchResult("OK", None, overdue = false))
     val spec = specWithTiers(0)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaRecord](

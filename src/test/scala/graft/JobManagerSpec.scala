@@ -53,6 +53,28 @@ class JobManagerSpec extends AnyFunSuite {
     jm.stopAll()
   }
 
+  test("scaling loop turns query progress into scale decisions and quota updates") {
+    val jm = new JobManager(spark)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaRecord](
+      implicitly[org.apache.spark.sql.Encoder[KafkaRecord]], spark.sqlContext)
+    input.addData((0 until 50).map(i =>
+      KafkaRecord(Array[Byte](1), s"m$i".getBytes, "t", 0, i.toLong, 0L, Map.empty)))
+    val ckpt = java.nio.file.Files.createTempDirectory("sl-ckpt").toString
+    val q = jm.run(spec("scale__g"), AlwaysOkDispatcherFactory, "local",
+      input.toDS(), InMemoryQueueStore, ckpt)
+    q.processAllAvailable()
+    val loop = new graft.control.ScalingLoop(jm,
+      new graft.control.AutoScaler(graft.control.AutoScaler.Config(calibrateMs = 0L)))
+    val decisions = loop.tick(1000L)
+    assert(decisions.map(_.jobGroupId) == Seq("scale__g"))
+    assert(decisions.head.desiredWorkers >= 1)
+    val updated = loop.updatedSpec(spec("scale__g"), decisions.head)
+    assert(updated.flowControl.messagesPerSec >= 4000.0)
+    // management endpoint reflects the same group
+    assert(jm.statusJson.contains("\"jobGroupId\":\"scale__g\""))
+    jm.stopAll()
+  }
+
   test("parquet job store versions specs") {
     val dir = java.nio.file.Files.createTempDirectory("job-store").toString
     val store = new ParquetJobStore(spark, dir)

@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed co-located join runs without any shuffle") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val or = spark.read.parquet(s"$dir/orders.parquet")
+    // the suite may inherit a session whose warehouse dir carries leftovers
+    // from an earlier run; clear both catalog entries and locations
+    Seq("li_bucketed", "or_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
     or.write.mode("overwrite").bucketBy(8, "o_orderkey")
