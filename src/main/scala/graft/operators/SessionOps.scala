@@ -201,9 +201,48 @@ object SessionOps {
       | CAST(SUM(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_agreed
       |FROM g WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q19 — as-of (temporal) join: each message picks up the most recent
+  // config row at or before its timestamp. Spark lacks a native as-of join;
+  // the composable formulation is union-tag + last-non-null over an ordered
+  // window — a single shuffle on the join key, no range explosion, which is
+  // exactly how it scales to 100 TB. Oracle: DuckDB's native ASOF JOIN.
+  // Config stream := every 199th event publishes quota = value.
+  // ===========================================================
+  def q19AsOfConfig(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cfg = ev.filter(pmod(col("event_id"), lit(199)) === 0)
+      .groupBy(col("event_type").as("topic"), col("ts"))
+      .agg(max("value").as("quota"))
+      .withColumn("kind", lit(0))
+      .select("topic", "ts", "quota", "kind")
+    val msgs = ev
+      .select(col("event_type").as("topic"), col("ts"),
+        lit(null).cast("double").as("quota"), lit(1).as("kind"))
+    val w = Window.partitionBy("topic").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cfg.unionByName(msgs)
+      .withColumn("eff_quota", last("quota", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy("topic", "eff_quota")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("eff_quota", coalesce(col("eff_quota"), lit(-1.0)))
+      .orderBy("topic", "eff_quota")
+  }
+
+  val q19Sql: String =
+    """WITH cfg AS (SELECT event_type AS topic, epoch_ns(ts) AS ts, MAX(value) AS quota
+      |  FROM events WHERE event_id % 199 = 0 GROUP BY 1, 2),
+      | m AS (SELECT event_type AS topic, epoch_ns(ts) AS ts FROM events),
+      | j AS (SELECT m.topic, COALESCE(cfg.quota, -1.0) AS eff_quota
+      |  FROM m ASOF LEFT JOIN cfg ON m.topic = cfg.topic AND m.ts >= cfg.ts)
+      |SELECT topic, eff_quota, COUNT(*) AS n FROM j
+      |GROUP BY topic, eff_quota ORDER BY topic, eff_quota""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_sessionize" -> (q16Sessionize _),
     "q17_user_enrichment" -> (q17UserEnrichment _),
+    "q19_asof_config" -> (q19AsOfConfig _),
     "q36_top_tokens" -> (q36TopTokens _),
     "q38_curation" -> (q38Curation _),
     "q46_ann_ivf" -> (q46AnnIvf _))
@@ -211,6 +250,7 @@ object SessionOps {
   val oracles: Map[String, String] = Map(
     "q16_sessionize" -> q16Sql,
     "q17_user_enrichment" -> q17Sql,
+    "q19_asof_config" -> q19Sql,
     "q36_top_tokens" -> q36Sql,
     "q38_curation" -> q38Sql,
     "q46_ann_ivf" -> q46Sql)

@@ -118,5 +118,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    // per-key top-k: rewrite row_number-window + rank filter into the
+    // two-phase (map-side-pruned) TopKPerKey operator
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

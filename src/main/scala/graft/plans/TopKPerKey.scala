@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Per-key top-k as a first-class operator:
+ * `TopKPerKey(k, keys, order)` keeps, for every distinct key, the first k
+ * rows in `order`, and emits them with their 1-based rank appended.
+ *
+ * Why a custom operator: the composable formulation —
+ * `row_number().over(Window.partitionBy(keys).orderBy(order))` + `rn <= k` —
+ * shuffles EVERY row to the key's reducer and sorts full partitions before
+ * discarding all but k rows. This operator plans like partial aggregation:
+ * a map-side phase keeps at most k rows per key per input partition (bounded
+ * heaps), so the exchange moves ≤ k·keys·maps rows instead of the whole
+ * input, then a final phase merges. At 100 TB with k=10 this is the
+ * difference between shuffling terabytes and shuffling megabytes.
+ *
+ * Wired via [[GraftExtensions]]: an optimizer rule rewrites the
+ * Filter(row_number ≤ k over Window) pattern automatically, so the
+ * user-facing DataFrame code stays the idiomatic window expression.
+ */
+case class TopKPerKeyNode(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/**
+ * Physical per-key top-k. `partial = true` runs map-side with no required
+ * distribution (pruning only — emits no ranks); the final phase requires
+ * clustering on the keys and emits ranks.
+ */
+case class TopKPerKeyExec(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    rankAttr: Option[Attribute],
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output ++ rankAttr.toSeq
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else if (keys.isEmpty) Seq(org.apache.spark.sql.catalyst.plans.physical.AllTuples)
+    else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val orderExprs = order
+    val childOutput = child.output
+    val emitRank = rankAttr.isDefined && !partial
+    child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = RowOrdering.create(orderExprs, childOutput)
+      // per-key bounded "heap": k is small — an insertion-sorted array beats
+      // a real heap on constant factors and preserves deterministic order
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.ArrayList[InternalRow](kLocal + 1)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal || ordering.compare(row, heap.get(heap.size - 1)) < 0) {
+          val copied = row.copy()
+          var i = heap.size
+          heap.add(copied) // placeholder slot
+          while (i > 0 && ordering.compare(copied, heap.get(i - 1)) < 0) {
+            heap.set(i, heap.get(i - 1)); i -= 1
+          }
+          heap.set(i, copied)
+          if (heap.size > kLocal) heap.remove(kLocal)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.forEach { (_, heap) =>
+        var i = 0
+        while (i < heap.size) {
+          if (emitRank) {
+            val joined = new GenericInternalRow(childOutput.size + 1)
+            val r = heap.get(i)
+            var c = 0
+            while (c < childOutput.size) {
+              joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
+            }
+            joined.update(childOutput.size, i + 1L)
+            out += joined
+          } else out += heap.get(i)
+          i += 1
+        }
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override def nodeName: String =
+    if (partial) "GraftTopKPerKey(partial)" else "GraftTopKPerKey(final)"
+}
+
+/**
+ * Optimizer rule: Filter(rn <= k) over Window(row_number over (partition by
+ * keys order by o)) becomes the TopKPerKey operator. Conservative match:
+ * the window must contain exactly the row_number expression and the filter
+ * must bound it by a literal.
+ */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        w @ LWindow(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(partitionSpec, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+          _, _, child, _)) =>
+      extractBound(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 && k <= 1000000 =>
+          // Spark's own InferWindowGroupLimit may already have inserted
+          // WindowGroupLimit nodes below the Window — our operator subsumes
+          // them (and skips the final sort they still require), so strip them
+          val strippedChild = child.transformUp {
+            case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => wgl.child
+          }
+          // rank is long in our exec; row_number is int — keep the original
+          // attribute via a cast projection for exact schema compatibility
+          val rankLong = AttributeReference(alias.name + "_graft_rank",
+            org.apache.spark.sql.types.LongType, nullable = false)()
+          val topk = TopKPerKeyNode(k, partitionSpec, orderSpec, rankLong, strippedChild)
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            child.output :+ Alias(
+              Cast(rankLong, org.apache.spark.sql.types.IntegerType),
+              alias.name)(alias.exprId),
+            topk)
+        case _ => f
+      }
+  }
+
+  /** Match rn <= k / rn < k / k >= rn forms against the rank attribute. */
+  private def extractBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case _ => None
+  }
+}
+
+/** Plans the logical node as partial -> (exchange via distribution) -> final
+  * — the same shape partial aggregation uses. */
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, keys, order, rank, child) =>
+      val partialPhase = TopKPerKeyExec(k, keys, order, None, partial = true, planLater(child))
+      TopKPerKeyExec(k, keys, order, Some(rank), partial = false, partialPhase) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.plans.{RewriteWindowTopK, TopKStrategy}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def withTopK[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(RewriteWindowTopK)
+    spark.experimental.extraStrategies = Seq(TopKStrategy)
+    try f finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.experimental.extraStrategies = Nil
+    }
+  }
+
+  private def topkQuery = {
+    val df = spark.range(100000).select(
+      (col("id") % 97).as("key"),
+      ((col("id") * 31) % 10007).as("score"),
+      col("id"))
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("key", "rank")
+  }
+
+  test("rewrite fires: plan contains the two-phase GraftTopKPerKey operator") {
+    withTopK {
+      val p = topkQuery.queryExecution.executedPlan.toString
+      assert(p.contains("GraftTopKPerKey(final)"), p.take(2000))
+      assert(p.contains("GraftTopKPerKey(partial)"), p.take(2000))
+      assert(!p.contains("+- Window "), "window operator should have been replaced:\n" + p.take(2000))
+      assert(!p.contains("WindowGroupLimit"),
+        "Spark's own group-limit should have been subsumed:\n" + p.take(2000))
+      // exactly one exchange between the phases; no sort needed by the op
+      assert(!p.contains("!GraftTopKPerKey"), "invalid node (missing producedAttributes)")
+    }
+  }
+
+  test("operator results are identical to the window formulation") {
+    val expected = topkQuery.collect().map(_.toString) // plain window path
+    val got = withTopK { topkQuery.collect().map(_.toString) }
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+  }
+
+  test("map-side pruning bounds the shuffle") {
+    withTopK {
+      val df = topkQuery
+      df.collect()
+      // 97 keys x 5 rows x 4 input partitions = max 1940 rows may cross the
+      // exchange, out of 100k input rows
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("GraftTopKPerKey(partial)"))
+    }
+  }
+
+  test("no rewrite for rank filters the operator cannot serve") {
+    withTopK {
+      val df = spark.range(1000).select((col("id") % 7).as("key"), col("id"))
+      val w = Window.partitionBy("key").orderBy("id")
+      // rank >= bound is not a top-k shape — must stay a window
+      val q = df.withColumn("rank", row_number().over(w)).filter(col("rank") >= 3)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("Window"), p.take(1200))
+      assert(!p.contains("GraftTopKPerKey"))
+      assert(q.count() > 0)
+    }
+  }
+
+  test("q40-style query under the operator still matches its plain result") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = SparkEntry.queries("q40_ann_cosine")(spark, dir).collect().map(_.toString)
+    val rewritten = withTopK {
+      SparkEntry.queries("q40_ann_cosine")(spark, dir).collect().map(_.toString)
+    }
+    assert(rewritten.sameElements(plain))
+  }
+}
