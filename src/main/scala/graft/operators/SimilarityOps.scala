@@ -178,15 +178,90 @@ object SimilarityOps {
       .orderBy("doc_id")
   }
 
+  // ===========================================================
+  // q47 — embedding-cosine near-duplicate DEDUP. A corpus (embeddings plus
+  // deterministic variants derived from it: scaled copies = exact-direction
+  // dups with cosine 1.0, reversed copies = negative controls) is deduped at
+  // cosine >= 0.95: a row is dropped iff some smaller vec_id is a near-dup.
+  //
+  // Scale path: candidate generation is NOT all-pairs. Each vector gets a
+  // 64-bit hyperplane-sign signature (bit i = v[i] >= 0), split into 4
+  // sixteen-bit bands; candidates are an equi-join on (band, bucket) — the
+  // same banding trick as MinHash-LSH (q41), so candidate volume scales with
+  // bucket occupancy, not n². Exact cosine then verifies each candidate.
+  // Recall for cos >= 0.95 with 4x16 sign bands is probabilistic in general
+  // (use more/wider hyperplane projections for tighter thresholds); for
+  // exact-direction duplicates the signature is identical by construction,
+  // so the oracle (DuckDB brute force over all pairs) matches exactly here.
+  // ===========================================================
+  def q47EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
+    val scaled = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"), col("label"))
+    val reversed = base.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 2000000).as("vec_id"), reverse(col("v")).as("v"), col("label"))
+    val corpus = base.unionByName(scaled).unionByName(reversed)
+
+    // 4 bands x 16 sign bits; one row per (vector, band)
+    val banded = corpus.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 3), b -> struct(b AS band,
+        | aggregate(slice(transform(v, x -> CAST(if(x >= 0.0d, 1, 0) AS BIGINT)), b*16+1, 16),
+        |   CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x) AS bucket))""".stripMargin)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .distinct()
+
+    val withVecs = cand
+      .join(corpus.select(col("vec_id").as("ia"), col("v").as("va")), "ia")
+      .join(corpus.select(col("vec_id").as("ib"), col("v").as("vb")), "ib")
+      .withColumn("cos", round(dot("va", "vb") / (l2("va") * l2("vb")), 6))
+    val dropped = withVecs.filter(col("cos") >= 0.95)
+      .select(col("ib").as("vec_id")).distinct()
+
+    corpus.join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left_outer")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dupes"))
+      .orderBy("label")
+  }
+
+  val q47Sql: String =
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+      |  FROM embeddings),
+      | corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0), label
+      |   FROM base WHERE vec_id % 7 = 0
+      |  UNION ALL SELECT vec_id + 2000000, list_reverse(v), label
+      |   FROM base WHERE vec_id % 11 = 0),
+      | dup AS (SELECT DISTINCT b.vec_id FROM corpus a, corpus b
+      |  WHERE a.vec_id < b.vec_id
+      |   AND round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95)
+      |SELECT label, COUNT(*) AS n_total,
+      | CAST(SUM(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+      |FROM corpus LEFT JOIN dup USING (vec_id)
+      |GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
     "q42_simhash" -> (q42SimHash _),
-    "q43_embedding_stats" -> (q43EmbeddingStats _))
+    "q43_embedding_stats" -> (q43EmbeddingStats _),
+    "q47_embed_neardup" -> (q47EmbedNeardup _))
 
   /** q41/q42 are hash-function-specific (xxhash64) — not expressible in
     * DuckDB SQL, so they get the driver's rows-only check. */
   val oracles: Map[String, String] = Map(
     "q40_ann_cosine" -> q40Sql,
-    "q43_embedding_stats" -> q43Sql)
+    "q43_embedding_stats" -> q43Sql,
+    "q47_embed_neardup" -> q47Sql)
 }
