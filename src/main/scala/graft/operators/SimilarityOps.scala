@@ -168,13 +168,28 @@ object SimilarityOps {
         | acc + CAST(if(
         |   aggregate(hashes, CAST(0 AS BIGINT), (s, h) -> s + if(((h >> i) & 1) = 1, 1, -1)) > 0,
         |   shiftleft(CAST(1 AS BIGINT), i), 0) AS BIGINT))""".stripMargin))
-    val w = Window.orderBy("doc_id")
-    sim.select(col("doc_id"), col("simhash"))
-      .withColumn("next_simhash", lead("simhash", 1).over(w))
+    // "next doc" = min doc_id > this one. A global lead() window would sort
+    // the whole corpus into one partition; instead resolve next-ids with a
+    // broadcast theta-join against the 100-row head set (one corpus scan,
+    // partition-parallel), then compute simhash only for the ~200 needed docs.
+    val ids = docs(spark, dir).select(col("doc_id"))
+    val head = ids.filter(col("doc_id") < 100)
+    val nextIds = ids.join(broadcast(head.select(col("doc_id").as("a"))),
+        col("doc_id") > col("a"))
+      .groupBy("a").agg(min("doc_id").as("next_id"))
+    val needed = head.select(col("doc_id"))
+      .union(nextIds.select(col("next_id").as("doc_id"))).distinct()
+    val simNeeded = sim.join(broadcast(needed), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("simhash"))
+    head
+      .join(simNeeded, Seq("doc_id"))
+      .join(nextIds.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(simNeeded.select(col("doc_id").as("nid"), col("simhash").as("next_simhash")),
+        col("next_id") === col("nid"), "left_outer")
       .withColumn("hamming_to_next",
         when(col("next_simhash").isNotNull,
           expr("bit_count(simhash ^ next_simhash)")).otherwise(lit(null)))
-      .filter(col("doc_id") < 100)
+      .select("doc_id", "simhash", "next_simhash", "hamming_to_next")
       .orderBy("doc_id")
   }
 
