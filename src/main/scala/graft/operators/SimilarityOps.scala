@@ -209,7 +209,10 @@ object SimilarityOps {
   // exact-direction duplicates the signature is identical by construction,
   // so the oracle (DuckDB brute force over all pairs) matches exactly here.
   // ===========================================================
-  def q47EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by q47/q48: the dup-test corpus (embeddings + deterministic
+    * scaled/reversed variants) and its verified near-dup pairs (ia < ib,
+    * cosine >= 0.95) found via sign-LSH banded candidates. */
+  private def neardupCorpusAndPairs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = emb(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
     val scaled = base.filter(col("vec_id") % 7 === 0)
@@ -232,12 +235,18 @@ object SimilarityOps {
       .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
       .distinct()
 
-    val withVecs = cand
+    val pairs = cand
       .join(corpus.select(col("vec_id").as("ia"), col("v").as("va")), "ia")
       .join(corpus.select(col("vec_id").as("ib"), col("v").as("vb")), "ib")
       .withColumn("cos", round(dot("va", "vb") / (l2("va") * l2("vb")), 6))
-    val dropped = withVecs.filter(col("cos") >= 0.95)
-      .select(col("ib").as("vec_id")).distinct()
+      .filter(col("cos") >= 0.95)
+      .select("ia", "ib")
+    (corpus, pairs)
+  }
+
+  def q47EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, pairs) = neardupCorpusAndPairs(spark, dir)
+    val dropped = pairs.select(col("ib").as("vec_id")).distinct()
 
     corpus.join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left_outer")
       .groupBy("label")
@@ -266,17 +275,92 @@ object SimilarityOps {
       |FROM corpus LEFT JOIN dup USING (vec_id)
       |GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q48 — near-duplicate CLUSTERING: connected components over the verified
+  // near-dup pairs, so each duplicate group keeps exactly one canonical doc
+  // (the min vec_id of its component). This is the step after pair discovery
+  // in a real corpus dedup: pairs alone over-drop when dups form chains
+  // (a~b, b~c ⇒ {a,b,c} is ONE group, keep one, not "drop every ib").
+  //
+  // Scale path: iterative min-label propagation — each round is one shuffle
+  // join (labels ⋈ adjacency, min per node), converging in O(diameter)
+  // rounds (dup clusters are tiny, so a handful). No collect(); the only
+  // driver-side value per round is the changed-row count. localCheckpoint
+  // cuts the growing lineage each round (on a real cluster use
+  // sparkContext.setCheckpointDir + checkpoint for fault tolerance).
+  // Output: cluster-size histogram — stable, small, oracle-friendly.
+  // ===========================================================
+  def q48DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, pairs) = neardupCorpusAndPairs(spark, dir)
+    val adj = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .localCheckpoint()
+
+    var labels = corpus.select(col("vec_id"), col("vec_id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = adj
+        .join(labels.select(col("vec_id").as("src"), col("comp").as("nbr_comp")), "src")
+        .groupBy("dst").agg(min("nbr_comp").as("nbr_min"))
+        .withColumnRenamed("dst", "vec_id")
+      val next = labels.join(nbrMin, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "vec_id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+
+    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
+      .orderBy("cluster_size")
+  }
+
+  /** Oracle: brute-force pairs + recursive-CTE transitive closure; component
+    * label = min reachable id. Matches exactly because exact-direction dups
+    * always share their full sign signature (see q47 note). */
+  val q48Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+      |  FROM embeddings),
+      | corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0), label
+      |   FROM base WHERE vec_id % 7 = 0
+      |  UNION ALL SELECT vec_id + 2000000, list_reverse(v), label
+      |   FROM base WHERE vec_id % 11 = 0),
+      | e AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM corpus a, corpus b
+      |  WHERE a.vec_id < b.vec_id
+      |   AND round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95),
+      | adj AS (SELECT ia AS src, ib AS dst FROM e UNION ALL SELECT ib, ia FROM e),
+      | reach(src, dst) AS (
+      |  SELECT vec_id, vec_id FROM corpus
+      |  UNION
+      |  SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src),
+      | comp AS (SELECT src AS vec_id, MIN(dst) AS comp FROM reach GROUP BY src),
+      | sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+      |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
     "q42_simhash" -> (q42SimHash _),
     "q43_embedding_stats" -> (q43EmbeddingStats _),
-    "q47_embed_neardup" -> (q47EmbedNeardup _))
+    "q47_embed_neardup" -> (q47EmbedNeardup _),
+    "q48_dup_clusters" -> (q48DupClusters _))
 
   /** q41/q42 are hash-function-specific (xxhash64) — not expressible in
     * DuckDB SQL, so they get the driver's rows-only check. */
   val oracles: Map[String, String] = Map(
     "q40_ann_cosine" -> q40Sql,
     "q43_embedding_stats" -> q43Sql,
-    "q47_embed_neardup" -> q47Sql)
+    "q47_embed_neardup" -> q47Sql,
+    "q48_dup_clusters" -> q48Sql)
 }
