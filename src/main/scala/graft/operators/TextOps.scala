@@ -185,13 +185,64 @@ object TextOps {
        | (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE)/uni ELSE 0.0 END) >= 0.8 AS near_dup
        |FROM j ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q37 — TF-IDF top-3 terms per document (doc_id < 20), idf over the FULL
+  // corpus: tfidf = (tc/n_toks) * (ln((N+1)/(df+1)) + 1), rounded to 6dp.
+  //
+  // Scale path: document frequency is one explode-distinct + groupBy(term)
+  // over the corpus (the vocabulary table — inherent to TF-IDF); term
+  // counts are computed only for the output docs, and the df join is
+  // restricted to their vocabulary first so the big side is probed once.
+  // Top-3 per doc is a window partitioned by doc_id (no global sort).
+  // ===========================================================
+  def q37Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"),
+      expr("filter(regexp_extract_all(lower(text), '[a-z]+', 0), t -> length(t) >= 2)").as("toks"))
+    val nDocs = toks.select(countDistinct("doc_id").as("n_docs"))
+    val dfTable = toks.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = toks.filter(col("doc_id") < 20)
+      .select(col("doc_id"), size(col("toks")).as("n_toks"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "n_toks", "term").agg(count(lit(1)).as("tc"))
+    val scored = tf
+      .join(dfTable.join(broadcast(tf.select("term").distinct()), "term"), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        (col("tc").cast("double") / col("n_toks")) *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  val q37Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  list_filter(regexp_extract_all(lower(text), '[a-z]+'), t -> length(t) >= 2) AS toks
+      | FROM documents),
+      | n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+      | dfx AS (SELECT term, COUNT(*) AS df FROM
+      |  (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks) GROUP BY term),
+      | tf AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS term
+      |  FROM toks WHERE doc_id < 20),
+      | tc AS (SELECT doc_id, n_toks, term, COUNT(*) AS tc FROM tf GROUP BY doc_id, n_toks, term),
+      | scored AS (SELECT doc_id, term,
+      |  round((CAST(tc AS DOUBLE)/n_toks) * (ln(CAST(n_docs+1 AS DOUBLE)/(df+1)) + 1.0), 6) AS tfidf
+      |  FROM tc JOIN dfx USING (term) CROSS JOIN n),
+      | r AS (SELECT doc_id, term, tfidf,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM scored)
+      |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
     "q32_quality_score" -> (q32QualityScore _),
     "q33_lang_guess" -> (q33LangGuess _),
     "q34_fingerprint" -> (q34Fingerprint _),
-    "q35_ngram_jaccard" -> (q35NgramJaccard _))
+    "q35_ngram_jaccard" -> (q35NgramJaccard _),
+    "q37_tfidf" -> (q37Tfidf _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -199,5 +250,6 @@ object TextOps {
     "q32_quality_score" -> q32Sql,
     "q33_lang_guess" -> q33Sql,
     "q34_fingerprint" -> q34Sql,
-    "q35_ngram_jaccard" -> q35Sql)
+    "q35_ngram_jaccard" -> q35Sql,
+    "q37_tfidf" -> q37Sql)
 }
