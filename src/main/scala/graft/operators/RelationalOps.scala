@@ -78,12 +78,19 @@ object RelationalOps {
     val customer = t(spark, dir, "customer")
     val orders = t(spark, dir, "orders")
     val lineitem = t(spark, dir, "lineitem")
-    lineitem
+    // push the aggregation below the fact-fact join: revenue is additive, so
+    // pre-aggregating lineitem per l_orderkey shrinks the shuffle from
+    // line-item cardinality to order cardinality (exact: decimal sums are
+    // associative), and the join probes ~4x fewer rows
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(discPrice).as("order_rev"), count(lit(1)).as("order_items"))
+    perOrder
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(sum(discPrice).cast("decimal(30,4)").as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("order_rev")).cast("decimal(30,4)").as("revenue"),
+        sum(col("order_items")).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
   }
