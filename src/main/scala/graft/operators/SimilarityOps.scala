@@ -182,8 +182,8 @@ object SimilarityOps {
     val simNeeded = sim.join(broadcast(needed), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("simhash"))
     head
-      .join(simNeeded, Seq("doc_id"))
-      .join(nextIds.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left_outer")
+      .join(broadcast(simNeeded), Seq("doc_id"))
+      .join(broadcast(nextIds.withColumnRenamed("a", "doc_id")), Seq("doc_id"), "left_outer")
       .join(simNeeded.select(col("doc_id").as("nid"), col("simhash").as("next_simhash")),
         col("next_id") === col("nid"), "left_outer")
       .withColumn("hamming_to_next",
