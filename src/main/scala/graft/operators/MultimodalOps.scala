@@ -92,10 +92,60 @@ object MultimodalOps {
       .orderBy("checksum_mod")
   }
 
+  // ===========================================================
+  // q49 — video-style frame sampling: treat the payload as a sequence of
+  // fixed-width frames (8 bytes each), sample every 3rd frame (stride
+  // sampling, the standard pretraining downsample), fingerprint each
+  // sampled frame, and report per-media-kind frame volume + uniqueness.
+  //
+  // Scale path: frames explode partition-parallel off the payload column
+  // (lateral view), so a media file never has to fit a row budget — the
+  // row count multiplies but stays distributed; the only shuffle is the
+  // final groupBy. The frame "decode" here is substring+md5 (the container
+  // has no codecs); a real decoder slots into the same explode shape.
+  // ===========================================================
+  def q49FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val frames = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").as("media_id"), col("event_type").as("media_kind"),
+        col("props").as("payload"))
+      .filter(length(col("payload")) >= 8)
+      .withColumn("frame", explode(expr(
+        // frame i starts at byte i*8; keep i % 3 == 0 (stride 3)
+        """filter(transform(sequence(0, int(floor((length(payload) - 8) / 8))),
+          |  i -> struct(i AS idx, substring(payload, i * 8 + 1, 8) AS bytes)),
+          |  f -> f.idx % 3 = 0)""".stripMargin)))
+      .select(col("media_id"), col("media_kind"),
+        col("frame.idx").as("frame_idx"), md5(col("frame.bytes").cast("binary")).as("frame_digest"))
+    frames.groupBy("media_kind")
+      .agg(
+        countDistinct("media_id").as("n_media"),
+        count(lit(1)).as("n_frames_sampled"),
+        countDistinct("frame_digest").as("n_uniq_frames"),
+        max("frame_idx").cast("long").as("max_frame_idx"))
+      .orderBy("media_kind")
+  }
+
+  val q49Sql: String =
+    """WITH m AS (SELECT event_id AS media_id, event_type AS media_kind, props AS payload
+      |  FROM events WHERE length(props) >= 8),
+      | f AS (SELECT media_id, media_kind, u.idx AS frame_idx,
+      |   md5(substring(payload, u.idx * 8 + 1, 8)) AS frame_digest
+      |  FROM m, LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(floor((length(payload) - 8) / 8) AS INTEGER))) AS idx) u
+      |  WHERE u.idx % 3 = 0)
+      |SELECT media_kind, COUNT(DISTINCT media_id) AS n_media,
+      | COUNT(*) AS n_frames_sampled,
+      | COUNT(DISTINCT frame_digest) AS n_uniq_frames,
+      | CAST(MAX(frame_idx) AS BIGINT) AS max_frame_idx
+      |FROM f GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal_meta" -> (q44MultimodalMeta _),
-    "q45_decode_features" -> (q45DecodeFeatures _))
+    "q45_decode_features" -> (q45DecodeFeatures _),
+    "q49_frame_sample" -> (q49FrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "q44_multimodal_meta" -> q44Sql)
+    "q44_multimodal_meta" -> q44Sql,
+    "q49_frame_sample" -> q49Sql)
 }

@@ -235,6 +235,38 @@ object TextOps {
       |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q39 — BPE-style subword-ish token counting: a GPT-2-like pretokenizer
+  // regex (leading-space word / number / punctuation runs — the lookahead
+  // variant is avoided so Java regex and RE2 agree byte-for-byte) compared
+  // against plain whitespace tokens, per (lang, source). The fertility
+  // ratio (bpe/ws) is the usual sanity metric for tokenizer cost planning.
+  // ===========================================================
+  private val bpeIshPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def q39BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("ws_tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("bpe_tokens").as("total_bpe_tokens"),
+        round(sum("bpe_tokens").cast("double") / sum("ws_tokens"), 6).as("fertility"))
+      .orderBy("lang", "source")
+
+  val q39Sql: String =
+    """WITH t AS (SELECT lang, source,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+      | FROM documents)
+      |SELECT lang, source, COUNT(*) AS docs,
+      | CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+      | CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+      | round(CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens), 6) AS fertility
+      |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -242,7 +274,8 @@ object TextOps {
     "q33_lang_guess" -> (q33LangGuess _),
     "q34_fingerprint" -> (q34Fingerprint _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
-    "q37_tfidf" -> (q37Tfidf _))
+    "q37_tfidf" -> (q37Tfidf _),
+    "q39_bpe_tokens" -> (q39BpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -251,5 +284,6 @@ object TextOps {
     "q33_lang_guess" -> q33Sql,
     "q34_fingerprint" -> q34Sql,
     "q35_ngram_jaccard" -> q35Sql,
-    "q37_tfidf" -> q37Sql)
+    "q37_tfidf" -> q37Sql,
+    "q39_bpe_tokens" -> q39Sql)
 }
