@@ -90,6 +90,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q42 runs without any window operator (no global sort of the corpus)") {
+    val p = plan("q42_simhash")
+    assert(!p.contains("Window"), "global window crept back into q42:\n" + p.take(1500))
+  }
+
+  test("q47 candidate generation is an equi-join on (band, bucket), never all-pairs") {
+    val p = plan("q47_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi join in candidate generation:\n" + p.take(1500))
+    assert(p.contains("band"), p.take(800))
+  }
+
+  test("q49 frame explode is partition-parallel (Generate, no pre-shuffle)") {
+    val df = SparkEntry.queries("q49_frame_sample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p.take(1200))
+    // the only exchange is the final aggregation, after the explode
+    val genIdx = p.indexOf("Generate")
+    assert(!p.substring(genIdx).contains("Exchange hashpartitioning(media_id"),
+      "frames shuffled by media before aggregation:\n" + p.take(2000))
+  }
+
   test("q41 LSH bucket join carries only ids and signatures (no shingle arrays)") {
     val p = plan("q41_minhash_lsh")
     // the self-join inputs must not include the text column
