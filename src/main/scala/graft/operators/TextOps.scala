@@ -105,29 +105,34 @@ object TextOps {
   // confusion matrix
   // ===========================================================
   def q33LangGuess(spark: SparkSession, dir: String): DataFrame = {
-    val lowered = concat(lit(" "), regexp_replace(lower(col("text")), "\\s+", " "), lit(" "))
-    val d = docs(spark, dir).withColumn("padded", lowered)
+    // direct regex search for a whitespace-delimited stopword: no full-text
+    // rewrite, early-exits on first hit. Explicit char class [ \t\n\r\f]
+    // (not \s) because Java regex and RE2 disagree on \x0B membership.
+    def hit(words: String) =
+      lower(col("text")).rlike(s"(^|[ \\t\\n\\r\\f])($words)([ \\t\\n\\r\\f]|$$)")
+    val d = docs(spark, dir)
       .withColumn("guess",
-        when(col("padded").contains(" the ") || col("padded").contains(" and "), "en")
-          .when(col("padded").contains(" der ") || col("padded").contains(" und "), "de")
-          .when(col("padded").contains(" le ") || col("padded").contains(" et "), "fr")
-          .when(col("padded").contains(" el ") || col("padded").contains(" los "), "es")
+        when(hit("the|and"), "en")
+          .when(hit("der|und"), "de")
+          .when(hit("le|et"), "fr")
+          .when(hit("el|los"), "es")
           .otherwise("unk"))
     d.groupBy("lang", "guess").agg(count(lit(1)).as("n")).orderBy("lang", "guess")
   }
 
-  val q33Sql: String =
-    s"""WITH d AS (SELECT lang, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS padded
-       |  FROM documents),
-       | g AS (SELECT lang,
-       |  CASE WHEN padded LIKE '% the %' OR padded LIKE '% and %' THEN 'en'
-       |   WHEN padded LIKE '% der %' OR padded LIKE '% und %' THEN 'de'
-       |   WHEN padded LIKE '% le %' OR padded LIKE '% et %' THEN 'fr'
-       |   WHEN padded LIKE '% el %' OR padded LIKE '% los %' THEN 'es'
+  val q33Sql: String = {
+    def hit(words: String) =
+      s"regexp_matches(lower(text), '(^|[ \\t\\n\\r\\f])($words)([ \\t\\n\\r\\f]|$$)')"
+    s"""WITH g AS (SELECT lang,
+       |  CASE WHEN ${hit("the|and")} THEN 'en'
+       |   WHEN ${hit("der|und")} THEN 'de'
+       |   WHEN ${hit("le|et")} THEN 'fr'
+       |   WHEN ${hit("el|los")} THEN 'es'
        |   ELSE 'unk' END AS guess
-       | FROM d)
+       | FROM documents)
        |SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY lang, guess
        |ORDER BY lang, guess""".stripMargin.replace("\n", " ")
+  }
 
   // ===========================================================
   // q34 — document fingerprinting: md5 of normalized text (stable id for
