@@ -45,7 +45,48 @@ object Bench {
     val q50Sec = results.find(_._1 == "q50_forwarding_pipeline").map(_._2).getOrElse(0.0)
     val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
     val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
+
+    // streaming-mode throughput: replay the events table through a LIVE
+    // StreamingQuery running the full engine (unwrap -> dispatch -> code ->
+    // route -> ack watermark), the BASELINE.md protocol. Separate from the
+    // q50 batch number, which excludes micro-batch machinery.
+    val streamRate = try {
+      import graft.streaming._
+      import graft.streaming.ForwardingEngine.KafkaRecord
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.{Encoder, Dataset}
+      import org.apache.spark.sql.functions.{lit, map, pmod}
+      import spark.implicits._
+      val recs = ev.select(
+          col("event_id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          col("event_type").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+          col("event_id").as("offset"),
+          col("ts").as("timestampNs"),
+          map().cast("map<string,binary>").as("headers"))
+        .as[KafkaRecord].collect().toSeq
+      val ms = MemoryStream[KafkaRecord](implicitly[Encoder[KafkaRecord]], spark.sqlContext)
+      val routed = new java.util.concurrent.atomic.AtomicLong
+      val store = new QueueStore {
+        def produce(o: Dataset[ForwardingEngine.Outcome]): Unit = {
+          routed.addAndGet(o.filter(_.destination.nonEmpty).count()); ()
+        }
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+      val q = ForwardingEngine.run(
+        graft.operators.PipelineOps.pipelineSpec("events"),
+        graft.operators.PipelineOps.DeterministicDispatcherFactory,
+        "local", ms.toDS(), store, ckpt, "bench_stream")
+      val t0 = System.nanoTime()
+      ms.addData(recs)
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      if (sec > 0 && routed.get() >= 0) eventsRows / sec else 0.0
+    } catch { case _: Throwable => 0.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"stream_msgs_per_sec":$streamRate,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
     spark.stop()
   }
 }
