@@ -304,13 +304,16 @@ object SimilarityOps {
         .join(labels.select(col("vec_id").as("src"), col("comp").as("nbr_comp")), "src")
         .groupBy("dst").agg(min("nbr_comp").as("nbr_min"))
         .withColumnRenamed("dst", "vec_id")
+      // compute the new label AND the changed flag in the same pass — the
+      // convergence check is then a cheap count on the materialized result
+      // instead of a second shuffle join per round
       val next = labels.join(nbrMin, Seq("vec_id"), "left_outer")
-        .select(col("vec_id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .withColumn("ncomp", least(col("comp"), coalesce(col("nbr_min"), col("comp"))))
+        .withColumn("chg", col("ncomp") =!= col("comp"))
+        .select(col("vec_id"), col("ncomp").as("comp"), col("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "vec_id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       iter += 1
     }
 
