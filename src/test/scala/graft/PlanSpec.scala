@@ -112,6 +112,51 @@ class PlanSpec extends AnyFunSuite {
       "frames shuffled by media before aggregation:\n" + p.take(2000))
   }
 
+  test("partition-pruned scan: a topic filter reads only that topic's files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val q = spark.read.parquet(base).filter(col("event_type") === "click")
+      .groupBy("user_id").count()
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "partition filter not pushed to the scan:\n" + p.take(1500))
+    // the pruned predicate must NOT appear as a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "event_type read as a data column instead of a partition:\n" + p.take(1500))
+  }
+
+  test("AQE splits a skewed join instead of letting one task carry the hot key") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // the join feeds an aggregation that re-shuffles anyway; without force,
+    // the skew rule refuses any split that would add an exchange
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      import spark.implicits._
+      // 200k rows on one hot key vs 50 keys of 10 rows; incompressible
+      // payload so the hot shuffle partition's bytes actually show the skew
+      val skewed = spark.range(200000)
+        .select(lit(0L).as("k"), expr("xxhash64(id)").as("payload"))
+        .union(spark.range(500)
+          .select((col("id") % 50 + 1).as("k"), expr("xxhash64(id)").as("payload")))
+      val dim = spark.range(51).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = skewed.join(dim, "k").groupBy("v").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE did not split the skewed partition:\n" + p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("q41 LSH bucket join carries only ids and signatures (no shingle arrays)") {
     val p = plan("q41_minhash_lsh")
     // the self-join inputs must not include the text column
