@@ -62,7 +62,10 @@ object Bench {
       import org.apache.spark.sql.{Encoder, Dataset}
       import org.apache.spark.sql.functions.{lit, map, pmod}
       import spark.implicits._
-      val recs = ev.select(
+      // bounded replay: cap the driver-side feed so an arbitrarily large SF
+      // can't OOM the driver collect (the rate is per-row, so a 1M-row
+      // replay measures the same steady-state throughput)
+      val recs = ev.limit(1000000).select(
           col("event_id").cast("string").cast("binary").as("key"),
           col("props").cast("binary").as("value"),
           col("event_type").as("topic"),
@@ -88,8 +91,15 @@ object Bench {
       q.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()
-      if (sec > 0 && routed.get() >= 0) eventsRows / sec else 0.0
-    } catch { case _: Throwable => 0.0 }
+      // the deterministic dispatcher routes ~7/17 of messages, so a healthy
+      // run MUST have produced routed records; 0 means the engine silently
+      // did nothing and the rate would be a lie
+      if (sec > 0 && routed.get() > 0) recs.size / sec else 0.0
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")
+        0.0
+    }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"stream_msgs_per_sec":$streamRate,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
     spark.stop()

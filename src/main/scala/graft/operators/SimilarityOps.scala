@@ -184,7 +184,7 @@ object SimilarityOps {
     head
       .join(broadcast(simNeeded), Seq("doc_id"))
       .join(broadcast(nextIds.withColumnRenamed("a", "doc_id")), Seq("doc_id"), "left_outer")
-      .join(simNeeded.select(col("doc_id").as("nid"), col("simhash").as("next_simhash")),
+      .join(broadcast(simNeeded.select(col("doc_id").as("nid"), col("simhash").as("next_simhash"))),
         col("next_id") === col("nid"), "left_outer")
       .withColumn("hamming_to_next",
         when(col("next_simhash").isNotNull,
@@ -220,7 +220,10 @@ object SimilarityOps {
         expr("transform(v, x -> x * 2.0d)").as("v"), col("label"))
     val reversed = base.filter(col("vec_id") % 11 === 0)
       .select((col("vec_id") + 2000000).as("vec_id"), reverse(col("v")).as("v"), col("label"))
-    val corpus = base.unionByName(scaled).unionByName(reversed)
+    // cached: reused by both candidate-join sides, the va/vb lookups, and the
+    // caller's final aggregate — without it each reference re-runs the scan
+    // + double-cast transform (same precedent as q41's cached bands)
+    val corpus = base.unionByName(scaled).unionByName(reversed).cache()
 
     // 4 bands x 16 sign bits; one row per (vector, band)
     val banded = corpus.select(col("vec_id"), explode(expr(
@@ -228,6 +231,7 @@ object SimilarityOps {
         | aggregate(slice(transform(v, x -> CAST(if(x >= 0.0d, 1, 0) AS BIGINT)), b*16+1, 16),
         |   CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x) AS bucket))""".stripMargin)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache() // both sides of the self-join
 
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
@@ -299,7 +303,8 @@ object SimilarityOps {
     var labels = corpus.select(col("vec_id"), col("vec_id").as("comp")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 50 // propagation distance bound; dup chains this deep are pathological
+    while (changed > 0 && iter < maxIter) {
       val nbrMin = adj
         .join(labels.select(col("vec_id").as("src"), col("comp").as("nbr_comp")), "src")
         .groupBy("dst").agg(min("nbr_comp").as("nbr_min"))
@@ -316,6 +321,9 @@ object SimilarityOps {
       labels = next.drop("chg")
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[graft] q48: label propagation hit the $maxIter-round cap with $changed labels still moving — cluster histogram may split long chains")
 
     labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))

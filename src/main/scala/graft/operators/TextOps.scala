@@ -201,6 +201,10 @@ object TextOps {
   // Top-3 per doc is a window partitioned by doc_id (no global sort).
   // ===========================================================
   def q37Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    // deliberately NOT cached although toks feeds three subtrees: caching
+    // materializes a corpus-wide array column (larger than the text itself,
+    // never memory-resident at real scale), measured slower than letting
+    // each consumer recompute the pipelined, column-pruned scan
     val toks = docs(spark, dir).select(col("doc_id"),
       expr("filter(regexp_extract_all(lower(text), '[a-z]+', 0), t -> length(t) >= 2)").as("toks"))
     val nDocs = toks.select(countDistinct("doc_id").as("n_docs"))
@@ -247,11 +251,13 @@ object TextOps {
   // against plain whitespace tokens, per (lang, source). The fertility
   // ratio (bpe/ws) is the usual sanity metric for tokenizer cost planning.
   // ===========================================================
-  private val bpeIshPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  // explicit [ \t\n\r\f] (not \s/\S) — Java regex and RE2 disagree on \x0B
+  private val bpeIshPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+"
+  private val wsTokenPattern = "[^ \\t\\n\\r\\f]+"
 
   def q39BpeTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("ws_tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("ws_tokens", size(regexp_extract_all(col("text"), lit(wsTokenPattern), lit(0))).cast("long"))
       .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long"))
       .groupBy("lang", "source")
       .agg(
@@ -263,8 +269,8 @@ object TextOps {
 
   val q39Sql: String =
     """WITH t AS (SELECT lang, source,
-      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe_tokens
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+')) AS BIGINT) AS bpe_tokens
       | FROM documents)
       |SELECT lang, source, COUNT(*) AS docs,
       | CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,

@@ -129,7 +129,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("AQE splits a skewed join instead of letting one task carry the hot key") {
-    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // the session is shared across suites: snapshot every conf this test
+    // touches and restore ALL of them, or later plan-shape tests inherit
+    // 8KB advisory partitions and force-split joins
+    val touched = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = touched.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -153,7 +164,10 @@ class PlanSpec extends AnyFunSuite {
       val p = j.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), "AQE did not split the skewed partition:\n" + p.take(2000))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 
