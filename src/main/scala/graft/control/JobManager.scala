@@ -98,6 +98,41 @@ final class JobManager(spark: SparkSession) {
     queries.clear()
   }
 
+  /** One reconciliation command (reference: master_worker_service.proto
+    * Command{RUN,CANCEL}; CommandListBuilder.add). */
+  sealed trait Command
+  final case class RunGroup(jobGroupId: String, worker: String) extends Command
+  final case class CancelGroup(jobGroupId: String) extends Command
+
+  /** The reference's rebalance loop body (JobManager.rebalanceJobGroups,
+    * 10s cadence): place every expected group's partition-jobs on the worker
+    * pool with the consistent-hash rebalancer (zero-scale groups hibernate —
+    * no workers), then diff the expected placement against this manager's
+    * currently-running set into a command list. Pure — the caller executes
+    * RunGroup via run() with the group's stream/sink wiring and CancelGroup
+    * via cancel().
+    */
+  def rebalance(
+      expected: Seq[(JobSpec, Int)], // spec + live partition count
+      scaleByGroup: Map[String, Double],
+      workers: Seq[String]): (Rebalancer.Placement, Seq[Command]) = {
+    val jobs = for {
+      (spec, partitions) <- expected
+      p <- 0 until math.max(partitions, 1)
+    } yield Rebalancer.JobKey(spec.jobGroupId, p)
+    val placement = Rebalancer.placeWithScale(jobs, scaleByGroup, workers)
+    val placedGroups = placement.assignments.keySet.map(_.jobGroupId)
+    val runningNow = running.toSet
+    val cmds =
+      placedGroups.diff(runningNow).toSeq.sorted.map { g =>
+        // a group's query runs where its partition-0 job landed (the other
+        // partitions are Spark tasks of the same query)
+        RunGroup(g, placement.workerOf(Rebalancer.JobKey(g, 0)).getOrElse(workers.head))
+      } ++
+        runningNow.diff(placedGroups).toSeq.sorted.map(CancelGroup.apply)
+    (placement, cmds)
+  }
+
   /** Management endpoint payload: all groups' status as one JSON document
     * (reference: the management HTML/JSON debug pages). */
   def statusJson: String =

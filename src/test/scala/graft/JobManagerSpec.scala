@@ -53,6 +53,34 @@ class JobManagerSpec extends AnyFunSuite {
     jm.stopAll()
   }
 
+  test("rebalance loop: placement + expected-vs-running command list") {
+    val jm = new JobManager(spark)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaRecord](
+      implicitly[org.apache.spark.sql.Encoder[KafkaRecord]], spark.sqlContext)
+    val ckpt = java.nio.file.Files.createTempDirectory("jm-reb-ckpt").toString
+    jm.run(spec("stale__g"), AlwaysOkDispatcherFactory, "local",
+      input.toDS(), InMemoryQueueStore, ckpt)
+
+    val expected = Seq((spec("a__g"), 4), (spec("b__g"), 2), (spec("sleepy__g"), 3))
+    val scales = Map("a__g" -> 1.5, "b__g" -> 0.5, "sleepy__g" -> 0.0)
+    val workers = Seq("w1", "w2")
+    val (placement, cmds) = jm.rebalance(expected, scales, workers)
+
+    // hibernated group gets no placement at all
+    assert(!placement.assignments.keySet.exists(_.jobGroupId == "sleepy__g"))
+    // all active partition-jobs are placed on known workers
+    assert(placement.assignments.keySet.map(_.jobGroupId) == Set("a__g", "b__g"))
+    assert(placement.assignments.values.toSet.subsetOf(workers.toSet))
+    // expected-but-not-running -> RUN; running-but-not-expected -> CANCEL
+    val runs = cmds.collect { case jm.RunGroup(g, w) => g -> w }.toMap
+    assert(runs.keySet == Set("a__g", "b__g"))
+    assert(runs.values.toSet.subsetOf(workers.toSet))
+    assert(cmds.collect { case jm.CancelGroup(g) => g } == Seq("stale__g"))
+    // deterministic: same inputs, same placement (the stability property)
+    assert(jm.rebalance(expected, scales, workers)._1 == placement)
+    jm.stopAll()
+  }
+
   test("scaling loop turns query progress into scale decisions and quota updates") {
     val jm = new JobManager(spark)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaRecord](
