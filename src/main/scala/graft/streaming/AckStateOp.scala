@@ -33,6 +33,25 @@ object AckStateOp {
       inflight: Int,
       highestReceived: Long)
 
+  /** Bridge from the engine's per-message outcomes to the ack-event
+    * protocol: every outcome is a receive followed by an ack, because the
+    * engine resolves every message within its batch — terminal codes ack in
+    * place, routed codes (destination != "") are resolved by the produce of
+    * their re-wrapped copy, and even INVALID is acked after its bounded
+    * in-memory retries (ForwardingEngine.complete). The decoupled
+    * deployment this operator exists for replaces the ack half with events
+    * from the consumer's own ack stream; this bridge is the degenerate
+    * same-batch form and must reproduce the engine's watermark exactly. */
+  def fromOutcomes(outcomes: Dataset[ForwardingEngine.Outcome]): Dataset[AckEvent] = {
+    val spark = outcomes.sparkSession
+    import spark.implicits._
+    outcomes.flatMap { o =>
+      Seq(
+        AckEvent(o.physicalTopic, o.physicalPartition, o.physicalOffset, "receive"),
+        AckEvent(o.physicalTopic, o.physicalPartition, o.physicalOffset + 1, "ack"))
+    }
+  }
+
   def updates(
       events: Dataset[AckEvent],
       capacity: Int = 10000): Dataset[WatermarkUpdate] = {

@@ -44,4 +44,35 @@ class AckStateOpSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(all.toSeq == Seq((0, 5L), (1, 11L)))
   }
+
+  test("engine outcomes bridged through the state op reproduce the engine's watermark") {
+    import graft.streaming.ForwardingEngine
+    import graft.streaming.ForwardingEngine.KafkaRecord
+    // 40 messages across 2 partitions through the real engine
+    val recs = (0 until 40).map { i =>
+      KafkaRecord(s"k$i".getBytes, s"m$i".getBytes, "events", i % 2, (i / 2).toLong, 0L, Map.empty)
+    }
+    val outcomes = ForwardingEngine.processBatch(
+      graft.operators.PipelineOps.pipelineSpec("events"),
+      graft.operators.PipelineOps.DeterministicDispatcherFactory,
+      "local", spark.createDataset(recs))
+    val engineWm = outcomes.collect()
+      .groupBy(_.physicalPartition).view.mapValues(_.map(_.commitWatermark).max).toMap
+
+    // replay the same outcomes through the cross-batch path
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AckEvent](
+      implicitly[org.apache.spark.sql.Encoder[AckEvent]], spark.sqlContext)
+    val q = AckStateOp.updates(input.toDS(), capacity = 100)
+      .writeStream.outputMode("append").format("memory").queryName("wm_bridge").start()
+    input.addData(AckStateOp.fromOutcomes(outcomes).collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val opWm = spark.sql(
+        "SELECT partition, max(commitOffset) FROM wm_bridge GROUP BY partition")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // the deterministic dispatcher resolves every message (terminal or
+    // routed), so both paths must commit the full range on both partitions
+    assert(opWm == engineWm)
+    assert(opWm.values.toSet == Set(20L))
+  }
 }
