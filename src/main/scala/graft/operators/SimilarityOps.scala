@@ -300,7 +300,14 @@ object SimilarityOps {
       .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
       .localCheckpoint()
 
-    var labels = corpus.select(col("vec_id"), col("vec_id").as("comp")).localCheckpoint()
+    // propagate only over the ACTIVE subgraph — nodes that appear in some
+    // pair. Singletons (the overwhelming majority of a real corpus) can
+    // never change label, so keeping them out of the loop shrinks every
+    // round from |corpus| to ~2·|pairs| rows; they rejoin as size-1
+    // clusters arithmetically at the end.
+    var labels = adj.select(col("src").as("vec_id")).distinct()
+      .withColumn("comp", col("vec_id")).localCheckpoint()
+    val nActive = labels.count()
     var changed = 1L
     var iter = 0
     val maxIter = 50 // propagation distance bound; dup chains this deep are pathological
@@ -325,8 +332,14 @@ object SimilarityOps {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"[graft] q48: label propagation hit the $maxIter-round cap with $changed labels still moving — cluster histogram may split long chains")
 
-    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    val nSingletons = corpus.count() - nActive
+    val activeHist = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singletonHist = corpus.sparkSession.range(1)
+      .select(lit(1L).as("cluster_size"), lit(nSingletons).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    activeHist.unionByName(singletonHist)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
       .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
       .orderBy("cluster_size")
   }
