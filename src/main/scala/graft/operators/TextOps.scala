@@ -278,6 +278,56 @@ object TextOps {
       | round(CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens), 6) AS fertility
       |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q51 — PII scan + redaction accounting: count email / IPv4 / phone-like
+  // spans per source and measure how many characters redaction would strip.
+  // One pass, all codegen'd regexes (subset identical under Java and RE2 —
+  // no lookaround, no \d/\w shorthand). The redacted-length delta equals
+  // sum(len(match)) - n_matches * len('<PII>') applied via regexp_replace.
+  // ===========================================================
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val ipv4Pat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val phonePat = "[+][0-9][0-9 -]{7,}[0-9]"
+
+  def q51PiiScan(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("n_email", size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long"))
+      .withColumn("n_ipv4", size(regexp_extract_all(col("text"), lit(ipv4Pat), lit(0))).cast("long"))
+      .withColumn("n_phone", size(regexp_extract_all(col("text"), lit(phonePat), lit(0))).cast("long"))
+      .withColumn("redacted_len", length(
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailPat, "<PII>"), ipv4Pat, "<PII>"), phonePat, "<PII>")).cast("long"))
+      .withColumn("orig_len", length(col("text")).cast("long"))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_email").as("emails"),
+        sum("n_ipv4").as("ipv4s"),
+        sum("n_phone").as("phones"),
+        sum(col("orig_len") - col("redacted_len")).as("chars_removed"))
+      .orderBy("source")
+  }
+
+  val q51Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    val ipv4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phone = "[+][0-9][0-9 -]{7,}[0-9]"
+    s"""WITH d AS (SELECT source,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<PII>', 'g'), '$ipv4', '<PII>', 'g'), '$phone', '<PII>', 'g')) AS BIGINT) AS redacted_len,
+       |  CAST(length(text) AS BIGINT) AS orig_len
+       | FROM documents)
+       |SELECT source, COUNT(*) AS docs,
+       | CAST(SUM(n_email) AS BIGINT) AS emails,
+       | CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       | CAST(SUM(n_phone) AS BIGINT) AS phones,
+       | CAST(SUM(orig_len - redacted_len) AS BIGINT) AS chars_removed
+       |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -286,7 +336,8 @@ object TextOps {
     "q34_fingerprint" -> (q34Fingerprint _),
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
     "q37_tfidf" -> (q37Tfidf _),
-    "q39_bpe_tokens" -> (q39BpeTokens _))
+    "q39_bpe_tokens" -> (q39BpeTokens _),
+    "q51_pii_scan" -> (q51PiiScan _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -296,5 +347,6 @@ object TextOps {
     "q34_fingerprint" -> q34Sql,
     "q35_ngram_jaccard" -> q35Sql,
     "q37_tfidf" -> q37Sql,
-    "q39_bpe_tokens" -> q39Sql)
+    "q39_bpe_tokens" -> q39Sql,
+    "q51_pii_scan" -> q51Sql)
 }
