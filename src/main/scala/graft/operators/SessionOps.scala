@@ -239,7 +239,55 @@ object SessionOps {
       |SELECT topic, eff_quota, COUNT(*) AS n FROM j
       |GROUP BY topic, eff_quota ORDER BY topic, eff_quota""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q52 — RANGE (interval) join: each event matched to every config whose
+  // validity window [start, start+1h) contains its timestamp. Spark has no
+  // native range-join optimization — the naive formulation is a
+  // BroadcastNestedLoopJoin that compares every (event, config) pair.
+  //
+  // Scale path (the standard bucketed-range-join rewrite): quantize time
+  // into 1-hour buckets, explode each config into the (≤2) buckets its
+  // window overlaps, bucket each event by its timestamp, equi-join on
+  // (topic, bucket) — a plain shuffle/broadcast hash join — then verify the
+  // exact range predicate. Join work scales with true overlap density, not
+  // |events| × |configs|. An event lives in exactly one bucket, so no
+  // dedup pass is needed. All bucket arithmetic is integer `div` on the
+  // nanosecond longs — double division would lose precision above 2^53.
+  // ===========================================================
+  private val WindowNs = 3600000000000L // 1h validity window, in ns
+
+  def q52RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cfg = ev.filter(pmod(col("event_id"), lit(199)) === 0)
+      .select(col("event_type").as("topic"), col("ts").as("start"),
+        (col("ts") + WindowNs).as("end"), col("event_id").as("cfg_id"))
+      .withColumn("bucket", explode(expr(
+        s"sequence(start div ${WindowNs}L, (end - 1) div ${WindowNs}L)")))
+    val evB = ev.select(col("event_type").as("topic"), col("ts"), col("event_id"))
+      .withColumn("bucket", expr(s"ts div ${WindowNs}L"))
+    evB.join(cfg, Seq("topic", "bucket"))
+      .filter(col("ts") >= col("start") && col("ts") < col("end"))
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("event_id").as("n_matched_events"),
+        countDistinct("cfg_id").as("n_live_configs"))
+      .orderBy("topic")
+  }
+
+  val q52Sql: String =
+    s"""WITH cfg AS (SELECT event_type AS topic, epoch_ns(ts) AS start,
+       |  epoch_ns(ts) + ${WindowNs} AS "end", event_id AS cfg_id
+       | FROM events WHERE event_id % 199 = 0),
+       | e AS (SELECT event_type AS topic, epoch_ns(ts) AS ts, event_id FROM events),
+       | j AS (SELECT e.topic, e.event_id, cfg.cfg_id FROM e JOIN cfg
+       |  ON e.topic = cfg.topic AND e.ts >= cfg.start AND e.ts < cfg."end")
+       |SELECT topic, COUNT(*) AS n_pairs,
+       | COUNT(DISTINCT event_id) AS n_matched_events,
+       | COUNT(DISTINCT cfg_id) AS n_live_configs
+       |FROM j GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_range_join" -> (q52RangeJoin _),
     "q16_sessionize" -> (q16Sessionize _),
     "q17_user_enrichment" -> (q17UserEnrichment _),
     "q19_asof_config" -> (q19AsOfConfig _),
@@ -248,6 +296,7 @@ object SessionOps {
     "q46_ann_ivf" -> (q46AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q52_range_join" -> q52Sql,
     "q16_sessionize" -> q16Sql,
     "q17_user_enrichment" -> q17Sql,
     "q19_asof_config" -> q19Sql,
