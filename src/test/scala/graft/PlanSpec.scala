@@ -171,6 +171,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q52 range join plans as an equi-join on buckets, not a nested loop") {
+    val p = plan("q52_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a nested loop:\n" + p.take(1500))
+    assert(p.contains("bucket"), p.take(800))
+  }
+
   test("q41 LSH bucket join carries only ids and signatures (no shingle arrays)") {
     val p = plan("q41_minhash_lsh")
     // the self-join inputs must not include the text column
