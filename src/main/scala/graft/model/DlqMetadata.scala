@@ -98,7 +98,13 @@ object DlqMetadata {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint(); ()
       case 1 => pos += 8
-      case 2 => val len = readVarint().toInt; pos += len
+      case 2 =>
+        // validate like readBytes: a hostile length varint whose toInt is
+        // negative would move pos BACKWARDS and loop decode() forever
+        val len = readVarint().toInt
+        if (len < 0 || pos + len > bytes.length)
+          throw new IllegalArgumentException("truncated length-delimited field")
+        pos += len
       case 5 => pos += 4
       case _ => throw new IllegalArgumentException(s"unsupported wire type $wireType")
     }

@@ -110,7 +110,14 @@ object Routing {
       spec: JobSpec,
       sourceTopic: String,
       timeoutCount: Long,
-      dlqTokenAvailable: Boolean): DispatchCode = {
+      // by-name: drawing a DLQ token is a side effect (the bucket is
+      // credited only by successes), so it must happen ONLY when the
+      // timeout ceiling is actually reached — an eager argument would
+      // drain the bucket on every pre-ceiling timeout and starve
+      // legitimate poison-message quarantine
+      // (reference: DlqDispatchManager.java:14-60 acquires at the
+      // escalation decision point)
+      dlqTokenAvailable: => Boolean): DispatchCode = {
     if (spec.isDlqTopic(sourceTopic)) DispatchCode.Dlq
     else if (spec.isResqTopic(sourceTopic)) DispatchCode.Invalid
     else {

@@ -33,6 +33,16 @@ object AckStateOp {
       inflight: Int,
       highestReceived: Long)
 
+  /** State-store record: the queue snapshot plus events deferred by
+    * capacity backpressure. A receive that arrives while the queue is full
+    * must NOT be discarded (its ack would later be skipped and the
+    * watermark would advance over an undelivered message); it carries to
+    * the next trigger, along with any of its own follow-up events, until
+    * acks purge capacity. */
+  final case class OpState(
+      queue: AckTrackingQueue.Snapshot,
+      pending: Seq[AckEvent])
+
   /** Bridge from the engine's per-message outcomes to the ack-event
     * protocol: every outcome is a receive followed by an ack, because the
     * engine resolves every message within its batch — terminal codes ack in
@@ -59,26 +69,40 @@ object AckStateOp {
     import spark.implicits._
     events
       .groupByKey(e => (e.topic, e.partition))
-      .flatMapGroupsWithState[AckTrackingQueue.Snapshot, WatermarkUpdate](
+      .flatMapGroupsWithState[OpState, WatermarkUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(process(capacity))
   }
 
   private def process(capacity: Int)(
       key: (String, Int),
       events: Iterator[AckStateOp.AckEvent],
-      state: GroupState[AckTrackingQueue.Snapshot]): Iterator[WatermarkUpdate] = {
-    val q = state.getOption
-      .map(AckTrackingQueueRestore.restore)
+      state: GroupState[AckStateOp.OpState]): Iterator[WatermarkUpdate] = {
+    val prior = state.getOption
+    val q = prior.map(s => AckTrackingQueueRestore.restore(s.queue))
       .getOrElse(new AckTrackingQueue(capacity))
     val out = scala.collection.mutable.ArrayBuffer.empty[WatermarkUpdate]
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[AckEvent]
+    val deferredMsgs = scala.collection.mutable.Set.empty[Long]
     // state-op contract: events within a group arrive unordered across the
     // batch; the queue itself tolerates unordered acks, receives must be
-    // replayed in offset order for the in-order-receive invariant
-    val (receives, others) = events.toSeq.partition(_.kind == "receive")
-    receives.sortBy(_.offset).foreach(e => q.receive(e.offset))
+    // replayed in offset order for the in-order-receive invariant.
+    // Deferred events from prior triggers replay ahead of this batch's.
+    val incoming = prior.map(_.pending).getOrElse(Seq.empty) ++ events
+    val (receives, others) = incoming.partition(_.kind == "receive")
+    receives.sortBy(_.offset).foreach { e =>
+      // once one receive defers, every later one must too (in-order
+      // invariant); receive()==false with spare capacity is a stale
+      // duplicate and is dropped as before
+      if (deferredMsgs.nonEmpty) { deferred += e; deferredMsgs += e.offset }
+      else if (!q.receive(e.offset) && q.isFull) { deferred += e; deferredMsgs += e.offset }
+    }
     var lastCommitted = q.highestCommittedOffset
     others.sortBy(_.offset).foreach { e =>
-      e.kind match {
+      // an ack/nack/cancel for a deferred message (events carry offset+1)
+      // defers with it — applying it now would be silently ignored and the
+      // message would stay unresolvable forever
+      if (deferredMsgs.contains(e.offset - 1)) deferred += e
+      else e.kind match {
         case "ack" =>
           val wm = q.ack(e.offset)
           if (wm >= 0 && wm != lastCommitted) {
@@ -90,7 +114,7 @@ object AckStateOp {
         case _ =>
       }
     }
-    state.update(q.snapshot)
+    state.update(OpState(q.snapshot, deferred.toSeq))
     out.iterator
   }
 }

@@ -178,7 +178,13 @@ object ForwardingEngine {
           case other => (other, m.timeoutCount)
         }
         val newRetryCount = m.retryCount + 1 // incremented before every produce
-        val dest = Routing.destinationTopic(spec, code, newRetryCount).getOrElse("")
+        // resq-origin timeout escalates to INVALID = "retry in memory"
+        // (reference: handleTimeout), but the dispatch loop has already
+        // finished by completion time — re-produce to the resq topic so the
+        // message is redelivered rather than silently acked away
+        val dest =
+          if (code == DispatchCode.Invalid && spec.isResqTopic(r.topic)) spec.resqTopic
+          else Routing.destinationTopic(spec, code, newRetryCount).getOrElse("")
         val (outKey, outValue) =
           if (dest.nonEmpty) wrapForProduce(m, newRetryCount, finalTimeout)
           else (null, null)
@@ -195,7 +201,8 @@ object ForwardingEngine {
       }
 
     var idx = 0
-    records.foreach { r =>
+    try {
+      records.foreach { r =>
       val key = (r.topic, r.partition)
       val q = lock.synchronized(queues.getOrElseUpdate(key, new AckTrackingQueue(ackCapacity)))
       lock.synchronized(tokens.getOrElseUpdate(key, new TokenBucket(1000)))
@@ -207,9 +214,15 @@ object ForwardingEngine {
       // HeadBlockingDetector + MessageStub.cancel
       // (reference: BlockingQueueStubManager.java:43-376)
       lock.synchronized {
-        var waitedMs = 0L
+        val waitStart = System.nanoTime()
+        var lastDetect = 0L
         while (q.isFull || !vegas.tryAcquire()) {
-          if (q.isFull) {
+          // throttle the O(capacity) head-of-line scan to ~10/s: it runs
+          // under the completion lock, and scanning every 1ms wake-up would
+          // starve the very completions that free capacity
+          val nowNs = System.nanoTime()
+          if (q.isFull && nowNs - lastDetect > 100000000L) {
+            lastDetect = nowNs
             holDetector.detect(q).foreach { headOffset =>
               if (q.cancel(headOffset + 1)) {
                 inflightCfs.get((r.topic, r.partition, headOffset))
@@ -218,8 +231,10 @@ object ForwardingEngine {
             }
           }
           lock.wait(1)
-          waitedMs += 1
-          require(waitedMs < 60000, "ack queue wedged: no completions for 60s")
+          // elapsed WALL time, not wake-up count: frequent notifyAll would
+          // otherwise trip this long before 60 real seconds
+          require(System.nanoTime() - waitStart < 60000000000L,
+            "ack queue wedged: no completions for 60s")
         }
         q.receive(r.offset)
       }
@@ -259,11 +274,18 @@ object ForwardingEngine {
           complete(myIdx, r, m, code)
         }
       }
+      }
+      CompletableFuture.allOf(pending.toSeq: _*).get(10, TimeUnit.MINUTES)
     }
-
-    CompletableFuture.allOf(pending.toSeq: _*).get(10, TimeUnit.MINUTES)
-    pool.shutdown()
-    dispatcher.close()
+    // the completion barrier runs inside the same try: on the success path
+    // it awaits every handler; on any failure (wedge require, dispatch
+    // explosion) the finally still tears down the pool and RPC channels —
+    // a failed task previously leaked 64 non-daemon threads + one channel
+    // pool per Spark retry on the same executor JVM
+    finally {
+      pool.shutdownNow()
+      dispatcher.close()
+    }
     // degraded-consumer health signal (reference: LatencyTracker median-vs-
     // timeout check feeding KafkaPipelineIssue)
     if (latency.isDegraded(spec.rpc.rpcTimeoutMs * 1000000L))
@@ -296,16 +318,25 @@ object ForwardingEngine {
    * filtered out of this trigger and picked up by a later one (the
    * trigger-cadence equivalent of the reference's partition pause/resume —
    * reference: KafkaDelayProcessManager.shouldDelayProcess:53-61).
-   * Non-tier topics pass through untouched.
+   * Non-tier topics pass through untouched — including records whose
+   * timestamps sit ahead of `nowMs` from producer clock skew.
+   *
+   * Apply PER MICRO-BATCH (inside foreachBatch, with the trigger's wall
+   * time): `nowMs` is a plan-time constant, so composing this over a
+   * streaming Dataset once before `writeStream` would freeze "now" at
+   * stream start and hold tier records back forever.
    */
   def delayGate(records: Dataset[KafkaRecord], spec: JobSpec, nowMs: Long): Dataset[KafkaRecord] = {
     val tiers = spec.sortedTiers
     if (tiers.isEmpty) return records
     val delayByTopic = tiers.map(t => t.topic -> t.processingDelayMs).toMap
+    val isTier = delayByTopic.keys
+      .map(t => col("topic") === t)
+      .reduce(_ || _)
     val delayCol = delayByTopic.foldLeft(lit(0L)) { case (acc, (t, d)) =>
       when(col("topic") === t, lit(d)).otherwise(acc)
     }
-    records.filter(expr("timestampNs DIV 1000000") + delayCol <= nowMs)
+    records.filter(!isTier || expr("timestampNs DIV 1000000") + delayCol <= nowMs)
   }
 
   /**

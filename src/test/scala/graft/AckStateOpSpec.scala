@@ -45,6 +45,33 @@ class AckStateOpSpec extends AnyFunSuite {
     assert(all.toSeq == Seq((0, 5L), (1, 11L)))
   }
 
+  test("capacity overflow defers receives instead of losing them") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AckEvent](
+      implicitly[org.apache.spark.sql.Encoder[AckEvent]], spark.sqlContext)
+    val q = AckStateOp.updates(input.toDS(), capacity = 3)
+      .writeStream.outputMode("append").format("memory").queryName("wm_cap").start()
+    try {
+      // 4 receives against capacity 3: the 4th must defer, and its ack
+      // (offset 4 = message 3) must defer WITH it, not be silently ignored
+      input.addData(
+        (0L to 3L).map(o => AckEvent("t", 0, o, "receive")) ++
+          (1L to 4L).map(o => AckEvent("t", 0, o, "ack")))
+      q.processAllAvailable()
+      val after1 = spark.sql("SELECT max(commitOffset) FROM wm_cap").head()
+      assert(!after1.isNullAt(0) && after1.getLong(0) == 3L) // messages 0-2 committed
+
+      // next trigger: freed capacity lets the deferred pair replay before
+      // the new traffic — commit must pass THROUGH 4 (message 3 acked),
+      // which a lossy implementation would skip straight past
+      input.addData(Seq(AckEvent("t", 0, 4L, "receive"), AckEvent("t", 0, 5L, "ack")))
+      q.processAllAvailable()
+      val commits = spark.sql("SELECT commitOffset FROM wm_cap ORDER BY commitOffset")
+        .collect().map(_.getLong(0)).toSeq
+      assert(commits.contains(4L), s"deferred ack was lost: $commits")
+      assert(commits.last == 5L)
+    } finally q.stop()
+  }
+
   test("engine outcomes bridged through the state op reproduce the engine's watermark") {
     import graft.streaming.ForwardingEngine
     import graft.streaming.ForwardingEngine.KafkaRecord

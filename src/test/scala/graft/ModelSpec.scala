@@ -146,5 +146,10 @@ class ModelSpec extends AnyFunSuite {
       DlqMetadata.decode(Array[Byte](0x0f, 0x7f, -1, -1)).nonEmpty) // no throw
     // truncated length-delimited field -> None
     assert(DlqMetadata.decode(Array[Byte](0x12, 0x7f, 0x41)).isEmpty)
+    // hostile skip: unknown field with a length varint whose toInt is
+    // negative previously moved the read position BACKWARDS and hung
+    // decode() forever — must return None (in bounded time)
+    assert(DlqMetadata.decode(
+      Array[Byte](0x42, 0xFA.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F)).isEmpty)
   }
 }
