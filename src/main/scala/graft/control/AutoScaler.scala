@@ -100,7 +100,10 @@ final class AutoScaler(config: AutoScaler.Config = AutoScaler.Config()) {
           st.copy(phase = Phase.Hibernating, scale = 0.0, lastNonZeroTsMs = lastNonZero)
         else {
           val upWin = buf.view.filter(_.tsMs >= nowMs - config.upWindowMs).map(_.scale).toSeq
-          val downWin = buf.view.map(_.scale).toSeq
+          // bounded to downWindowMs — the buffer itself is retained for the
+          // longer hibernate horizon, and an unfiltered p99 would keep a
+          // 48h-old spike holding the scale up for 72h
+          val downWin = buf.view.filter(_.tsMs >= nowMs - config.downWindowMs).map(_.scale).toSeq
           val p50 = percentile(upWin, config.upPercentile)
           val p99 = percentile(downWin, config.downPercentile)
           var scale = st.scale

@@ -191,11 +191,16 @@ final class ParquetJobStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
   private def versions: Seq[Long] = {
-    val dir = new java.io.File(path)
-    if (!dir.exists()) Nil
-    else dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .map(_.getName.drop(1).toLong).sorted
+    // list through the Hadoop filesystem of the path, not java.io.File —
+    // save/load go through Spark, so an hdfs:// or s3a:// store would
+    // otherwise always list empty and every save would overwrite v1
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) Nil
+    else fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.drop(1).toLong).toOption)
+      .sorted
   }
 
   def latestVersion: Option[Long] = versions.lastOption

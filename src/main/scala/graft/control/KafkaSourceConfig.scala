@@ -17,7 +17,11 @@ object KafkaSourceConfig {
   object StartOffsets {
     case object Earliest extends StartOffsets
     case object Latest extends StartOffsets
-    /** resume from the consumer group's committed offsets (default) */
+    /** resume semantics of the reference's committed-offset seek. Spark
+      * ignores broker-committed group offsets entirely — resume comes from
+      * the query's CHECKPOINT; this option only controls the FIRST run
+      * (no checkpoint yet), where it falls back to earliest, and sets
+      * kafka.group.id so external lag tooling sees the group. */
     case object Committed extends StartOffsets
     final case class Specified(offsets: Map[Int, Long]) extends StartOffsets
     /** timestamp->offset resolution, done natively by the source
@@ -55,21 +59,33 @@ object KafkaSourceConfig {
       triggerSec: Double = 1.0): Map[String, String] = {
     val base = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
-      "subscribe" -> spec.topic, // partition discovery is free in subscribe mode
       "includeHeaders" -> "true",
       "kafka.isolation.level" -> "read_committed",
       "failOnDataLoss" -> "false")
+    // subscription mode and start offsets resolve TOGETHER: Spark rejects
+    // subscribe+assign as mutually exclusive, and Specified offsets only
+    // make sense with an explicit partition assignment
     val startOpt = start match {
-      case StartOffsets.Earliest => Map("startingOffsets" -> "earliest")
-      case StartOffsets.Latest => Map("startingOffsets" -> "latest")
+      case StartOffsets.Earliest => Map(
+        "subscribe" -> spec.topic, // partition discovery is free in subscribe mode
+        "startingOffsets" -> "earliest")
+      case StartOffsets.Latest => Map(
+        "subscribe" -> spec.topic,
+        "startingOffsets" -> "latest")
       case StartOffsets.Committed => Map(
+        "subscribe" -> spec.topic,
         "kafka.group.id" -> spec.consumerGroup,
         "startingOffsets" -> "earliest")
       case StartOffsets.Specified(offs) =>
         Map("startingOffsets" -> offsetsJson(spec.topic, offs),
           "assign" -> s"""{"${spec.topic}": [${offs.keys.toSeq.sorted.mkString(",")}]}""")
+      case StartOffsets.ByTimestamp(ts) if partitions.nonEmpty =>
+        Map("subscribe" -> spec.topic,
+          "startingOffsetsByTimestamp" -> tsJson(spec.topic, partitions, ts))
       case StartOffsets.ByTimestamp(ts) =>
-        Map("startingOffsetsByTimestamp" -> tsJson(spec.topic, partitions, ts))
+        // no partition list: use the global-timestamp option rather than an
+        // empty per-partition map, which the source rejects at start
+        Map("subscribe" -> spec.topic, "startingTimestamp" -> ts.toString)
     }
     val flow = maxOffsetsPerTrigger(spec.flowControl, triggerSec)
       .map(n => Map("maxOffsetsPerTrigger" -> n.toString)).getOrElse(Map.empty)

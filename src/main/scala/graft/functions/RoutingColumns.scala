@@ -128,10 +128,18 @@ object RoutingColumns {
       if (spec.rpc.dlqTopic.nonEmpty) spec.rpc.dlqTopic
       else if (spec.hasTieredRetry) spec.sortedTiers.last.topic
       else ""
-    when(code === DispatchCode.Retry.name, retryDestinationColumn(spec, retryCount))
-      .when(code === DispatchCode.Dlq.name, lit(dlqFallback))
-      .when(code === DispatchCode.Resq.name, lit(spec.resqTopic))
-      .otherwise(concat(lit("ack:"), code))
+    // mirror Routing.destinationTopic: an unconfigured topic means ACK, not
+    // an empty-string "topic" no producer could write to
+    val ackMarker = concat(lit("ack:"), code)
+    val retryBranch =
+      if (spec.hasTieredRetry || dlqFallback.nonEmpty) retryDestinationColumn(spec, retryCount)
+      else ackMarker
+    val dlqBranch = if (dlqFallback.nonEmpty) lit(dlqFallback) else ackMarker
+    val resqBranch = if (spec.resqTopic.nonEmpty) lit(spec.resqTopic) else ackMarker
+    when(code === DispatchCode.Retry.name, retryBranch)
+      .when(code === DispatchCode.Dlq.name, dlqBranch)
+      .when(code === DispatchCode.Resq.name, resqBranch)
+      .otherwise(ackMarker)
   }
 
   /** Same routing as SQL. */
@@ -140,9 +148,15 @@ object RoutingColumns {
       if (spec.rpc.dlqTopic.nonEmpty) spec.rpc.dlqTopic
       else if (spec.hasTieredRetry) spec.sortedTiers.last.topic
       else ""
-    s"""CASE WHEN $code = '${DispatchCode.Retry.name}' THEN (${retryDestinationSql(spec, retryCount)})
-       | WHEN $code = '${DispatchCode.Dlq.name}' THEN '$dlqFallback'
-       | WHEN $code = '${DispatchCode.Resq.name}' THEN '${spec.resqTopic}'
+    val ackSql = s"'ack:' || $code"
+    val retrySql =
+      if (spec.hasTieredRetry || dlqFallback.nonEmpty) s"(${retryDestinationSql(spec, retryCount)})"
+      else ackSql
+    val dlqSql = if (dlqFallback.nonEmpty) s"'$dlqFallback'" else ackSql
+    val resqSql = if (spec.resqTopic.nonEmpty) s"'${spec.resqTopic}'" else ackSql
+    s"""CASE WHEN $code = '${DispatchCode.Retry.name}' THEN $retrySql
+       | WHEN $code = '${DispatchCode.Dlq.name}' THEN $dlqSql
+       | WHEN $code = '${DispatchCode.Resq.name}' THEN $resqSql
        | ELSE 'ack:' || $code END""".stripMargin.replace("\n", " ")
   }
 
@@ -179,7 +193,10 @@ object RoutingColumns {
     val n = GrpcStatus.all.size
     GrpcStatus.all.zipWithIndex.foldLeft(None: Option[Column]) {
       case (acc, (st, i)) =>
-        val cond = pmod(id, lit(n)) === i
+        // % (Java remainder), NOT pmod: the oracle's SQL uses native %,
+        // and the two disagree for negative ids — both must fall through
+        // to the same branch
+        val cond = (id % lit(n)) === i
         Some(acc.fold(when(cond, lit(st)))(_.when(cond, lit(st))))
     }.get.otherwise(lit(GrpcStatus.UNKNOWN))
   }

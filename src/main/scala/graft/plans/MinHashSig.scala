@@ -31,11 +31,18 @@ case class MinHashSig(child: Expression, k: Int = 5, numHashes: Int = 32)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
+    if (child.dataType != StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"minhash_sig requires a string input, got ${child.dataType.simpleString}")
+    else if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig shingle width k must be >= 1, got $k")
+    else if (numHashes < 1 || numHashes > MinHashSig.Multipliers.length)
+      // reject at analysis time — an out-of-range value would otherwise
+      // throw per-row, hours into a scan
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig numHashes must be in [1, ${MinHashSig.Multipliers.length}], got $numHashes")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -23,6 +23,12 @@ import org.apache.spark.sql.SparkSessionExtensions
  * input, then a final phase merges. At 100 TB with k=10 this is the
  * difference between shuffling terabytes and shuffling megabytes.
  *
+ * Memory bound: each task holds k rows per DISTINCT KEY in its partition
+ * (the heaps map does not spill). That is the win when keys ≪ rows — the
+ * usual top-k shape — but for extreme key cardinality (≫10⁷ distinct keys
+ * per task × k) the spillable window sort can be preferable: disable the
+ * rewrite by building the session without [[GraftExtensions]].
+ *
  * Wired via [[GraftExtensions]]: an optimizer rule rewrites the
  * Filter(row_number ≤ k over Window) pattern automatically, so the
  * user-facing DataFrame code stays the idiomatic window expression.
@@ -91,10 +97,11 @@ case class TopKPerKeyExec(
           if (heap.size > kLocal) heap.remove(kLocal)
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.forEach { (_, heap) =>
-        var i = 0
-        while (i < heap.size) {
+      // stream straight out of the heaps map — buffering the output would
+      // hold a second full copy of k×keys rows next to the heaps
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        (0 until heap.size).iterator.map { i =>
           if (emitRank) {
             val joined = new GenericInternalRow(childOutput.size + 1)
             val r = heap.get(i)
@@ -103,12 +110,10 @@ case class TopKPerKeyExec(
               joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
             }
             joined.update(childOutput.size, i + 1L)
-            out += joined
-          } else out += heap.get(i)
-          i += 1
+            joined: InternalRow
+          } else heap.get(i)
         }
       }
-      out.iterator
     }
   }
 
