@@ -37,6 +37,9 @@ object Bench {
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // isolate measurements: caches a query built must not occupy executor
+      // memory while the NEXT query is timed (dropped outside the timer)
+      spark.catalog.clearCache()
       (name, sec, rows)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
@@ -48,7 +51,10 @@ object Bench {
     val eventsRows = ev.count()
     val eventsBytes = ev.select(fsum(octet_length(col("props")).cast("long")))
       .head().getLong(0)
-    val q50Sec = results.find(_._1 == "q50_forwarding_pipeline").map(_._2).getOrElse(0.0)
+    // only a SUCCESSFUL q50 run (rows >= 0) yields a rate — a fast failure
+    // would otherwise fabricate an enormous msgs/sec figure
+    val q50Sec = results.find(r => r._1 == "q50_forwarding_pipeline" && r._3 >= 0)
+      .map(_._2).getOrElse(0.0)
     val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
     val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
 

@@ -5,12 +5,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Queries are grouped by domain:
-  *  - q01-q14: forwarding data-plane + control-plane ops (ForwardingOps)
-  *  - q20-q24: relational analytics (RelationalOps)
-  *  - q30-q35: text analysis + dedup (TextOps)
-  *  - q40-q43: similarity search + hash sketches (SimilarityOps)
-  *  - q44-q45: multimodal-column plumbing (MultimodalOps)
+  * Queries are grouped by domain (the maps below are the source of truth):
+  *  - ForwardingOps: q01-q15 forwarding data-plane + control-plane ops,
+  *    q18 salted hot-key agg
+  *  - SessionOps: q16-q17 sessions/enrichment, q19 as-of join,
+  *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join
+  *  - RelationalOps: q20-q24 relational analytics
+  *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
+  *    tokens, q51 PII scan
+  *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
+  *    near-dup, q48 dup clustering
+  *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling
+  *  - PipelineOps: q50 full-engine pipeline
+  * Rows-only (no DuckDB oracle): q15, q41, q42, q45 — see oracleSql.
   */
 object SparkEntry {
 

@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
  */
 object MultimodalOps {
 
+  /** events reader shared by every query here (the payload source);
+    * events.ts is parquet TIMESTAMP(NANOS), hence nanosAsLong. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
   /** STUB: deterministic stand-in for a real media decoder. In production
     * this is the boundary where libjpeg/ffmpeg-style codecs plug in; the
     * Spark-side contract (bytes in, fixed-width feature struct out) is what
@@ -33,8 +40,7 @@ object MultimodalOps {
   // q45's mapPartitions path.
   // ===========================================================
   def q44MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    events(spark, dir)
       .select(
         col("event_id").as("media_id"),
         col("props").cast("binary").as("payload"),
@@ -67,8 +73,9 @@ object MultimodalOps {
   // stub is engine-specific)
   // ===========================================================
   def q45DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(s"$dir/events.parquet")
+    // the schema allows null ids/payloads; the decode loop dereferences both
+    val src = events(spark, dir)
+      .filter(col("event_id").isNotNull && col("props").isNotNull)
       .select(col("event_id").as("media_id"), col("props").cast("binary").as("payload"))
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -105,8 +112,7 @@ object MultimodalOps {
   // has no codecs); a real decoder slots into the same explode shape.
   // ===========================================================
   def q49FrameSample(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val frames = spark.read.parquet(s"$dir/events.parquet")
+    val frames = events(spark, dir)
       .select(col("event_id").as("media_id"), col("event_type").as("media_kind"),
         col("props").as("payload"))
       .filter(length(col("payload")) >= 8)

@@ -159,10 +159,12 @@ object SessionOps {
   // Composes the training-data operators into one pipeline with one oracle.
   // ===========================================================
   def q38Curation(spark: SparkSession, dir: String): DataFrame = {
+    // the SAME normalization/tokenization as the operators this pipeline
+    // composes (TextOps.norm / wsTokenRe) — inlined copies drifted once
     val d = docs(spark, dir)
-      .withColumn("ntext", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("ntext", TextOps.norm)
       .withColumn("tokens",
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+        size(regexp_extract_all(col("text"), lit(TextOps.wsTokenRe), lit(0))).cast("long"))
       .withColumn("fp", md5(col("ntext").cast("binary")))
       .withColumn("padded", concat(lit(" "), col("ntext"), lit(" ")))
       .withColumn("guess",
@@ -183,9 +185,9 @@ object SessionOps {
   }
 
   val q38Sql: String =
-    """WITH d AS (SELECT doc_id, lang,
-      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext,
-      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens
+    s"""WITH d AS (SELECT doc_id, lang,
+      |  ${TextOps.normSql} AS ntext,
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS tokens
       | FROM documents),
       | f AS (SELECT *, md5(ntext) AS fp, ' ' || ntext || ' ' AS padded FROM d
       |  WHERE tokens >= 20),

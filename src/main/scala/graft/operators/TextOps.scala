@@ -10,17 +10,25 @@ import org.apache.spark.sql.functions._
  * functions (regexp/md5/array ops) — no UDFs — so the plans whole-stage
  * compile and scale linearly; the only shuffles are the final group-bys.
  *
- * Every query here has an exact DuckDB oracle (regex subset chosen to behave
- * identically under Java regex and RE2: \S, \s, explicit char classes).
+ * Every query here has an exact DuckDB oracle. Regexes stick to a subset
+ * that behaves identically under Java regex and RE2 - explicit whitespace
+ * classes [ \t\n\r\f] everywhere, never \s/\S (the engines disagree on
+ * \x0B membership), no lookaround, no \d/\w shorthand.
  */
 object TextOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** normalized text: lowercase, whitespace squeezed, trimmed. */
-  private def norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** normalized text: lowercase, whitespace squeezed, trimmed.
+    * Package-visible so composite pipelines (q38) use the SAME
+    * normalization as the dedup/fingerprint operators. */
+  private[operators] def norm =
+    trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
+  private[operators] val normSql =
+    "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+  /** one whitespace-delimited token (explicit class, see header) */
+  private[operators] val wsTokenRe = "[^ \\t\\n\\r\\f]+"
 
   // ===========================================================
   // q30 — exact dedup via content hash (hash-groupBy; scale path:
@@ -48,7 +56,7 @@ object TextOps {
   // ===========================================================
   def q31TokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("docs"),
@@ -58,7 +66,7 @@ object TextOps {
 
   val q31Sql: String =
     """WITH t AS (SELECT lang, source,
-      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens FROM documents)
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS tokens FROM documents)
       |SELECT lang, source, COUNT(*) AS docs,
       | CAST(SUM(tokens) AS BIGINT) AS total_tokens,
       | CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
@@ -71,7 +79,7 @@ object TextOps {
   def q32QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("chars", length(col("text")).cast("long"))
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
       .withColumn("puncts", size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
       .withColumn("mean_token_len",
         when(col("tokens") > 0, col("chars").cast("double") / col("tokens")).otherwise(0.0))
@@ -88,7 +96,7 @@ object TextOps {
   val q32Sql: String =
     """WITH d AS (SELECT lang,
       |  CAST(length(text) AS BIGINT) AS chars,
-      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+      |  CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS tokens,
       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS puncts
       | FROM documents),
       | lab AS (SELECT lang, tokens,
@@ -154,8 +162,13 @@ object TextOps {
   // The LSH-bucketed variant for all-pairs at scale is SimilarityOps.
   // ===========================================================
   def q35NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // filter to full-width shingles: for texts shorter than 3 chars Spark's
+    // sequence(1, 0) is DESCENDING [1, 0] (step defaults to -1) where
+    // DuckDB's generate_series(1, 0) is empty — the length-3 filter makes
+    // both engines yield [] for degenerate docs
     val shingles = array_distinct(expr(
-      "transform(sequence(1, greatest(length(ntext) - 2, 0)), i -> substring(ntext, i, 3))"))
+      """filter(transform(sequence(1, greatest(length(ntext) - 2, 1)),
+        |  i -> substring(ntext, i, 3)), x -> length(x) = 3)""".stripMargin))
     val w = Window.partitionBy("source").orderBy("doc_id")
     docs(spark, dir)
       .withColumn("ntext", norm)
@@ -175,8 +188,8 @@ object TextOps {
   val q35Sql: String =
     s"""WITH d AS (SELECT source, doc_id, $normSql AS ntext FROM documents),
        | s AS (SELECT source, doc_id,
-       |   list_distinct(list_transform(generate_series(1, greatest(length(ntext) - 2, 0)),
-       |     i -> substring(ntext, i, 3))) AS sh
+       |   list_distinct(list_filter(list_transform(generate_series(1, greatest(length(ntext) - 2, 1)),
+       |     i -> substring(ntext, i, 3)), x -> length(x) = 3)) AS sh
        |  FROM d),
        | p AS (SELECT source, doc_id, sh,
        |   LEAD(doc_id) OVER w AS next_id, LEAD(sh) OVER w AS next_sh

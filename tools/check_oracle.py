@@ -24,6 +24,13 @@ def main(outdir, sfdir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = fail = 0
+    # queries that threw wrote no output dir — surface them instead of
+    # silently skipping (Verify records them in failures.json)
+    fpath = f"{outdir}/failures.json"
+    if os.path.exists(fpath):
+        for qname, err in json.load(open(fpath)).items():
+            fail += 1
+            print(f"✗ {qname}: QUERY FAILED: {err[:200]}")
     for qdir in sorted(glob.glob(f"{outdir}/q*")):
         qname = os.path.basename(qdir)
         got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
