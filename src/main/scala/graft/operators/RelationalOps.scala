@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
  * batch-query surface (aggregation, multi-way joins, windows, top-n).
  *
  * Determinism policy for the DuckDB oracle: money sums are computed in
- * DECIMAL (exact, order-independent) and cast to DECIMAL(30,4) on both
- * sides; averages divide an exact decimal sum by a count in DOUBLE (single
- * IEEE op, deterministic); every output is fully ordered with unique
- * tie-breakers.
+ * DECIMAL (exact, order-independent), then presented as DOUBLE in the final
+ * projection on both sides — the driver's canonicalization floats one side,
+ * so DECIMAL outputs hash-mismatch whenever a value has trailing zeros
+ * (str(Decimal('137869.0000')) != repr(137869.0)). Averages divide an exact
+ * decimal sum by a count in DOUBLE (single IEEE op, deterministic); every
+ * output is fully ordered with unique tie-breakers.
  *
  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
  * broadcast — no shuffle on the fact side for those joins; fact-fact joins
@@ -44,12 +46,12 @@ object RelationalOps {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(30,4)").as("sum_base_price"),
-        sum(discPrice).cast("decimal(30,4)").as("sum_disc_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)").cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(30,4)").cast("double").as("sum_base_price"),
+        sum(discPrice).cast("decimal(30,4)").cast("double").as("sum_disc_price"),
         sum((discPrice * (lit(1).cast("decimal(18,2)") + dec(col("l_tax"))))
-          .cast("decimal(18,6)")).cast("decimal(30,6)").as("sum_charge"),
-        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          .cast("decimal(18,6)")).cast("decimal(30,6)").cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -57,11 +59,11 @@ object RelationalOps {
 
   val q20Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_base_price,
-      | CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS sum_disc_price,
-      | CAST(SUM(CAST($discPriceSql * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_charge,
-      | SUM(l_quantity) / COUNT(*) AS avg_qty,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
+      | CAST(CAST(SUM(CAST($discPriceSql * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
       | COUNT(*) AS count_order
@@ -89,7 +91,7 @@ object RelationalOps {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(sum(col("order_rev")).cast("decimal(30,4)").as("revenue"),
+      .agg(sum(col("order_rev")).cast("decimal(30,4)").cast("double").as("revenue"),
         sum(col("order_items")).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -97,7 +99,7 @@ object RelationalOps {
 
   val q21Sql: String =
     s"""SELECT c_custkey, c_name,
-      | CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS revenue,
+      | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | JOIN customer ON o_custkey = c_custkey
@@ -122,14 +124,14 @@ object RelationalOps {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum(discPrice).cast("decimal(30,4)").as("revenue"),
+      .agg(sum(discPrice).cast("decimal(30,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
 
   val q22Sql: String =
     s"""SELECT n_name,
-      | CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS revenue,
+      | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem
       | JOIN orders ON l_orderkey = o_orderkey

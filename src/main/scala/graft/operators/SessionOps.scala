@@ -141,14 +141,17 @@ object SessionOps {
       .agg(
         count(lit(1)).as("n"),
         countDistinct("user_id").as("users"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(30,4)").as("total_value"))
+        // exact decimal sum (order-independent), presented as DOUBLE: the
+        // driver's canonicalization floats one side, so a DECIMAL output
+        // hash-mismatches whenever the value has trailing zeros
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(30,4)").cast("double").as("total_value"))
       .orderBy("c_mktsegment", "event_type")
   }
 
   val q17Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n,
       | COUNT(DISTINCT user_id) AS users,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS total_value
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS total_value
       |FROM events JOIN customer ON c_custkey = user_id + 1
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin.replace("\n", " ")
