@@ -490,21 +490,55 @@ object ForwardingOps {
        |FROM msgs GROUP BY retry_destination ORDER BY retry_destination""".stripMargin.replace("\n", " ")
 
   // ===========================================================
-  // q15 — audit: approximate distinct counts (HLL) per topic
+  // q15 — audit: approximate distinct counts per topic
   // (AUDIT_TYPE_APPROX_UNIQ, spec-only in the reference: job.proto:313-334).
-  // Rows-only oracle: HLL implementations differ across engines by design.
+  // Estimator: KMV sketch (graft.functions.KmvSketch, bounded-state typed
+  // Aggregator with map-side partial merge) over a 60-bit md5-derived hash.
+  // Unlike HLL (whose estimates are implementation-specific by design), the
+  // KMV estimate is a pure function of the k smallest distinct hashes, so an
+  // independent engine computing the same hashes reproduces it bit-for-bit —
+  // this audit gets a REAL oracle. approx_count_distinct (HLL) stays covered
+  // by ForwardingOpsSpec, which bounds it against the exact count.
   // ===========================================================
   def q15AuditApproxUniq(spark: SparkSession, dir: String): DataFrame =
     messages(events(spark, dir))
+      // 60-bit hash = 15 hex chars of md5 of the decimal-string offset:
+      // exactly representable as a non-negative BIGINT in any engine
+      .withColumn("h",
+        conv(substring(md5(col("offset").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
       .groupBy("topic")
       .agg(
         count(lit(1)).as("n"),
-        approx_count_distinct(col("offset"), 0.01).as("approx_uniq_offsets"),
+        graft.functions.KmvSketch.kmv_estimate(col("h")).as("approx_uniq_offsets"),
         countDistinct("offset").as("exact_uniq_offsets"))
       .withColumn("rel_err",
-        abs(col("approx_uniq_offsets") - col("exact_uniq_offsets")).cast("double") /
+        abs(col("approx_uniq_offsets") - col("exact_uniq_offsets").cast("double")) /
           col("exact_uniq_offsets"))
       .orderBy("topic")
+
+  /** Oracle: the KMV estimate recomputed in plain SQL — k smallest distinct
+    * hashes per topic via a window, then (k-1)*2^60/h_(k) in the same two
+    * double ops as KmvSketch.finish. */
+  val q15Sql: String = {
+    val k = 256
+    s"""WITH m AS (SELECT event_type AS topic, event_id AS off,
+       |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM events),
+       | counts AS (SELECT topic, COUNT(*) AS n, COUNT(DISTINCT off) AS exact_uniq_offsets
+       |  FROM m GROUP BY topic),
+       | dh AS (SELECT DISTINCT topic, h FROM m),
+       | ranked AS (SELECT topic, h, ROW_NUMBER() OVER (PARTITION BY topic ORDER BY h) AS rn
+       |  FROM dh),
+       | kmv AS (SELECT topic,
+       |   CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+       |        ELSE CAST(${k - 1} AS DOUBLE) * 1152921504606846976.0 / CAST(MAX(CASE WHEN rn = $k THEN h END) AS DOUBLE)
+       |   END AS approx_uniq_offsets
+       |  FROM ranked WHERE rn <= $k GROUP BY topic)
+       |SELECT topic, n, approx_uniq_offsets, exact_uniq_offsets,
+       | abs(approx_uniq_offsets - CAST(exact_uniq_offsets AS DOUBLE)) / exact_uniq_offsets AS rel_err
+       |FROM counts JOIN kmv USING (topic) ORDER BY topic""".stripMargin.replace("\n", " ")
+  }
 
   // ===========================================================
   // q18 — skew-safe aggregation: the events stream has only 5 topics, so a
@@ -572,5 +606,6 @@ object ForwardingOps {
     "q12_audit_exact_uniq" -> q12Sql,
     "q13_bounded_dlq_merge" -> q13Sql,
     "q14_tier_select" -> q14Sql,
+    "q15_audit_approx_uniq" -> q15Sql,
     "q18_salted_hotkey_agg" -> q18Sql)
 }

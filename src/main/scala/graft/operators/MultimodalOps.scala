@@ -69,8 +69,8 @@ object MultimodalOps {
 
   // ===========================================================
   // q45 — decode + feature extraction via mapPartitions (the stubbed-decoder
-  // path with real partition-parallel plumbing; rows-only oracle since the
-  // stub is engine-specific)
+  // path with real partition-parallel plumbing; the deterministic stub is
+  // replayed exactly by the SQL oracle below)
   // ===========================================================
   def q45DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     // the schema allows null ids/payloads; the decode loop dereferences both
@@ -98,6 +98,28 @@ object MultimodalOps {
         sum(col("height").cast("long")).as("sum_height"))
       .orderBy("checksum_mod")
   }
+
+  /** Oracle: replays `fakeDecode` in SQL. The Long-wraparound checksum fold
+    * is emulated with HUGEINT intermediates mod 2^64 (payloads are ASCII, so
+    * ord(char) == byte value; Verify would catch a non-ASCII regression as a
+    * hash mismatch). */
+  val q45Sql: String =
+    """WITH src AS (SELECT event_id AS media_id, props FROM events
+      |  WHERE event_id IS NOT NULL AND props IS NOT NULL),
+      | dec AS (SELECT media_id,
+      |   16 + CASE WHEN length(props) = 0 THEN 0 ELSE ord(substr(props, 1, 1)) & 15 END AS width,
+      |   16 + length(props) % 16 AS height,
+      |   CASE WHEN length(props) = 0 THEN CAST(0 AS HUGEINT) ELSE
+      |     list_reduce(list_transform(range(1, length(props) + 1),
+      |         i -> CAST(ord(substr(props, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+      |       (a, b) -> (a * 31 + b) % 18446744073709551616) END AS craw
+      |  FROM src),
+      | s AS (SELECT media_id, width, height,
+      |   CAST(CASE WHEN craw > 9223372036854775807 THEN craw - 18446744073709551616
+      |        ELSE craw END AS BIGINT) AS checksum FROM dec)
+      |SELECT CAST(checksum % 7 AS BIGINT) AS checksum_mod, COUNT(*) AS n,
+      | CAST(SUM(width) AS BIGINT) AS sum_width, CAST(SUM(height) AS BIGINT) AS sum_height
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q49 — video-style frame sampling: treat the payload as a sequence of
@@ -153,5 +175,6 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_meta" -> q44Sql,
+    "q45_decode_features" -> q45Sql,
     "q49_frame_sample" -> q49Sql)
 }

@@ -158,16 +158,22 @@ object SimilarityOps {
   }
 
   // ===========================================================
-  // q42 — SimHash 64-bit signatures (Spark-only; rows-only oracle).
-  // Token hashes vote per bit; signature = sign vector packed to a long.
+  // q42 — SimHash signatures: token hashes vote per bit; signature = sign
+  // vector packed to a long. The token hash is the 60-bit md5 prefix
+  // (15 hex chars) — unlike xxhash64 this is reproducible in ANY engine
+  // with md5 + integer ops, so the signature gets a REAL DuckDB oracle.
+  // Tokens use the explicit [ \t\n\r\f] class (Java regex and RE2 disagree
+  // on \x0B in \S).
   // ===========================================================
   def q42SimHash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .select(col("doc_id"),
-        expr("transform(regexp_extract_all(lower(text), '\\\\S+', 0), t -> xxhash64(t))").as("hashes"))
+        expr("""transform(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+', 0),
+          | t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
+          .as("hashes"))
     // per bit i: sum over tokens of (bit set ? 1 : -1); simhash bit = vote > 0
     val sim = d.withColumn("simhash", expr(
-      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+      """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
         | acc + CAST(if(
         |   aggregate(hashes, CAST(0 AS BIGINT), (s, h) -> s + if(((h >> i) & 1) = 1, 1, -1)) > 0,
         |   shiftleft(CAST(1 AS BIGINT), i), 0) AS BIGINT))""".stripMargin))
@@ -191,10 +197,34 @@ object SimilarityOps {
         col("next_id") === col("nid"), "left_outer")
       .withColumn("hamming_to_next",
         when(col("next_simhash").isNotNull,
-          expr("bit_count(simhash ^ next_simhash)")).otherwise(lit(null)))
+          expr("CAST(bit_count(simhash ^ next_simhash) AS BIGINT)")).otherwise(lit(null)))
       .select("doc_id", "simhash", "next_simhash", "hamming_to_next")
       .orderBy("doc_id")
   }
+
+  /** Oracle: the same md5-prefix simhash in plain SQL — unnest tokens,
+    * vote per bit over range(60), pack, lead() for the next-doc pairing
+    * (the window the Spark side deliberately avoids at scale). */
+  val q42Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |   unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS t
+      |  FROM documents),
+      | h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+      | bits AS (SELECT doc_id, r.i,
+      |   SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) r GROUP BY doc_id, r.i),
+      | sig AS (SELECT doc_id,
+      |   CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id),
+      | s2 AS (SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+      |  FROM documents d LEFT JOIN sig USING (doc_id)),
+      | n AS (SELECT doc_id, simhash,
+      |   LEAD(simhash) OVER (ORDER BY doc_id) AS next_simhash
+      |  FROM s2)
+      |SELECT doc_id, simhash, next_simhash,
+      | CASE WHEN next_simhash IS NOT NULL
+      |  THEN CAST(bit_count(xor(simhash, next_simhash)) AS BIGINT) END AS hamming_to_next
+      |FROM n WHERE doc_id < 100 ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q47 — embedding-cosine near-duplicate DEDUP. A corpus (embeddings plus
@@ -383,10 +413,14 @@ object SimilarityOps {
     "q47_embed_neardup" -> (q47EmbedNeardup _),
     "q48_dup_clusters" -> (q48DupClusters _))
 
-  /** q41/q42 are hash-function-specific (xxhash64) — not expressible in
-    * DuckDB SQL, so they get the driver's rows-only check. */
+  /** q41 stays rows-only: its signature hash is the rolling-polynomial
+    * MinHashSig (wraparound u64 multiply — DuckDB's UBIGINT multiplication
+    * traps on overflow, so the oracle cannot replay it), and the LSH
+    * candidate set is recall-probabilistic, so a brute-force oracle would
+    * not be exactly equal by construction either. */
   val oracles: Map[String, String] = Map(
     "q40_ann_cosine" -> q40Sql,
+    "q42_simhash" -> q42Sql,
     "q43_embedding_stats" -> q43Sql,
     "q47_embed_neardup" -> q47Sql,
     "q48_dup_clusters" -> q48Sql)

@@ -22,11 +22,34 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query key has either an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("q41_minhash_lsh", "q42_simhash", "q45_decode_features",
-      "q15_audit_approx_uniq")
+    val rowsOnly = Set("q41_minhash_lsh")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
     // oracle keys must be a subset of query keys
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("KMV estimate tracks the exact distinct count (and HLL stays sane)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100000).select(
+      (col("id") % 5).as("g"),
+      conv(substring(md5(col("id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"),
+      col("id"))
+    val rows = df.groupBy("g").agg(
+      graft.functions.KmvSketch.kmv_estimate(col("h")).as("kmv"),
+      approx_count_distinct(col("id"), 0.01).as("hll"),
+      countDistinct("id").as("exact")).collect()
+    rows.foreach { r =>
+      val (kmv, hll, exact) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(kmv - exact) / exact < 0.2, s"KMV $kmv vs exact $exact")
+      assert(math.abs(hll.toDouble - exact) / exact < 0.1, s"HLL $hll vs exact $exact")
+    }
+    // below k distinct values the sketch is exhaustive: exactly equal
+    val small = spark.range(100).select(
+      conv(substring(md5(col("id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val est = small.agg(graft.functions.KmvSketch.kmv_estimate(col("h"))).head().getDouble(0)
+    assert(est == 100.0)
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
