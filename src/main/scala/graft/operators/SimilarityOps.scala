@@ -116,26 +116,28 @@ object SimilarityOps {
     // one-pass native signature: no shingle arrays materialized corpus-wide
     val sig = docs(spark, dir)
       .select(col("doc_id"), minhash_sig(col("text"), 5, NumHashes).as("sig"))
-    // bands carry only (doc_id, band, band_sig) — the bucket join shuffles a
+    // bands carry only (doc_id, band, band_sig) — the bucket shuffle moves a
     // few bytes per doc instead of the documents themselves
     val bands = sig
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), b -> " +
           s"concat_ws(':', transform(slice(sig, b * $BandSize + 1, $BandSize), x -> CAST(x AS STRING))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
-      .cache() // reused by bucket sizing + both self-join sides
-    // drop degenerate buckets (anti-skew guard for the self-join)
-    val sized = bands.groupBy("band", "band_sig").agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucketSize && col("bucket_n") > 1)
-    // NOT cached: the bucket-size aggregate recomputes per self-join side,
-    // but over the cached bands it broadcasts cheaply; materializing the
-    // joined frame measured ~20% slower than recomputing it
-    val inBuckets = bands.join(sized, Seq("band", "band_sig"))
-    val cand = inBuckets.select(col("band"), col("band_sig"), col("doc_id").as("a"))
-      .join(inBuckets.select(col("band"), col("band_sig"), col("doc_id").as("b")),
-        Seq("band", "band_sig"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // ONE shuffle materializes each bucket's sorted member ids with bounded
+    // reducer state (smallest_k, k = cap+1): length cap+1 proves the bucket
+    // is degenerate (ubiquitous shingle pattern ⇒ n²/2 pairs, no signal) and
+    // drops it — the previous [size-aggregate ⋈ bands ⋈ bands] formulation
+    // cost three shuffles plus a cache to express the same thing
+    val buckets = bands.groupBy("band", "band_sig")
+      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketSize)
+    // all in-bucket pairs (a < b holds: ids are sorted ascending)
+    val cand = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     // verify candidates with true Jaccard: restrict to candidate docs FIRST
     // (broadcast semi-join), THEN project the shingle arrays — the expensive
     // shingling runs on the tiny candidate set, not the corpus
@@ -166,17 +168,6 @@ object SimilarityOps {
   // on \x0B in \S).
   // ===========================================================
   def q42SimHash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"),
-        expr("""transform(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+', 0),
-          | t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
-          .as("hashes"))
-    // per bit i: sum over tokens of (bit set ? 1 : -1); simhash bit = vote > 0
-    val sim = d.withColumn("simhash", expr(
-      """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
-        | acc + CAST(if(
-        |   aggregate(hashes, CAST(0 AS BIGINT), (s, h) -> s + if(((h >> i) & 1) = 1, 1, -1)) > 0,
-        |   shiftleft(CAST(1 AS BIGINT), i), 0) AS BIGINT))""".stripMargin))
     // "next doc" = min doc_id > this one. A global lead() window would sort
     // the whole corpus into one partition; instead resolve next-ids with a
     // broadcast theta-join against the 100-row head set (one corpus scan,
@@ -188,7 +179,21 @@ object SimilarityOps {
       .groupBy("a").agg(min("doc_id").as("next_id"))
     val needed = head.select(col("doc_id"))
       .union(nextIds.select(col("next_id").as("doc_id"))).distinct()
-    val simNeeded = sim.join(broadcast(needed), Seq("doc_id"), "left_semi")
+    // semi-join BEFORE the signature projection: a projection runs for every
+    // row its consumer pulls, so hashing ahead of the join would tokenize +
+    // md5 the whole corpus to keep ~200 rows
+    val d = docs(spark, dir)
+      .join(broadcast(needed), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        expr("""transform(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+', 0),
+          | t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
+          .as("hashes"))
+    // per bit i: sum over tokens of (bit set ? 1 : -1); simhash bit = vote > 0
+    val simNeeded = d.withColumn("simhash", expr(
+      """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
+        | acc + CAST(if(
+        |   aggregate(hashes, CAST(0 AS BIGINT), (s, h) -> s + if(((h >> i) & 1) = 1, 1, -1)) > 0,
+        |   shiftleft(CAST(1 AS BIGINT), i), 0) AS BIGINT))""".stripMargin))
       .select(col("doc_id"), col("simhash"))
     head
       .join(broadcast(simNeeded), Seq("doc_id"))
@@ -329,8 +334,18 @@ object SimilarityOps {
   // ===========================================================
   def q48DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, pairs) = neardupCorpusAndPairs(spark, dir)
-    val adj = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    // adjacency WITH self-loops: new label = min comp over N(v) ∪ {v}, so a
+    // round is ONE join + ONE aggregate — no second "merge with own label"
+    // join (the self-edge carries it through the same groupBy)
+    // materialize the verified pairs ONCE before deriving views — the
+    // undirected union alone references the subtree twice, so without this
+    // checkpoint the full LSH+cosine pair discovery (the dominant cost)
+    // replays per reference
+    val p = pairs.localCheckpoint()
+    val undirected = p.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(p.select(col("ib").as("src"), col("ia").as("dst")))
+    val active = undirected.select(col("src")).distinct()
+    val adj = undirected.union(active.select(col("src"), col("src").as("dst")))
       .localCheckpoint()
 
     // propagate only over the ACTIVE subgraph — nodes that appear in some
@@ -338,32 +353,34 @@ object SimilarityOps {
     // never change label, so keeping them out of the loop shrinks every
     // round from |corpus| to ~2·|pairs| rows; they rejoin as size-1
     // clusters arithmetically at the end.
-    var labels = adj.select(col("src").as("vec_id")).distinct()
+    var labels = active.select(col("src").as("vec_id"))
       .withColumn("comp", col("vec_id")).localCheckpoint()
     val nActive = labels.count()
-    var changed = 1L
+    // min-propagation is monotone non-increasing, so the label-sum is a
+    // convergence certificate: unchanged sum ⇔ no label moved this round —
+    // a single-stage aggregate over the checkpointed result instead of a
+    // per-row old⋈new comparison join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
     val maxIter = 50 // propagation distance bound; dup chains this deep are pathological
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = adj
-        .join(labels.select(col("vec_id").as("src"), col("comp").as("nbr_comp")), "src")
-        .groupBy("dst").agg(min("nbr_comp").as("nbr_min"))
+    while (!converged && iter < maxIter) {
+      val next = adj
+        .join(labels.select(col("vec_id").as("src"), col("comp")), "src")
+        .groupBy("dst").agg(min("comp").as("comp"))
         .withColumnRenamed("dst", "vec_id")
-      // compute the new label AND the changed flag in the same pass — the
-      // convergence check is then a cheap count on the materialized result
-      // instead of a second shuffle join per round
-      val next = labels.join(nbrMin, Seq("vec_id"), "left_outer")
-        .withColumn("ncomp", least(col("comp"), coalesce(col("nbr_min"), col("comp"))))
-        .withColumn("chg", col("ncomp") =!= col("comp"))
-        .select(col("vec_id"), col("ncomp").as("comp"), col("chg"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.drop("chg")
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
       iter += 1
     }
-    if (changed > 0)
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"[graft] q48: label propagation hit the $maxIter-round cap with $changed labels still moving — cluster histogram may split long chains")
+        s"[graft] q48: label propagation hit the $maxIter-round cap before converging — cluster histogram may split long chains")
 
     val nSingletons = corpus.count() - nActive
     val activeHist = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))

@@ -113,31 +113,40 @@ object TextOps {
   // confusion matrix
   // ===========================================================
   def q33LangGuess(spark: SparkSession, dir: String): DataFrame = {
-    // direct regex search for a whitespace-delimited stopword: no full-text
-    // rewrite, early-exits on first hit. Explicit char class [ \t\n\r\f]
-    // (not \s) because Java regex and RE2 disagree on \x0B membership.
-    def hit(words: String) =
-      lower(col("text")).rlike(s"(^|[ \\t\\n\\r\\f])($words)([ \\t\\n\\r\\f]|$$)")
+    // NO regex at all: fold every whitespace kind to ' ' with translate
+    // (a char-map pass), pad with spaces, and probe each stopword with a
+    // plain substring search. " the " in the padded fold ⟺ a token equal
+    // to "the" delimited by [ \t\n\r\f] or a string edge — exactly the
+    // token semantics of q31/q32's tokenizer, at substring-scan cost
+    // instead of regex-tokenize + array-allocation cost. (The cascaded
+    // rlike formulation this replaces re-scanned 'unk' docs four times.)
+    def hit(words: Seq[String]) =
+      words.map(w => col("padded").contains(s" $w ")).reduce(_ || _)
     val d = docs(spark, dir)
+      .withColumn("padded",
+        concat(lit(" "), translate(lower(col("text")), "\t\n\r\f", "    "), lit(" ")))
       .withColumn("guess",
-        when(hit("the|and"), "en")
-          .when(hit("der|und"), "de")
-          .when(hit("le|et"), "fr")
-          .when(hit("el|los"), "es")
+        when(hit(Seq("the", "and")), "en")
+          .when(hit(Seq("der", "und")), "de")
+          .when(hit(Seq("le", "et")), "fr")
+          .when(hit(Seq("el", "los")), "es")
           .otherwise("unk"))
     d.groupBy("lang", "guess").agg(count(lit(1)).as("n")).orderBy("lang", "guess")
   }
 
   val q33Sql: String = {
-    def hit(words: String) =
-      s"regexp_matches(lower(text), '(^|[ \\t\\n\\r\\f])($words)([ \\t\\n\\r\\f]|$$)')"
-    s"""WITH g AS (SELECT lang,
-       |  CASE WHEN ${hit("the|and")} THEN 'en'
-       |   WHEN ${hit("der|und")} THEN 'de'
-       |   WHEN ${hit("le|et")} THEN 'fr'
-       |   WHEN ${hit("el|los")} THEN 'es'
+    def hit(words: Seq[String]) =
+      words.map(w => s"contains(padded, ' $w ')").mkString("(", " OR ", ")")
+    s"""WITH t AS (SELECT lang,
+       |  ' ' || translate(lower(text), chr(9)||chr(10)||chr(13)||chr(12), '    ') || ' ' AS padded
+       | FROM documents),
+       | g AS (SELECT lang,
+       |  CASE WHEN ${hit(Seq("the", "and"))} THEN 'en'
+       |   WHEN ${hit(Seq("der", "und"))} THEN 'de'
+       |   WHEN ${hit(Seq("le", "et"))} THEN 'fr'
+       |   WHEN ${hit(Seq("el", "los"))} THEN 'es'
        |   ELSE 'unk' END AS guess
-       | FROM documents)
+       | FROM t)
        |SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY lang, guess
        |ORDER BY lang, guess""".stripMargin.replace("\n", " ")
   }
