@@ -350,6 +350,94 @@ object TextOps {
        |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q53 — deterministic train/val/test split (80/10/10): the standard
+  // content-stable split assignment of a training-data pipeline. Each doc
+  // maps to a split purely by the 60-bit md5 hash of its stable key, so
+  // membership survives re-runs, repartitioning, and corpus growth (no
+  // rand(), no global sort, no state). Thresholds are exact integer
+  // literals (floor of 0.8/0.9 × 2^60) so any engine agrees bit-for-bit.
+  // ===========================================================
+  val TrainBound = 922337203685477580L // floor(0.8 * 2^60)
+  val ValBound = 1037629354146162278L // floor(0.9 * 2^60)
+
+  def q53HashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when(col("h") < TrainBound, "train")
+          .when(col("h") < ValBound, "val")
+          .otherwise("test"))
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("docs"), sum("tokens").as("total_tokens"))
+      .orderBy("lang", "split")
+
+  val q53Sql: String =
+    s"""WITH d AS (SELECT lang,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens
+       | FROM documents),
+       | s AS (SELECT lang, tokens,
+       |  CASE WHEN h < $TrainBound THEN 'train'
+       |   WHEN h < $ValBound THEN 'val' ELSE 'test' END AS split
+       | FROM d)
+       |SELECT lang, split, COUNT(*) AS docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+       |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q54 — benchmark decontamination: flag corpus docs sharing any word
+  // 3-gram with a held-out benchmark set (doc_id % 97 == 0 stands in for
+  // the eval suite). Scale path: the benchmark n-gram set is tiny relative
+  // to the corpus, so it broadcasts and the corpus side streams through a
+  // broadcast LEFT-SEMI join on the exploded n-grams — one distinct on
+  // (doc_id) after the semi-join, no corpus×benchmark shuffle.
+  // ===========================================================
+  def q54Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def ngrams(df: DataFrame): DataFrame =
+      df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+        .withColumn("ng", explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(1, size(toks) - 2),
+            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .select(col("doc_id"), col("ng"))
+    val d = docs(spark, dir)
+    val benchNgrams = ngrams(d.filter(col("doc_id") % 97 === 0)).select("ng").distinct()
+    val contaminated = ngrams(d.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(benchNgrams), Seq("ng"), "left_semi")
+      .select("doc_id").distinct()
+    d.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs"))
+      .orderBy("lang")
+  }
+
+  val q54Sql: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |   regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS toks FROM documents),
+      | ng AS (SELECT doc_id,
+      |   unnest(CASE WHEN len(toks) >= 3
+      |     THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |     ELSE CAST([] AS VARCHAR[]) END) AS ng
+      |  FROM toks),
+      | bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+      | contaminated AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (ng)
+      |  WHERE n.doc_id % 97 <> 0),
+      | corpus AS (SELECT doc_id, lang FROM documents WHERE doc_id % 97 <> 0)
+      |SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      | CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination_rate
+      |FROM corpus LEFT JOIN contaminated c USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -359,7 +447,9 @@ object TextOps {
     "q35_ngram_jaccard" -> (q35NgramJaccard _),
     "q37_tfidf" -> (q37Tfidf _),
     "q39_bpe_tokens" -> (q39BpeTokens _),
-    "q51_pii_scan" -> (q51PiiScan _))
+    "q51_pii_scan" -> (q51PiiScan _),
+    "q53_hash_split" -> (q53HashSplit _),
+    "q54_decontaminate" -> (q54Decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -370,5 +460,7 @@ object TextOps {
     "q35_ngram_jaccard" -> q35Sql,
     "q37_tfidf" -> q37Sql,
     "q39_bpe_tokens" -> q39Sql,
-    "q51_pii_scan" -> q51Sql)
+    "q51_pii_scan" -> q51Sql,
+    "q53_hash_split" -> q53Sql,
+    "q54_decontaminate" -> q54Sql)
 }
