@@ -178,13 +178,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p.take(800))
   }
 
-  test("q41 LSH bucket join carries only ids and signatures (no shingle arrays)") {
+  test("q41 LSH buckets materialize in one bounded-state aggregation, no cache") {
     val p = plan("q41_minhash_lsh")
-    // the self-join inputs must not include the text column
-    val joinIdx = p.indexOf("SortMergeJoin")
-    if (joinIdx >= 0) {
-      val before = p.substring(0, joinIdx)
-      assert(!before.contains("text#"), "document text flows into the LSH join")
-    }
+    // bucket pair generation = ObjectHashAggregate over smallest_k, not a
+    // [size-agg ⋈ bands ⋈ bands] self-join over a cached frame
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("InMemoryTableScan"), "q41 should no longer cache the bands")
+    assert(!p.contains("SortMergeJoin") || {
+      // any remaining SMJ is the jaccard verify on the tiny candidate set —
+      // the text column must still not flow into it from the bucket side
+      !p.substring(0, p.indexOf("SortMergeJoin")).contains("text#")
+    })
+  }
+
+  test("q54 decontamination probes the benchmark set with a broadcast semi-join") {
+    val p = plan("q54_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
   }
 }

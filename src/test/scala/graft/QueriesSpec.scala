@@ -52,6 +52,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(est == 100.0)
   }
 
+  test("KmvSketch and SmallestK are merge-invariant (any partition split, any order)") {
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(5000)(rnd.nextLong().abs % (1L << 60))
+    val kmv = new graft.functions.KmvSketch(64)
+    val sk = new graft.functions.SmallestK(17)
+    val singleK = kmv.finish(values.foldLeft(kmv.zero)(kmv.reduce))
+    val singleS = sk.finish(values.foldLeft(sk.zero)(sk.reduce)).toSeq
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      val shuffled = r.shuffle(values.toSeq)
+      // split into random partitions, reduce each, merge in random order
+      val parts = shuffled.grouped(1 + r.nextInt(900)).toSeq
+      val bufs = r.shuffle(parts.map(p => p.foldLeft(kmv.zero)(kmv.reduce)))
+      assert(kmv.finish(bufs.reduce(kmv.merge)) == singleK)
+      val sbufs = r.shuffle(parts.map(p => p.foldLeft(sk.zero)(sk.reduce)))
+      assert(sk.finish(sbufs.reduce(sk.merge)).toSeq == singleS)
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 and returns rows") {
       val df = fn(spark, dir)
