@@ -12,12 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join
   *  - RelationalOps: q20-q24 relational analytics
   *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
-  *    tokens, q51 PII scan
+  *    tokens, q51 PII scan, q53 hash-split, q54 decontamination
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling
   *  - PipelineOps: q50 full-engine pipeline
-  * Rows-only (no DuckDB oracle): q15, q41, q42, q45 — see oracleSql.
+  * Rows-only (no DuckDB oracle): q41 only — see oracleSql.
   */
 object SparkEntry {
 
@@ -33,8 +33,9 @@ object SparkEntry {
       SessionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-function-specific ops
-    * (q41/q42/q45) which get the driver's rows-only check. */
+    * the same parquet tables. Omitted only for q41, whose rolling-hash
+    * signature + probabilistic LSH recall are not replayable in SQL; it
+    * gets the driver's rows-only check. */
   def oracleSql: Map[String, String] =
     ForwardingOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       SimilarityOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++
