@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    near-dup, q48 dup clustering
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling
   *  - PipelineOps: q50 full-engine pipeline
-  * Rows-only (no DuckDB oracle): q41 only — see oracleSql.
+  * Every query has an exact DuckDB oracle (see oracleSql).
   */
 object SparkEntry {
 
@@ -33,9 +33,9 @@ object SparkEntry {
       SessionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for q41, whose rolling-hash
-    * signature + probabilistic LSH recall are not replayable in SQL; it
-    * gets the driver's rows-only check. */
+    * the same parquet tables — including q41, whose multiply-shift hash
+    * family was chosen so int128 SQL arithmetic can replay the u64
+    * signature exactly (see SimilarityOps.q41Sql). */
   def oracleSql: Map[String, String] =
     ForwardingOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       SimilarityOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++

@@ -94,10 +94,11 @@ object SimilarityOps {
       |FROM e GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
 
   // ===========================================================
-  // q41 — MinHash + LSH near-dup candidates (Spark-only; rows-only oracle).
-  // One-pass native signature (graft.plans.MinHashSig, rolling k-gram hash);
-  // 4 bands × 8 rows; candidate pairs bucket-join on (band, band_signature);
-  // verified with true Jaccard on candidate docs only.
+  // q41 — MinHash + LSH near-dup candidates. One-pass native signature
+  // (graft.plans.MinHashSig, rolling k-gram hash); 4 bands × 8 rows;
+  // candidate pairs from bounded bucket materialization; verified with
+  // true Jaccard on candidate docs only. The full pipeline is replayed
+  // exactly by the generated SQL oracle (q41Sql below).
   // ===========================================================
   val NumHashes = 32
   /** 4 bands x 8 rows: a candidate needs 8 matching minhashes in one band —
@@ -430,13 +431,60 @@ object SimilarityOps {
     "q47_embed_neardup" -> (q47EmbedNeardup _),
     "q48_dup_clusters" -> (q48DupClusters _))
 
-  /** q41 stays rows-only: its signature hash is the rolling-polynomial
-    * MinHashSig (wraparound u64 multiply — DuckDB's UBIGINT multiplication
-    * traps on overflow, so the oracle cannot replay it), and the LSH
-    * candidate set is recall-probabilistic, so a brute-force oracle would
-    * not be exactly equal by construction either. */
+  /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
+    * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
+    * the same constants as [[graft.plans.MinHashSig]]. This is possible
+    * because the signature's multiply-shift family keeps every product
+    * under 2^104 (operand < 2^64 times constant < 2^40), so DuckDB HUGEINT
+    * arithmetic mod 2^64 replays the u64 wraparound exactly. Recall being
+    * probabilistic doesn't matter: the oracle runs the same algorithm, not
+    * a brute-force ideal. */
+  val q41Sql: String = {
+    import graft.plans.MinHashSig.{Increments, Multipliers, P}
+    val T = "18446744073709551616" // 2^64
+    val H = "9223372036854775808" // 2^63
+    val seeds = (0 until NumHashes)
+      .map(i => s"($i, ${Multipliers(i)}::HUGEINT, ${Increments(i)}::HUGEINT)")
+      .mkString(", ")
+    // 5-byte window polynomial mod 2^64, window start ws (1-based)
+    def byteAt(off: Int) =
+      s"CAST(ord(substr(text, CAST(ws + $off AS INTEGER), 1)) AS HUGEINT)"
+    val wExpr = (1 until 5).foldLeft(byteAt(0)) { (acc, off) =>
+      s"(($acc * $P + ${byteAt(off)}) % $T)"
+    }
+    Seq(
+      s"WITH seeds(i, a, b) AS (VALUES $seeds),",
+      " d AS (SELECT doc_id, text, length(text) AS n FROM documents),",
+      s" win AS (SELECT doc_id, $wExpr AS w",
+      "  FROM d, LATERAL (SELECT unnest(range(1, greatest(n - 4, 0) + 1)) AS ws) t WHERE n >= 5",
+      "  UNION ALL SELECT doc_id, CASE WHEN n = 0 THEN CAST(0 AS HUGEINT) ELSE",
+      "   list_reduce(list_transform(range(1, n + 1), j -> CAST(ord(substr(text, CAST(j AS INTEGER), 1)) AS HUGEINT)),",
+      s"    (acc, x) -> (acc * $P + x) % $T) END AS w FROM d WHERE n < 5),",
+      " mixed AS (SELECT doc_id, xor(w, w // 2147483648) AS m FROM win),",
+      s" hashes AS (SELECT doc_id, i, MIN(((m * a + b) % $T) % $H) AS v",
+      "  FROM mixed CROSS JOIN seeds GROUP BY doc_id, i),",
+      " sig AS (SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sv FROM hashes GROUP BY doc_id),",
+      " bands AS (SELECT doc_id, bb.band AS band,",
+      s"   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig",
+      s"  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),",
+      " buckets AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids",
+      s"  FROM bands GROUP BY band, band_sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketSize),",
+      " cand AS (SELECT DISTINCT p.pr[1] AS a, p.pr[2] AS b FROM buckets,",
+      "  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),",
+      "   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),",
+      " ids AS (SELECT DISTINCT a AS doc_id FROM cand UNION SELECT DISTINCT b FROM cand),",
+      " sh AS (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),",
+      "   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN ids USING (doc_id)),",
+      " scored AS (SELECT a, b, CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,",
+      "  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni",
+      "  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)",
+      "SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard",
+      "FROM scored ORDER BY jaccard DESC, a, b LIMIT 20").mkString(" ")
+  }
+
   val oracles: Map[String, String] = Map(
     "q40_ann_cosine" -> q40Sql,
+    "q41_minhash_lsh" -> q41Sql,
     "q42_simhash" -> q42Sql,
     "q43_embedding_stats" -> q43Sql,
     "q47_embed_neardup" -> q47Sql,

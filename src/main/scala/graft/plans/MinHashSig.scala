@@ -20,12 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
  * per document and walks the shingle array 32 times on the interpreted
  * higher-order-function path. For LSH dedup over billions of documents the
  * signature computation IS the scan cost. This expression is O(len) with 32
- * multiply-mix updates per shingle, whole-stage-codegen'd.
+ * multiply-shift updates per shingle, whole-stage-codegen'd.
  *
  * MinHash over a multiset equals MinHash over the set (min is idempotent),
  * so no distinct pass is needed. Per-function hashes derive from one base
- * rolling hash via independent odd multipliers + murmur finalization —
- * the standard universal-hashing construction.
+ * rolling hash via the Dietzfelbinger multiply-shift family
+ * (v = (mix * A_i + B_i) mod 2^64, A_i odd). Every constant is < 2^40 or
+ * the operand is, so EVERY product fits a 128-bit integer: an independent
+ * engine with int128 arithmetic (e.g. DuckDB HUGEINT, mod 2^64 after each
+ * step) replays the signature bit-for-bit — that is what gives q41 its
+ * exact SQL oracle. Values are masked to 63 bits so signed and unsigned
+ * min agree across engines.
  */
 case class MinHashSig(child: Expression, k: Int = 5, numHashes: Int = 32)
     extends UnaryExpression {
@@ -64,13 +69,20 @@ case class MinHashSig(child: Expression, k: Int = 5, numHashes: Int = 32)
 
 object MinHashSig {
 
-  /** Independent odd multipliers for the universal-hash family (fixed seeds:
-    * splitmix64 of the function index — deterministic across runs). */
-  private val Multipliers: Array[Long] = Array.tabulate(64) { i =>
-    splitmix64(0x9e3779b97f4a7c15L * (i + 1)) | 1L
+  /** Polynomial base: the 64-bit FNV prime (fits in 40 bits, so
+    * h(<2^64) * P fits int128 — the oracle-replayability bound). */
+  val P = 1099511628211L
+
+  /** Independent odd 40-bit multipliers for the multiply-shift family
+    * (fixed seeds: splitmix64 of the function index — deterministic across
+    * runs). 40 bits keeps mix(<2^64) * A_i inside int128. */
+  private[graft] val Multipliers: Array[Long] = Array.tabulate(64) { i =>
+    (splitmix64(0x9e3779b97f4a7c15L * (i + 1)) & 0xffffffffffL) | 1L
   }
-  private val Increments: Array[Long] = Array.tabulate(64) { i =>
-    splitmix64(0xbf58476d1ce4e5b9L * (i + 1))
+
+  /** 63-bit increments (non-negative, so they are plain SQL literals). */
+  private[graft] val Increments: Array[Long] = Array.tabulate(64) { i =>
+    splitmix64(0xbf58476d1ce4e5b9L * (i + 1)) & Long.MaxValue
   }
 
   private def splitmix64(seed: Long): Long = {
@@ -80,33 +92,35 @@ object MinHashSig {
     z ^ (z >>> 31)
   }
 
-  /** murmur3 fmix64 finalizer — avalanches the rolling polynomial. */
-  @inline private def fmix64(in: Long): Long = {
-    var h = in
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^ (h >>> 33)
-  }
-
   /** One-pass k-gram MinHash signature over raw UTF-8 bytes. Called from
-    * generated code — keep it a static-shaped JVM method. */
+    * generated code — keep it a static-shaped JVM method.
+    *
+    * Per window: h = Σ b[j]·P^(k-1-j) mod 2^64 (rolling), mix = h ^ (h>>>31),
+    * v_i = ((mix · A_i + B_i) mod 2^64) & Long.MaxValue, sig_i = min v_i.
+    * A doc shorter than k hashes its whole content as the single window
+    * (n = 0 ⇒ h = 0), so equal short docs still collide. */
   def signature(bytes: Array[Byte], k: Int, numHashes: Int): Array[Long] = {
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = bytes.length
-    if (n < k) {
-      // degenerate doc: hash the whole content once so the signature is
-      // still defined and equal docs still collide
-      val base = fmix64(java.util.Arrays.hashCode(bytes).toLong)
+
+    @inline def absorb(h: Long): Unit = {
+      val m = h ^ (h >>> 31)
       var i = 0
       while (i < numHashes) {
-        sig(i) = base * Multipliers(i) + Increments(i)
+        val v = (m * Multipliers(i) + Increments(i)) & Long.MaxValue
+        if (v < sig(i)) sig(i) = v
         i += 1
       }
+    }
+
+    if (n < k) {
+      var h = 0L
+      var pos = 0
+      while (pos < n) { h = h * P + (bytes(pos) & 0xffL); pos += 1 }
+      absorb(h)
       return sig
     }
-    // rolling polynomial over a window of k bytes: h = sum b[j] * P^(k-1-j)
-    val P = 1099511628211L // FNV prime as the polynomial base
     var pk = 1L // P^(k-1)
     var j = 1
     while (j < k) { pk *= P; j += 1 }
@@ -115,15 +129,7 @@ object MinHashSig {
     while (pos < n) {
       h = h * P + (bytes(pos) & 0xffL)
       if (pos >= k) h -= pk * P * (bytes(pos - k) & 0xffL)
-      if (pos >= k - 1) {
-        val base = fmix64(h)
-        var i = 0
-        while (i < numHashes) {
-          val v = base * Multipliers(i) + Increments(i)
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
+      if (pos >= k - 1) absorb(h)
       pos += 1
     }
     sig

@@ -21,11 +21,8 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has either an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("q41_minhash_lsh")
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
-    // oracle keys must be a subset of query keys
-    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  test("every query key has a DuckDB oracle") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
 
   test("KMV estimate tracks the exact distinct count (and HLL stays sane)") {
