@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join
   *  - RelationalOps: q20-q24 relational analytics
   *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
-  *    tokens, q51 PII scan, q53 hash-split, q54 decontamination
+  *    tokens, q51 PII scan, q53 hash-split, q54 decontamination,
+  *    q55 chunking, q56 repetition gate
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling

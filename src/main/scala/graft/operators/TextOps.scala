@@ -438,6 +438,101 @@ object TextOps {
       |FROM corpus LEFT JOIN contaminated c USING (doc_id)
       |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q55 — context-window chunking: split each doc's token stream into
+  // fixed-size windows (64 tokens, stride 48 ⇒ 16-token overlap), the
+  // standard shaping step before a pretraining tokenizer feed. Chunks
+  // explode partition-parallel off the token array (no shuffle until the
+  // final stats), and chunk fingerprints feed dedup-after-chunking.
+  // ===========================================================
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def q55Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .filter(size(col("toks")) > 0)
+      .withColumn("chunk", explode(expr(
+        s"""transform(sequence(0, int(floor((size(toks) - 1) / $ChunkStride))),
+           | s -> slice(toks, s * $ChunkStride + 1, $ChunkTokens))""".stripMargin)))
+      .select(col("doc_id"), col("lang"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+    chunks.groupBy("lang")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_tokens").as("total_chunk_tokens"),
+        countDistinct("chunk_fp").as("uniq_chunks"))
+      .orderBy("lang")
+  }
+
+  val q55Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM documents),
+       | c AS (SELECT doc_id, lang,
+       |   list_slice(toks, s.s * $ChunkStride + 1, s.s * $ChunkStride + $ChunkTokens) AS chunk
+       |  FROM t, LATERAL (SELECT unnest(range(0, CAST(floor((len(toks) - 1) / $ChunkStride) AS BIGINT) + 1)) AS s) s
+       |  WHERE len(toks) > 0),
+       | f AS (SELECT doc_id, lang, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+       |   md5(array_to_string(chunk, ' ')) AS chunk_fp FROM c)
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       | CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+       | COUNT(DISTINCT chunk_fp) AS uniq_chunks
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q56 — repetition gate: docs whose 3-gram stream is dominated by
+  // repeats (boilerplate, template spam) get flagged. Ratios aggregate as
+  // exact long sums (distinct-ngrams / total-ngrams in ONE final double
+  // division) — never as averaged per-doc doubles, whose summation order
+  // would be partition-dependent.
+  // ===========================================================
+  val RepFlagPermille = 200 // flag when repeated share > 20.0%
+
+  def q56RepetitionGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("total", greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+      .withColumn("uniq", expr(
+        """CAST(size(array_distinct(CASE WHEN size(toks) >= 3 THEN
+          | transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+          | ELSE CAST(array() AS ARRAY<STRING>) END)) AS BIGINT)""".stripMargin))
+      // flag on integer cross-multiplication: (total-uniq)*1000 > permille*total
+      .withColumn("flagged",
+        (col("total") - col("uniq")) * 1000 > lit(RepFlagPermille) * col("total"))
+    d.groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("flagged_docs"),
+        sum("total").as("total_ngrams"),
+        sum("uniq").as("uniq_ngrams"))
+      .withColumn("repeat_share",
+        (col("total_ngrams") - col("uniq_ngrams")).cast("double") / col("total_ngrams"))
+      .orderBy("lang")
+  }
+
+  val q56Sql: String =
+    s"""WITH t AS (SELECT lang,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM documents),
+       | g AS (SELECT lang,
+       |   CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS total,
+       |   CAST(len(list_distinct(CASE WHEN len(toks) >= 3
+       |     THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |     ELSE CAST([] AS VARCHAR[]) END)) AS BIGINT) AS uniq
+       |  FROM t),
+       | f AS (SELECT lang, total, uniq,
+       |   (total - uniq) * 1000 > $RepFlagPermille * total AS flagged FROM g)
+       |SELECT lang, COUNT(*) AS docs,
+       | CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       | CAST(SUM(total) AS BIGINT) AS total_ngrams,
+       | CAST(SUM(uniq) AS BIGINT) AS uniq_ngrams,
+       | CAST(SUM(total) - SUM(uniq) AS DOUBLE) / SUM(total) AS repeat_share
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -449,7 +544,9 @@ object TextOps {
     "q39_bpe_tokens" -> (q39BpeTokens _),
     "q51_pii_scan" -> (q51PiiScan _),
     "q53_hash_split" -> (q53HashSplit _),
-    "q54_decontaminate" -> (q54Decontaminate _))
+    "q54_decontaminate" -> (q54Decontaminate _),
+    "q55_chunking" -> (q55Chunking _),
+    "q56_repetition_gate" -> (q56RepetitionGate _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -462,5 +559,7 @@ object TextOps {
     "q39_bpe_tokens" -> q39Sql,
     "q51_pii_scan" -> q51Sql,
     "q53_hash_split" -> q53Sql,
-    "q54_decontaminate" -> q54Sql)
+    "q54_decontaminate" -> q54Sql,
+    "q55_chunking" -> q55Sql,
+    "q56_repetition_gate" -> q56Sql)
 }
