@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions.udaf
  * function of the k smallest distinct hash values, so DuckDB running plain
  * SQL over the same md5-derived hashes produces the bit-identical double.
  *
- * Scale design: state is a bounded array (≤ 2k longs — k=256 ⇒ 4 KiB), so
+ * Scale design: state is a bounded array (≤ k longs — k=256 ⇒ 2 KiB), so
  * partial aggregation combines map-side like any sum; no per-key sort of
- * the full data, no unbounded collect_set. Inserts are amortized O(log k):
- * values accumulate unsorted in the buffer's tail and are re-trimmed to
- * the k smallest distinct values whenever it fills. Estimator: with fewer
- * than k distinct hashes the sketch is exhaustive (exact count); otherwise
- * est = (k-1) * 2^60 / h_(k) for 60-bit hashes (Bar-Yossef et al. 2002,
- * "Counting distinct elements in a data stream").
+ * the full data, no unbounded collect_set. The buffer invariant is
+ * sorted-distinct (see [[SmallestK]] — a lazily-appended buffer makes the
+ * fast-reject threshold unsound under duplicate inputs, and hash streams
+ * ARE duplicate-heavy); once the sketch fills, non-qualifying values
+ * reject in O(1). Estimator: with fewer than k distinct hashes the sketch
+ * is exhaustive (exact count); otherwise est = (k-1) * 2^60 / h_(k) for
+ * 60-bit hashes (Bar-Yossef et al. 2002, "Counting distinct elements in a
+ * data stream").
  */
 class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
   require(k >= 2, s"KMV needs k >= 2, got $k")
@@ -35,8 +37,8 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
 
   def zero: Array[Long] = Array.emptyLongArray
 
-  /** Keep the k smallest DISTINCT values of `buf`; `buf` may be unsorted
-    * and contain duplicates beyond position `sortedPrefix`. */
+  /** Keep the k smallest DISTINCT values of an arbitrary array (merge
+    * path — sorted-distinct inputs, unsorted concat). */
   private def trim(buf: Array[Long]): Array[Long] = {
     java.util.Arrays.sort(buf)
     var out = 0
@@ -49,11 +51,17 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
   }
 
   def reduce(buf: Array[Long], h: Long): Array[Long] = {
-    // fast reject: a full sketch never grows past its current k-th min
-    if (buf.length >= k && h >= buf(k - 1)) return buf
-    val appended = java.util.Arrays.copyOf(buf, buf.length + 1)
-    appended(buf.length) = h
-    if (appended.length >= 2 * k) trim(appended) else appended
+    // sound ONLY because buf is sorted-distinct: full ⇒ k distinct ≤ last
+    if (buf.length == k && h >= buf(k - 1)) return buf
+    val idx = java.util.Arrays.binarySearch(buf, h)
+    if (idx >= 0) return buf // duplicate
+    val at = -idx - 1
+    val n = math.min(buf.length + 1, k)
+    val next = new Array[Long](n)
+    System.arraycopy(buf, 0, next, 0, at)
+    next(at) = h
+    System.arraycopy(buf, at, next, at + 1, n - at - 1)
+    next
   }
 
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

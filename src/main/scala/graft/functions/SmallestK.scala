@@ -18,16 +18,22 @@ import org.apache.spark.sql.functions.udaf
  * overflow: a result of length cap+1 means "more than cap members", which
  * the caller drops.
  *
- * State: sorted Array[Long] of ≤ 2k values with amortized re-trim, same
- * scheme as [[KmvSketch]] (k smallest distinct ⇒ map-side combinable).
+ * State invariant: the buffer is ALWAYS sorted ascending with distinct
+ * values and length ≤ k. That makes the O(1) fast-reject against the last
+ * element sound — a lazily-appended buffer would let a duplicate occupy
+ * position k-1 and wrongly reject values that belong in the k smallest
+ * (k=4 over [1,2,3,2,4] must keep 4). Accepted inserts cost O(k) memmove,
+ * but once the sketch is full only values below the current k-th minimum
+ * pay it (probability ~k/n for random streams), so the steady-state
+ * per-row cost is the rejection comparison.
  */
 class SmallestK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k >= 1, s"smallest_k needs k >= 1, got $k")
 
   def zero: Array[Long] = Array.emptyLongArray
 
-  /** Keep the k smallest DISTINCT values; `buf` may be unsorted + contain
-    * duplicates. */
+  /** Keep the k smallest DISTINCT values of an arbitrary array (merge
+    * path — inputs are each sorted-distinct but their concat is not). */
   private def trim(buf: Array[Long]): Array[Long] = {
     java.util.Arrays.sort(buf)
     var out = 0
@@ -40,10 +46,17 @@ class SmallestK(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   }
 
   def reduce(buf: Array[Long], v: Long): Array[Long] = {
-    if (buf.length >= k && v >= buf(k - 1)) return buf
-    val appended = java.util.Arrays.copyOf(buf, buf.length + 1)
-    appended(buf.length) = v
-    if (appended.length >= 2 * k) trim(appended) else appended
+    // sound ONLY because buf is sorted-distinct: full ⇒ k distinct ≤ last
+    if (buf.length == k && v >= buf(k - 1)) return buf
+    val idx = java.util.Arrays.binarySearch(buf, v)
+    if (idx >= 0) return buf // duplicate
+    val at = -idx - 1 // insertion point
+    val n = math.min(buf.length + 1, k)
+    val next = new Array[Long](n)
+    System.arraycopy(buf, 0, next, 0, at)
+    next(at) = v
+    System.arraycopy(buf, at, next, at + 1, n - at - 1)
+    next
   }
 
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

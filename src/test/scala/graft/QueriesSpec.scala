@@ -49,9 +49,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(est == 100.0)
   }
 
+  test("duplicate inputs cannot evict qualifying values (sorted-distinct invariant)") {
+    // regression: with a lazily-appended buffer, the dup '2' lands at
+    // position k-1 and the bogus threshold rejects 4 — k=4 over
+    // [1,2,3,2,4] must keep all four distinct values
+    val sk = new graft.functions.SmallestK(4)
+    val out = Seq(1L, 2L, 3L, 2L, 4L).foldLeft(sk.zero)(sk.reduce)
+    assert(sk.finish(out).toSeq == Seq(1L, 2L, 3L, 4L))
+    val kmv = new graft.functions.KmvSketch(4)
+    val est = kmv.finish(Seq(1L, 2L, 3L, 2L, 4L).foldLeft(kmv.zero)(kmv.reduce))
+    assert(est != 3.0d) // 4 distinct values -> not the exhaustive count 3
+  }
+
   test("KmvSketch and SmallestK are merge-invariant (any partition split, any order)") {
     val rnd = new scala.util.Random(7)
-    val values = Array.fill(5000)(rnd.nextLong().abs % (1L << 60))
+    // duplicate-heavy: ~60 distinct values over 5000 draws exercises the
+    // dedup path; a second wide-range array exercises the threshold path
+    val values = Array.fill(5000)(rnd.nextLong().abs % 61) ++
+      Array.fill(5000)(rnd.nextLong().abs % (1L << 60))
     val kmv = new graft.functions.KmvSketch(64)
     val sk = new graft.functions.SmallestK(17)
     val singleK = kmv.finish(values.foldLeft(kmv.zero)(kmv.reduce))
