@@ -423,13 +423,97 @@ object SimilarityOps {
       | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q57 — fixed-point k-means (K=8, 2 Lloyd iterations): the trained
+  // coarse quantizer behind semantic dedup and IVF partitioning. All
+  // arithmetic is integer for exact cross-engine parity: floats quantize
+  // by floor(v * 2^20) — a power-of-two scale only shifts the exponent,
+  // so the multiply is EXACT and no rounding-mode divergence exists —
+  // then distances are integer sums (associative, order-free) and each
+  // centroid coordinate is floor(intSum / count) computed in one IEEE
+  // divide. Init = the K lowest vec_ids; empty clusters drop (classic
+  // Lloyd). Scale path: centroids broadcast (K×dim longs), assignment is
+  // a map-side cross join + per-vector top-1, the update shuffles
+  // (cluster, dim) partial sums — map-side combined, never the vectors.
+  // ===========================================================
+  val KmeansK = 8
+  val KmeansIters = 2
+  private val Q = "1048576.0" // 2^20
+
+  def q57Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    val cent0 = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cid"), col("qv").as("cq"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val d2 = expr(
+        "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)")
+      val w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+      e.join(broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "qv", "cid", "d2")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum("q").cast("double") / count(lit(1))).cast("long").as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cq"))
+
+    val centFinal = (1 to KmeansIters).foldLeft(cent0)((c, _) => update(assign(c)))
+    assign(centFinal)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
+      .join(centFinal.select(col("cid").as("cluster"),
+        md5(concat_ws(",", expr("transform(cq, x -> CAST(x AS STRING))")).cast("binary"))
+          .as("centroid_fp")), Seq("cluster"))
+      .orderBy("cluster")
+  }
+
+  val q57Sql: String = {
+    // one Lloyd round in SQL: assignment (window top-1 per vector) +
+    // per-(cluster, dim) integer mean
+    def assignCte(cent: String, out: String) =
+      s""" ${out}_d AS (SELECT e.vec_id, e.qv, c.cid,
+         |   list_reduce(list_transform(range(1, len(e.qv) + 1),
+         |     i -> (e.qv[i] - c.cq[i]) * (e.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+         |  FROM e, $cent c),
+         | $out AS (SELECT vec_id, qv, cid, d2 FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ${out}_d)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(assigned: String, out: String) =
+      s""" ${out}_s AS (SELECT a.cid, p.pos,
+         |   CAST(floor(CAST(SUM(a.qv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM $assigned a, LATERAL (SELECT unnest(range(1, len(a.qv) + 1)) AS pos) p
+         |  GROUP BY a.cid, p.pos),
+         | $out AS (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
+    val rounds = (1 to KmeansIters).map { i =>
+      assignCte(if (i == 1) "c0" else s"c${i - 1}", s"a$i") + "," + updateCte(s"a$i", s"c$i")
+    }.mkString(",")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       | FROM embeddings),
+       | c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cq FROM e WHERE vec_id < $KmeansK),
+       |$rounds,
+       |${assignCte(s"c$KmeansIters", "af")}
+       |SELECT af.cid AS cluster, COUNT(*) AS n_vecs, CAST(SUM(af.d2) AS BIGINT) AS inertia,
+       | ANY_VALUE(md5(array_to_string(list_transform(c.cq, x -> CAST(x AS VARCHAR)), ','))) AS centroid_fp
+       |FROM af JOIN c$KmeansIters c ON af.cid = c.cid
+       |GROUP BY af.cid ORDER BY af.cid""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
     "q42_simhash" -> (q42SimHash _),
     "q43_embedding_stats" -> (q43EmbeddingStats _),
     "q47_embed_neardup" -> (q47EmbedNeardup _),
-    "q48_dup_clusters" -> (q48DupClusters _))
+    "q48_dup_clusters" -> (q48DupClusters _),
+    "q57_kmeans" -> (q57Kmeans _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -488,5 +572,6 @@ object SimilarityOps {
     "q42_simhash" -> q42Sql,
     "q43_embedding_stats" -> q43Sql,
     "q47_embed_neardup" -> q47Sql,
-    "q48_dup_clusters" -> q48Sql)
+    "q48_dup_clusters" -> q48Sql,
+    "q57_kmeans" -> q57Sql)
 }
