@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    tokens, q51 PII scan, q53 hash-split, q54 decontamination,
   *    q55 chunking, q56 repetition gate
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
-  *    near-dup, q48 dup clustering, q57 fixed-point k-means
+  *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF ANN
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling
   *  - PipelineOps: q50 full-engine pipeline
   * Every query has an exact DuckDB oracle (see oracleSql).

@@ -440,7 +440,10 @@ object SimilarityOps {
   val KmeansIters = 2
   private val Q = "1048576.0" // 2^20
 
-  def q57Kmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** Trains the quantizer and returns (final centroids (cid, cq),
+    * final assignment (vec_id, qv, cid, d2)) — shared by q57 (training
+    * diagnostics) and q58 (the IVF index built from it). */
+  private def kmeansTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(spark, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
     val cent0 = e.filter(col("vec_id") < KmeansK)
@@ -465,7 +468,12 @@ object SimilarityOps {
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cq"))
 
     val centFinal = (1 to KmeansIters).foldLeft(cent0)((c, _) => update(assign(c)))
-    assign(centFinal)
+    (centFinal, assign(centFinal))
+  }
+
+  def q57Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
+    assigned
       .groupBy(col("cid").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia"))
       .join(centFinal.select(col("cid").as("cluster"),
@@ -474,37 +482,79 @@ object SimilarityOps {
       .orderBy("cluster")
   }
 
-  val q57Sql: String = {
-    // one Lloyd round in SQL: assignment (window top-1 per vector) +
-    // per-(cluster, dim) integer mean
-    def assignCte(cent: String, out: String) =
-      s""" ${out}_d AS (SELECT e.vec_id, e.qv, c.cid,
-         |   list_reduce(list_transform(range(1, len(e.qv) + 1),
-         |     i -> (e.qv[i] - c.cq[i]) * (e.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
-         |  FROM e, $cent c),
-         | $out AS (SELECT vec_id, qv, cid, d2 FROM (SELECT *,
-         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ${out}_d)
-         |  WHERE rn = 1)""".stripMargin
-    def updateCte(assigned: String, out: String) =
-      s""" ${out}_s AS (SELECT a.cid, p.pos,
-         |   CAST(floor(CAST(SUM(a.qv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-         |  FROM $assigned a, LATERAL (SELECT unnest(range(1, len(a.qv) + 1)) AS pos) p
-         |  GROUP BY a.cid, p.pos),
-         | $out AS (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
+  // ===========================================================
+  // q58 — trained-IVF ANN: the IVF index q57's quantizer was trained FOR.
+  // Every vector lands in its nearest-centroid bucket (the inverted
+  // lists); each query (vec_id < 10) probes ONLY its own bucket and ranks
+  // by exact integer distance. Probing one list turns ANN from a corpus
+  // cross-join into a bucket-equi-join — the standard IVF recall/cost
+  // trade (nprobe=1 here). All-integer arithmetic ⇒ exact oracle parity.
+  // ===========================================================
+  def q58AnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeansTrain(spark, dir)
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("cid"), col("vec_id").as("qid"), col("qv").as("qqv"))
+    val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    index.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", expr(
+        "aggregate(zip_with(qv, qqv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid").as("bucket"), col("rank"), col("vec_id"), col("dq"))
+      .orderBy("qid", "rank")
+  }
+
+  // one Lloyd round in SQL: assignment (window top-1 per vector) +
+  // per-(cluster, dim) integer mean
+  private def kmAssignCte(cent: String, out: String) =
+    s""" ${out}_d AS (SELECT e.vec_id, e.qv, c.cid,
+       |   list_reduce(list_transform(range(1, len(e.qv) + 1),
+       |     i -> (e.qv[i] - c.cq[i]) * (e.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+       |  FROM e, $cent c),
+       | $out AS (SELECT vec_id, qv, cid, d2 FROM (SELECT *,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ${out}_d)
+       |  WHERE rn = 1)""".stripMargin
+  private def kmUpdateCte(assigned: String, out: String) =
+    s""" ${out}_s AS (SELECT a.cid, p.pos,
+       |   CAST(floor(CAST(SUM(a.qv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM $assigned a, LATERAL (SELECT unnest(range(1, len(a.qv) + 1)) AS pos) p
+       |  GROUP BY a.cid, p.pos),
+       | $out AS (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
+
+  /** Shared CTE chain: quantized vectors `e`, init `c0`, KmeansIters Lloyd
+    * rounds, final assignment `af` (vec_id, qv, cid, d2). */
+  private def kmeansCtes: String = {
     val rounds = (1 to KmeansIters).map { i =>
-      assignCte(if (i == 1) "c0" else s"c${i - 1}", s"a$i") + "," + updateCte(s"a$i", s"c$i")
+      kmAssignCte(if (i == 1) "c0" else s"c${i - 1}", s"a$i") + "," + kmUpdateCte(s"a$i", s"c$i")
     }.mkString(",")
     s"""WITH e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
        | FROM embeddings),
        | c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cq FROM e WHERE vec_id < $KmeansK),
        |$rounds,
-       |${assignCte(s"c$KmeansIters", "af")}
+       |${kmAssignCte(s"c$KmeansIters", "af")}""".stripMargin
+  }
+
+  val q57Sql: String =
+    s"""$kmeansCtes
        |SELECT af.cid AS cluster, COUNT(*) AS n_vecs, CAST(SUM(af.d2) AS BIGINT) AS inertia,
        | ANY_VALUE(md5(array_to_string(list_transform(c.cq, x -> CAST(x AS VARCHAR)), ','))) AS centroid_fp
        |FROM af JOIN c$KmeansIters c ON af.cid = c.cid
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin.replace("\n", " ")
-  }
+
+  val q58Sql: String =
+    s"""$kmeansCtes,
+       | q AS (SELECT cid, vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | probe AS (SELECT q.qid, af.cid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af JOIN q ON af.cid = q.cid WHERE af.vec_id <> q.qid),
+       | r AS (SELECT qid, cid, vec_id, dq,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rank FROM probe)
+       |SELECT qid, cid AS bucket, rank, vec_id, dq FROM r WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_cosine" -> (q40AnnCosine _),
@@ -513,7 +563,8 @@ object SimilarityOps {
     "q43_embedding_stats" -> (q43EmbeddingStats _),
     "q47_embed_neardup" -> (q47EmbedNeardup _),
     "q48_dup_clusters" -> (q48DupClusters _),
-    "q57_kmeans" -> (q57Kmeans _))
+    "q57_kmeans" -> (q57Kmeans _),
+    "q58_ann_ivf_trained" -> (q58AnnIvfTrained _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -573,5 +624,6 @@ object SimilarityOps {
     "q43_embedding_stats" -> q43Sql,
     "q47_embed_neardup" -> q47Sql,
     "q48_dup_clusters" -> q48Sql,
-    "q57_kmeans" -> q57Sql)
+    "q57_kmeans" -> q57Sql,
+    "q58_ann_ivf_trained" -> q58Sql)
 }
