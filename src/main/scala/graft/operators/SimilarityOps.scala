@@ -132,13 +132,17 @@ object SimilarityOps {
     val buckets = bands.groupBy("band", "band_sig")
       .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), MaxBucketSize + 1).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketSize)
-    // all in-bucket pairs (a < b holds: ids are sorted ascending)
+    // all in-bucket pairs (a < b holds: ids are sorted ascending).
+    // localCheckpoint: cand feeds the broadcast candidate-id union (two
+    // references) AND the final verify join — without it the whole
+    // sig→band→bucket pipeline replays three times per run
     val cand = buckets
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .localCheckpoint()
     // verify candidates with true Jaccard: restrict to candidate docs FIRST
     // (broadcast semi-join), THEN project the shingle arrays — the expensive
     // shingling runs on the tiny candidate set, not the corpus
@@ -149,9 +153,16 @@ object SimilarityOps {
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
           .as("sh"))
+    // broadcast: the shingle sets cover only candidate docs (bounded by the
+    // bucket cap), but Spark's stats can't see that through the semi-join —
+    // without the hint both verify joins plan as sort-merge shuffles. The
+    // two join sides are the SAME broadcast subtree (aliases applied via the
+    // join condition, not before the exchange) so ReuseExchange ships it once.
+    val shB = broadcast(shingleSets)
     cand
-      .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(shingleSets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(shB.as("x"), col("a") === col("x.doc_id"))
+      .join(shB.as("y"), col("b") === col("y.doc_id"))
+      .withColumn("sha", col("x.sh")).withColumn("shb", col("y.sh"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -346,7 +357,15 @@ object SimilarityOps {
     val undirected = p.select(col("ia").as("src"), col("ib").as("dst"))
       .union(p.select(col("ib").as("src"), col("ia").as("dst")))
     val active = undirected.select(col("src")).distinct()
+    // size the loop's parallelism to the ACTIVE subgraph, not the session
+    // default: dup components are a sliver of the corpus (here ~hundreds of
+    // rows; at 100 TB still ≪ corpus), so a fixed 32-partition shuffle per
+    // round is pure scheduling overhead. One partition per ~1M active edges,
+    // growing with the data.
+    val nActiveEdges = undirected.count()
+    val loopParts = math.max(1, (nActiveEdges / 1000000L).toInt)
     val adj = undirected.union(active.select(col("src"), col("src").as("dst")))
+      .repartition(loopParts, col("src"))
       .localCheckpoint()
 
     // propagate only over the ACTIVE subgraph — nodes that appear in some
@@ -355,7 +374,8 @@ object SimilarityOps {
     // round from |corpus| to ~2·|pairs| rows; they rejoin as size-1
     // clusters arithmetically at the end.
     var labels = active.select(col("src").as("vec_id"))
-      .withColumn("comp", col("vec_id")).localCheckpoint()
+      .withColumn("comp", col("vec_id"))
+      .repartition(loopParts, col("vec_id")).localCheckpoint()
     val nActive = labels.count()
     // min-propagation is monotone non-increasing, so the label-sum is a
     // convergence certificate: unchanged sum ⇔ no label moved this round —
@@ -372,6 +392,7 @@ object SimilarityOps {
         .join(labels.select(col("vec_id").as("src"), col("comp")), "src")
         .groupBy("dst").agg(min("comp").as("comp"))
         .withColumnRenamed("dst", "vec_id")
+        .repartition(loopParts, col("vec_id"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -467,8 +488,13 @@ object SimilarityOps {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cq"))
 
-    val centFinal = (1 to KmeansIters).foldLeft(cent0)((c, _) => update(assign(c)))
-    (centFinal, assign(centFinal))
+    // localCheckpoint per round: centroids are K rows, but without the cut
+    // every later reference re-embeds (and re-runs) the whole training chain
+    // — q57 references centFinal twice and q58 references the assignment
+    // twice, so the lineage otherwise replays the full Lloyd history per use
+    val centFinal = (1 to KmeansIters).foldLeft(cent0)((c, _) =>
+      update(assign(c)).localCheckpoint())
+    (centFinal, assign(centFinal).localCheckpoint())
   }
 
   def q57Kmeans(spark: SparkSession, dir: String): DataFrame = {
