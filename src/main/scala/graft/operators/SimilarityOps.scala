@@ -532,6 +532,122 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
+  // ===========================================================
+  // q59 — product-quantization (PQ) ANN: the memory-compression path for
+  // 100 TB-scale similarity search. Vectors split into M=4 subspaces of
+  // 16 dims; each subspace gets its own K=16 codebook (fixed-point Lloyd,
+  // same 2^20 quantization as q57, so arithmetic is integer-exact);
+  // a vector is stored as M 4-bit codes (64 floats -> 2 bytes, 128x).
+  // Search = ADC: per query, a M*K distance table to the codebooks, then
+  // each candidate's approx distance is M table lookups — no vector data
+  // touched at query time.
+  //
+  // Scale path: ALL subspaces train jointly in one dataflow — the corpus
+  // explodes to (vec_id, m, sqv) once, centroids are keyed (m, cid) and
+  // broadcast (M*K*16 longs), so a Lloyd round costs the same two
+  // shuffles as single-space k-means regardless of M. The ADC join ships
+  // only codes (vec_id, m, cid), never vectors.
+  // ===========================================================
+  val PqM = 4
+  val PqK = 16
+  val PqIters = 2
+
+  def q59PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    // one row per (vector, subspace); S = dim/M derived from the data
+    val es = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(qv, m * (size(qv) div $PqM) + 1, size(qv) div $PqM))")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "sqv")
+      .localCheckpoint() // scanned once; every Lloyd round + ADC reuses it
+    val cent0 = es.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sqv").as("cq"))
+
+    val d2 = expr(
+      "aggregate(zip_with(sqv, cq, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)")
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+      es.join(broadcast(cent), Seq("m"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "m", "sqv", "cid", "d2")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("m"), col("cid"), posexplode(col("sqv")).as(Seq("pos", "q")))
+        .groupBy("m", "cid", "pos")
+        .agg(floor(sum("q").cast("double") / count(lit(1))).cast("long").as("c"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cq"))
+    val centFinal = (1 to PqIters).foldLeft(cent0)((c, _) =>
+      update(assign(c)).localCheckpoint())
+
+    // encode: the PQ codes ARE the final assignment's (vec_id, m, cid)
+    val codes = assign(centFinal).select("vec_id", "m", "cid").localCheckpoint()
+    // ADC distance tables for the query set: (qid, m, cid) -> subdistance
+    val dt = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
+      .join(broadcast(centFinal), Seq("m"))
+      .withColumn("ld2", d2)
+      .select("qid", "m", "cid", "ld2")
+    val w = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    codes.join(broadcast(dt), Seq("m", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("ld2").as("adq"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "adq")
+      .orderBy("qid", "rank")
+  }
+
+  // PQ Lloyd round in SQL, keyed by subspace m alongside cid
+  private def pqAssignCte(cent: String, out: String) =
+    s""" ${out}_d AS (SELECT es.vec_id, es.m, es.sqv, c.cid,
+       |   list_reduce(list_transform(range(1, len(es.sqv) + 1),
+       |     i -> (es.sqv[i] - c.cq[i]) * (es.sqv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+       |  FROM es JOIN $cent c ON es.m = c.m),
+       | $out AS (SELECT vec_id, m, cid, d2 FROM (SELECT *,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM ${out}_d)
+       |  WHERE rn = 1)""".stripMargin
+  private def pqUpdateCte(assigned: String, out: String) =
+    s""" ${out}_s AS (SELECT a.m, a.cid, p.pos,
+       |   CAST(floor(CAST(SUM(es.sqv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM $assigned a JOIN es ON a.vec_id = es.vec_id AND a.m = es.m,
+       |   LATERAL (SELECT unnest(range(1, len(es.sqv) + 1)) AS pos) p
+       |  GROUP BY a.m, a.cid, p.pos),
+       | $out AS (SELECT m, cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY m, cid)""".stripMargin
+
+  val q59Sql: String = {
+    val rounds = (1 to PqIters).map { i =>
+      pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
+        pqUpdateCte(s"pa$i", s"pc$i")
+    }.mkString(",")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       | FROM embeddings),
+       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
+       |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
+       |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
+       | pc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sqv AS cq FROM es WHERE vec_id < $PqK),
+       |$rounds,
+       |${pqAssignCte(s"pc$PqIters", "codes")},
+       | dt AS (SELECT es.vec_id AS qid, es.m, c.cid,
+       |   list_reduce(list_transform(range(1, len(es.sqv) + 1),
+       |     i -> (es.sqv[i] - c.cq[i]) * (es.sqv[i] - c.cq[i])), (s, x) -> s + x) AS ld2
+       |  FROM es JOIN pc$PqIters c ON es.m = c.m WHERE es.vec_id < 10),
+       | adc AS (SELECT dt.qid, codes.vec_id, CAST(SUM(dt.ld2) AS BIGINT) AS adq
+       |  FROM codes JOIN dt ON codes.m = dt.m AND codes.cid = dt.cid
+       |  GROUP BY dt.qid, codes.vec_id),
+       | r AS (SELECT qid, vec_id, adq,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rank
+       |  FROM adc WHERE vec_id <> qid)
+       |SELECT qid, rank, vec_id, adq FROM r WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+  }
+
   // one Lloyd round in SQL: assignment (window top-1 per vector) +
   // per-(cluster, dim) integer mean
   private def kmAssignCte(cent: String, out: String) =
@@ -590,7 +706,8 @@ object SimilarityOps {
     "q47_embed_neardup" -> (q47EmbedNeardup _),
     "q48_dup_clusters" -> (q48DupClusters _),
     "q57_kmeans" -> (q57Kmeans _),
-    "q58_ann_ivf_trained" -> (q58AnnIvfTrained _))
+    "q58_ann_ivf_trained" -> (q58AnnIvfTrained _),
+    "q59_pq_ann" -> (q59PqAnn _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -651,5 +768,6 @@ object SimilarityOps {
     "q47_embed_neardup" -> q47Sql,
     "q48_dup_clusters" -> q48Sql,
     "q57_kmeans" -> q57Sql,
-    "q58_ann_ivf_trained" -> q58Sql)
+    "q58_ann_ivf_trained" -> q58Sql,
+    "q59_pq_ann" -> q59Sql)
 }
