@@ -533,6 +533,63 @@ object TextOps {
        | CAST(SUM(total) - SUM(uniq) AS DOUBLE) / SUM(total) AS repeat_share
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q60 — cross-document span dedup (the C4/MassiveText passage-level
+  // move): the corpus is chunked into non-overlapping 8-token spans and
+  // every span occurrence after the first — ANYWHERE in the corpus, not
+  // just within a doc — is marked duplicate; "first" is the smallest
+  // (doc_id, span_idx). Reports per-source duplication, the signal used
+  // to set per-source sampling weights. Scale path: identity is a
+  // 128-bit digest of the span, so the single shuffle ships (digest,
+  // doc_id, idx, token_count) — never text — and the keep-first rule is
+  // one row_number window over the digest, not a self-join.
+  // ===========================================================
+  val SpanW = 8
+
+  def q60SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("ntok", size(col("toks")))
+      .select(col("doc_id"), col("source"), col("ntok"),
+        posexplode(expr(
+          s"""CASE WHEN ntok > 0 THEN transform(sequence(0, (ntok + ${SpanW - 1}) div $SpanW - 1),
+             |  b -> concat_ws(' ', slice(toks, b * $SpanW + 1, $SpanW)))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .withColumnRenamed("pos", "bidx").withColumnRenamed("col", "btext")
+      .withColumn("btok", least(lit(SpanW), col("ntok") - col("bidx") * SpanW).cast("long"))
+    val w = Window.partitionBy(md5(col("btext").cast("binary"))).orderBy("doc_id", "bidx")
+    blocks
+      .withColumn("dup", row_number().over(w) > 1)
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_spans"),
+        sum(when(col("dup"), col("btok")).otherwise(0L)).as("dup_tokens"),
+        sum("btok").as("total_tokens"))
+      .withColumn("dup_share", col("dup_tokens").cast("double") / col("total_tokens"))
+      .orderBy("source")
+  }
+
+  val q60Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM documents),
+       | b AS (SELECT doc_id, source, CAST(bb.b AS INTEGER) AS bidx,
+       |   array_to_string(toks[CAST(bb.b * $SpanW + 1 AS INTEGER) :
+       |     CAST(least((bb.b + 1) * $SpanW, len(toks)) AS INTEGER)], ' ') AS btext,
+       |   CAST(least($SpanW, len(toks) - bb.b * $SpanW) AS BIGINT) AS btok
+       |  FROM t, LATERAL (SELECT unnest(range(0, (len(toks) + ${SpanW - 1}) // $SpanW)) AS b) bb),
+       | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(btext) ORDER BY doc_id, bidx) AS rn
+       |  FROM b)
+       |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       | COUNT(*) AS n_spans,
+       | CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       | CAST(SUM(CASE WHEN rn > 1 THEN btok ELSE 0 END) AS BIGINT) AS dup_tokens,
+       | CAST(SUM(btok) AS BIGINT) AS total_tokens,
+       | CAST(SUM(CASE WHEN rn > 1 THEN btok ELSE 0 END) AS DOUBLE) / SUM(btok) AS dup_share
+       |FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -546,7 +603,8 @@ object TextOps {
     "q53_hash_split" -> (q53HashSplit _),
     "q54_decontaminate" -> (q54Decontaminate _),
     "q55_chunking" -> (q55Chunking _),
-    "q56_repetition_gate" -> (q56RepetitionGate _))
+    "q56_repetition_gate" -> (q56RepetitionGate _),
+    "q60_span_dedup" -> (q60SpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -561,5 +619,6 @@ object TextOps {
     "q53_hash_split" -> q53Sql,
     "q54_decontaminate" -> q54Sql,
     "q55_chunking" -> q55Sql,
-    "q56_repetition_gate" -> q56Sql)
+    "q56_repetition_gate" -> q56Sql,
+    "q60_span_dedup" -> q60Sql)
 }
