@@ -291,7 +291,54 @@ object SessionOps {
        | COUNT(DISTINCT cfg_id) AS n_live_configs
        |FROM j GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q61 — event-time interval join (batch form of streaming/StreamJoin):
+  // each click pairs with the SAME user's purchases landing within 5
+  // minutes after it — the conversion-funnel / request-ack latency
+  // pattern. Uses the exact same operator the live path uses
+  // (StreamJoin.intervalJoin); on batch frames it degrades to a shuffle
+  // join with the interval predicate. Timestamps go through
+  // timestamp_micros (the corpus is micro-precision), so latency math is
+  // integer-exact: the only double op is the final sum/count divide.
+  // ===========================================================
+  def q61IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("click_ts"),
+        col("event_id").as("click_id"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("buy_ts"),
+        col("event_id").as("buy_id"))
+    graft.streaming.StreamJoin.intervalJoin(
+        clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        "1 minute", "1 minute", "5 minutes")
+      .withColumn("lat_us", unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_converted"),
+        max("lat_us").as("max_lat_us"),
+        (sum("lat_us").cast("double") / (count(lit(1)) * 1000000L)).as("avg_lat_sec"))
+      .orderBy("cohort")
+  }
+
+  val q61Sql: String =
+    """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      | b AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+      |  FROM events WHERE event_type = 'purchase'),
+      | j AS (SELECT c.user_id, click_id, buy_id,
+      |   epoch_us(buy_ts) - epoch_us(click_ts) AS lat_us
+      |  FROM c JOIN b ON c.user_id = b.user_id
+      |   AND buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 5 MINUTE)
+      |SELECT user_id % 10 AS cohort, COUNT(*) AS n_pairs,
+      | CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks_converted,
+      | CAST(MAX(lat_us) AS BIGINT) AS max_lat_us,
+      | CAST(SUM(lat_us) AS DOUBLE) / (COUNT(*) * 1000000) AS avg_lat_sec
+      |FROM j GROUP BY cohort ORDER BY cohort""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_interval_join" -> (q61IntervalJoin _),
     "q52_range_join" -> (q52RangeJoin _),
     "q16_sessionize" -> (q16Sessionize _),
     "q17_user_enrichment" -> (q17UserEnrichment _),
@@ -301,6 +348,7 @@ object SessionOps {
     "q46_ann_ivf" -> (q46AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q61_interval_join" -> q61Sql,
     "q52_range_join" -> q52Sql,
     "q16_sessionize" -> q16Sql,
     "q17_user_enrichment" -> q17Sql,
