@@ -112,7 +112,19 @@ object SimilarityOps {
     * giant buckets that add cost but no near-dup signal). */
   val MaxBucketSize = 50
 
-  def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Candidate-pair generation from the bucket frame — pre-checkpoint, so
+    * PlanSpec can assert the bounded-state aggregation shape that the
+    * checkpoint hides from the final query's plan. */
+  private[graft] def q41Candidates(buckets: DataFrame): DataFrame =
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+
+  /** The bucket frame (band, band_sig, ids) — exposed for PlanSpec. */
+  private[graft] def q41Buckets(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.MinHashSig.minhash_sig
     // one-pass native signature: no shingle arrays materialized corpus-wide
     val sig = docs(spark, dir)
@@ -129,20 +141,20 @@ object SimilarityOps {
     // is degenerate (ubiquitous shingle pattern ⇒ n²/2 pairs, no signal) and
     // drops it — the previous [size-aggregate ⋈ bands ⋈ bands] formulation
     // cost three shuffles plus a cache to express the same thing
-    val buckets = bands.groupBy("band", "band_sig")
+    bands.groupBy("band", "band_sig")
       .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), MaxBucketSize + 1).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketSize)
+  }
+
+  def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // one-pass native signature, bands carrying only (doc_id, band,
+    // band_sig), ONE bounded-state shuffle per bucket — see q41Buckets
+    val buckets = q41Buckets(spark, dir)
     // all in-bucket pairs (a < b holds: ids are sorted ascending).
     // localCheckpoint: cand feeds the broadcast candidate-id union (two
     // references) AND the final verify join — without it the whole
     // sig→band→bucket pipeline replays three times per run
-    val cand = buckets
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
-      .localCheckpoint()
+    val cand = q41Candidates(buckets).localCheckpoint()
     // verify candidates with true Jaccard: restrict to candidate docs FIRST
     // (broadcast semi-join), THEN project the shingle arrays — the expensive
     // shingling runs on the tiny candidate set, not the corpus
