@@ -595,8 +595,9 @@ object SimilarityOps {
     val centFinal = (1 to PqIters).foldLeft(cent0)((c, _) =>
       update(assign(c)).localCheckpoint())
 
-    // encode: the PQ codes ARE the final assignment's (vec_id, m, cid)
-    val codes = assign(centFinal).select("vec_id", "m", "cid").localCheckpoint()
+    // encode: the PQ codes ARE the final assignment's (vec_id, m, cid) —
+    // referenced once downstream, so no checkpoint needed
+    val codes = assign(centFinal).select("vec_id", "m", "cid")
     // ADC distance tables for the query set: (qid, m, cid) -> subdistance
     val dt = es.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("m"), col("sqv"))
