@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - RelationalOps: q20-q24 relational analytics
   *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
   *    tokens, q51 PII scan, q53 hash-split, q54 decontamination,
-  *    q55 chunking, q56 repetition gate, q60 cross-doc span dedup
+  *    q55 chunking, q56 repetition gate, q60 cross-doc span dedup,
+  *    q62 mixture sampling, q63 sequence packing
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN

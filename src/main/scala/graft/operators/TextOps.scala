@@ -590,6 +590,104 @@ object TextOps {
        | CAST(SUM(CASE WHEN rn > 1 THEN btok ELSE 0 END) AS DOUBLE) / SUM(btok) AS dup_share
        |FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q62 — stratified mixture sampling: each source gets a target sampling
+  // rate (domain mixing weights for a training run) and docs are kept by
+  // a DETERMINISTIC hash gate — hash60(doc_id) % 1000 < rate_permille —
+  // so the sample is reproducible run-to-run, resumable, and needs no
+  // coordination: every executor decides locally from the row alone
+  // (contrast df.sample, whose seed is per-partition-ordering dependent).
+  // The 60-bit md5 prefix is the same cross-engine hash the audit/split
+  // ops use, so the oracle replays the exact sample.
+  // ===========================================================
+  def q62MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      // rate per source: 100‰ + 45‰ per source index (a stand-in for the
+      // mixture config table a real run would broadcast-join)
+      .withColumn("rate_permille",
+        (lit(100) + lit(45) * (expr("CAST(substring(source, 4) AS INT)") % 20)).cast("long"))
+      .withColumn("gate",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1000)
+      .withColumn("kept", col("gate") < col("rate_permille"))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("tokens")).otherwise(0L)).as("kept_tokens"),
+        max("rate_permille").as("rate_permille"))
+      .withColumn("achieved_permille",
+        col("n_kept").cast("double") * 1000 / col("n_docs"))
+      .orderBy("source")
+  }
+
+  val q62Sql: String =
+    """WITH d AS (SELECT source,
+      |   CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS tokens,
+      |   CAST(100 + 45 * (CAST(substr(source, 4) AS INT) % 20) AS BIGINT) AS rate_permille,
+      |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS gate
+      |  FROM documents),
+      | k AS (SELECT *, gate < rate_permille AS kept FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(SUM(CASE WHEN kept THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      | CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+      | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) * 1000 / COUNT(*) AS achieved_permille
+      |FROM k GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q63 — sequence packing: docs pack greedily (doc_id order) into
+  // fixed 2048-token training sequences; a doc belongs to the sequence
+  // where its running-total START falls, so sequence assignment is pure
+  // window arithmetic — one running sum, no iteration. Packing runs per
+  // (source, shard) with shard = doc_id div 4096: shards bound the
+  // window partition (the 100 TB skew guard — a giant source never
+  // serializes into one task) at the cost of at most one underfilled
+  // sequence per shard boundary.
+  // ===========================================================
+  val PackBudget = 2048
+  val PackShard = 4096
+
+  def q63SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = docs(spark, dir)
+      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("shard", expr(s"doc_id div $PackShard"))
+      .withColumn("cum", sum("tokens").over(w))
+      .withColumn("seq_id", expr(s"(cum - tokens) div $PackBudget"))
+    d.groupBy("source", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"))
+      .groupBy("source")
+      .agg(
+        sum("n_docs").cast("long").as("n_docs"),
+        count(lit(1)).as("n_seqs"),
+        sum("seq_tokens").as("total_tokens"),
+        max("seq_tokens").as("max_seq_tokens"))
+      .withColumn("avg_fill",
+        col("total_tokens").cast("double") / (col("n_seqs") * PackBudget))
+      .orderBy("source")
+  }
+
+  val q63Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, doc_id // $PackShard AS shard,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       | c AS (SELECT source, shard, tokens,
+       |   SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       | s AS (SELECT source, shard, (cum - tokens) // $PackBudget AS seq_id,
+       |   COUNT(*) AS n_docs, SUM(tokens) AS seq_tokens
+       |  FROM c GROUP BY source, shard, (cum - tokens) // $PackBudget)
+       |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       | COUNT(*) AS n_seqs,
+       | CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       | CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+       | CAST(SUM(seq_tokens) AS DOUBLE) / (COUNT(*) * $PackBudget) AS avg_fill
+       |FROM s GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -604,7 +702,9 @@ object TextOps {
     "q54_decontaminate" -> (q54Decontaminate _),
     "q55_chunking" -> (q55Chunking _),
     "q56_repetition_gate" -> (q56RepetitionGate _),
-    "q60_span_dedup" -> (q60SpanDedup _))
+    "q60_span_dedup" -> (q60SpanDedup _),
+    "q62_mixture_sample" -> (q62MixtureSample _),
+    "q63_sequence_pack" -> (q63SequencePack _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -620,5 +720,7 @@ object TextOps {
     "q54_decontaminate" -> q54Sql,
     "q55_chunking" -> q55Sql,
     "q56_repetition_gate" -> q56Sql,
-    "q60_span_dedup" -> q60Sql)
+    "q60_span_dedup" -> q60Sql,
+    "q62_mixture_sample" -> q62Sql,
+    "q63_sequence_pack" -> q63Sql)
 }
