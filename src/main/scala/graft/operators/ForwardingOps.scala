@@ -571,6 +571,44 @@ object ForwardingOps {
        | MAX("offset") AS max_offset
        |FROM msgs GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q64 — sketched hot-key detection: Misra-Gries candidates + exact
+  // verification. The reference detects hot keys reactively (head-of-line
+  // blocking stats per ack queue, BlockingQueueStubManager.java:43-376);
+  // at 100 TB the proactive form cannot be groupBy(key).count() — that
+  // shuffles every distinct key. The MG sketch keeps k counters per map
+  // task (bounded state, map-side combinable), its candidate set provably
+  // contains every key above n/(k+1), and one exact aggregation restricted
+  // to the (broadcast) candidates verifies them. Result = keys whose EXACT
+  // frequency clears the threshold — deterministic even though sketch
+  // internals depend on merge order.
+  // ===========================================================
+  val HhSketchK = 127 // threshold n/128: sits below the events hot tail
+
+  def q64HotKeys(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cands = ev.agg(
+        graft.functions.MisraGries.mg_candidates(col("user_id"), HhSketchK).as("ks"))
+      .select(explode(col("ks")).as("user_id"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.join(broadcast(cands), Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_events") * (HhSketchK + 1) > col("total"))
+      .select("user_id", "n_events")
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  /** Oracle: the exact heavy hitters — the sketch's candidate superset plus
+    * exact verification must land on precisely this set. */
+  val q64Sql: String =
+    s"""WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+       | t AS (SELECT COUNT(*) AS total FROM events)
+       |SELECT user_id, n_events FROM c, t
+       |WHERE n_events * ${HhSketchK + 1} > total
+       |ORDER BY n_events DESC, user_id""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -589,7 +627,8 @@ object ForwardingOps {
     "q13_bounded_dlq_merge" -> (q13BoundedDlqMerge _),
     "q14_tier_select" -> (q14TierSelect _),
     "q15_audit_approx_uniq" -> (q15AuditApproxUniq _),
-    "q18_salted_hotkey_agg" -> (q18SaltedHotKeyAgg _))
+    "q18_salted_hotkey_agg" -> (q18SaltedHotKeyAgg _),
+    "q64_hot_keys" -> (q64HotKeys _))
 
   val oracles: Map[String, String] = Map(
     "q01_code_distribution" -> q01Sql,
@@ -607,5 +646,6 @@ object ForwardingOps {
     "q13_bounded_dlq_merge" -> q13Sql,
     "q14_tier_select" -> q14Sql,
     "q15_audit_approx_uniq" -> q15Sql,
-    "q18_salted_hotkey_agg" -> q18Sql)
+    "q18_salted_hotkey_agg" -> q18Sql,
+    "q64_hot_keys" -> q64Sql)
 }

@@ -688,6 +688,59 @@ object TextOps {
        | CAST(SUM(seq_tokens) AS DOUBLE) / (COUNT(*) * $PackBudget) AS avg_fill
        |FROM s GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q65 — count-based LM quality score (CCNet/Gopher-style perplexity
+  // filtering, re-expressed integer-exact). A 2-gram count LM is trained on
+  // the corpus itself; each document's score is the mean log2-frequency of
+  // its bigrams, in fixed-point millis. Rare/garbled word sequences score
+  // low — the classic "perplexity filter" signal — while every operation
+  // (bin() string length for floor(log2)+1, integer sums, one integer
+  // division) is bit-exact across engines, so the oracle hash-matches
+  // where a float log-prob would drift in ULPs.
+  //
+  // Scale path: the bigram table is ONE corpus aggregation; scoring joins
+  // exploded bigrams to it — a shuffle equi-join on the bigram key (at
+  // 100 TB the vocabulary's heavy head could be broadcast and the long tail
+  // defaulted to class 1, trading exactness for a shuffle; here the join
+  // stays exact). No UDFs; the explode + join + two group-bys all codegen.
+  // ===========================================================
+  def q65LmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bigrams = toks.select(col("doc_id"), col("source"),
+      explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(ts[i - 1], ' ', ts[i]))")).as("big"))
+    val lm = bigrams.groupBy("big")
+      .agg(count(lit(1)).as("freq"))
+      .select(col("big"), length(bin(col("freq"))).cast("long").as("cls"))
+    bigrams.join(lm, "big")
+      .groupBy("doc_id")
+      .agg(first("source").as("source"),
+        expr("CAST(1000 * SUM(cls) DIV COUNT(*) AS BIGINT)").as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("min_score"),
+        max("score").as("max_score"),
+        sum("score").cast("long").as("sum_score"))
+      .orderBy("source")
+  }
+
+  val q65Sql: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |  regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS ts FROM documents),
+      | bg AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS big
+      |  FROM tk WHERE len(ts) >= 2),
+      | lm AS (SELECT big, CAST(length(bin(COUNT(*))) AS BIGINT) AS cls FROM bg GROUP BY big),
+      | d AS (SELECT doc_id, ANY_VALUE(source) AS source,
+      |  CAST(1000 * SUM(cls) // COUNT(*) AS BIGINT) AS score
+      |  FROM bg JOIN lm USING (big) GROUP BY doc_id)
+      |SELECT source, COUNT(*) AS n_docs, MIN(score) AS min_score,
+      | MAX(score) AS max_score, CAST(SUM(score) AS BIGINT) AS sum_score
+      |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -704,7 +757,8 @@ object TextOps {
     "q56_repetition_gate" -> (q56RepetitionGate _),
     "q60_span_dedup" -> (q60SpanDedup _),
     "q62_mixture_sample" -> (q62MixtureSample _),
-    "q63_sequence_pack" -> (q63SequencePack _))
+    "q63_sequence_pack" -> (q63SequencePack _),
+    "q65_lm_quality" -> (q65LmQuality _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -722,5 +776,6 @@ object TextOps {
     "q56_repetition_gate" -> q56Sql,
     "q60_span_dedup" -> q60Sql,
     "q62_mixture_sample" -> q62Sql,
-    "q63_sequence_pack" -> q63Sql)
+    "q63_sequence_pack" -> q63Sql,
+    "q65_lm_quality" -> q65Sql)
 }

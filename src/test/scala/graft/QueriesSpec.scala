@@ -83,6 +83,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries candidates contain every key above n/(k+1) under any partitioning") {
+    val k = 9
+    val mg = new graft.functions.MisraGries(k)
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish: heavy keys 0..4 drawn often, long uniform tail
+      val values = Array.fill(4000)(
+        if (rnd.nextInt(10) < 6) rnd.nextInt(5).toLong else rnd.nextLong().abs % 5000)
+      val n = values.length
+      val exact = values.groupBy(identity).map { case (kk, vs) => kk -> vs.length.toLong }
+      val heavy = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+      // single pass
+      val single = mg.finish(values.foldLeft(mg.zero)(mg.reduce)).toSet
+      assert(heavy.subsetOf(single), s"single-pass lost ${heavy -- single}")
+      assert(single.size <= k)
+      // random partition split + random merge order (the distributed shape)
+      val parts = rnd.shuffle(values.toSeq).grouped(1 + rnd.nextInt(700)).toSeq
+      val bufs = rnd.shuffle(parts.map(p => p.foldLeft(mg.zero)(mg.reduce)))
+      val merged = mg.finish(bufs.reduce(mg.merge)).toSet
+      assert(heavy.subsetOf(merged), s"merged lost ${heavy -- merged}")
+      assert(merged.size <= k)
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 and returns rows") {
       val df = fn(spark, dir)
