@@ -38,8 +38,13 @@ object Bench {
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       // isolate measurements: caches a query built must not occupy executor
-      // memory while the NEXT query is timed (dropped outside the timer)
+      // memory while the NEXT query is timed (dropped outside the timer).
+      // clearCache only drops catalog-tracked relations — localCheckpoint
+      // blocks live in the block manager as persistent RDDs and would
+      // otherwise accumulate across all queries of the session
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       (name, sec, rows)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

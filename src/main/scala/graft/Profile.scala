@@ -33,11 +33,16 @@ object Profile {
         fn(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         s
       }
       val cold = run()
       val warm = (1 to 3).map(_ => run()).min
-      println(f"$name%-28s cold=$cold%7.3f  warm=$warm%7.3f  plan+codegen=${cold - warm}%7.3f")
+      // "cold overhead" = plan + codegen + first-touch parquet I/O + JIT —
+      // the pre-reads above touch whole tables, not the exact columns, so
+      // the delta cannot be attributed to planning alone
+      println(f"$name%-28s cold=$cold%7.3f  warm=$warm%7.3f  cold_overhead=${cold - warm}%7.3f")
     }
     spark.stop()
   }

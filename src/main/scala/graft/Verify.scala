@@ -25,8 +25,11 @@ object Verify {
         failures += name -> String.valueOf(e.getMessage)
       }
       // queries that cache (LSH bands, neardup corpus) must not squat on
-      // executor memory for the remaining 40+ queries of this session
+      // executor memory for the remaining 40+ queries of this session;
+      // localCheckpoint blocks are persistent RDDs that clearCache misses
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -586,15 +586,21 @@ object ForwardingOps {
   val HhSketchK = 127 // threshold n/128: sits below the events hot tail
 
   def q64HotKeys(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+    // nulls are excluded EXPLICITLY: the typed Aggregator's primitive Long
+    // input would silently fold a NULL key to 0L, diverging from any
+    // engine that groups NULL separately — make the precondition part of
+    // the query instead of an encoder accident
+    val ev = events(spark, dir).filter(col("user_id").isNotNull)
+    // ONE corpus pass yields both the candidate sketch and the exact total
+    // (the threshold denominator); the only other scan is the verification
+    // pass restricted to broadcast candidates — two scans, not three
     val cands = ev.agg(
-        graft.functions.MisraGries.mg_candidates(col("user_id"), HhSketchK).as("ks"))
-      .select(explode(col("ks")).as("user_id"))
-    val total = ev.agg(count(lit(1)).as("total"))
-    ev.join(broadcast(cands), Seq("user_id"), "left_semi")
+        graft.functions.MisraGries.mg_candidates(col("user_id"), HhSketchK).as("ks"),
+        count(lit(1)).as("total"))
+      .select(col("total"), explode(col("ks")).as("user_id"))
+    ev.join(broadcast(cands), Seq("user_id"))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"))
-      .crossJoin(broadcast(total))
+      .agg(count(lit(1)).as("n_events"), first("total").as("total"))
       .filter(col("n_events") * (HhSketchK + 1) > col("total"))
       .select("user_id", "n_events")
       .orderBy(col("n_events").desc, col("user_id"))
@@ -603,8 +609,9 @@ object ForwardingOps {
   /** Oracle: the exact heavy hitters — the sketch's candidate superset plus
     * exact verification must land on precisely this set. */
   val q64Sql: String =
-    s"""WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
-       | t AS (SELECT COUNT(*) AS total FROM events)
+    s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+       | c AS (SELECT user_id, COUNT(*) AS n_events FROM e GROUP BY user_id),
+       | t AS (SELECT COUNT(*) AS total FROM e)
        |SELECT user_id, n_events FROM c, t
        |WHERE n_events * ${HhSketchK + 1} > total
        |ORDER BY n_events DESC, user_id""".stripMargin.replace("\n", " ")

@@ -698,11 +698,13 @@ object TextOps {
   // division) is bit-exact across engines, so the oracle hash-matches
   // where a float log-prob would drift in ULPs.
   //
-  // Scale path: the bigram table is ONE corpus aggregation; scoring joins
-  // exploded bigrams to it — a shuffle equi-join on the bigram key (at
-  // 100 TB the vocabulary's heavy head could be broadcast and the long tail
-  // defaulted to class 1, trading exactness for a shuffle; here the join
-  // stays exact). No UDFs; the explode + join + two group-bys all codegen.
+  // Scale path: the exploded bigrams feed BOTH the lm-table aggregation and
+  // the scoring side of the join, so they are persisted (memory, spilling
+  // to disk) — one tokenize+explode scan of the corpus, not two. Scoring is
+  // a shuffle equi-join on the bigram key (at 100 TB the vocabulary's heavy
+  // head could be broadcast and the long tail defaulted to class 1, trading
+  // exactness for a shuffle; here the join stays exact). No UDFs; the
+  // explode + join + two group-bys all codegen.
   // ===========================================================
   def q65LmQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
@@ -712,6 +714,7 @@ object TextOps {
     val bigrams = toks.select(col("doc_id"), col("source"),
       explode(expr(
         "transform(sequence(1, size(ts) - 1), i -> concat(ts[i - 1], ' ', ts[i]))")).as("big"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lm = bigrams.groupBy("big")
       .agg(count(lit(1)).as("freq"))
       .select(col("big"), length(bin(col("freq"))).cast("long").as("cls"))
