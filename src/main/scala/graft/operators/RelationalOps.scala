@@ -193,17 +193,94 @@ object RelationalOps {
       |   AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q25 — ROLLUP subtotals (returnflag → linestatus hierarchy): one pass
+  // over the fact table produces per-(flag,status) rows, per-flag
+  // subtotals, and the grand total. Spark expands the grouping sets
+  // BEFORE the exchange, so partial aggregation still combines map-side —
+  // the shuffle carries (#keys × #levels) partial rows, not the fact
+  // table. Subtotal rows are disambiguated by grouping_id (bit per
+  // column, first column = MSB in both engines) and keys are coalesced
+  // to 'ALL' so no NULL ordering semantics leak into the compare.
+  // ===========================================================
+  def q25RollupPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)").cast("double").as("sum_qty"),
+        sum(discPrice).cast("decimal(30,4)").cast("double").as("sum_disc_price"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"), col("sum_disc_price"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val q25Sql: String =
+    s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       | COALESCE(l_returnflag, 'ALL') AS returnflag,
+       | COALESCE(l_linestatus, 'ALL') AS linestatus,
+       | COUNT(*) AS n_items,
+       | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_qty,
+       | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, returnflag, linestatus""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q26 — blocked fuzzy self-join (entity-resolution move): candidate
+  // pairs come ONLY from equal blocking keys (the name's noun token), so
+  // the quadratic edit-distance predicate runs inside blocks instead of
+  // across the full n² cross product — the standard blocking trick that
+  // keeps fuzzy matching feasible at scale. The name table is a groupBy
+  // of the fact table (distinct names ≪ rows), so the self-join is a
+  // broadcast; n_pairs weights each surviving name pair back to fact
+  // cardinality. levenshtein is the classic DP edit distance in both
+  // engines.
+  // ===========================================================
+  val FuzzyMaxDist = 4
+
+  def q26FuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = t(spark, dir, "part")
+      .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+    names.as("x")
+      .join(broadcast(names.as("y")),
+        col("x.noun") === col("y.noun") && col("x.p_name") < col("y.p_name"))
+      .withColumn("dist", levenshtein(col("x.p_name"), col("y.p_name")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(
+        col("x.p_name").as("a"), col("y.p_name").as("b"), col("dist"),
+        (col("x.cnt") * col("y.cnt")).as("n_pairs"))
+      .orderBy("a", "b")
+  }
+
+  val q26Sql: String =
+    s"""WITH names AS (SELECT p_name, COUNT(*) AS cnt,
+       |  split_part(p_name, ' ', 2) AS noun FROM part GROUP BY p_name)
+       |SELECT x.p_name AS a, y.p_name AS b,
+       | levenshtein(x.p_name, y.p_name) AS dist,
+       | x.cnt * y.cnt AS n_pairs
+       |FROM names x JOIN names y ON x.noun = y.noun AND x.p_name < y.p_name
+       |WHERE levenshtein(x.p_name, y.p_name) <= $FuzzyMaxDist
+       |ORDER BY a, b""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_pricing_summary" -> (q20PricingSummary _),
     "q21_top_customers" -> (q21TopCustomers _),
     "q22_region_revenue" -> (q22RegionRevenue _),
     "q23_running_window" -> (q23RunningWindow _),
-    "q24_order_priority" -> (q24OrderPriority _))
+    "q24_order_priority" -> (q24OrderPriority _),
+    "q25_rollup_pricing" -> (q25RollupPricing _),
+    "q26_fuzzy_name_match" -> (q26FuzzyNameMatch _))
 
   val oracles: Map[String, String] = Map(
     "q20_pricing_summary" -> q20Sql,
     "q21_top_customers" -> q21Sql,
     "q22_region_revenue" -> q22Sql,
     "q23_running_window" -> q23Sql,
-    "q24_order_priority" -> q24Sql)
+    "q24_order_priority" -> q24Sql,
+    "q25_rollup_pricing" -> q25Sql,
+    "q26_fuzzy_name_match" -> q26Sql)
 }

@@ -744,6 +744,109 @@ object TextOps {
       | MAX(score) AS max_score, CAST(SUM(score) AS BIGINT) AS sum_score
       |FROM d GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q66 — Bloom-prefiltered decontamination: same contract as q54 (flag
+  // corpus docs sharing any word 3-gram with the doc_id%97 benchmark
+  // slice, reported per SOURCE) but the scale path a 100 TB corpus needs
+  // when the benchmark n-gram SET is too big to broadcast as a hash
+  // relation: build a BloomSketch over the benchmark's 60-bit n-gram
+  // digests (16 KiB of bits regardless of cardinality, OR-merged map-side),
+  // broadcast it, and drop corpus n-grams by a codegen'd bit-probe
+  // expression BEFORE anything shuffles. Only the sliver surviving the
+  // bloom pays the exact digest semi-join, which removes false positives —
+  // so the output is exact and bloom-parameter-independent (the oracle is
+  // plain SQL with no bloom at all). False negatives are impossible.
+  // ===========================================================
+  val BloomBits = 1 << 17 // 16 KiB: ~9 bits/key at sf0.1 benchmark size
+  val BloomProbes = 5
+
+  def q66BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomSketch
+    def ngramHashes(df: DataFrame): DataFrame =
+      df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+        .withColumn("ng", explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(1, size(toks) - 2),
+            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .select(col("doc_id"),
+          conv(substring(md5(col("ng").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+    val d = docs(spark, dir)
+    val benchHashes = ngramHashes(d.filter(col("doc_id") % 97 === 0))
+      .select("h").distinct()
+    val bloom = benchHashes.agg(
+      BloomSketch.bloom_agg(col("h"), BloomBits, BloomProbes).as("bits"))
+    val contaminated = ngramHashes(d.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bloom)) // single-row bits array to every task
+      .filter(BloomSketch.mightContain("bits", "h", BloomBits, BloomProbes))
+      .join(broadcast(benchHashes), Seq("h"), "left_semi") // exact: kills FPs
+      .select("doc_id").distinct()
+    d.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Oracle: digest-level overlap with NO bloom — the two-phase bloom +
+    * exact-verify plan must land on exactly this result. */
+  val q66Sql: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |   regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS toks FROM documents),
+      | ng AS (SELECT doc_id,
+      |   CAST(('0x' || substr(md5(unnest(CASE WHEN len(toks) >= 3
+      |     THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |     ELSE CAST([] AS VARCHAR[]) END)), 1, 15)) AS BIGINT) AS h
+      |  FROM toks),
+      | bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % 97 = 0),
+      | contaminated AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (h)
+      |  WHERE n.doc_id % 97 <> 0),
+      | corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      | CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination_rate
+      |FROM corpus LEFT JOIN contaminated c USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q67 — deterministic per-source uniform sample, exactly k docs per
+  // source, with NO window sort: a row_number() OVER (PARTITION BY source)
+  // plan shuffles the ENTIRE corpus into one partition per source — at
+  // 100 TB a hot source is a straggler that never finishes. smallest_k
+  // over the 60-bit md5 hash keeps k longs of reducer state per source,
+  // combines map-side, and the winners join back (broadcast — k×sources
+  // rows) to fetch the sampled rows. Hash order makes the sample uniform,
+  // content-stable across re-runs/repartitioning, and engine-replayable.
+  // ===========================================================
+  val SamplePerSource = 5
+
+  def q67GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val winners = d.groupBy("source")
+      .agg(graft.functions.SmallestK.smallest_k(col("h"), SamplePerSource).as("hs"))
+      .select(col("source"), explode(col("hs")).as("h"))
+    d.join(broadcast(winners), Seq("source", "h"), "left_semi")
+      .select("source", "doc_id", "lang", "n_chars")
+      .orderBy("source", "doc_id")
+  }
+
+  val q67Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, lang, n_chars,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM documents),
+       | r AS (SELECT source, doc_id, lang, n_chars,
+       |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d)
+       |SELECT source, doc_id, lang, n_chars FROM r
+       |WHERE rn <= $SamplePerSource ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -761,7 +864,9 @@ object TextOps {
     "q60_span_dedup" -> (q60SpanDedup _),
     "q62_mixture_sample" -> (q62MixtureSample _),
     "q63_sequence_pack" -> (q63SequencePack _),
-    "q65_lm_quality" -> (q65LmQuality _))
+    "q65_lm_quality" -> (q65LmQuality _),
+    "q66_bloom_decontaminate" -> (q66BloomDecontaminate _),
+    "q67_group_sample" -> (q67GroupSample _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -780,5 +885,7 @@ object TextOps {
     "q60_span_dedup" -> q60Sql,
     "q62_mixture_sample" -> q62Sql,
     "q63_sequence_pack" -> q63Sql,
-    "q65_lm_quality" -> q65Sql)
+    "q65_lm_quality" -> q65Sql,
+    "q66_bloom_decontaminate" -> q66Sql,
+    "q67_group_sample" -> q67Sql)
 }
