@@ -476,9 +476,14 @@ object SimilarityOps {
   /** Trains the quantizer and returns (final centroids (cid, cq),
     * final assignment (vec_id, qv, cid, d2)) — shared by q57 (training
     * diagnostics) and q58 (the IVF index built from it). */
-  private def kmeansTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = emb(spark, dir).select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+  private def kmeansTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansTrainOn(emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv")))
+
+  /** Lloyd training over any quantized corpus (vec_id, qv: array<bigint>);
+    * init = the K lowest vec_ids. Also the quantizer behind q68's
+    * cluster-partitioned semantic dedup. */
+  private def kmeansTrainOn(e: DataFrame): (DataFrame, DataFrame) = {
     val cent0 = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cq"))
 
@@ -679,18 +684,23 @@ object SimilarityOps {
        | $out AS (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
 
   /** Shared CTE chain: quantized vectors `e`, init `c0`, KmeansIters Lloyd
-    * rounds, final assignment `af` (vec_id, qv, cid, d2). */
-  private def kmeansCtes: String = {
+    * rounds, final assignment `af` (vec_id, qv, cid, d2). `pre` lets a
+    * caller swap in a different corpus by prepending CTEs and redefining
+    * the body of `e` (q68 normalizes + augments before quantizing). */
+  private def kmeansCtesFrom(pre: String): String = {
     val rounds = (1 to KmeansIters).map { i =>
       kmAssignCte(if (i == 1) "c0" else s"c${i - 1}", s"a$i") + "," + kmUpdateCte(s"a$i", s"c$i")
     }.mkString(",")
-    s"""WITH e AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
-       | FROM embeddings),
+    s"""WITH $pre,
        | c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cq FROM e WHERE vec_id < $KmeansK),
        |$rounds,
        |${kmAssignCte(s"c$KmeansIters", "af")}""".stripMargin
   }
+
+  private def kmeansCtes: String = kmeansCtesFrom(
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       | FROM embeddings)""".stripMargin)
 
   val q57Sql: String =
     s"""$kmeansCtes
@@ -711,6 +721,83 @@ object SimilarityOps {
        |SELECT qid, cid AS bucket, rank, vec_id, dq FROM r WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q68 — SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+  // normalized embeddings with the fixed-point quantizer, then comparing
+  // pairs ONLY within a cluster — O(n²/K) instead of the corpus-wide
+  // O(n²) pairwise pass, the move that makes embedding dedup feasible at
+  // 100 TB (clusters shard across executors; each cluster's pairwise scan
+  // is local to its shuffle partition). A doc is dropped when its cosine
+  // to any LOWER-id doc in the same cluster clears the threshold
+  // (deterministic keep-first). Normalization happens BEFORE fixed-point
+  // quantization, so an exact ×2-scaled copy — same direction, double the
+  // magnitude — quantizes to the IDENTICAL integer vector (scaling by a
+  // power of two only shifts IEEE exponents: 2x/sqrt(dot(2x,2x)) ==
+  // x/sqrt(dot(x,x)) bit-for-bit), lands in the same cluster, and scores
+  // cosine exactly 1.0. Every post-quantization op is integer; the one
+  // float step (the norm) is a sequential sum replayed identically in SQL.
+  // ===========================================================
+  val SemDedupThr = 0.95
+
+  def q68SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val scaled = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    val e = base.unionByName(scaled)
+      .withColumn("nrm",
+        expr("sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (s, x) -> s + x))"))
+      .select(col("vec_id"),
+        expr(s"transform(v, x -> CAST(floor((x / nrm) * ${Q}d) AS BIGINT))").as("qv"))
+    val (_, assigned) = kmeansTrainOn(e)
+    def sq(c: String) = expr(
+      s"aggregate(zip_with($c, $c, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)")
+    val pairs = assigned.select(col("cid"), col("vec_id").as("ia"), col("qv").as("qa"))
+      .join(assigned.select(col("cid"), col("vec_id").as("ib"), col("qv").as("qb")), Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(sq("qa").cast("double")) * sqrt(sq("qb").cast("double"))), 6))
+      .filter(col("cos") >= SemDedupThr)
+    val dropped = pairs.select(col("ib").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .groupBy(col("cid").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  val q68Sql: String = (kmeansCtesFrom(
+    s"""base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       | corpus AS (SELECT * FROM base
+       |  UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2.0) FROM base
+       |   WHERE vec_id % 7 = 0),
+       | n AS (SELECT vec_id, v,
+       |   sqrt(list_reduce(list_transform(v, y -> y * y), (s, x2) -> s + x2)) AS nrm
+       |  FROM corpus),
+       | e AS (SELECT vec_id,
+       |   list_transform(v, x -> CAST(floor((x / nrm) * $Q) AS BIGINT)) AS qv FROM n)""".stripMargin)
+    + s""",
+       | p AS (SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
+       |   list_reduce(list_transform(range(1, len(a.qv) + 1),
+       |     i -> a.qv[i] * b.qv[i]), (s, x) -> s + x) AS dot,
+       |   list_reduce(list_transform(a.qv, y -> y * y), (s, x) -> s + x) AS na,
+       |   list_reduce(list_transform(b.qv, y -> y * y), (s, x) -> s + x) AS nb
+       |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       | d AS (SELECT DISTINCT ib FROM p
+       |  WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= $SemDedupThr)
+       |SELECT af.cid AS cluster, COUNT(*) AS n_vecs,
+       | CAST(SUM(CASE WHEN d.ib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       | CAST(COUNT(*) - SUM(CASE WHEN d.ib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM af LEFT JOIN d ON af.vec_id = d.ib
+       |GROUP BY af.cid ORDER BY af.cid""".stripMargin).replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
@@ -720,7 +807,8 @@ object SimilarityOps {
     "q48_dup_clusters" -> (q48DupClusters _),
     "q57_kmeans" -> (q57Kmeans _),
     "q58_ann_ivf_trained" -> (q58AnnIvfTrained _),
-    "q59_pq_ann" -> (q59PqAnn _))
+    "q59_pq_ann" -> (q59PqAnn _),
+    "q68_semdedup" -> (q68SemDedup _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -782,5 +870,6 @@ object SimilarityOps {
     "q48_dup_clusters" -> q48Sql,
     "q57_kmeans" -> q57Sql,
     "q58_ann_ivf_trained" -> q58Sql,
-    "q59_pq_ann" -> q59Sql)
+    "q59_pq_ann" -> q59Sql,
+    "q68_semdedup" -> q68Sql)
 }
