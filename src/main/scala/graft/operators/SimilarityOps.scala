@@ -488,11 +488,16 @@ object SimilarityOps {
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cq"))
 
     def assign(cent: DataFrame): DataFrame = {
-      val d2 = expr(
-        "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)")
+      // d2 = |v|² + |c|² - 2·v·c, all exact integer — algebraically equal
+      // to Σ(a-b)² but the norms hoist out of the (vector × centroid)
+      // loop and the remaining dot runs on the native codegen'd ArrayDot
+      // instead of the interpreted higher-order-function path
       val w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-      e.join(broadcast(cent))
-        .withColumn("d2", d2)
+      e.withColumn("na", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+        .join(broadcast(cent.withColumn("nb",
+          graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))))
+        .withColumn("d2", col("na") + col("nb") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("cq")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("vec_id", "qv", "cid", "d2")
@@ -536,13 +541,14 @@ object SimilarityOps {
   def q58AnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
     val (_, assigned) = kmeansTrain(spark, dir)
     val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
     val queries = index.filter(col("vec_id") < 10)
-      .select(col("cid"), col("vec_id").as("qid"), col("qv").as("qqv"))
+      .select(col("cid"), col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
     val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
     index.join(broadcast(queries), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dq", expr(
-        "aggregate(zip_with(qv, qqv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("cid").as("bucket"), col("rank"), col("vec_id"), col("dq"))
@@ -580,12 +586,18 @@ object SimilarityOps {
     val cent0 = es.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sqv").as("cq"))
 
-    val d2 = expr(
-      "aggregate(zip_with(sqv, cq, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)")
+    // d2 = |v|² + |c|² - 2·v·c (exact integers): norms hoist out of the
+    // (subvector × centroid) loop, the dot is the native ArrayDot
+    def withD2(joined: DataFrame): DataFrame =
+      joined
+        .withColumn("d2",
+          graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
+            lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
+    def withNcq(cent: DataFrame): DataFrame =
+      cent.withColumn("ncq", graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-      es.join(broadcast(cent), Seq("m"))
-        .withColumn("d2", d2)
+      withD2(es.join(broadcast(withNcq(cent)), Seq("m")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("vec_id", "m", "sqv", "cid", "d2")
@@ -604,11 +616,11 @@ object SimilarityOps {
     // referenced once downstream, so no checkpoint needed
     val codes = assign(centFinal).select("vec_id", "m", "cid")
     // ADC distance tables for the query set: (qid, m, cid) -> subdistance
-    val dt = es.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
-      .join(broadcast(centFinal), Seq("m"))
-      .withColumn("ld2", d2)
-      .select("qid", "m", "cid", "ld2")
+    val dt = withD2(
+      es.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("m"), col("sqv"))
+        .join(broadcast(withNcq(centFinal)), Seq("m")))
+      .select(col("qid"), col("m"), col("cid"), col("d2").as("ld2"))
     val w = Window.partitionBy("qid").orderBy("adq", "vec_id")
     codes.join(broadcast(dt), Seq("m", "cid"))
       .groupBy("qid", "vec_id")
@@ -751,15 +763,16 @@ object SimilarityOps {
       .select(col("vec_id"),
         expr(s"transform(v, x -> CAST(floor((x / nrm) * ${Q}d) AS BIGINT))").as("qv"))
     val (_, assigned) = kmeansTrainOn(e)
-    def sq(c: String) = expr(
-      s"aggregate(zip_with($c, $c, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)")
-    val pairs = assigned.select(col("cid"), col("vec_id").as("ia"), col("qv").as("qa"))
-      .join(assigned.select(col("cid"), col("vec_id").as("ib"), col("qv").as("qb")), Seq("cid"))
+    // per-vector norms computed ONCE before the pairwise join (native
+    // ArrayDot); inside the O(n²/K) loop only the single dot remains
+    val sides = assigned.withColumn("n2",
+      graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val pairs = sides.select(col("cid"), col("vec_id").as("ia"), col("qv").as("qa"), col("n2").as("na"))
+      .join(sides.select(col("cid"), col("vec_id").as("ib"), col("qv").as("qb"), col("n2").as("nb")), Seq("cid"))
       .filter(col("ia") < col("ib"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qa, qb, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("dot", graft.plans.ArrayDot.array_dot(col("qa"), col("qb")))
       .withColumn("cos", round(col("dot").cast("double") /
-        (sqrt(sq("qa").cast("double")) * sqrt(sq("qb").cast("double"))), 6))
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
       .filter(col("cos") >= SemDedupThr)
     val dropped = pairs.select(col("ib").as("vec_id")).distinct()
     assigned

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.Shims
 
@@ -20,25 +20,33 @@ import org.apache.spark.sql.graft.Shims
  * left-to-right, bit-identical to the fold it replaces.
  *
  * Accepts float or double element types (floats are widened per element,
- * matching `CAST(embedding AS DOUBLE[])` semantics).
+ * matching `CAST(embedding AS DOUBLE[])` semantics), or two bigint arrays —
+ * the fixed-point-quantizer path (q57/q58/q68) — in which case the result
+ * is an exact integer dot (caller guarantees no overflow; quantized
+ * coordinates are ~2^21 so 64-dim dots stay under 2^48).
  */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def bothLong: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def elemOk(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
-    if (elemOk(left.dataType) && elemOk(right.dataType))
+    if ((elemOk(left.dataType) && elemOk(right.dataType)) || bothLong)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"array_dot requires array<float|double> inputs, got " +
+        s"array_dot requires array<float|double> (or both array<bigint>) inputs, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = if (bothLong) LongType else DoubleType
   // null result on length mismatch / null element, like zip_with+aggregate
   override def nullable: Boolean = true
 
@@ -54,17 +62,28 @@ case class ArrayDot(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
-    val af = isFloat(left); val bf = isFloat(right)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
-      i += 1
+    if (bothLong) {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
+      acc
+    } else {
+      val af = isFloat(left); val bf = isFloat(right)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,14 +91,17 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val (accTy, getA, getB) =
+        if (bothLong) ("long", s"$a.getLong($i)", s"$b.getLong($i)")
+        else ("double",
+          if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)",
+          if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
-         |  double $acc = 0.0;
+         |  $accTy $acc = 0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $getA * $getB;

@@ -46,6 +46,26 @@ class ArrayDotSpec extends AnyFunSuite {
     assert(df.select(array_dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("bigint arrays: exact integer dot, matches the fold path") {
+    val df = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, 6L)),
+      (Array(1L << 21, 1L << 21, -(1L << 21)), Array(1L << 21, -(1L << 21), 1L << 21)))
+      .toDF("a", "b")
+    val rows = df.select(
+      array_dot(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("fold"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows.head.getLong(0) == 12L)
+    // quantizer-scale magnitudes stay exact (no double rounding at 2^42)
+    assert(rows(1).getLong(0) == -(1L << 42))
+  }
+
+  test("bigint arrays: length mismatch yields null (like zip_with+aggregate)") {
+    val df = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+    assert(df.select(array_dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("registered for SQL (runtime registration; extensions use same builder)") {
     // the suite may inherit a session built without spark.sql.extensions —
     // register on the live session, which is what GraftExtensions does at
