@@ -767,8 +767,22 @@ object SimilarityOps {
     // ArrayDot); inside the O(n²/K) loop only the single dot remains
     val sides = assigned.withColumn("n2",
       graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
-    val pairs = sides.select(col("cid"), col("vec_id").as("ia"), col("qv").as("qa"), col("n2").as("na"))
-      .join(sides.select(col("cid"), col("vec_id").as("ib"), col("qv").as("qb"), col("n2").as("nb")), Seq("cid"))
+    // bucketed triangle join: a straight self-join on cid caps parallelism
+    // at K tasks and reduces a hot cluster on ONE executor — a straggler at
+    // scale. Salting each side into S hash-buckets and joining on
+    // (cid, sa, sb) splits every cluster's pairwise work into S² tasks
+    // (each (a,b) pair meets exactly once: at (bucket(a), bucket(b))),
+    // at the cost of replicating each row S times into the shuffle.
+    val S = 8
+    val lhs = sides
+      .select(col("cid"), col("vec_id").as("ia"), col("qv").as("qa"), col("n2").as("na"),
+        pmod(col("vec_id"), lit(S)).cast("int").as("sa"))
+      .withColumn("sb", explode(expr(s"sequence(0, ${S - 1})")))
+    val rhs = sides
+      .select(col("cid"), col("vec_id").as("ib"), col("qv").as("qb"), col("n2").as("nb"),
+        pmod(col("vec_id"), lit(S)).cast("int").as("sb"))
+      .withColumn("sa", explode(expr(s"sequence(0, ${S - 1})")))
+    val pairs = lhs.join(rhs, Seq("cid", "sa", "sb"))
       .filter(col("ia") < col("ib"))
       .withColumn("dot", graft.plans.ArrayDot.array_dot(col("qa"), col("qb")))
       .withColumn("cos", round(col("dot").cast("double") /
