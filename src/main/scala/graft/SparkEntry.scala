@@ -11,14 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - SessionOps: q16-q17 sessions/enrichment, q19 as-of join,
   *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join,
   *    q61 event-time interval join (batch form of streaming/StreamJoin)
-  *  - RelationalOps: q20-q24 relational analytics
+  *  - RelationalOps: q20-q24 relational analytics, q25 rollup subtotals,
+  *    q26 blocked fuzzy self-join
   *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
   *    tokens, q51 PII scan, q53 hash-split, q54 decontamination,
   *    q55 chunking, q56 repetition gate, q60 cross-doc span dedup,
-  *    q62 mixture sampling, q63 sequence packing
+  *    q62 mixture sampling, q63 sequence packing, q65 count-LM quality,
+  *    q66 bloom-prefiltered decontamination, q67 per-group uniform sample
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
-  *    ANN, q59 product-quantization ANN
+  *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
+  *    semantic dedup)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling
   *  - PipelineOps: q50 full-engine pipeline
   * Every query has an exact DuckDB oracle (see oracleSql).
