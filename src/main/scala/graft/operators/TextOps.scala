@@ -775,11 +775,19 @@ object TextOps {
     val d = docs(spark, dir)
     val benchHashes = ngramHashes(d.filter(col("doc_id") % 97 === 0))
       .select("h").distinct()
-    val bloom = benchHashes.agg(
-      BloomSketch.bloom_agg(col("h"), BloomBits, BloomProbes).as("bits"))
+    // the bits reach the corpus scan as a SCALAR SUBQUERY, not a join:
+    // a single-row cross join would be subject to join reordering (Spark's
+    // PushDownLeftSemiAntiJoin even crosses aggregation boundaries), which
+    // floats the exact semi-join BELOW the bloom probe — harmless at test
+    // scale but exactly backwards at 100 TB. As a filter predicate on the
+    // n-gram stream the probe is pinned below the join and evaluates where
+    // it belongs: in the corpus scan stage.
+    benchHashes.agg(
+        BloomSketch.bloom_agg(col("h"), BloomBits, BloomProbes).as("bits"))
+      .createOrReplaceTempView("graft_q66_bloom")
     val contaminated = ngramHashes(d.filter(col("doc_id") % 97 =!= 0))
-      .join(broadcast(bloom)) // single-row bits array to every task
-      .filter(BloomSketch.mightContain("bits", "h", BloomBits, BloomProbes))
+      .filter(BloomSketch.mightContain(
+        "(SELECT bits FROM graft_q66_bloom)", "h", BloomBits, BloomProbes))
       .join(broadcast(benchHashes), Seq("h"), "left_semi") // exact: kills FPs
       .select("doc_id").distinct()
     d.filter(col("doc_id") % 97 =!= 0)
