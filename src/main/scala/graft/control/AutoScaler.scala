@@ -45,23 +45,21 @@ object AutoScaler {
       minUpFactor: Double = 1.2,
       maxDownFactor: Double = 0.8,
       minDownFactor: Double = 0.5)
-}
 
-final class AutoScaler(config: AutoScaler.Config = AutoScaler.Config()) {
-  import AutoScaler._
+  final case class WinSample(tsMs: Long, scale: Double)
 
-  private final case class Sample(tsMs: Long, scale: Double)
-
-  final case class GroupState(
-      phase: Phase,
+  /** Complete per-group autoscaler state — phase is a String (not the
+    * sealed trait) so the SAME case class is the `flatMapGroupsWithState`
+    * state of the live form (streaming/ScaleStream) with a plain product
+    * encoder. The window is bounded: samples older than
+    * max(downWindowMs, hibernateMs) are evicted on every step, so state
+    * size is horizon/cadence regardless of stream length. */
+  final case class StepState(
+      phase: String,
       scale: Double,
       lastNonZeroTsMs: Long,
-      firstSampleTsMs: Long)
-
-  private val samples = mutable.Map.empty[String, mutable.ArrayDeque[Sample]]
-  private val states = mutable.Map.empty[String, GroupState]
-
-  def state(group: String): Option[GroupState] = states.get(group)
+      firstSampleTsMs: Long,
+      window: Vector[WinSample])
 
   private def percentile(xs: Seq[Double], p: Double): Double = {
     if (xs.isEmpty) return 0.0
@@ -73,52 +71,82 @@ final class AutoScaler(config: AutoScaler.Config = AutoScaler.Config()) {
     s(lo) * (1 - d) + s(hi) * d
   }
 
-  /** Feed one throughput sample for a job group; returns the current scale
-    * decision. */
-  def onSample(group: String, msgsPerSec: Double, bytesPerSec: Double, nowMs: Long): Double = {
+  /** The pure state transition: one throughput sample in, next state out.
+    * Both the driver-loop AutoScaler and the streaming ScaleStream run
+    * exactly this function, so the two forms are decision-for-decision
+    * identical on the same sample sequence (ControlPlaneSpec asserts it). */
+  def step(prevOpt: Option[StepState], msgsPerSec: Double, bytesPerSec: Double,
+           nowMs: Long, config: Config): StepState = {
     val sc = scaleOf(msgsPerSec, bytesPerSec)
-    val buf = samples.getOrElseUpdate(group, mutable.ArrayDeque.empty)
-    buf.append(Sample(nowMs, sc))
     val horizon = nowMs - math.max(config.downWindowMs, config.hibernateMs)
-    while (buf.nonEmpty && buf.head.tsMs < horizon) buf.removeHead()
+    val prev = prevOpt.getOrElse(
+      StepState("calibrating", math.max(sc, 1.0), nowMs, nowMs, Vector.empty))
+    val window = (prev.window :+ WinSample(nowMs, sc)).dropWhile(_.tsMs < horizon)
+    val lastNonZero = if (sc > 0) nowMs else prev.lastNonZeroTsMs
 
-    val st = states.getOrElse(group,
-      GroupState(Phase.Calibrating, math.max(sc, 1.0), nowMs, nowMs))
-    val lastNonZero = if (sc > 0) nowMs else st.lastNonZeroTsMs
-
-    val next = st.phase match {
-      case Phase.Calibrating =>
+    prev.phase match {
+      case "calibrating" =>
         // during calibration track the observed max so under-provisioning
         // never throttles a new group
-        val calibrated = math.max(st.scale, sc)
-        if (nowMs - st.firstSampleTsMs >= config.calibrateMs)
-          st.copy(phase = Phase.Running, scale = calibrated, lastNonZeroTsMs = lastNonZero)
-        else st.copy(scale = calibrated, lastNonZeroTsMs = lastNonZero)
+        val calibrated = math.max(prev.scale, sc)
+        val phase =
+          if (nowMs - prev.firstSampleTsMs >= config.calibrateMs) "running" else "calibrating"
+        prev.copy(phase = phase, scale = calibrated,
+          lastNonZeroTsMs = lastNonZero, window = window)
 
-      case Phase.Running =>
+      case "running" =>
         if (nowMs - lastNonZero >= config.hibernateMs)
-          st.copy(phase = Phase.Hibernating, scale = 0.0, lastNonZeroTsMs = lastNonZero)
+          prev.copy(phase = "hibernating", scale = 0.0,
+            lastNonZeroTsMs = lastNonZero, window = window)
         else {
-          val upWin = buf.view.filter(_.tsMs >= nowMs - config.upWindowMs).map(_.scale).toSeq
-          // bounded to downWindowMs — the buffer itself is retained for the
+          val upWin = window.view.filter(_.tsMs >= nowMs - config.upWindowMs).map(_.scale).toSeq
+          // bounded to downWindowMs — the window itself is retained for the
           // longer hibernate horizon, and an unfiltered p99 would keep a
           // 48h-old spike holding the scale up for 72h
-          val downWin = buf.view.filter(_.tsMs >= nowMs - config.downWindowMs).map(_.scale).toSeq
+          val downWin = window.view.filter(_.tsMs >= nowMs - config.downWindowMs).map(_.scale).toSeq
           val p50 = percentile(upWin, config.upPercentile)
           val p99 = percentile(downWin, config.downPercentile)
-          var scale = st.scale
+          var scale = prev.scale
           if (p50 > scale) // up-scale, bounded x[1.2, 2.0]
             scale = math.min(math.max(p50, scale * config.minUpFactor), scale * config.maxUpFactor)
           else if (p99 < scale) // down-scale, bounded x[0.5, 0.8]
             scale = math.max(math.min(p99, scale * config.maxDownFactor), scale * config.minDownFactor)
-          st.copy(scale = scale, lastNonZeroTsMs = lastNonZero)
+          prev.copy(scale = scale, lastNonZeroTsMs = lastNonZero, window = window)
         }
 
-      case Phase.Hibernating =>
+      case _ => // hibernating
         if (sc > 0) // wake: back to calibration with at least one worker
-          GroupState(Phase.Calibrating, math.max(sc, 1.0), nowMs, nowMs)
-        else st
+          StepState("calibrating", math.max(sc, 1.0), nowMs, nowMs, window)
+        else prev.copy(window = window)
     }
+  }
+
+  private[control] def phaseOf(s: String): Phase = s match {
+    case "calibrating" => Phase.Calibrating
+    case "running" => Phase.Running
+    case _ => Phase.Hibernating
+  }
+}
+
+final class AutoScaler(config: AutoScaler.Config = AutoScaler.Config()) {
+  import AutoScaler._
+
+  final case class GroupState(
+      phase: Phase,
+      scale: Double,
+      lastNonZeroTsMs: Long,
+      firstSampleTsMs: Long)
+
+  private val states = mutable.Map.empty[String, StepState]
+
+  def state(group: String): Option[GroupState] = states.get(group)
+    .map(s => GroupState(phaseOf(s.phase), s.scale, s.lastNonZeroTsMs, s.firstSampleTsMs))
+
+  /** Feed one throughput sample for a job group; returns the current scale
+    * decision. Delegates to the pure [[AutoScaler.step]] — the same
+    * transition the streaming form runs. */
+  def onSample(group: String, msgsPerSec: Double, bytesPerSec: Double, nowMs: Long): Double = {
+    val next = step(states.get(group), msgsPerSec, bytesPerSec, nowMs, config)
     states(group) = next
     next.scale
   }
