@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join,
   *    q61 event-time interval join (batch form of streaming/StreamJoin)
   *  - RelationalOps: q20-q24 relational analytics, q25 rollup subtotals,
-  *    q26 blocked fuzzy self-join
+  *    q26 blocked fuzzy self-join, q27 JSON extraction, q28 pivot
   *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
   *    tokens, q51 PII scan, q53 hash-split, q54 decontamination,
   *    q55 chunking, q56 repetition gate, q60 cross-doc span dedup,

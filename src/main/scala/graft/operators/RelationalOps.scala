@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
  */
 object RelationalOps {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") // events.ts is TIMESTAMP(NANOS)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,2)")
@@ -266,6 +269,68 @@ object RelationalOps {
        |WHERE levenshtein(x.p_name, y.p_name) <= $FuzzyMaxDist
        |ORDER BY a, b""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q27 — schema-on-read JSON extraction: the event payload (`props`) is
+  // parsed with an EXPLICIT schema via from_json — one Jackson parse per
+  // row projected down to the single needed field, no schema inference
+  // pass over the corpus (inference is a full extra scan at 100 TB; a
+  // declared schema also keeps the plan deterministic). Malformed rows
+  // yield NULL (PERMISSIVE), which the aggregate counts separately.
+  // ===========================================================
+  def q27JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_malformed"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        countDistinct(col("k")).as("uniq_k"))
+      .orderBy("event_type")
+
+  val q27Sql: String =
+    """WITH e AS (SELECT event_type,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+      | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      | COUNT(DISTINCT k) AS uniq_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q28 — pivot (cohort × event-type count matrix) with an EXPLICIT value
+  // list: Spark's pivot without one runs a distinct-values job first — an
+  // extra corpus scan at 100 TB and a nondeterministic column order; the
+  // declared list makes the plan a single pass and the schema stable.
+  // Underneath it's one hash aggregation keyed on cohort with per-type
+  // conditional counts — map-side combinable, one shuffle.
+  // ===========================================================
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q28Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(spark, dir, "events")
+      .withColumn("cohort", pmod(col("user_id"), lit(8)))
+      .groupBy("cohort")
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+    PivotEventTypes.foldLeft(pivoted)((df, c) =>
+        df.withColumn(c, coalesce(col(c), lit(0L))))
+      .orderBy("cohort")
+  }
+
+  val q28Sql: String = {
+    val cols = PivotEventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(", ")
+    s"""SELECT user_id % 8 AS cohort, $cols
+       |FROM events GROUP BY user_id % 8 ORDER BY cohort""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_pricing_summary" -> (q20PricingSummary _),
     "q21_top_customers" -> (q21TopCustomers _),
@@ -273,7 +338,9 @@ object RelationalOps {
     "q23_running_window" -> (q23RunningWindow _),
     "q24_order_priority" -> (q24OrderPriority _),
     "q25_rollup_pricing" -> (q25RollupPricing _),
-    "q26_fuzzy_name_match" -> (q26FuzzyNameMatch _))
+    "q26_fuzzy_name_match" -> (q26FuzzyNameMatch _),
+    "q27_json_extract" -> (q27JsonExtract _),
+    "q28_pivot" -> (q28Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q20_pricing_summary" -> q20Sql,
@@ -282,5 +349,7 @@ object RelationalOps {
     "q23_running_window" -> q23Sql,
     "q24_order_priority" -> q24Sql,
     "q25_rollup_pricing" -> q25Sql,
-    "q26_fuzzy_name_match" -> q26Sql)
+    "q26_fuzzy_name_match" -> q26Sql,
+    "q27_json_extract" -> q27Sql,
+    "q28_pivot" -> q28Sql)
 }
