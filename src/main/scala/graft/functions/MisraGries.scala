@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions.udaf
  *
  * Buffer layout: interleaved [key0, cnt0, key1, cnt1, ...] sorted ascending
  * by key, so lookups are a binary search over even slots.
+ *
+ * Precondition: the input column must be non-null. The primitive Long input
+ * encoder folds NULL to 0L silently, which would diverge from engines that
+ * group NULL separately — filter nulls out first (as q64 does with
+ * `filter(col.isNotNull)`) rather than relying on the encoder default.
  */
 class MisraGries(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k >= 1, s"mg_candidates needs k >= 1, got $k")
