@@ -616,6 +616,55 @@ object ForwardingOps {
        |WHERE n_events * ${HhSketchK + 1} > total
        |ORDER BY n_events DESC, user_id""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q70 — throughput trend per topic: integer least-squares slope over
+  // per-minute message counts — the predictive input the autoscaler's
+  // windowed-percentile machinery (ScaleWindow.java:49-56) lacks: is load
+  // RISING or FALLING, not just where it sits. Buckets aggregate first
+  // (one map-side-combinable shuffle; the regression then runs on
+  // #topics × #minutes rows, not messages). x is the minute index
+  // RELATIVE to each topic's first bucket, keeping every regression sum
+  // comfortably in int64; slope sign = sign(n·Σxy − Σx·Σy) because the
+  // denominator n·Σxx − (Σx)² = n²·var(x) ≥ 0. All sums are exact
+  // integers — no float regression aggregates, so the oracle
+  // hash-matches bit-for-bit. (At extreme bucket×count magnitudes the
+  // sums upgrade to DECIMAL(38,0) unchanged in both engines.)
+  // ===========================================================
+  def q70ThroughputTrend(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = messages(events(spark, dir))
+      .groupBy("topic", "minute_ts")
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("topic")
+    buckets
+      .withColumn("mn", min("minute_ts").over(w))
+      .withColumn("x", expr("(minute_ts - mn) DIV 60"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("topic"), col("n_buckets"),
+        (col("n_buckets") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_buckets") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        signum((col("n_buckets") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          .cast("long").as("trend"))
+      .orderBy("topic")
+  }
+
+  val q70Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | b AS (SELECT topic, minute_ts, COUNT(*) AS y FROM msgs GROUP BY topic, minute_ts),
+       | xb AS (SELECT topic, (minute_ts - MIN(minute_ts) OVER (PARTITION BY topic)) // 60 AS x, y FROM b),
+       | s AS (SELECT topic, COUNT(*) AS n_buckets, SUM(x) AS sx, SUM(y) AS sy,
+       |   SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xb GROUP BY topic)
+       |SELECT topic, n_buckets,
+       | CAST(n_buckets * sxy - sx * sy AS BIGINT) AS slope_num,
+       | CAST(n_buckets * sxx - sx * sx AS BIGINT) AS slope_den,
+       | CAST(sign(n_buckets * sxy - sx * sy) AS BIGINT) AS trend
+       |FROM s ORDER BY topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -635,7 +684,8 @@ object ForwardingOps {
     "q14_tier_select" -> (q14TierSelect _),
     "q15_audit_approx_uniq" -> (q15AuditApproxUniq _),
     "q18_salted_hotkey_agg" -> (q18SaltedHotKeyAgg _),
-    "q64_hot_keys" -> (q64HotKeys _))
+    "q64_hot_keys" -> (q64HotKeys _),
+    "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
     "q01_code_distribution" -> q01Sql,
@@ -654,5 +704,6 @@ object ForwardingOps {
     "q14_tier_select" -> q14Sql,
     "q15_audit_approx_uniq" -> q15Sql,
     "q18_salted_hotkey_agg" -> q18Sql,
-    "q64_hot_keys" -> q64Sql)
+    "q64_hot_keys" -> q64Sql,
+    "q70_throughput_trend" -> q70Sql)
 }

@@ -331,6 +331,42 @@ object RelationalOps {
        |FROM events GROUP BY user_id % 8 ORDER BY cohort""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q29 — GROUPING SETS with NON-hierarchical sets ((flag), (status)):
+  // independent subtotals along two dimensions in ONE pass — the shape
+  // ROLLUP (q25) cannot express (rollup only nests). Spark expands the
+  // sets before the exchange exactly like rollup/cube, so the shuffle
+  // carries (#flags + #statuses) partial rows per map task, never the
+  // fact table — at 100 TB this is two GROUP BYs for the price of one
+  // scan. grouping_id disambiguates which dimension a row subtotals.
+  // ===========================================================
+  def q29GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)").cast("double").as("sum_qty"),
+        sum(discPrice).cast("decimal(30,4)").cast("double").as("sum_disc_price"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"), col("sum_disc_price"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val q29Sql: String =
+    s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       | COALESCE(l_returnflag, 'ALL') AS returnflag,
+       | COALESCE(l_linestatus, 'ALL') AS linestatus,
+       | COUNT(*) AS n_items,
+       | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_qty,
+       | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price
+       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY gid, returnflag, linestatus""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_pricing_summary" -> (q20PricingSummary _),
     "q21_top_customers" -> (q21TopCustomers _),
@@ -340,7 +376,8 @@ object RelationalOps {
     "q25_rollup_pricing" -> (q25RollupPricing _),
     "q26_fuzzy_name_match" -> (q26FuzzyNameMatch _),
     "q27_json_extract" -> (q27JsonExtract _),
-    "q28_pivot" -> (q28Pivot _))
+    "q28_pivot" -> (q28Pivot _),
+    "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q20_pricing_summary" -> q20Sql,
@@ -351,5 +388,6 @@ object RelationalOps {
     "q25_rollup_pricing" -> q25Sql,
     "q26_fuzzy_name_match" -> q26Sql,
     "q27_json_extract" -> q27Sql,
-    "q28_pivot" -> q28Sql)
+    "q28_pivot" -> q28Sql,
+    "q29_grouping_sets" -> q29Sql)
 }

@@ -825,6 +825,96 @@ object SimilarityOps {
        |FROM af LEFT JOIN d ON af.vec_id = d.ib
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin).replace("\n", " ")
 
+  // ===========================================================
+  // q69 — cluster-outlier detection: the k vectors FARTHEST from their own
+  // centroid, per cluster — the standard embedding-curation move for
+  // flagging mislabeled / junk / out-of-distribution training examples
+  // (the far tail of each cluster is where they live). Reuses the q57
+  // trained quantizer, so distances are exact integers. The top-k-per-key
+  // is written as the idiomatic window rank, which GraftExtensions
+  // rewrites to the bounded-heap TopKPerKey operator: map-side pruning
+  // keeps ≤ k rows per cluster per partition, so the exchange carries
+  // K·k·maps rows — not the 100 TB assignment.
+  // ===========================================================
+  val OutlierK = 3
+
+  def q69ClusterOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeansTrain(spark, dir)
+    val w = Window.partitionBy("cid").orderBy(col("d2").desc, col("vec_id"))
+    assigned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OutlierK)
+      .select(col("cid").as("cluster"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy("cluster", "rank")
+  }
+
+  val q69Sql: String =
+    s"""$kmeansCtes,
+       | r AS (SELECT cid, vec_id, d2,
+       |   ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rank FROM af)
+       |SELECT cid AS cluster, rank, vec_id, d2 FROM r WHERE rank <= $OutlierK
+       |ORDER BY cluster, rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q72 — ANN recall evaluation: measures what the IVF index (q58,
+  // nprobe=1) actually costs in recall, per query, against the exact
+  // top-RecallK computed by brute force over the same integer distances.
+  // An index you can't evaluate is an index you can't trust — at 100 TB
+  // the evaluation itself must be a dataflow: ground truth is a (bounded
+  // query set × corpus) broadcast join pruned by the TopKPerKey rewrite,
+  // the IVF side probes one bucket, and both top-k lists meet in one
+  // equi-join on (qid, vec_id). Integer distances make the ground truth —
+  // and therefore the recall figure — bit-exact across engines.
+  // ===========================================================
+  val RecallK = 3
+
+  def q72AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeansTrain(spark, dir)
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("cid").as("qcid"), col("vec_id").as("qid"),
+        col("qv").as("qqv"), col("nv").as("nq"))
+    val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    def topK(joined: DataFrame): DataFrame =
+      joined
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dq", col("nv") + col("nq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= RecallK)
+        .select("qid", "vec_id")
+    val exact = topK(index.crossJoin(broadcast(queries)))
+    val ivf = topK(index.join(broadcast(queries), col("cid") === col("qcid")))
+    exact.join(ivf.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .orderBy("qid")
+  }
+
+  val q72Sql: String =
+    s"""$kmeansCtes,
+       | q AS (SELECT cid AS qcid, vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | iv_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af JOIN q ON af.cid = q.qcid WHERE af.vec_id <> q.qid),
+       | iv AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM iv_d)
+       |  WHERE rn <= $RecallK)
+       |SELECT ex.qid,
+       | CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | 1000 * CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) // $RecallK AS recall_permille
+       |FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
@@ -835,7 +925,9 @@ object SimilarityOps {
     "q57_kmeans" -> (q57Kmeans _),
     "q58_ann_ivf_trained" -> (q58AnnIvfTrained _),
     "q59_pq_ann" -> (q59PqAnn _),
-    "q68_semdedup" -> (q68SemDedup _))
+    "q68_semdedup" -> (q68SemDedup _),
+    "q69_cluster_outliers" -> (q69ClusterOutliers _),
+    "q72_ann_recall" -> (q72AnnRecall _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -898,5 +990,7 @@ object SimilarityOps {
     "q57_kmeans" -> q57Sql,
     "q58_ann_ivf_trained" -> q58Sql,
     "q59_pq_ann" -> q59Sql,
-    "q68_semdedup" -> q68Sql)
+    "q68_semdedup" -> q68Sql,
+    "q69_cluster_outliers" -> q69Sql,
+    "q72_ann_recall" -> q72Sql)
 }

@@ -855,6 +855,45 @@ object TextOps {
        |SELECT source, doc_id, lang, n_chars FROM r
        |WHERE rn <= $SamplePerSource ORDER BY source, doc_id""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q71 — vocabulary coverage / OOV-rate evaluation: build the token
+  // vocabulary from the train split (the q53 hash-split discipline:
+  // doc_id parity, deterministic and coordination-free) and measure each
+  // source's out-of-vocabulary token rate on the held-out split — the
+  // standard pre-training check that a tokenizer/vocab trained on one
+  // slice actually covers the rest of the corpus. One tokenize+explode
+  // scan feeds both sides; the membership test is an equi-join on the
+  // token (broadcast when the vocab fits, shuffle otherwise — and at
+  // 100 TB the q66 bloom-prefilter move applies verbatim to THIS join,
+  // since OOV tokens are exactly the bloom's negative space).
+  // ===========================================================
+  def q71VocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+    val vocab = toks.filter(col("doc_id") % 2 === 0).select("tok").distinct()
+    toks.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(vocab.withColumn("known", lit(1L))), Seq("tok"), "left_outer")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_types"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("1000 * n_oov DIV n_tokens"))
+      .orderBy("source")
+  }
+
+  val q71Sql: String =
+    """WITH tk AS (SELECT doc_id, source,
+      |  unnest(regexp_extract_all(lower(text), '[^ \t\n\r\f]+')) AS tok FROM documents),
+      | vocab AS (SELECT DISTINCT tok FROM tk WHERE doc_id % 2 = 0),
+      | ev AS (SELECT tk.source, tk.tok, v.tok AS known
+      |  FROM tk LEFT JOIN vocab v ON tk.tok = v.tok WHERE tk.doc_id % 2 = 1)
+      |SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+      | CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      | 1000 * CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS oov_permille
+      |FROM ev GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
@@ -874,7 +913,8 @@ object TextOps {
     "q63_sequence_pack" -> (q63SequencePack _),
     "q65_lm_quality" -> (q65LmQuality _),
     "q66_bloom_decontaminate" -> (q66BloomDecontaminate _),
-    "q67_group_sample" -> (q67GroupSample _))
+    "q67_group_sample" -> (q67GroupSample _),
+    "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
@@ -895,5 +935,6 @@ object TextOps {
     "q63_sequence_pack" -> q63Sql,
     "q65_lm_quality" -> q65Sql,
     "q66_bloom_decontaminate" -> q66Sql,
-    "q67_group_sample" -> q67Sql)
+    "q67_group_sample" -> q67Sql,
+    "q71_vocab_oov" -> q71Sql)
 }

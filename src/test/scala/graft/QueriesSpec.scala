@@ -129,4 +129,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(dests.exists(_.endsWith("__grp__dlq")))
     assert(dests.exists(_.startsWith("ack:")))
   }
+
+  test("q29 grouping-set subtotals each partition the fact table") {
+    val rows = SparkEntry.queries("q29_grouping_sets")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L)) // only the two single-dim sets
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    // each dimension's subtotal rows partition the same fact rows
+    assert(rows.filter(_.getLong(0) == 1L).map(_.getLong(3)).sum == total)
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getLong(3)).sum == total)
+  }
+
+  test("q69 emits at most OutlierK ranked outliers per cluster") {
+    val rows = SparkEntry.queries("q69_cluster_outliers")(spark, dir).collect()
+    val k = graft.operators.SimilarityOps.OutlierK
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(rs.length <= k)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length)) // dense ranks
+    }
+  }
+
+  test("q70 trend is the sign of the numerator and denominators are non-negative") {
+    val rows = SparkEntry.queries("q70_throughput_trend")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (num, den, trend) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(den >= 0L) // n²·var(x)
+      assert(trend == num.sign)
+    }
+  }
+
+  test("q71 OOV counts are bounded by token counts") {
+    SparkEntry.queries("q71_vocab_oov")(spark, dir).collect().foreach { r =>
+      val (nTok, nOov, permille) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(nOov >= 0L && nOov <= nTok)
+      assert(permille == 1000L * nOov / nTok)
+    }
+  }
+
+  test("q72 recall is within [0, 1000] permille over the full query set") {
+    val rows = SparkEntry.queries("q72_ann_recall")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hits, permille) = (r.getLong(1), r.getLong(2))
+      assert(hits >= 0L && hits <= graft.operators.SimilarityOps.RecallK)
+      assert(permille >= 0L && permille <= 1000L)
+    }
+  }
 }
