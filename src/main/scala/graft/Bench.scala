@@ -70,6 +70,11 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // collect the previous query's garbage OUTSIDE the timer: without
+      // this, heap pressure from 30+ earlier queries surfaces as multi-
+      // second GC pauses inside whichever later query trips the collector
+      // (q33 measures 0.46s isolated but 3.3s mid-suite without it)
+      System.gc()
       (name, sec, rows)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -161,11 +161,16 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       }
   }
 
-  /** Match rn <= k / rn < k / k >= rn forms against the rank attribute. */
+  /** Match rn <= k / rn < k / k >= rn forms against the rank attribute.
+    * rn = 1 (the per-key argmin every Lloyd assignment uses) is top-1:
+    * row_number starts at 1, so the equality and the bound coincide —
+    * but ONLY for 1 (rn = k for k > 1 selects exactly rank k, not top-k). */
   private def extractBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, _), a: Attribute) if a.semanticEquals(rn) => Some(1)
     case _ => None
   }
 }

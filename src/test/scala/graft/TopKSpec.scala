@@ -67,6 +67,33 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("rn = 1 (argmin) rewrites to top-1 and matches the window result") {
+    val df = spark.range(100000).select(
+      (col("id") % 97).as("key"),
+      ((col("id") * 31) % 10007).as("score"),
+      col("id"))
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    def q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).orderBy("key")
+    val expected = q.collect().map(_.toString)
+    withTopK {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("GraftTopKPerKey(final)"), p.take(2000))
+      assert(q.collect().map(_.toString).sameElements(expected))
+    }
+  }
+
+  test("rn = k for k > 1 is NOT top-k and must stay a window") {
+    withTopK {
+      val df = spark.range(1000).select((col("id") % 7).as("key"), col("id"))
+      val w = Window.partitionBy("key").orderBy("id")
+      val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 3)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("GraftTopKPerKey"), p.take(1200))
+      assert(q.count() == 7)
+    }
+  }
+
   test("no rewrite for rank filters the operator cannot serve") {
     withTopK {
       val df = spark.range(1000).select((col("id") % 7).as("key"), col("id"))
