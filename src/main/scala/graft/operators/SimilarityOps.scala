@@ -482,41 +482,54 @@ object SimilarityOps {
 
   /** Lloyd training over any quantized corpus (vec_id, qv: array<bigint>);
     * init = the K lowest vec_ids. Also the quantizer behind q68's
-    * cluster-partitioned semantic dedup. */
-  private def kmeansTrainOn(e: DataFrame): (DataFrame, DataFrame) = {
-    val cent0 = e.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").cast("int").as("cid"), col("qv").as("cq"))
+    * cluster-partitioned semantic dedup.
+    *
+    * MLlib-shaped execution: the K×dim centroid table always fits on the
+    * driver, so each round ships the centroids INTO the plan as literals —
+    * assignment is a map-only codegen'd `least()` over (d2, cid) structs
+    * (no join, no window, no shuffle) and the only distributed work per
+    * round is one (cluster, dim) partial-sum aggregation whose reduced
+    * K×dim rows come back to the driver. At 100 TB that is the textbook
+    * k-means dataflow: centroid broadcast down, map-side-combined sums up —
+    * nothing vector-sized ever shuffles. */
+  private def kmeansTrainOn(e0: DataFrame): (DataFrame, DataFrame) = {
+    val spark = e0.sparkSession
+    // the corpus is scanned (iters + 2) times (init, each round, final
+    // assignment consumers); cut the derivation once so every pass reads
+    // cached blocks instead of replaying the upstream chain
+    val e = e0.localCheckpoint()
 
-    def assign(cent: DataFrame): DataFrame = {
-      // d2 = |v|² + |c|² - 2·v·c, all exact integer — algebraically equal
-      // to Σ(a-b)² but the norms hoist out of the (vector × centroid)
-      // loop and the remaining dot runs on the native codegen'd ArrayDot
-      // instead of the interpreted higher-order-function path
-      val w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-      e.withColumn("na", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
-        .join(broadcast(cent.withColumn("nb",
-          graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))))
-        .withColumn("d2", col("na") + col("nb") -
-          lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("cq")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "qv", "cid", "d2")
-    }
-    def update(assigned: DataFrame): DataFrame =
-      assigned
+    var cents: Seq[(Int, Seq[Long])] = e.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cid"), col("qv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+
+    // the assignment is the native nearest_centroid expression: one tight
+    // codegen'd loop over the literal centroid table computing exact
+    // integer Σ(a-b)², first-wins ties over cid-ascending books — exactly
+    // the row_number ORDER BY d2, cid pick this replaces, with generated
+    // code size independent of K
+    def assigned(cs: Seq[(Int, Seq[Long])]): DataFrame =
+      e.withColumn("best",
+          graft.plans.NearestCentroid.nearest_centroid(col("qv"), typedlit(cs)))
+        .select(col("vec_id"), col("qv"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+    for (_ <- 1 to KmeansIters) {
+      // floor(longSum.toDouble / n): the same single IEEE divide + floor
+      // the dataflow update performed — bit-identical centroids
+      val sums = assigned(cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "q")))
         .groupBy("cid", "pos")
-        .agg(floor(sum("q").cast("double") / count(lit(1))).cast("long").as("c"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cq"))
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(r =>
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toSeq)
+      }.sortBy(_._1) // empty clusters drop here (classic Lloyd)
+    }
 
-    // localCheckpoint per round: centroids are K rows, but without the cut
-    // every later reference re-embeds (and re-runs) the whole training chain
-    // — q57 references centFinal twice and q58 references the assignment
-    // twice, so the lineage otherwise replays the full Lloyd history per use
-    val centFinal = (1 to KmeansIters).foldLeft(cent0)((c, _) =>
-      update(assign(c)).localCheckpoint())
-    (centFinal, assign(centFinal).localCheckpoint())
+    val centFinal = spark.createDataFrame(cents).toDF("cid", "cq")
+    (centFinal, assigned(cents))
   }
 
   def q57Kmeans(spark: SparkSession, dir: String): DataFrame = {
@@ -583,43 +596,63 @@ object SimilarityOps {
         s"transform(sequence(0, ${PqM - 1}), m -> slice(qv, m * (size(qv) div $PqM) + 1, size(qv) div $PqM))")))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "sqv")
       .localCheckpoint() // scanned once; every Lloyd round + ADC reuses it
-    val cent0 = es.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sqv").as("cq"))
+    // codebooks live on the driver (M×K×(dim/M) longs — always tiny), the
+    // same MLlib-shaped loop as kmeansTrainOn: assignment is a map-only
+    // codegen'd least() over (d2, cid) structs against literal centroid
+    // arrays, selected per row by a when-chain on the subspace m; each
+    // round's only distributed work is one (m, cid, pos) partial-sum
+    // aggregation whose M×K×(dim/M) reduced rows return to the driver.
+    // d2 = |v|² + |c|² - 2·v·c, all exact integer; ties → lowest cid,
+    // identical to the row_number ORDER BY d2, cid this replaces.
+    var books: Seq[(Int, Seq[(Int, Seq[Long])])] = es.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sqv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1).toSeq
+      .map { case (m, rs) => (m, rs.sortBy(_._2).map(r => (r._2, r._3)).toSeq) }
+      .sortBy(_._1)
 
-    // d2 = |v|² + |c|² - 2·v·c (exact integers): norms hoist out of the
-    // (subvector × centroid) loop, the dot is the native ArrayDot
-    def withD2(joined: DataFrame): DataFrame =
-      joined
-        .withColumn("d2",
-          graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
-            lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
-    def withNcq(cent: DataFrame): DataFrame =
-      cent.withColumn("ncq", graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-      withD2(es.join(broadcast(withNcq(cent)), Seq("m")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "m", "sqv", "cid", "d2")
+    def assigned(bks: Seq[(Int, Seq[(Int, Seq[Long])])]): DataFrame = {
+      // all M codebooks ride in ONE literal (array indexed by m); each row
+      // picks its subspace's book with element_at and runs the native
+      // nearest_centroid loop — generated code size independent of M and K
+      val booksLit = typedlit(bks.map(_._2))
+      es.withColumn("best", graft.plans.NearestCentroid.nearest_centroid(
+          col("sqv"), element_at(booksLit, col("m") + 1)))
+        .select(col("vec_id"), col("m"), col("sqv"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
     }
-    def update(assigned: DataFrame): DataFrame =
-      assigned
+
+    for (_ <- 1 to PqIters) {
+      // floor(longSum.toDouble / n): same single IEEE divide + floor as the
+      // dataflow update — bit-identical codebooks
+      val sums = assigned(books)
         .select(col("m"), col("cid"), posexplode(col("sqv")).as(Seq("pos", "q")))
         .groupBy("m", "cid", "pos")
-        .agg(floor(sum("q").cast("double") / count(lit(1))).cast("long").as("c"))
-        .groupBy("m", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cq"))
-    val centFinal = (1 to PqIters).foldLeft(cent0)((c, _) =>
-      update(assign(c)).localCheckpoint())
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      books = sums.groupBy(_.getInt(0)).toSeq.map { case (m, rs) =>
+        (m, rs.groupBy(_.getInt(1)).toSeq.map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(2)).map(r =>
+            math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong).toSeq)
+        }.sortBy(_._1))
+      }.sortBy(_._1)
+    }
 
     // encode: the PQ codes ARE the final assignment's (vec_id, m, cid) —
     // referenced once downstream, so no checkpoint needed
-    val codes = assign(centFinal).select("vec_id", "m", "cid")
-    // ADC distance tables for the query set: (qid, m, cid) -> subdistance
-    val dt = withD2(
-      es.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("m"), col("sqv"))
-        .join(broadcast(withNcq(centFinal)), Seq("m")))
+    val codes = assigned(books).select("vec_id", "m", "cid")
+    // ADC distance tables for the query set: (qid, m, cid) -> subdistance,
+    // against the trained (driver-resident) codebooks
+    val centFinal = spark.createDataFrame(
+      books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
+      .toDF("m", "cid", "cq")
+    val dt = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
+      .join(broadcast(centFinal.withColumn("ncq",
+        graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))), Seq("m"))
+      .withColumn("d2",
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
       .select(col("qid"), col("m"), col("cid"), col("d2").as("ld2"))
     val w = Window.partitionBy("qid").orderBy("adq", "vec_id")
     codes.join(broadcast(dt), Seq("m", "cid"))

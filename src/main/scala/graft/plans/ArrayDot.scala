@@ -152,6 +152,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
     // per-key top-k: rewrite row_number-window + rank filter into the
     // two-phase (map-side-pruned) TopKPerKey operator
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
