@@ -40,6 +40,24 @@ object RelationalOps {
   private val discPriceSql: String =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
+  /** Fixed-point money: the 2-decimal columns as exact scaled longs
+    * (cents). Long sums run on the vectorized codegen aggregate path —
+    * the decimal(18,x) sum they replace goes through the interpreted
+    * overflow-checked aggregate and dominated q20/q21's runtime. round()
+    * agrees across engines because the source doubles ARE exact cents;
+    * sums stay exact in int64 up to ~10^18 (≫ any SF here), and the one
+    * closing double division is the same IEEE op in both engines. */
+  private def c100(name: String): org.apache.spark.sql.Column =
+    round(col(name) * 100).cast("long")
+  private def c100Sql(name: String): String =
+    s"CAST(round($name * 100) AS BIGINT)"
+
+  /** discounted price in 4-decimal fixed point: cents × (100 − disc%). */
+  private def discPriceL: org.apache.spark.sql.Column =
+    c100("l_extendedprice") * (lit(100L) - c100("l_discount"))
+  private val discPriceLSql: String =
+    s"${c100Sql("l_extendedprice")} * (100 - ${c100Sql("l_discount")})"
+
   // ===========================================================
   // q20 — pricing summary (TPC-H Q1 shape): wide aggregation with decimal
   // exactness, grouped by returnflag/linestatus
@@ -49,26 +67,26 @@ object RelationalOps {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)").cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("decimal(30,4)").cast("double").as("sum_base_price"),
-        sum(discPrice).cast("decimal(30,4)").cast("double").as("sum_disc_price"),
-        sum((discPrice * (lit(1).cast("decimal(18,2)") + dec(col("l_tax"))))
-          .cast("decimal(18,6)")).cast("decimal(30,6)").cast("double").as("sum_charge"),
-        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        (sum(c100("l_quantity")).cast("double") / lit(100.0)).as("sum_qty"),
+        (sum(c100("l_extendedprice")).cast("double") / lit(100.0)).as("sum_base_price"),
+        (sum(discPriceL).cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (sum(discPriceL * (lit(100L) + c100("l_tax"))).cast("double") / lit(1000000.0))
+          .as("sum_charge"),
+        (sum(c100("l_quantity")).cast("double") / lit(100.0) / count(lit(1))).as("avg_qty"),
+        (sum(c100("l_extendedprice")).cast("double") / lit(100.0) / count(lit(1))).as("avg_price"),
+        (sum(c100("l_discount")).cast("double") / lit(100.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q20Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_qty,
-      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_base_price,
-      | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
-      | CAST(CAST(SUM(CAST($discPriceSql * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | CAST(SUM(${c100Sql("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+      | CAST(SUM(${c100Sql("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+      | CAST(SUM($discPriceLSql) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      | CAST(SUM($discPriceLSql * (100 + ${c100Sql("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+      | CAST(SUM(${c100Sql("l_quantity")}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+      | CAST(SUM(${c100Sql("l_extendedprice")}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+      | CAST(SUM(${c100Sql("l_discount")}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
       | COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -89,12 +107,12 @@ object RelationalOps {
     // associative), and the join probes ~4x fewer rows
     val perOrder = lineitem
       .groupBy(col("l_orderkey"))
-      .agg(sum(discPrice).as("order_rev"), count(lit(1)).as("order_items"))
+      .agg(sum(discPriceL).as("order_rev"), count(lit(1)).as("order_items"))
     perOrder
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(sum(col("order_rev")).cast("decimal(30,4)").cast("double").as("revenue"),
+      .agg((sum(col("order_rev")).cast("double") / lit(10000.0)).as("revenue"),
         sum(col("order_items")).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -102,7 +120,7 @@ object RelationalOps {
 
   val q21Sql: String =
     s"""SELECT c_custkey, c_name,
-      | CAST(CAST(SUM($discPriceSql) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+      | CAST(SUM($discPriceLSql) AS DOUBLE) / 10000.0 AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | JOIN customer ON o_custkey = c_custkey
