@@ -376,15 +376,44 @@ object SimilarityOps {
     // growing with the data.
     val nActiveEdges = undirected.count()
     val loopParts = math.max(1, (nActiveEdges / 1000000L).toInt)
-    val adj = undirected.union(active.select(col("src"), col("src").as("dst")))
-      .repartition(loopParts, col("src"))
-      .localCheckpoint()
+
+    // Adaptive physical strategy (the AQE move, applied to graph shape):
+    // the verified-dup subgraph is a sliver of the corpus, and its runtime
+    // size is already on the driver (nActiveEdges). Below the threshold —
+    // ~4M edges ≈ 64 MB of longs — a driver union-find labels the whole
+    // subgraph in ONE pass with zero shuffle rounds; above it, the
+    // O(diameter)-round distributed min-label loop takes over. Both paths
+    // produce the identical labeling (min id per connected component).
+    val SmallGraphEdges = 4L << 20
+    if (nActiveEdges <= SmallGraphEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.select(col("ia"), col("ib")).collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min root wins
+      }
+      val comps = parent.keys.toSeq.map(v => (v, find(v)))
+      val nActive = comps.size.toLong
+      val labels = corpus.sparkSession.createDataFrame(comps).toDF("vec_id", "comp")
+      return dupHistogram(corpus, labels, nActive)
+    }
 
     // propagate only over the ACTIVE subgraph — nodes that appear in some
     // pair. Singletons (the overwhelming majority of a real corpus) can
     // never change label, so keeping them out of the loop shrinks every
     // round from |corpus| to ~2·|pairs| rows; they rejoin as size-1
     // clusters arithmetically at the end.
+    val adj = undirected.union(active.select(col("src"), col("src").as("dst")))
+      .repartition(loopParts, col("src"))
+      .localCheckpoint()
     var labels = active.select(col("src").as("vec_id"))
       .withColumn("comp", col("vec_id"))
       .repartition(loopParts, col("vec_id")).localCheckpoint()
@@ -416,6 +445,12 @@ object SimilarityOps {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"[graft] q48: label propagation hit the $maxIter-round cap before converging — cluster histogram may split long chains")
 
+    dupHistogram(corpus, labels, nActive)
+  }
+
+  /** q48 output shape: cluster-size histogram over active components plus
+    * the arithmetically-rejoined singleton mass. */
+  private def dupHistogram(corpus: DataFrame, labels: DataFrame, nActive: Long): DataFrame = {
     val nSingletons = corpus.count() - nActive
     val activeHist = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
