@@ -665,9 +665,98 @@ object ForwardingOps {
        | CAST(sign(n_buckets * sxy - sx * sy) AS BIGINT) AS trend
        |FROM s ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q79 — Z-order layout: interleave the bits of two dimensions into one
+  // locality-preserving sort key, the data-layout move behind multi-
+  // dimensional zone-map pruning (Delta OPTIMIZE ZORDER, Hudi/Iceberg
+  // clustering). At 100 TB you range-partition the write by zval so every
+  // file's (x, y) bounding box is tight and a filter on EITHER dimension
+  // prunes files; here the query materializes the per-bucket bounding
+  // boxes — the pruning-quality diagnostic itself. The interleave is
+  // pure codegen'd shift/mask arithmetic GENERATED FROM THE SAME loop for
+  // the Column tree and the SQL oracle, so the engines cannot drift.
+  // ===========================================================
+  val ZBits = 8
+
+  private def zInterleave(x: String, y: String): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftrightunsigned(col(x), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(col(y), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _) // bit-disjoint terms: + is OR
+
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until ZBits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  def q79ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("user_id").bitwiseAND(lit(255L)).as("x"),
+        floor(col("value") * 256).cast("long").bitwiseAND(lit(255L)).as("y"))
+      .withColumn("zval", zInterleave("x", "y"))
+      .withColumn("bucket", expr("zval DIV 1024"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .withColumn("bbox_area",
+        ((col("x_max") - col("x_min") + 1) * (col("y_max") - col("y_min") + 1)).cast("long"))
+      .orderBy("bucket")
+
+  val q79Sql: String =
+    s"""WITH d AS (SELECT user_id & 255 AS x,
+       |  CAST(floor(value * 256) AS BIGINT) & 255 AS y FROM events),
+       | z AS (SELECT x, y, ${zInterleaveSql("x", "y")} AS zval FROM d)
+       |SELECT zval // 1024 AS bucket, COUNT(*) AS n,
+       | MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max,
+       | CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT) AS bbox_area
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q80 — partition-load Gini per topic: the skew diagnostic feeding the
+  // rebalancer (RpcJobColocatingRebalancer's load-aware moves need exactly
+  // this signal: HOW unevenly is a topic's load spread over partitions).
+  // Exact integer fixed-point: with loads sorted ascending and 1-indexed,
+  // G·1000 = (2·Σi·xᵢ − (n+1)·Σxᵢ)·1000 DIV (n·Σxᵢ) — one integer
+  // division at the end, no float accumulation, so the oracle
+  // hash-matches. The per-topic window sorts PARTITION counts (tiny — the
+  // heavy aggregation below it is map-side-combined over messages).
+  // ===========================================================
+  def q80LoadGini(spark: SparkSession, dir: String): DataFrame = {
+    val loads = messages(events(spark, dir))
+      .groupBy("topic", "partition")
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("topic").orderBy(col("x"), col("partition"))
+    loads
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("x").cast("long").as("total_msgs"),
+        sum(col("rn") * col("x")).cast("long").as("sixi"))
+      .withColumn("gini_millis", expr(
+        "(2 * sixi - (n_partitions + 1) * total_msgs) * 1000 DIV (n_partitions * total_msgs)"))
+      .select("topic", "n_partitions", "total_msgs", "gini_millis")
+      .orderBy("topic")
+  }
+
+  val q80Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | loads AS (SELECT topic, "partition", COUNT(*) AS x FROM msgs GROUP BY topic, "partition"),
+       | r AS (SELECT topic, x,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY topic ORDER BY x, "partition") AS BIGINT) AS rn
+       |  FROM loads),
+       | s AS (SELECT topic, COUNT(*) AS n_partitions, CAST(SUM(x) AS BIGINT) AS total_msgs,
+       |   CAST(SUM(rn * x) AS BIGINT) AS sixi FROM r GROUP BY topic)
+       |SELECT topic, n_partitions, total_msgs,
+       | (2 * sixi - (n_partitions + 1) * total_msgs) * 1000 // (n_partitions * total_msgs) AS gini_millis
+       |FROM s ORDER BY topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_zorder_layout" -> (q79ZorderLayout _),
+    "q80_load_gini" -> (q80LoadGini _),
     "q01_code_distribution" -> (q01CodeDistribution _),
     "q02_route_destinations" -> (q02RouteDestinations _),
     "q03_backoff_escalation" -> (q03BackoffEscalation _),
@@ -688,6 +777,8 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q79_zorder_layout" -> q79Sql,
+    "q80_load_gini" -> q80Sql,
     "q01_code_distribution" -> q01Sql,
     "q02_route_destinations" -> q02Sql,
     "q03_backoff_escalation" -> q03Sql,

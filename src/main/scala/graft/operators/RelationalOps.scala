@@ -385,7 +385,116 @@ object RelationalOps {
        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
        |ORDER BY gid, returnflag, linestatus""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q73 — "waiting suppliers" (TPC-H Q21 shape): suppliers with a returned
+  // line on a multi-supplier order where ANOTHER supplier on the same
+  // order stayed clean — the classic correlated-EXISTS query. Executed
+  // DECORRELATED: one (order, supplier) pre-aggregation, one per-order
+  // rollup of it, one equi-join back — the correlated subquery never
+  // executes per row, which is the difference between O(n) and O(n·k) at
+  // 100 TB. Both per-order frames share the l_orderkey key, so the join
+  // lines up with the rollup's partitioning; the supplier dimension
+  // broadcasts.
+  // ===========================================================
+  def q73WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = t(spark, dir, "supplier")
+    val ls = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+    val perOrder = ls.groupBy("l_orderkey")
+      .agg(sum(lit(1L) - col("ret")).as("n_clean"))
+    ls.filter(col("ret") === 1L)
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_clean") >= 1L) // EXISTS: another supplier, all clean
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(15)
+  }
+
+  /** Oracle: the correlated-EXISTS formulation the dataflow decorrelates. */
+  val q73Sql: String =
+    """WITH ls AS (SELECT l_orderkey, l_suppkey,
+      |  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      | FROM lineitem GROUP BY l_orderkey, l_suppkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM ls l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.ret = 1
+      | AND EXISTS (SELECT 1 FROM ls l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |   AND l2.l_suppkey <> l1.l_suppkey AND l2.ret = 0)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 15""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q78 — MERGE INTO as a dataflow (the lakehouse upsert): apply a batch
+  // of per-customer spend updates (aggregated from orders) onto the
+  // customer snapshot. Full-outer join on the key + an action matrix —
+  // matched rows update the balance in exact cents, unmatched targets
+  // carry over, unmatched sources would insert. Output is the changelog
+  // summary per (segment, action). Scale path: the delta aggregates
+  // BEFORE the join (orders-cardinality -> customer-cardinality), the
+  // join is one shuffle on the merge key, and the matrix is pure
+  // codegen'd projection — the same shape as the control plane's
+  // expected⋈actual reconcile (q09), applied to the data plane.
+  // ===========================================================
+  def q78MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal100"))
+    // the update batch: one ingestion window of orders (so unmatched
+    // customers exercise the carry branch), plus a deterministic
+    // "new signup" slice keyed OUTSIDE the snapshot's key space (the
+    // insert branch) — the three-way matrix is real, not vacuous
+    val batch = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    val delta = batch
+      .withColumn("k",
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")))
+      .groupBy(col("k").as("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend100"),
+        count(lit(1)).as("n_orders"))
+    customer
+      .join(delta, col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("action",
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "update")
+          .when(col("c_custkey").isNotNull, "carry")
+          .otherwise("insert"))
+      .withColumn("new_bal100",
+        when(col("action") === "update", col("bal100") + col("spend100"))
+          .when(col("action") === "carry", col("bal100"))
+          .otherwise(col("spend100")))
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"), col("action"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_orders"), lit(0L))).cast("long").as("n_applied"),
+        (sum(col("new_bal100")).cast("double") / lit(100.0)).as("total_balance"))
+      .orderBy("segment", "action")
+  }
+
+  val q78Sql: String =
+    """WITH delta AS (SELECT
+      |  CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000 ELSE o_custkey END AS o_custkey,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend100,
+      |  COUNT(*) AS n_orders
+      | FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1),
+      | m AS (SELECT c_custkey, c_mktsegment,
+      |   CAST(round(c_acctbal * 100) AS BIGINT) AS bal100, o_custkey, spend100, n_orders
+      |  FROM customer FULL OUTER JOIN delta ON c_custkey = o_custkey),
+      | a AS (SELECT *,
+      |   CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'update'
+      |    WHEN c_custkey IS NOT NULL THEN 'carry' ELSE 'insert' END AS action FROM m),
+      | b AS (SELECT *,
+      |   CASE WHEN action = 'update' THEN bal100 + spend100
+      |    WHEN action = 'carry' THEN bal100 ELSE spend100 END AS new_bal100 FROM a)
+      |SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, action, COUNT(*) AS n_rows,
+      | CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS n_applied,
+      | CAST(SUM(new_bal100) AS DOUBLE) / 100.0 AS total_balance
+      |FROM b GROUP BY segment, action ORDER BY segment, action""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_waiting_suppliers" -> (q73WaitingSuppliers _),
+    "q78_merge_upsert" -> (q78MergeUpsert _),
     "q20_pricing_summary" -> (q20PricingSummary _),
     "q21_top_customers" -> (q21TopCustomers _),
     "q22_region_revenue" -> (q22RegionRevenue _),
@@ -398,6 +507,8 @@ object RelationalOps {
     "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q73_waiting_suppliers" -> q73Sql,
+    "q78_merge_upsert" -> q78Sql,
     "q20_pricing_summary" -> q20Sql,
     "q21_top_customers" -> q21Sql,
     "q22_region_revenue" -> q22Sql,

@@ -894,7 +894,202 @@ object TextOps {
       | 1000 * CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS oov_permille
       |FROM ev GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q74 — inverted-index build: token -> (document frequency, corpus
+  // frequency, capped posting list). The search-index materialization pass
+  // of a retrieval pipeline as a dataflow: one tokenize+explode scan, one
+  // map-side-combinable (token, doc) aggregation for tf, then df/cf roll
+  // up from THAT frame (never re-touching the corpus) while the posting
+  // list is the per-token top-3 by tf — the bounded-heap TopKPerKey
+  // rewrite, so reducer state is O(k) per token no matter how skewed the
+  // head of the vocabulary is. At 100 TB posting lists are the classic
+  // skew hazard ("the" posts everywhere); capping them map-side is what
+  // keeps the build one clean pass.
+  // ===========================================================
+  val PostingCap = 3
+  val MinDf = 50L
+
+  def q74InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+      .groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
+      .filter(col("df") >= MinDf)
+    val w = Window.partitionBy("tok").orderBy(col("tf").desc, col("doc_id"))
+    val postings = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PostingCap)
+      .groupBy("tok")
+      .agg(expr(
+        """concat_ws(',', transform(array_sort(collect_list(struct(rn, doc_id, tf))),
+          |  x -> concat(CAST(x.doc_id AS STRING), ':', CAST(x.tf AS STRING))))""".stripMargin)
+        .as("postings"))
+    stats.join(postings, "tok")
+      .select(col("tok"), col("df"), col("cf"), col("postings"))
+      .orderBy("tok")
+  }
+
+  val q74Sql: String =
+    s"""WITH tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok
+       |  FROM documents) GROUP BY tok, doc_id),
+       | stats AS (SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+       |  FROM tf GROUP BY tok HAVING COUNT(*) >= $MinDf),
+       | r AS (SELECT tok, doc_id, tf,
+       |   ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn FROM tf),
+       | p AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+       |    ',' ORDER BY rn) AS postings
+       |  FROM r WHERE rn <= $PostingCap GROUP BY tok)
+       |SELECT stats.tok, df, cf, postings FROM stats JOIN p ON stats.tok = p.tok
+       |ORDER BY stats.tok""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q75 — PMI collocations: strongly-associated adjacent word pairs, the
+  // phrase-mining / tokenizer-merge signal. PMI needs a log; the
+  // integer-exact form is the bit-length class of the odds ratio —
+  // class = bitlen(n_ab·N) − bitlen(n_a·n_b), i.e. ⌊log2⌋+1 arithmetic —
+  // so both engines agree bit-for-bit where float log PMI would drift.
+  // One tokenize scan feeds unigram AND bigram counts; the pair table
+  // then joins the unigram counts on each side — shuffle equi-joins on
+  // the word key (at 100 TB the vocabulary's heavy head would broadcast;
+  // the n_ab >= MinPair gate keeps the pair side linear-ish regardless).
+  // ===========================================================
+  val MinPair = 20L
+
+  def q75PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = uni.agg(sum("n_w").cast("long").as("n_total"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i - 1] AS a, ts[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinPair)
+    pairs
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_class",
+        (length(bin(col("n_ab") * col("n_total"))) -
+          length(bin(col("n_a") * col("n_b")))).cast("long"))
+      .select("a", "b", "n_ab", "n_a", "n_b", "pmi_class")
+      .orderBy(col("pmi_class").desc, col("n_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val q75Sql: String =
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS ts
+       |  FROM documents),
+       | uni AS (SELECT w, COUNT(*) AS n_w FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY w),
+       | tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+       | pr AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM (
+       |   SELECT unnest(list_transform(range(1, len(ts)), i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+       |   FROM tk WHERE len(ts) >= 2)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinPair)
+       |SELECT pr.a, pr.b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       | CAST(length(bin(n_ab * n_total)) - length(bin(ua.n_w * ub.n_w)) AS BIGINT) AS pmi_class
+       |FROM pr JOIN uni ua ON pr.a = ua.w JOIN uni ub ON pr.b = ub.w, tot
+       |ORDER BY pmi_class DESC, n_ab DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q76 — BM25-class ranked retrieval for a fixed term set: the scoring
+  // pass of full-text search as one corpus scan. idf uses the same
+  // integer bit-length log class as q75 (bitlen(N) − bitlen(df)); the tf
+  // saturation k/(tf+k) becomes integer millis (tf·1000 DIV (tf+2)) — the
+  // whole score is exact int64 arithmetic, replayed verbatim by the
+  // oracle. df comes from the SAME filtered (term, doc) frame (no second
+  // corpus scan) and is broadcast back — |terms| rows. Top-10 docs via
+  // the bounded-heap rewrite.
+  // ===========================================================
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "vector")
+
+  def q76Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val tf = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("contrib",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long") *
+          expr("tf * 1000 DIV (tf + 2)"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("rank", "doc_id", "score", "n_terms")
+      .orderBy("rank")
+  }
+
+  val q76Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok
+       |   FROM documents) WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       | dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       | sc AS (SELECT doc_id,
+       |   CAST(SUM(CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT) * (tf * 1000 // (tf + 2))) AS BIGINT) AS score,
+       |   COUNT(*) AS n_terms
+       |  FROM tf JOIN dfs USING (tok), n GROUP BY doc_id),
+       | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT rank, doc_id, score, n_terms FROM r WHERE rank <= 10
+       |ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
+  // q77 — deterministic weighted sampling (A-RES re-expressed in exact
+  // integers): per-source keep the k docs with the smallest
+  // hash60(doc_id) DIV weight — longer documents (weight = n_chars) get
+  // proportionally smaller priorities, so selection is length-biased the
+  // way token-budget-aware corpus sampling wants, yet fully
+  // deterministic, coordination-free (no global RNG state), and
+  // replayable by any engine with md5. Per-source top-k runs on the
+  // bounded-heap rewrite — O(k) reducer state per source, no per-source
+  // sort of the corpus.
+  // ===========================================================
+  val WSampleK = 10
+
+  def q77WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("priority", expr(
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 15), 16, 10) AS BIGINT)" +
+          " DIV greatest(n_chars, 1)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= WSampleK)
+      .select("source", "rank", "doc_id", "n_chars", "priority")
+      .orderBy("source", "rank")
+  }
+
+  val q77Sql: String =
+    s"""WITH p AS (SELECT source, doc_id, n_chars,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    // greatest(n_chars, 1) AS priority
+       | FROM documents),
+       | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rank
+       |  FROM p)
+       |SELECT source, rank, doc_id, n_chars, priority FROM r WHERE rank <= $WSampleK
+       |ORDER BY source, rank""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_inverted_index" -> (q74InvertedIndex _),
+    "q75_pmi_collocations" -> (q75PmiCollocations _),
+    "q76_bm25" -> (q76Bm25 _),
+    "q77_weighted_sample" -> (q77WeightedSample _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_token_stats" -> (q31TokenStats _),
     "q32_quality_score" -> (q32QualityScore _),
@@ -917,6 +1112,10 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q74_inverted_index" -> q74Sql,
+    "q75_pmi_collocations" -> q75Sql,
+    "q76_bm25" -> q76Sql,
+    "q77_weighted_sample" -> q77Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_token_stats" -> q31Sql,
     "q32_quality_score" -> q32Sql,
