@@ -168,13 +168,125 @@ object MultimodalOps {
       | CAST(MAX(frame_idx) AS BIGINT) AS max_frame_idx
       |FROM f GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q81 — perceptual-hash near-dup over media payloads: the aHash pipeline
+  // (sample a fixed pixel grid, threshold each sample against the mean,
+  // pack the sign bits) with Hamming-ball probing. The decode is the
+  // deterministic stand-in (payload chars as pixels — a real build swaps
+  // in the image codec at the SAME column boundary); everything after the
+  // hash is the real scale machinery: group to DISTINCT hashes first
+  // (collapsing exact dups before any join), then probe Hamming distance 1
+  // by generating the 16 single-bit flips of each hash and equi-joining
+  // them back against the hash table — a bounded 16× fan-out of the
+  // DISTINCT-hash table, never a pairwise or band-bucket blowup. The
+  // threshold test is exact integer (p·16 > sum), no float mean.
+  // ===========================================================
+  val AHashBits = 16
+
+  def q81AhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val px = (1 to AHashBits).map(i =>
+      s"ascii(substring(rpad(props, $AHashBits, 'x'), $i, 1))").mkString(", ")
+    val h = events(spark, dir)
+      .filter(col("props").isNotNull)
+      .withColumn("px", expr(s"array($px)"))
+      .withColumn("s", expr("aggregate(px, 0L, (a, x) -> a + x)"))
+      .withColumn("ahash", expr(
+        s"aggregate(sequence(0, ${AHashBits - 1}), 0L, " +
+          s"(a, i) -> a + IF(element_at(px, i + 1) * $AHashBits > s, shiftleft(1L, i), 0L))"))
+    val grp = h.groupBy("ahash").agg(count(lit(1)).as("n"))
+    val flips = grp.select(col("ahash"), col("n"),
+      explode(expr(s"transform(sequence(0, ${AHashBits - 1}), " +
+        "i -> ahash ^ shiftleft(1L, i))")).as("nb"))
+    val neighbors = flips
+      .join(grp.select(col("ahash").as("nb"), col("n").as("nn")), "nb")
+      .groupBy("ahash").agg(sum("nn").cast("long").as("n_hamming1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("ahash"))
+    grp.join(neighbors, Seq("ahash"), "left_outer")
+      .withColumn("n_hamming1", coalesce(col("n_hamming1"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select("rank", "ahash", "n", "n_hamming1")
+      .orderBy("rank")
+  }
+
+  val q81Sql: String = {
+    val px = (1 to AHashBits).map(i =>
+      s"ord(substr(rpad(props, $AHashBits, 'x'), $i, 1))").mkString(", ")
+    s"""WITH hsh AS (SELECT
+       |  list_reduce(list_transform(range(0, $AHashBits), i -> CASE WHEN
+       |    px[CAST(i AS INTEGER) + 1] * $AHashBits >
+       |      list_reduce(px, (a, x) -> a + x) THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END),
+       |   (a, x) -> a + x) AS ahash
+       |  FROM (SELECT CAST([$px] AS BIGINT[]) AS px FROM events WHERE props IS NOT NULL)),
+       | grp AS (SELECT ahash, COUNT(*) AS n FROM hsh GROUP BY ahash),
+       | fl AS (SELECT ahash, n, unnest(list_transform(range(0, $AHashBits),
+       |   i -> xor(ahash, 1::BIGINT << CAST(i AS INTEGER)))) AS nb FROM grp),
+       | nbr AS (SELECT fl.ahash, CAST(SUM(g2.n) AS BIGINT) AS n_hamming1
+       |  FROM fl JOIN grp g2 ON fl.nb = g2.ahash GROUP BY fl.ahash),
+       | r AS (SELECT grp.ahash, grp.n, COALESCE(nbr.n_hamming1, 0) AS n_hamming1,
+       |   ROW_NUMBER() OVER (ORDER BY grp.n DESC, grp.ahash) AS rank
+       |  FROM grp LEFT JOIN nbr ON grp.ahash = nbr.ahash)
+       |SELECT rank, ahash, n, n_hamming1 FROM r WHERE rank <= 20
+       |ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
+  // q82 — windowed audio energy: the silence-detection / energy-profile
+  // pass of an audio curation pipeline. The decode stub treats payload
+  // chars as centered PCM samples (code − 96); real builds swap the codec
+  // at the same boundary. Per media: 4-sample windows, integer
+  // sum-of-squares energy each, silence = energy below threshold. All
+  // integer arithmetic over array HOFs — the windowing/aggregation
+  // plumbing (schema, batching, per-kind rollup) is the real deliverable,
+  // exactly like q45/q49.
+  // ===========================================================
+  val EnergyWin = 4
+  val SilenceThr = 500L
+
+  def q82AudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("props").isNotNull && length(col("props")) >= EnergyWin)
+      .select(col("event_type").as("media_kind"),
+        expr("transform(sequence(1, length(props)), i -> " +
+          "CAST(ascii(substring(props, i, 1)) - 96 AS BIGINT))").as("pcm"))
+      .withColumn("wins", expr(
+        s"transform(sequence(0, (size(pcm) DIV $EnergyWin) - 1), " +
+          s"w -> aggregate(slice(pcm, w * $EnergyWin + 1, $EnergyWin), 0L, (a, x) -> a + x * x))"))
+      .groupBy("media_kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(size(col("wins"))).cast("long").as("n_windows"),
+        sum(expr(s"size(filter(wins, e -> e < $SilenceThr))")).cast("long").as("n_silent"),
+        max(expr("array_max(wins)")).as("max_energy"))
+      .orderBy("media_kind")
+
+  val q82Sql: String =
+    s"""WITH m AS (SELECT event_type AS media_kind,
+       |  list_transform(range(1, length(props) + 1),
+       |    i -> CAST(ord(substr(props, CAST(i AS INTEGER), 1)) - 96 AS BIGINT)) AS pcm
+       | FROM events WHERE props IS NOT NULL AND length(props) >= $EnergyWin),
+       | wn AS (SELECT media_kind,
+       |   list_transform(range(0, len(pcm) // $EnergyWin),
+       |     w -> list_reduce(list_transform(pcm[CAST(w * $EnergyWin + 1 AS INTEGER) :
+       |       CAST((w + 1) * $EnergyWin AS INTEGER)], x -> x * x), (a, x) -> a + x)) AS wins
+       |  FROM m)
+       |SELECT media_kind, COUNT(*) AS n_media,
+       | CAST(SUM(len(wins)) AS BIGINT) AS n_windows,
+       | CAST(SUM(len(list_filter(wins, e -> e < $SilenceThr))) AS BIGINT) AS n_silent,
+       | MAX(list_max(wins)) AS max_energy
+       |FROM wn GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_multimodal_meta" -> (q44MultimodalMeta _),
     "q45_decode_features" -> (q45DecodeFeatures _),
-    "q49_frame_sample" -> (q49FrameSample _))
+    "q49_frame_sample" -> (q49FrameSample _),
+    "q81_ahash_neardup" -> (q81AhashNeardup _),
+    "q82_audio_energy" -> (q82AudioEnergy _))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_meta" -> q44Sql,
     "q45_decode_features" -> q45Sql,
-    "q49_frame_sample" -> q49Sql)
+    "q49_frame_sample" -> q49Sql,
+    "q81_ahash_neardup" -> q81Sql,
+    "q82_audio_energy" -> q82Sql)
 }
