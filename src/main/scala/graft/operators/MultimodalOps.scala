@@ -184,15 +184,19 @@ object MultimodalOps {
   val AHashBits = 16
 
   def q81AhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val px = (1 to AHashBits).map(i =>
-      s"ascii(substring(rpad(props, $AHashBits, 'x'), $i, 1))").mkString(", ")
+    // the hash is FLAT integer arithmetic — no arrays, no higher-order
+    // functions (interpreted lambdas cost ~3x here): one padded string,
+    // 16 pixel reads (common-subexpression-eliminated inside codegen), an
+    // exact integer mean test p·16 > Σp per bit
+    def pixel(i: Int) = s"CAST(ascii(substring(pad, $i, 1)) AS BIGINT)"
+    val sumExpr = (1 to AHashBits).map(pixel).mkString(" + ")
+    val hashExpr = (1 to AHashBits).map(i =>
+      s"IF(${pixel(i)} * $AHashBits > s, ${1L << (i - 1)}L, 0L)").mkString(" + ")
     val h = events(spark, dir)
       .filter(col("props").isNotNull)
-      .withColumn("px", expr(s"array($px)"))
-      .withColumn("s", expr("aggregate(px, 0L, (a, x) -> a + x)"))
-      .withColumn("ahash", expr(
-        s"aggregate(sequence(0, ${AHashBits - 1}), 0L, " +
-          s"(a, i) -> a + IF(element_at(px, i + 1) * $AHashBits > s, shiftleft(1L, i), 0L))"))
+      .withColumn("pad", rpad(col("props"), AHashBits, "x")) // pad ONCE, not per pixel
+      .withColumn("s", expr(sumExpr))
+      .withColumn("ahash", expr(hashExpr))
     val grp = h.groupBy("ahash").agg(count(lit(1)).as("n"))
     val flips = grp.select(col("ahash"), col("n"),
       explode(expr(s"transform(sequence(0, ${AHashBits - 1}), " +
@@ -211,14 +215,14 @@ object MultimodalOps {
   }
 
   val q81Sql: String = {
-    val px = (1 to AHashBits).map(i =>
-      s"ord(substr(rpad(props, $AHashBits, 'x'), $i, 1))").mkString(", ")
-    s"""WITH hsh AS (SELECT
-       |  list_reduce(list_transform(range(0, $AHashBits), i -> CASE WHEN
-       |    px[CAST(i AS INTEGER) + 1] * $AHashBits >
-       |      list_reduce(px, (a, x) -> a + x) THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END),
-       |   (a, x) -> a + x) AS ahash
-       |  FROM (SELECT CAST([$px] AS BIGINT[]) AS px FROM events WHERE props IS NOT NULL)),
+    def pixel(i: Int) = s"CAST(ord(substr(pad, $i, 1)) AS BIGINT)"
+    val sumExpr = (1 to AHashBits).map(pixel).mkString(" + ")
+    val hashExpr = (1 to AHashBits).map(i =>
+      s"CASE WHEN ${pixel(i)} * $AHashBits > s THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH pads AS (SELECT rpad(props, $AHashBits, 'x') AS pad FROM events
+       |  WHERE props IS NOT NULL),
+       | sums AS (SELECT pad, $sumExpr AS s FROM pads),
+       | hsh AS (SELECT $hashExpr AS ahash FROM sums),
        | grp AS (SELECT ahash, COUNT(*) AS n FROM hsh GROUP BY ahash),
        | fl AS (SELECT ahash, n, unnest(list_transform(range(0, $AHashBits),
        |   i -> xor(ahash, 1::BIGINT << CAST(i AS INTEGER)))) AS nb FROM grp),
