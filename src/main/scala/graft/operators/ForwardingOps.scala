@@ -752,11 +752,126 @@ object ForwardingOps {
        | (2 * sixi - (n_partitions + 1) * total_msgs) * 1000 // (n_partitions * total_msgs) AS gini_millis
        |FROM s ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q83 — incremental aggregate maintenance: partial aggregation STATES
+  // from two snapshots (offset-parity halves standing in for "yesterday's
+  // rollup" + "today's delta") merged algebraically into the exact full
+  // result — counts/sums add, min/min, max/max, and the KMV distinct
+  // sketch merges as smallest-k-of-distinct-union (SmallestK state IS the
+  // KMV state). This is the pattern that makes 100 TB rollups incremental:
+  // never rescan history, re-aggregate states. The oracle computes the
+  // DIRECT aggregation — the merge must land on it exactly, estimate
+  // included.
+  // ===========================================================
+  val KmvK = 256
+
+  def q83AggStateMerge(spark: SparkSession, dir: String): DataFrame = {
+    val m = messages(events(spark, dir))
+      .withColumn("h",
+        conv(substring(md5(col("offset").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("half", pmod(col("offset"), lit(2)))
+    val parts = m.groupBy("topic", "half").agg(
+      count(lit(1)).as("pn"),
+      sum("bytes").as("pb"),
+      min("offset").as("pmn"),
+      max("offset").as("pmx"),
+      graft.functions.SmallestK.smallest_k(col("h"), KmvK).as("pkmv"))
+    parts.groupBy("topic").agg(
+      sum("pn").cast("long").as("n"),
+      sum("pb").cast("long").as("total_bytes"),
+      min("pmn").as("min_offset"),
+      max("pmx").as("max_offset"),
+      expr(s"slice(array_sort(array_distinct(flatten(collect_list(pkmv)))), 1, $KmvK)")
+        .as("kmv"))
+      .withColumn("approx_uniq",
+        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(col("kmv"), KmvK).cast("double")))
+      .select("topic", "n", "total_bytes", "min_offset", "max_offset", "approx_uniq")
+      .orderBy("topic")
+  }
+
+  /** Oracle: the direct (non-incremental) aggregation, KMV estimate in the
+    * exact arithmetic of the merge path. */
+  val q83Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | m AS (SELECT topic, "offset" AS off, bytes,
+       |   CAST(('0x' || substr(md5(CAST("offset" AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM msgs),
+       | base AS (SELECT topic, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       |   MIN(off) AS min_offset, MAX(off) AS max_offset FROM m GROUP BY topic),
+       | dh AS (SELECT DISTINCT topic, h FROM m),
+       | rk AS (SELECT topic, h, ROW_NUMBER() OVER (PARTITION BY topic ORDER BY h) AS rn FROM dh),
+       | kmv AS (SELECT topic,
+       |   CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS DOUBLE)
+       |        ELSE CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0 /
+       |          CAST(MAX(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE) END AS approx_uniq
+       |  FROM rk WHERE rn <= $KmvK GROUP BY topic)
+       |SELECT topic, n, total_bytes, min_offset, max_offset, approx_uniq
+       |FROM base JOIN kmv USING (topic) ORDER BY topic""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q85 — mergeable histogram quantiles: p50/p95/p99 upper bounds from a
+  // fixed-bucket integer histogram — the quantile form that STREAMS and
+  // MERGES (bucket counts add across partitions/windows), unlike the exact
+  // per-group sort behind q11. One map-side-combinable aggregation to
+  // 20 buckets per topic, then a tiny cumulative window over #topics×20
+  // rows picks the first bucket whose cumulative share clears each
+  // percentile — integer arithmetic end to end (cum·100 ≥ n·p), no float
+  // ranks, exact oracle parity. Precision is the bucket width (50 value-
+  // millis), the standard latency-SLO histogram trade (the reference's
+  // E2E_DURATION_BUCKETS makes exactly this trade, ProcessorImpl.java:120).
+  // ===========================================================
+  val QBucketMillis = 50L
+
+  def q85HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val h = messages(events(spark, dir))
+      .withColumn("b", expr(s"CAST(floor(value * 1000) AS BIGINT) DIV $QBucketMillis"))
+      .groupBy("topic", "b")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("topic").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("c").over(w))
+      .withColumn("tot", sum("c").over(Window.partitionBy("topic")))
+      .groupBy("topic")
+      .agg(
+        max("tot").cast("long").as("n"),
+        min(when(col("cum") * 100 >= col("tot") * 50, col("b"))).as("b50"),
+        min(when(col("cum") * 100 >= col("tot") * 95, col("b"))).as("b95"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("b"))).as("b99"))
+      .select(col("topic"), col("n"),
+        ((col("b50") + 1) * QBucketMillis).as("p50_ub_millis"),
+        ((col("b95") + 1) * QBucketMillis).as("p95_ub_millis"),
+        ((col("b99") + 1) * QBucketMillis).as("p99_ub_millis"))
+      .orderBy("topic")
+  }
+
+  val q85Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | hb AS (SELECT topic, CAST(floor(value * 1000) AS BIGINT) // $QBucketMillis AS b,
+       |   COUNT(*) AS c FROM msgs GROUP BY topic, b),
+       | cw AS (SELECT topic, b, c,
+       |   SUM(c) OVER (PARTITION BY topic ORDER BY b
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |   SUM(c) OVER (PARTITION BY topic) AS tot FROM hb),
+       | q AS (SELECT topic, CAST(MAX(tot) AS BIGINT) AS n,
+       |   MIN(CASE WHEN cum * 100 >= tot * 50 THEN b END) AS b50,
+       |   MIN(CASE WHEN cum * 100 >= tot * 95 THEN b END) AS b95,
+       |   MIN(CASE WHEN cum * 100 >= tot * 99 THEN b END) AS b99
+       |  FROM cw GROUP BY topic)
+       |SELECT topic, n, (b50 + 1) * $QBucketMillis AS p50_ub_millis,
+       | (b95 + 1) * $QBucketMillis AS p95_ub_millis,
+       | (b99 + 1) * $QBucketMillis AS p99_ub_millis
+       |FROM q ORDER BY topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_zorder_layout" -> (q79ZorderLayout _),
     "q80_load_gini" -> (q80LoadGini _),
+    "q83_agg_state_merge" -> (q83AggStateMerge _),
+    "q85_histogram_quantiles" -> (q85HistogramQuantiles _),
     "q01_code_distribution" -> (q01CodeDistribution _),
     "q02_route_destinations" -> (q02RouteDestinations _),
     "q03_backoff_escalation" -> (q03BackoffEscalation _),
@@ -779,6 +894,8 @@ object ForwardingOps {
   val oracles: Map[String, String] = Map(
     "q79_zorder_layout" -> q79Sql,
     "q80_load_gini" -> q80Sql,
+    "q83_agg_state_merge" -> q83Sql,
+    "q85_histogram_quantiles" -> q85Sql,
     "q01_code_distribution" -> q01Sql,
     "q02_route_destinations" -> q02Sql,
     "q03_backoff_escalation" -> q03Sql,

@@ -337,7 +337,54 @@ object SessionOps {
       | CAST(SUM(lat_us) AS DOUBLE) / (COUNT(*) * 1000000) AS avg_lat_sec
       |FROM j GROUP BY cohort ORDER BY cohort""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q84 — ordered funnel analysis (view → click → purchase): how many
+  // users progress through each stage IN ORDER, and how long the full
+  // funnel takes. Executed as staged conditional aggregations — stage N's
+  // frame is (user, tN), and stage N+1 filters the raw events against it
+  // with ts > tN before taking min(ts) — never a per-user sorted event
+  // array (collect_list + sort would materialize every user's history in
+  // one reducer; a power user with 10M events OOMs it). Every frame is
+  // keyed by user_id, so the three joins reuse one hash partitioning; at
+  // 100 TB this is three co-partitioned shuffles over shrinking frames.
+  // Funnel lag is exact integer micros, summed and divided once.
+  // ===========================================================
+  def q84Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), first("t1").as("t1"))
+    val t3 = ev.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), first("t1").as("t1"))
+    val n0 = ev.agg(countDistinct("user_id").as("n_users"))
+    val n1 = t1.agg(count(lit(1)).as("n_view"))
+    val n2 = t2.agg(count(lit(1)).as("n_view_click"))
+    val n3 = t3.agg(count(lit(1)).as("n_full_funnel"),
+      expr("CAST(SUM((t3 - t1) DIV 1000) DIV COUNT(*) AS BIGINT)").as("avg_funnel_us"))
+    n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
+  }
+
+  val q84Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+      | t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      | t2 AS (SELECT ev.user_id, MIN(ev.ts) AS t2, ANY_VALUE(t1.t1) AS t1
+      |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts > t1.t1 GROUP BY ev.user_id),
+      | t3 AS (SELECT ev.user_id, MIN(ev.ts) AS t3, ANY_VALUE(t2.t1) AS t1
+      |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts > t2.t2 GROUP BY ev.user_id)
+      |SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+      | (SELECT COUNT(*) FROM t1) AS n_view,
+      | (SELECT COUNT(*) FROM t2) AS n_view_click,
+      | (SELECT COUNT(*) FROM t3) AS n_full_funnel,
+      | (SELECT CAST(SUM((t3 - t1) // 1000) // COUNT(*) AS BIGINT) FROM t3) AS avg_funnel_us""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_funnel" -> (q84Funnel _),
     "q61_interval_join" -> (q61IntervalJoin _),
     "q52_range_join" -> (q52RangeJoin _),
     "q16_sessionize" -> (q16Sessionize _),
@@ -348,6 +395,7 @@ object SessionOps {
     "q46_ann_ivf" -> (q46AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q84_funnel" -> q84Sql,
     "q61_interval_join" -> q61Sql,
     "q52_range_join" -> q52Sql,
     "q16_sessionize" -> q16Sql,
