@@ -492,7 +492,181 @@ object RelationalOps {
       | CAST(SUM(new_bal100) AS DOUBLE) / 100.0 AS total_balance
       |FROM b GROUP BY segment, action ORDER BY segment, action""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q86 — fixed-point PageRank over the customer⇄supplier trade graph
+  // (who-buys-from-whom via orders ⋈ lineitem): iterative graph analytics
+  // as a dataflow. Three Lloyd-style synchronous rounds of
+  //   r' = 0.15·S + 0.85·Σ_in (r DIV outdeg)
+  // in EXACT integer fixed point (ranks scaled by 10^6; integer division
+  // truncates deterministically in both engines), so the oracle — the
+  // same three rounds as unrolled SQL CTEs — hash-matches bit-for-bit.
+  // Scale path: the degree-annotated edge table materializes ONCE
+  // (localCheckpoint) partitioned by src; each round is one co-partitioned
+  // join (ranks ⋈ edges on src) + one map-side-combined sum on dst — the
+  // Pregel pattern without 10 stages of lineage growth. The undirected
+  // doubling makes every node reachable, so no dangling-mass term.
+  // ===========================================================
+  val PrIters = 3
+  val PrScale = 1000000L
+  val SuppOffset = 10000000L
+
+  def q86PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val trade = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + SuppOffset).as("supp"))
+      .distinct()
+    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(trade.select(col("supp").as("src"), col("cust").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e2 = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      ranks = e2.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank DIV outdeg")).as("inflow"))
+        .select(col("dst").as("node"),
+          (lit(150L * PrScale / 1000L) + expr("850 * inflow DIV 1000")).as("rank"))
+    }
+    val w = Window.orderBy(col("rank").desc, col("node"))
+    ranks
+      .withColumn("kind", when(col("node") >= SuppOffset, "supplier").otherwise("customer"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 20)
+      .select(col("pos"), col("kind"),
+        when(col("node") >= SuppOffset, col("node") - SuppOffset).otherwise(col("node")).as("id"),
+        col("rank"))
+      .orderBy("pos")
+  }
+
+  val q86Sql: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s""" r$i AS (SELECT e.dst AS node,
+         |  ${150L * PrScale / 1000L} + 850 * SUM(r.rank // e.outdeg) // 1000 AS rank
+         | FROM e2 e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin
+    }.mkString(",")
+    s"""WITH trade AS (SELECT DISTINCT o_custkey AS cust, l_suppkey + $SuppOffset AS supp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       | edges AS (SELECT cust AS src, supp AS dst FROM trade
+       |  UNION ALL SELECT supp, cust FROM trade),
+       | deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       | e2 AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+       | r0 AS (SELECT src AS node, $PrScale AS rank FROM deg),
+       |$rounds,
+       | fin AS (SELECT node, rank,
+       |   CASE WHEN node >= $SuppOffset THEN 'supplier' ELSE 'customer' END AS kind,
+       |   CASE WHEN node >= $SuppOffset THEN node - $SuppOffset ELSE node END AS id,
+       |   ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS pos
+       |  FROM r$PrIters)
+       |SELECT pos, kind, id, CAST(rank AS BIGINT) AS rank FROM fin WHERE pos <= 20
+       |ORDER BY pos""".stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
+  // q87 — data-quality constraint audit (the Deequ/great-expectations
+  // pass a training pipeline runs before ingestion): completeness,
+  // uniqueness, domain membership, range and referential sanity for
+  // lineitem — ALL constraints evaluated in ONE scan as conditional
+  // aggregates, no per-constraint passes. Output is one row per
+  // constraint (name, checked, violations, pass) — bounded, diff-able,
+  // and the gate a scheduler can branch on.
+  // ===========================================================
+  def q87QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val n = count(lit(1))
+    val audited = li.agg(
+      n.as("n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+      sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("qty_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+        .as("disc_range"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("flag_domain"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_positive"))
+    val dupKeys = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).cast("long")
+        .as("dup_pk"), count(lit(1)).as("n_pk"))
+    val rows = audited.crossJoin(dupKeys)
+    // one row per constraint: name, rows checked, violations, pass
+    val constraints = Seq(
+      ("orderkey_not_null", "n", "null_orderkey"),
+      ("quantity_in_(0,50]", "n", "qty_range"),
+      ("discount_in_[0,0.1]", "n", "disc_range"),
+      ("returnflag_in_domain", "n", "flag_domain"),
+      ("extendedprice_positive", "n", "price_positive"),
+      ("pk_unique(orderkey,linenumber)", "n_pk", "dup_pk"))
+    constraints.map { case (name, checked, viol) =>
+      rows.select(lit(name).as("constraint"), col(checked).cast("long").as("checked"),
+        col(viol).cast("long").as("violations"),
+        (col(viol) === 0L).as("pass"))
+    }.reduce(_.unionByName(_)).orderBy("constraint")
+  }
+
+  val q87Sql: String =
+    """WITH a AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      |  CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+      |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS flag_domain,
+      |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive
+      | FROM lineitem),
+      | pk AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS dup_pk,
+      |   COUNT(*) AS n_pk
+      |  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+      | r AS (SELECT * FROM a, pk)
+      |SELECT c.constraint, c.checked, c.violations, c.violations = 0 AS pass FROM (
+      | SELECT 'orderkey_not_null' AS constraint, n AS checked, null_orderkey AS violations FROM r
+      | UNION ALL SELECT 'quantity_in_(0,50]', n, qty_range FROM r
+      | UNION ALL SELECT 'discount_in_[0,0.1]', n, disc_range FROM r
+      | UNION ALL SELECT 'returnflag_in_domain', n, flag_domain FROM r
+      | UNION ALL SELECT 'extendedprice_positive', n, price_positive FROM r
+      | UNION ALL SELECT 'pk_unique(orderkey,linenumber)', n_pk, dup_pk FROM r) c
+      |ORDER BY c.constraint""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q88 — referential-integrity audit across the star schema: orphan
+  // facts and dangling foreign keys surfaced with LEFT ANTI joins (the
+  // partition-diff move of §2.7, applied to data-plane integrity). Each
+  // check is one anti-join aggregated to a count — at 100 TB these run as
+  // shuffle-free broadcast anti-joins for dimension keys and one shuffle
+  // for fact-fact. Output: one row per FK edge.
+  // ===========================================================
+  def q88RefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val part = t(spark, dir, "part")
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk)).join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+    Seq(
+      ("lineitem.l_orderkey->orders", orphans(li, "l_orderkey", ord, "o_orderkey")),
+      ("lineitem.l_partkey->part", orphans(li, "l_partkey", part, "p_partkey")),
+      ("lineitem.l_suppkey->supplier", orphans(li, "l_suppkey", supp, "s_suppkey")),
+      ("orders.o_custkey->customer", orphans(ord, "o_custkey", cust, "c_custkey")))
+      .map { case (edge, df) => df.select(lit(edge).as("fk_edge"), col("orphans")) }
+      .reduce(_.unionByName(_))
+      .orderBy("fk_edge")
+  }
+
+  val q88Sql: String =
+    """SELECT fk_edge, orphans FROM (
+      | SELECT 'lineitem.l_orderkey->orders' AS fk_edge, COUNT(*) AS orphans
+      |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      | UNION ALL SELECT 'lineitem.l_partkey->part', COUNT(*)
+      |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      | UNION ALL SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+      |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+      | UNION ALL SELECT 'orders.o_custkey->customer', COUNT(*)
+      |  FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |ORDER BY fk_edge""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_pagerank" -> (q86PageRank _),
+    "q87_quality_audit" -> (q87QualityAudit _),
+    "q88_ref_integrity" -> (q88RefIntegrity _),
     "q73_waiting_suppliers" -> (q73WaitingSuppliers _),
     "q78_merge_upsert" -> (q78MergeUpsert _),
     "q20_pricing_summary" -> (q20PricingSummary _),
@@ -507,6 +681,9 @@ object RelationalOps {
     "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q86_pagerank" -> q86Sql,
+    "q87_quality_audit" -> q87Sql,
+    "q88_ref_integrity" -> q88Sql,
     "q73_waiting_suppliers" -> q73Sql,
     "q78_merge_upsert" -> q78Sql,
     "q20_pricing_summary" -> q20Sql,
