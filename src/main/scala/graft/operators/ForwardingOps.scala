@@ -865,9 +865,107 @@ object ForwardingOps {
        | (b99 + 1) * $QBucketMillis AS p99_ub_millis
        |FROM q ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q89 — ingestion-gap detection: minutes with NO traffic per topic — the
+  // monitoring query behind "did the fetcher stall?" (the reference's
+  // health-state machinery reacts to exactly this signal). A lead()
+  // window over each topic's OBSERVED minute buckets finds gaps as
+  // bucket-successor jumps — O(#buckets) rows through the window, never a
+  // dense calendar spine joined against the corpus (generate_series ×
+  // topics at 100 TB is a cross join of doom). Output: each gap with its
+  // span, plus per-topic gap totals via a grouping-sets-style union.
+  // ===========================================================
+  def q89GapDetection(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = messages(events(spark, dir))
+      .groupBy("topic", "minute_ts")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("topic").orderBy("minute_ts")
+    buckets
+      .withColumn("next_ts", lead("minute_ts", 1).over(w))
+      .filter(col("next_ts").isNotNull && col("next_ts") > col("minute_ts") + 60)
+      .withColumn("missing", ((col("next_ts") - col("minute_ts")) / 60 - 1).cast("long"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum("missing").cast("long").as("missing_minutes"),
+        max("missing").as("max_gap_minutes"),
+        min("minute_ts").as("first_gap_start"),
+        max("next_ts").as("last_gap_end"))
+      .orderBy("topic")
+  }
+
+  val q89Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | b AS (SELECT topic, minute_ts, COUNT(*) AS c FROM msgs GROUP BY topic, minute_ts),
+       | g AS (SELECT topic, minute_ts,
+       |   LEAD(minute_ts) OVER (PARTITION BY topic ORDER BY minute_ts) AS next_ts FROM b),
+       | gaps AS (SELECT topic, minute_ts, next_ts,
+       |   CAST((next_ts - minute_ts) / 60 - 1 AS BIGINT) AS missing
+       |  FROM g WHERE next_ts IS NOT NULL AND next_ts > minute_ts + 60)
+       |SELECT topic, COUNT(*) AS n_gaps, CAST(SUM(missing) AS BIGINT) AS missing_minutes,
+       | MAX(missing) AS max_gap_minutes, MIN(minute_ts) AS first_gap_start,
+       | MAX(next_ts) AS last_gap_end
+       |FROM gaps GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q90 — distribution-drift statistic between two ingestion windows: the
+  // chi-square drift monitor an ML data pipeline runs between "reference"
+  // and "current" slices before retraining. Expected counts come from the
+  // reference window scaled to the current window's mass; the statistic
+  // is Σ (o·S − e·S)² DIV (e·S·S) in exact integer fixed point (S = 10³
+  // scale), so both engines agree bit-for-bit — no float chi-square.
+  // One scan builds both windows' histograms (conditional aggregation on
+  // the time split), map-side combined; the statistic reduces per topic.
+  // ===========================================================
+  val DriftScale = 1000L
+
+  def q90DriftStat(spark: SparkSession, dir: String): DataFrame = {
+    val m = messages(events(spark, dir))
+      .withColumn("bucket", expr("CAST(floor(value * 10) AS BIGINT)"))
+      .withColumn("win", expr("CAST(`offset` % 2 AS INT)")) // deterministic window split
+    val h = m.groupBy("topic", "bucket")
+      .agg(
+        sum(when(col("win") === 0, 1L).otherwise(0L)).as("ref_c"),
+        sum(when(col("win") === 1, 1L).otherwise(0L)).as("cur_c"))
+    val tot = h.groupBy("topic")
+      .agg(sum("ref_c").cast("long").as("ref_n"), sum("cur_c").cast("long").as("cur_n"))
+    h.join(tot, "topic")
+      .filter(col("ref_c") > 0) // buckets unseen in the reference are reported separately
+      .withColumn("e1000", expr(s"ref_c * cur_n * $DriftScale DIV ref_n"))
+      .withColumn("contrib", expr(
+        s"(cur_c * $DriftScale - e1000) * (cur_c * $DriftScale - e1000) DIV (e1000 * $DriftScale)"))
+      .groupBy("topic")
+      .agg(
+        max("ref_n").as("ref_n"), max("cur_n").as("cur_n"),
+        sum("contrib").cast("long").as("chi2_millis"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("topic")
+  }
+
+  val q90Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | m AS (SELECT topic, CAST(floor(value * 10) AS BIGINT) AS bucket,
+       |   CAST("offset" % 2 AS INTEGER) AS win FROM msgs),
+       | h AS (SELECT topic, bucket,
+       |   CAST(SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_c,
+       |   CAST(SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_c
+       |  FROM m GROUP BY topic, bucket),
+       | tot AS (SELECT topic, CAST(SUM(ref_c) AS BIGINT) AS ref_n,
+       |   CAST(SUM(cur_c) AS BIGINT) AS cur_n FROM h GROUP BY topic),
+       | c AS (SELECT h.topic, ref_n, cur_n,
+       |   ref_c * cur_n * $DriftScale // ref_n AS e1000, cur_c
+       |  FROM h JOIN tot ON h.topic = tot.topic WHERE ref_c > 0)
+       |SELECT topic, MAX(ref_n) AS ref_n, MAX(cur_n) AS cur_n,
+       | CAST(SUM((cur_c * $DriftScale - e1000) * (cur_c * $DriftScale - e1000)
+       |   // (e1000 * $DriftScale)) AS BIGINT) AS chi2_millis,
+       | COUNT(*) AS n_buckets
+       |FROM c GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_gap_detection" -> (q89GapDetection _),
+    "q90_drift_stat" -> (q90DriftStat _),
     "q79_zorder_layout" -> (q79ZorderLayout _),
     "q80_load_gini" -> (q80LoadGini _),
     "q83_agg_state_merge" -> (q83AggStateMerge _),
@@ -892,6 +990,8 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q89_gap_detection" -> q89Sql,
+    "q90_drift_stat" -> q90Sql,
     "q79_zorder_layout" -> q79Sql,
     "q80_load_gini" -> q80Sql,
     "q83_agg_state_merge" -> q83Sql,
