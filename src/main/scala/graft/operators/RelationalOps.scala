@@ -511,17 +511,28 @@ object RelationalOps {
   val SuppOffset = 10000000L
 
   def q86PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val trade = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+    // the 2-column orders projection broadcasts (fact-to-fact on the full
+    // tables, but the probe side only needs orderkey -> custkey)
+    val trade = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "orders").select("o_orderkey", "o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), (col("l_suppkey") + SuppOffset).as("supp"))
       .distinct()
+      // materialize the distinct pair set ONCE: the undirected union
+      // references it twice and the degree table + init once more — without
+      // the cut, the join+distinct replays per reference
+      .localCheckpoint()
     val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
       .union(trade.select(col("supp").as("src"), col("cust").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e2 = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("rank"))
     for (_ <- 1 to PrIters) {
-      ranks = e2.join(ranks, col("src") === col("node"))
+      // the node-rank table is orders of magnitude smaller than the edge
+      // table (nodes ≪ edges in any dense graph); broadcast it per round.
+      // When node count outgrows broadcast, drop the hint and this SAME
+      // plan runs as a co-partitioned shuffle join on src.
+      ranks = e2.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank DIV outdeg")).as("inflow"))
         .select(col("dst").as("node"),
