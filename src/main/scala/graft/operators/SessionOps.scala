@@ -383,7 +383,83 @@ object SessionOps {
       | (SELECT COUNT(*) FROM t3) AS n_full_funnel,
       | (SELECT CAST(SUM((t3 - t1) // 1000) // COUNT(*) AS BIGINT) FROM t3) AS avg_funnel_us""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q91 — cohort retention: users grouped by first-activity week, tracked
+  // by distinct activity in each subsequent week — the standard retention
+  // matrix. Week indices are integer event-time arithmetic (nanos DIV
+  // nanos-per-week), the cohort frame is one min-aggregation per user, and
+  // the activity frame joins it ON user_id — both frames are user-keyed,
+  // so the join reuses one hash partitioning (no global calendar scaffold,
+  // no per-user arrays). countDistinct collapses repeat activity AFTER
+  // the (cohort, offset) shuffle — map-side partial distinct keeps it
+  // linear.
+  // ===========================================================
+  val WeekNanos = 604800000000000L
+
+  def q91CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), expr(s"ts DIV $WeekNanos").as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .withColumn("offset", col("wk") - col("cohort_wk"))
+      .groupBy("cohort_wk", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_wk", "offset")
+  }
+
+  val q91Sql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $WeekNanos AS wk FROM events),
+       | cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+       | act AS (SELECT DISTINCT user_id, wk FROM ev)
+       |SELECT cohort_wk, wk - cohort_wk AS "offset", COUNT(DISTINCT act.user_id) AS n_active
+       |FROM act JOIN cohort ON act.user_id = cohort.user_id
+       |GROUP BY cohort_wk, "offset" ORDER BY cohort_wk, "offset"""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q92 — behavioral transition matrix: first-order Markov counts over
+  // each user's event sequence (gap-capped at 30 event-time minutes, the
+  // q16 session discipline) — the "what do users do next" model behind
+  // sequence featurization. One lead() window per user (partition-
+  // parallel; ties broken by event_id for determinism), transition
+  // probabilities in exact integer permille of each source state's mass.
+  // Output is |event_type|² rows, bounded by the domain.
+  // ===========================================================
+  val TransGapNs = 1800000000000L // 30 min
+
+  def q92TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_ts") - col("ts") <= TransGapNs)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+    val fromTot = tr.groupBy("from_type").agg(count(lit(1)).as("n_from"))
+    tr.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .join(fromTot, "from_type")
+      .withColumn("permille", expr("n * 1000 DIV n_from"))
+      .select("from_type", "to_type", "n", "permille")
+      .orderBy("from_type", "to_type")
+  }
+
+  val q92Sql: String =
+    s"""WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events),
+       | nx AS (SELECT event_type,
+       |   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       |   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts, ts
+       |  FROM s),
+       | tr AS (SELECT event_type AS from_type, next_type AS to_type FROM nx
+       |  WHERE next_type IS NOT NULL AND next_ts - ts <= $TransGapNs),
+       | ft AS (SELECT from_type, COUNT(*) AS n_from FROM tr GROUP BY from_type)
+       |SELECT tr.from_type, to_type, COUNT(*) AS n,
+       | COUNT(*) * 1000 // ANY_VALUE(n_from) AS permille
+       |FROM tr JOIN ft ON tr.from_type = ft.from_type
+       |GROUP BY tr.from_type, to_type ORDER BY tr.from_type, to_type""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_cohort_retention" -> (q91CohortRetention _),
+    "q92_transition_matrix" -> (q92TransitionMatrix _),
     "q84_funnel" -> (q84Funnel _),
     "q61_interval_join" -> (q61IntervalJoin _),
     "q52_range_join" -> (q52RangeJoin _),
@@ -395,6 +471,8 @@ object SessionOps {
     "q46_ann_ivf" -> (q46AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q91_cohort_retention" -> q91Sql,
+    "q92_transition_matrix" -> q92Sql,
     "q84_funnel" -> q84Sql,
     "q61_interval_join" -> q61Sql,
     "q52_range_join" -> q52Sql,
