@@ -961,9 +961,43 @@ object ForwardingOps {
        | COUNT(*) AS n_buckets
        |FROM c GROUP BY topic ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q93 — log compaction: the latest record per key, Kafka compacted-topic
+  // semantics ((user, event_type) as the key, offset as the total order —
+  // compaction keeps the highest-offset record per key). Executed as the
+  // rn = 1 argmax window, which the optimizer rewrites to the bounded-heap
+  // TopKPerKey operator: per-key state is ONE row on the map side, so
+  // compacting a 100 TB log shuffles only each partition's per-key
+  // champions, not the log. Output rolls the retained snapshot up per
+  // event_type (count, latest offset, exact value mass in millis) to stay
+  // bounded.
+  // ===========================================================
+  def q93LogCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max("event_id").as("latest_offset"),
+        sum(expr("CAST(floor(value * 1000) AS BIGINT)")).cast("long").as("value_mass_millis"))
+      .orderBy("event_type")
+  }
+
+  val q93Sql: String =
+    s"""WITH r AS (SELECT event_type, event_id, value,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+       | FROM events)
+       |SELECT event_type, COUNT(*) AS n_keys, MAX(event_id) AS latest_offset,
+       | CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mass_millis
+       |FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_log_compaction" -> (q93LogCompaction _),
     "q89_gap_detection" -> (q89GapDetection _),
     "q90_drift_stat" -> (q90DriftStat _),
     "q79_zorder_layout" -> (q79ZorderLayout _),
@@ -990,6 +1024,7 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q93_log_compaction" -> q93Sql,
     "q89_gap_detection" -> q89Sql,
     "q90_drift_stat" -> q90Sql,
     "q79_zorder_layout" -> q79Sql,

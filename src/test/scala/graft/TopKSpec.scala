@@ -115,4 +115,20 @@ class TopKSpec extends AnyFunSuite {
     }
     assert(rewritten.sameElements(plain))
   }
+
+  test("round-3 top-k queries all run on the operator and match their plain results") {
+    val dir = "/root/testdata/sf0.001"
+    // log compaction (argmax per key), weighted sampling (per-source top-k),
+    // inverted-index postings (per-token top-k) — each must rewrite AND be
+    // result-identical to the window formulation it replaces
+    Seq("q93_log_compaction", "q77_weighted_sample", "q74_inverted_index").foreach { name =>
+      val plain = SparkEntry.queries(name)(spark, dir).collect().map(_.toString)
+      val (p, rewritten) = withTopK {
+        val df = SparkEntry.queries(name)(spark, dir)
+        (df.queryExecution.executedPlan.toString, df.collect().map(_.toString))
+      }
+      assert(p.contains("GraftTopKPerKey"), s"$name not rewritten:\n" + p.take(1200))
+      assert(rewritten.sameElements(plain), s"$name results diverge under the operator")
+    }
+  }
 }
