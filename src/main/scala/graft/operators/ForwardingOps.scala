@@ -994,9 +994,56 @@ object ForwardingOps {
        | CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_mass_millis
        |FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q95 — burst detection: each topic's peak 5-minute SLIDING-window rate,
+  // from minute buckets with an event-time RANGE frame (rangeBetween -240s
+  // .. 0s over minute_ts) — the sliding window runs over OBSERVED buckets
+  // only (#topics × #minutes rows after the map-side-combined bucket
+  // aggregation), never over raw messages, and a RANGE frame handles the
+  // gaps a ROWS frame would silently bridge. Output: each topic's peak
+  // 5-minute count, when it peaked (earliest peak, deterministic), and
+  // the burst ratio vs the mean minute rate in permille.
+  // ===========================================================
+  def q95BurstDetection(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = messages(events(spark, dir))
+      .groupBy("topic", "minute_ts")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("topic").orderBy("minute_ts")
+      .rangeBetween(-240, 0) // this minute + the 4 preceding event-time minutes
+    buckets
+      .withColumn("win5", sum("c").over(w))
+      .withColumn("peak", max("win5").over(Window.partitionBy("topic")))
+      .groupBy("topic")
+      .agg(
+        sum("c").cast("long").as("n"),
+        count(lit(1)).as("n_minutes"),
+        max("win5").cast("long").as("peak_5min"),
+        min(when(col("win5") === col("peak"), col("minute_ts"))).as("peak_at"))
+      .withColumn("burst_permille",
+        expr("peak_5min * 1000 DIV (5 * (n DIV n_minutes))"))
+      .select("topic", "n", "peak_5min", "peak_at", "burst_permille")
+      .orderBy("topic")
+  }
+
+  val q95Sql: String =
+    s"""WITH msgs AS ($messagesSql),
+       | b AS (SELECT topic, minute_ts, COUNT(*) AS c FROM msgs GROUP BY topic, minute_ts),
+       | s AS (SELECT topic, minute_ts, c,
+       |   SUM(c) OVER (PARTITION BY topic ORDER BY minute_ts
+       |     RANGE BETWEEN 240 PRECEDING AND CURRENT ROW) AS win5 FROM b),
+       | g AS (SELECT topic, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_minutes,
+       |   CAST(MAX(win5) AS BIGINT) AS peak_5min,
+       |   MIN(CASE WHEN win5 = (SELECT MAX(win5) FROM s s2 WHERE s2.topic = s.topic)
+       |     THEN minute_ts END) AS peak_at
+       |  FROM s GROUP BY topic)
+       |SELECT topic, n, peak_5min, peak_at,
+       | peak_5min * 1000 // (5 * (n // n_minutes)) AS burst_permille
+       |FROM g ORDER BY topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_burst_detection" -> (q95BurstDetection _),
     "q93_log_compaction" -> (q93LogCompaction _),
     "q89_gap_detection" -> (q89GapDetection _),
     "q90_drift_stat" -> (q90DriftStat _),
@@ -1024,6 +1071,7 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q95_burst_detection" -> q95Sql,
     "q93_log_compaction" -> q93Sql,
     "q89_gap_detection" -> q89Sql,
     "q90_drift_stat" -> q90Sql,

@@ -674,7 +674,51 @@ object RelationalOps {
       |  FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
       |ORDER BY fk_edge""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q94 — Benford first-digit audit: the classic fraud / synthetic-data
+  // screen — does the leading digit of order totals follow log10(1+1/d)?
+  // Expected shares are hardcoded permille constants (the same integers in
+  // both engines — no float log10 at query time); the statistic is the
+  // same integer fixed-point chi-square as the q90 drift monitor. One
+  // scan, nine-row histogram, exact oracle parity.
+  // ===========================================================
+  /** permille(log10(1 + 1/d)) for d = 1..9; sums to 1000 (300+176+...). */
+  val BenfordPermille: Seq[Long] = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  def q94BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expCase = BenfordPermille.zipWithIndex
+      .map { case (p, i) => s"WHEN d = ${i + 1} THEN ${p}L" }
+      .mkString("CASE ", " ", " END")
+    val h = t(spark, dir, "orders")
+      .withColumn("d", expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"))
+      .groupBy("d").agg(count(lit(1)).as("observed"))
+    h.crossJoin(broadcast(h.agg(sum("observed").cast("long").as("n"))))
+      .withColumn("expected_millis", expr(s"($expCase) * n"))
+      .withColumn("observed_millis", col("observed") * 1000L)
+      .withColumn("chi2_contrib_millis", expr(
+        "(observed_millis - expected_millis) * (observed_millis - expected_millis)" +
+          " DIV (expected_millis * 1000)"))
+      .select("d", "observed", "expected_millis", "chi2_contrib_millis")
+      .orderBy("d")
+  }
+
+  val q94Sql: String = {
+    val expCase = BenfordPermille.zipWithIndex
+      .map { case (p, i) => s"WHEN d = ${i + 1} THEN $p" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH h AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d,
+       |  COUNT(*) AS observed FROM orders GROUP BY d),
+       | t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM h),
+       | c AS (SELECT d, observed, ($expCase) * n AS expected_millis,
+       |   observed * 1000 AS observed_millis FROM h, t)
+       |SELECT d, observed, expected_millis,
+       | (observed_millis - expected_millis) * (observed_millis - expected_millis)
+       |   // (expected_millis * 1000) AS chi2_contrib_millis
+       |FROM c ORDER BY d""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_benford_audit" -> (q94BenfordAudit _),
     "q86_pagerank" -> (q86PageRank _),
     "q87_quality_audit" -> (q87QualityAudit _),
     "q88_ref_integrity" -> (q88RefIntegrity _),
@@ -692,6 +736,7 @@ object RelationalOps {
     "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q94_benford_audit" -> q94Sql,
     "q86_pagerank" -> q86Sql,
     "q87_quality_audit" -> q87Sql,
     "q88_ref_integrity" -> q88Sql,
