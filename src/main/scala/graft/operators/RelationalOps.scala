@@ -717,7 +717,67 @@ object RelationalOps {
        |FROM c ORDER BY d""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q96 — skyline / Pareto frontier: parts not strictly dominated on
+  // (price minimize, size maximize) — the multi-objective shortlist
+  // operator relational engines lack. Standard dominance: a ≺ b iff
+  // price_a ≤ price_b ∧ size_a ≥ size_b with one strict. Executed in
+  // phases that shrink before anything goes global:
+  //   1. per-price reduction (keyed, parallel): only each price's max-size
+  //      row can survive;
+  //   2. BUCKETED pre-filter (price-range buckets, keyed window): a row
+  //      beaten by a larger size at a lower-or-equal price WITHIN its
+  //      bucket is already dominated — the global pass sees only bucket
+  //      frontiers;
+  //   3. the global running-max pass over those survivors (a window over
+  //      ~#buckets × frontier-width rows, NOT the table).
+  // Prices join in exact cents (the c100 move), so dominance and oracle
+  // agree bit-for-bit.
+  // ===========================================================
+  def q96Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "part")
+      .select(col("p_partkey"), c100("p_retailprice").as("price100"),
+        col("p_size").cast("long").as("size"))
+    // phase 1: per-price max size (representative = lowest partkey among
+    // ties) — the rn = 1 argmax, rewritten to the bounded-heap operator
+    val w1 = Window.partitionBy("price100").orderBy(col("size").desc, col("p_partkey"))
+    val perPrice = pairs
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("price100"), col("size"), col("p_partkey").as("rep"))
+    // phase 2: within price buckets, drop rows beaten by an earlier
+    // (cheaper-or-equal, bigger) row — keyed window, partition-parallel
+    val bucket = (col("price100") / 1000L).cast("long")
+    val wLocal = Window.partitionBy("bucket").orderBy(col("price100"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = perPrice.withColumn("bucket", bucket)
+      .withColumn("lmax", max("size").over(wLocal))
+      .filter(col("lmax").isNull || col("size") > col("lmax"))
+    // phase 3: global pass over the bucket frontiers only
+    val wGlobal = Window.orderBy(col("price100"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("gmax", max("size").over(wGlobal))
+      .filter(col("gmax").isNull || col("size") > col("gmax"))
+      .select(col("rep").as("p_partkey"),
+        (col("price100").cast("double") / 100.0).as("price"), col("size"))
+      .orderBy("price100")
+  }
+
+  val q96Sql: String =
+    """WITH pairs AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price100,
+      |  CAST(p_size AS BIGINT) AS size FROM part),
+      | pp AS (SELECT price100, size, MIN(p_partkey) AS rep FROM pairs p
+      |  WHERE size = (SELECT MAX(size) FROM pairs p2 WHERE p2.price100 = p.price100)
+      |  GROUP BY price100, size),
+      | g AS (SELECT price100, size, rep,
+      |   MAX(size) OVER (ORDER BY price100 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gmax
+      |  FROM pp)
+      |SELECT rep AS p_partkey, CAST(price100 AS DOUBLE) / 100.0 AS price, size
+      |FROM g WHERE gmax IS NULL OR size > gmax ORDER BY price100""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_skyline" -> (q96Skyline _),
     "q94_benford_audit" -> (q94BenfordAudit _),
     "q86_pagerank" -> (q86PageRank _),
     "q87_quality_audit" -> (q87QualityAudit _),
@@ -736,6 +796,7 @@ object RelationalOps {
     "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q96_skyline" -> q96Sql,
     "q94_benford_audit" -> q94Sql,
     "q86_pagerank" -> q86Sql,
     "q87_quality_audit" -> q87Sql,
