@@ -983,7 +983,67 @@ object SimilarityOps {
        |FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q97 — MRR@k for the trained-IVF index: where does each query's TRUE
+  // nearest neighbor land in the index's ranked answer list? The rank-
+  // position complement to q72's set-overlap recall — an index can score
+  // high recall while burying the top hit, and MRR catches exactly that.
+  // Ground truth = exact rank-1 neighbor (integer distances, bit-exact);
+  // reciprocal rank in integer permille (1000 DIV rank, 0 when the index
+  // misses entirely). Same dataflow skeleton as q72: one broadcast of the
+  // bounded query set, TopKPerKey-pruned rankings, one equi-join.
+  // ===========================================================
+  def q97AnnMrr(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeansTrain(spark, dir)
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("cid").as("qcid"), col("vec_id").as("qid"),
+        col("qv").as("qqv"), col("nv").as("nq"))
+    val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    def ranked(joined: DataFrame, k: Int): DataFrame =
+      joined
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dq", col("nv") + col("nq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("qid", "vec_id", "rank")
+    val gt = ranked(index.crossJoin(broadcast(queries)), 1)
+      .select(col("qid"), col("vec_id").as("gt_vec"))
+    val ivf = ranked(index.join(broadcast(queries), col("cid") === col("qcid")), RecallK)
+    gt.join(ivf, gt("qid") === ivf("qid") && col("gt_vec") === ivf("vec_id"), "left_outer")
+      .select(gt("qid"), col("gt_vec"),
+        coalesce(col("rank").cast("long"), lit(0L)).as("ivf_rank"),
+        coalesce(expr("1000 DIV rank"), lit(0L)).as("rr_permille"))
+      .orderBy(gt("qid"))
+  }
+
+  val q97Sql: String =
+    s"""$kmeansCtes,
+       | q AS (SELECT cid AS qcid, vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | gt AS (SELECT qid, vec_id AS gt_vec FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn = 1),
+       | iv_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af JOIN q ON af.cid = q.qcid WHERE af.vec_id <> q.qid),
+       | iv AS (SELECT qid, vec_id, rank FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rank FROM iv_d)
+       |  WHERE rank <= $RecallK)
+       |SELECT gt.qid, gt_vec,
+       | COALESCE(CAST(iv.rank AS BIGINT), 0) AS ivf_rank,
+       | COALESCE(1000 // iv.rank, 0) AS rr_permille
+       |FROM gt LEFT JOIN iv ON gt.qid = iv.qid AND gt.gt_vec = iv.vec_id
+       |ORDER BY gt.qid""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
     "q42_simhash" -> (q42SimHash _),
@@ -1049,6 +1109,7 @@ object SimilarityOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q97_ann_mrr" -> q97Sql,
     "q40_ann_cosine" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,
     "q42_simhash" -> q42Sql,
