@@ -1040,9 +1040,65 @@ object ForwardingOps {
        | peak_5min * 1000 // (5 * (n // n_minutes)) AS burst_permille
        |FROM g ORDER BY topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q100 — erasure (right-to-be-forgotten) audit: apply a deletion list to
+  // the event log and prove the result — per topic, rows erased vs
+  // retained, distinct erased subjects, and a LEFT ANTI verification that
+  // zero rows for listed subjects survive. At 100 TB this is THE shape of
+  // a GDPR pass: the deletion list broadcasts (bounded by legal requests,
+  // not data), the retained set is one broadcast anti-join (no shuffle of
+  // the log), and the audit trail is aggregation over both sides of the
+  // same split — computed in one pass via conditional aggregates on the
+  // membership flag, not two scans.
+  // ===========================================================
+  def q100ErasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // the deletion list: a deterministic stand-in for the legal request set
+    val erase = broadcast(
+      ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(13)) === 0))
+    val stats = ev
+      .join(erase.withColumn("listed", lit(1L)), Seq("user_id"), "left_outer")
+      .groupBy(col("event_type").as("topic"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("listed").isNotNull, 1L).otherwise(0L)).as("n_erased"),
+        sum(when(col("listed").isNull, 1L).otherwise(0L)).as("n_retained"),
+        countDistinct(when(col("listed").isNotNull, col("user_id"))).as("subjects_erased"))
+    // the audit PROOF: re-probe the ACTUAL retained output (the anti-join
+    // a deletion job would write) against the list — must come back zero;
+    // this evaluates the erasure, not a tautology on the flag column
+    val leaked = ev.join(erase, Seq("user_id"), "left_anti")
+      .join(erase, Seq("user_id"), "left_semi")
+      .groupBy(col("event_type").as("topic"))
+      .agg(count(lit(1)).as("leaked"))
+    stats.join(leaked, Seq("topic"), "left_outer")
+      .withColumn("leaked", coalesce(col("leaked"), lit(0L)))
+      .orderBy("topic")
+  }
+
+  val q100Sql: String =
+    """WITH erase AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+      | j AS (SELECT e.event_type AS topic, e.user_id, er.user_id AS listed
+      |  FROM events e LEFT JOIN erase er ON e.user_id = er.user_id),
+      | stats AS (SELECT topic, COUNT(*) AS n_before,
+      |   CAST(SUM(CASE WHEN listed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_erased,
+      |   CAST(SUM(CASE WHEN listed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |   COUNT(DISTINCT CASE WHEN listed IS NOT NULL THEN user_id END) AS subjects_erased
+      |  FROM j GROUP BY topic),
+      | lk AS (SELECT event_type AS topic, COUNT(*) AS leaked FROM events r
+      |  WHERE NOT EXISTS (SELECT 1 FROM erase e1 WHERE e1.user_id = r.user_id)
+      |   AND EXISTS (SELECT 1 FROM erase e2 WHERE e2.user_id = r.user_id)
+      |  GROUP BY event_type)
+      |SELECT stats.topic, n_before, n_erased, n_retained, subjects_erased,
+      | CAST(COALESCE(leaked, 0) AS BIGINT) AS leaked
+      |FROM stats LEFT JOIN lk ON stats.topic = lk.topic
+      |ORDER BY stats.topic""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_erasure_audit" -> (q100ErasureAudit _),
     "q95_burst_detection" -> (q95BurstDetection _),
     "q93_log_compaction" -> (q93LogCompaction _),
     "q89_gap_detection" -> (q89GapDetection _),
@@ -1071,6 +1127,7 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q100_erasure_audit" -> q100Sql,
     "q95_burst_detection" -> q95Sql,
     "q93_log_compaction" -> q93Sql,
     "q89_gap_detection" -> q89Sql,

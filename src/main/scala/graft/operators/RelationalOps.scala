@@ -776,7 +776,69 @@ object RelationalOps {
       |SELECT rep AS p_partkey, CAST(price100 AS DOUBLE) / 100.0 AS price, size
       |FROM g WHERE gmax IS NULL OR size > gmax ORDER BY price100""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q98 — robust outlier detection via median absolute deviation: per
+  // returnflag, low-median of quantity, MAD around it, and the count of
+  // rows beyond 3×MAD — the robust-statistics screen that mean/stddev
+  // based z-scores fail on heavy tails. Exact medians WITHOUT a per-group
+  // sort: quantity's value domain is tiny, so the histogram (group, value,
+  // count) compresses the corpus to ≤|domain| rows per group and the
+  // median is where the cumulative count crosses (n+1)/2 — a window over
+  // dozens of rows, not 100 TB. The deviation histogram reuses the same
+  // move. All integer; low-median (percentile_disc semantics) keeps both
+  // engines bit-identical where interpolation would drift.
+  // ===========================================================
+  def q98MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("qty"))
+    def lowMedian(hist: DataFrame, valCol: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(valCol)
+      val wTot = Window.partitionBy("flag")
+      hist
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("cnt").over(wTot))
+        .filter(col("cum") * 2 >= col("tot") + 1)
+        .groupBy("flag").agg(min(valCol).as("med_" + valCol))
+    }
+    val qHist = li.groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+    val qMed = lowMedian(qHist, "qty")
+    val devHist = qHist.join(qMed, "flag")
+      .withColumn("dev", abs(col("qty") - col("med_qty")))
+      .groupBy("flag", "dev").agg(sum("cnt").cast("long").as("cnt"))
+    val mad = lowMedian(devHist, "dev")
+    devHist.join(mad, "flag").join(qMed, "flag")
+      .groupBy(col("flag"), col("med_qty").as("median_qty"), col("med_dev").as("mad"))
+      .agg(sum("cnt").cast("long").as("n"),
+        sum(when(col("dev") > col("med_dev") * 3, col("cnt")).otherwise(0L))
+          .cast("long").as("outliers"))
+      .select("flag", "n", "median_qty", "mad", "outliers")
+      .orderBy("flag")
+  }
+
+  val q98Sql: String =
+    """WITH li AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      | qh AS (SELECT flag, qty, COUNT(*) AS cnt FROM li GROUP BY flag, qty),
+      | qc AS (SELECT flag, qty, cnt,
+      |   SUM(cnt) OVER (PARTITION BY flag ORDER BY qty
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   SUM(cnt) OVER (PARTITION BY flag) AS tot FROM qh),
+      | qm AS (SELECT flag, MIN(qty) AS med_qty FROM qc WHERE cum * 2 >= tot + 1 GROUP BY flag),
+      | dh AS (SELECT qh.flag, abs(qty - med_qty) AS dev, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |  FROM qh JOIN qm ON qh.flag = qm.flag GROUP BY qh.flag, dev),
+      | dc AS (SELECT flag, dev, cnt,
+      |   SUM(cnt) OVER (PARTITION BY flag ORDER BY dev
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   SUM(cnt) OVER (PARTITION BY flag) AS tot FROM dh),
+      | dm AS (SELECT flag, MIN(dev) AS med_dev FROM dc WHERE cum * 2 >= tot + 1 GROUP BY flag)
+      |SELECT dh.flag, CAST(SUM(cnt) AS BIGINT) AS n, ANY_VALUE(med_qty) AS median_qty,
+      | ANY_VALUE(med_dev) AS mad,
+      | CAST(SUM(CASE WHEN dev > med_dev * 3 THEN cnt ELSE 0 END) AS BIGINT) AS outliers
+      |FROM dh JOIN dm ON dh.flag = dm.flag JOIN qm ON dh.flag = qm.flag
+      |GROUP BY dh.flag ORDER BY dh.flag""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_mad_outliers" -> (q98MadOutliers _),
     "q96_skyline" -> (q96Skyline _),
     "q94_benford_audit" -> (q94BenfordAudit _),
     "q86_pagerank" -> (q86PageRank _),
@@ -796,6 +858,7 @@ object RelationalOps {
     "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q98_mad_outliers" -> q98Sql,
     "q96_skyline" -> q96Sql,
     "q94_benford_audit" -> q94Sql,
     "q86_pagerank" -> q86Sql,

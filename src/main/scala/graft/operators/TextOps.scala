@@ -1085,7 +1085,55 @@ object TextOps {
        |SELECT source, rank, doc_id, n_chars, priority FROM r WHERE rank <= $WSampleK
        |ORDER BY source, rank""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q99 — boilerplate detection: repeated document HEADS and TAILS (the
+  // first/last 8 tokens) shared across many documents — the C4-style
+  // template/header/footer screen that runs before span-level dedup
+  // (q60). One tokenize scan emits both edges per doc; a single count
+  // aggregation over (kind, edge) finds the repeated templates with their
+  // document and source spread, and the per-kind top-15 runs on the
+  // bounded-heap rewrite. The shuffled edge key is 8 tokens (~tens of
+  // bytes); at corpora where even that is too wide, shuffle the md5 digest
+  // and re-join the top-15 digests for display.
+  // ===========================================================
+  val EdgeTokens = 8
+  val BoilerplateTop = 15
+
+  def q99Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+      .filter(size(col("ts")) >= EdgeTokens)
+      .withColumn("head", expr(s"array_join(slice(ts, 1, $EdgeTokens), ' ')"))
+      .withColumn("tail", expr(s"array_join(slice(ts, -$EdgeTokens, $EdgeTokens), ' ')"))
+    val edges = d.select(col("doc_id"), col("source"), lit("head").as("kind"), col("head").as("edge"))
+      .unionByName(d.select(col("doc_id"), col("source"), lit("tail").as("kind"), col("tail").as("edge")))
+    val w = Window.partitionBy("kind").orderBy(col("n_docs").desc, col("edge"))
+    edges
+      .groupBy("kind", "edge")
+      .agg(countDistinct("doc_id").as("n_docs"), countDistinct("source").as("n_sources"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BoilerplateTop)
+      .select("kind", "rank", "edge", "n_docs", "n_sources")
+      .orderBy("kind", "rank")
+  }
+
+  val q99Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS ts FROM documents),
+       | e AS (SELECT doc_id, source, 'head' AS kind,
+       |   array_to_string(ts[1:$EdgeTokens], ' ') AS edge FROM d WHERE len(ts) >= $EdgeTokens
+       |  UNION ALL SELECT doc_id, source, 'tail',
+       |   array_to_string(ts[-$EdgeTokens:], ' ') FROM d WHERE len(ts) >= $EdgeTokens),
+       | g AS (SELECT kind, edge, COUNT(DISTINCT doc_id) AS n_docs,
+       |   COUNT(DISTINCT source) AS n_sources FROM e GROUP BY kind, edge),
+       | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY kind ORDER BY n_docs DESC, edge) AS rank
+       |  FROM g)
+       |SELECT kind, rank, edge, n_docs, n_sources FROM r WHERE rank <= $BoilerplateTop
+       |ORDER BY kind, rank""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_boilerplate" -> (q99Boilerplate _),
     "q74_inverted_index" -> (q74InvertedIndex _),
     "q75_pmi_collocations" -> (q75PmiCollocations _),
     "q76_bm25" -> (q76Bm25 _),
@@ -1112,6 +1160,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q99_boilerplate" -> q99Sql,
     "q74_inverted_index" -> q74Sql,
     "q75_pmi_collocations" -> q75Sql,
     "q76_bm25" -> q76Sql,
