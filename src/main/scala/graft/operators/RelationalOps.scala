@@ -398,14 +398,21 @@ object RelationalOps {
   // ===========================================================
   def q73WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val supplier = t(spark, dir, "supplier")
+    // partition by l_orderkey ONCE: hash(orderkey) clusters the
+    // (orderkey, suppkey) groups too, so the aggregation reuses this
+    // exchange — and so does the window below. One shuffle drives the
+    // whole decorrelation.
     val ls = t(spark, dir, "lineitem")
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
-    val perOrder = ls.groupBy("l_orderkey")
-      .agg(sum(lit(1L) - col("ret")).as("n_clean"))
-    ls.filter(col("ret") === 1L)
-      .join(perOrder, "l_orderkey")
-      .filter(col("n_clean") >= 1L) // EXISTS: another supplier, all clean
+    // the per-order clean count rides a window over the SAME frame instead
+    // of a rollup + self-join: the one l_orderkey shuffle serves both the
+    // "exists another clean supplier" predicate and the candidate rows —
+    // the decorrelated Q21 with the order-side pass fused away
+    val wOrder = Window.partitionBy("l_orderkey")
+    ls.withColumn("n_clean", sum(lit(1L) - col("ret")).over(wOrder))
+      .filter(col("ret") === 1L && col("n_clean") >= 1L)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
