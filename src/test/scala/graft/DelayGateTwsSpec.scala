@@ -100,6 +100,41 @@ class DelayGateTwsSpec extends AnyFunSuite {
     assert(rows.map(_.offset).toSet == Set(1L, 9L))
   }
 
+  test("buffered records and their timers survive a checkpoint restart") {
+    val input = MemoryStream[DelayedRecord](
+      implicitly[org.apache.spark.sql.Encoder[DelayedRecord]], spark.sqlContext)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    val released = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    def start() =
+      DelayGateTws.gate(input.toDS(), 10000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Released], _: Long) =>
+          batch.collect().foreach(r => released.add((r.offset, r.dueMs))); ()
+        }.start()
+
+    // run 1: two records buffer (due T0+10s, watermark only reaches T0)
+    val q1 = start()
+    input.addData(Seq(DelayedRecord("t", 0, 1L, T0), DelayedRecord("t", 0, 2L, T0)))
+    q1.processAllAvailable()
+    assert(released.isEmpty)
+    q1.stop() // "crash" with state in the store
+
+    // traffic that arrives while the query is down pushes the watermark
+    // far past the buffered dues
+    input.addData(Seq(DelayedRecord("t", 0, 3L, T0 + 120000)))
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the recovered state + timers release the pre-crash records exactly
+      val out = scala.jdk.CollectionConverters.SetHasAsScala(released).asScala.toSet
+      assert(out.map(_._1) == Set(1L, 2L))
+      assert(out.forall(_._2 == T0 + 10000))
+    } finally q2.stop()
+  }
+
   test("many records sharing a due instant release together, offset-ordered") {
     val batches = Seq(
       (0 until 20).map(i => DelayedRecord("t", 0, 19L - i, T0)),
