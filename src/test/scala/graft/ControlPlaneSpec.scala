@@ -143,4 +143,29 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(KafkaSourceConfig.delayGateSql(1000L, 5000L) ==
       "(timestampNs DIV 1000000) + 1000 <= 5000")
   }
+
+  // ---- production session conf ----
+
+  test("GraftConf applies the production settings; caller overrides win") {
+    val b = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").appName("graftconf-test")
+    val probe = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val prevShuffle = probe.map(_.conf.get("spark.sql.shuffle.partitions"))
+    val spark = GraftConf(b)
+      .config("spark.sql.shuffle.partitions", "2") // local override AFTER
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // getOrCreate may return a pre-existing session in the suite JVM; the
+      // assertions below then still hold because conf application mutates
+      // the shared session's options
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
+      assert(GraftConf.Settings.contains("spark.sql.streaming.stateStore.providerClass"))
+    } finally {
+      // restore the suite session's parallelism for later specs
+      prevShuffle.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+    }
+  }
 }
