@@ -8,24 +8,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Queries are grouped by domain (the maps below are the source of truth):
   *  - ForwardingOps: q01-q15 forwarding data-plane + control-plane ops,
   *    q18 salted hot-key agg, q64 sketched hot keys, q70 throughput trend,
-  *    q79 Z-order layout, q80 partition-load Gini
+  *    q79 Z-order layout, q80 partition-load Gini, q83 incremental
+  *    agg-state merge, q85 histogram quantiles, q89 gap detection,
+  *    q90 drift chi-square, q93 log compaction, q95 burst detection,
+  *    q100 erasure audit
   *  - SessionOps: q16-q17 sessions/enrichment, q19 as-of join,
   *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join,
-  *    q61 event-time interval join (batch form of streaming/StreamJoin)
+  *    q61 event-time interval join (batch form of streaming/StreamJoin),
+  *    q84 funnel analysis, q91 cohort retention, q92 transition matrix
   *  - RelationalOps: q20-q24 relational analytics, q25 rollup subtotals,
   *    q26 blocked fuzzy self-join, q27 JSON extraction, q28 pivot,
-  *    q29 grouping sets, q73 decorrelated EXISTS, q78 MERGE upsert
+  *    q29 grouping sets, q73 decorrelated EXISTS, q78 MERGE upsert,
+  *    q86 fixed-point PageRank, q87 quality-constraint audit,
+  *    q88 referential integrity, q94 Benford audit, q96 skyline,
+  *    q98 MAD outliers
   *  - TextOps: q30-q35 text analysis + dedup, q37 TF-IDF, q39 BPE-ish
   *    tokens, q51 PII scan, q53 hash-split, q54 decontamination,
   *    q55 chunking, q56 repetition gate, q60 cross-doc span dedup,
   *    q62 mixture sampling, q63 sequence packing, q65 count-LM quality,
   *    q66 bloom-prefiltered decontamination, q67 per-group uniform sample,
   *    q74 inverted index, q75 PMI collocations, q76 BM25 retrieval,
-  *    q77 weighted sampling
+  *    q77 weighted sampling, q99 boilerplate detection
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
-  *    semantic dedup)
+  *    semantic dedup), q69 cluster outliers, q72 ANN recall@k,
+  *    q97 MRR@k index evaluation
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows
   *  - PipelineOps: q50 full-engine pipeline
