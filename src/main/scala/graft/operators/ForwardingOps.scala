@@ -1095,9 +1095,96 @@ object ForwardingOps {
       |FROM stats LEFT JOIN lk ON stats.topic = lk.topic
       |ORDER BY stats.topic""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q101 — sketch-based join cardinality estimation: the query-planning
+  // diagnostic behind "should this join broadcast, and how big is its
+  // output?". Each side's key set reduces to a KMV sketch (one bounded-
+  // state aggregation per side, never a shuffle of the keys); the union
+  // estimate comes from merging the sketches (smallest-k-of-distinct-
+  // union, the q83 move) and inclusion-exclusion gives the key overlap:
+  // |A∩B| ≈ estA + estB − estU. The predicted join output then scales the
+  // fact side by the overlap share. Exact figures ride along to expose
+  // the estimation error — on these SFs both sets fit inside the sketch,
+  // so the estimates are exhaustive-exact; at 100 TB the same plan gives
+  // ±2/√k relative error for two aggregations' worth of work.
+  // ===========================================================
+  def q101JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    def hashed(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .withColumn("h",
+          conv(substring(md5(col("k").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+    val ev = events(spark, dir)
+    val a = hashed(ev, "user_id")
+      .agg(countDistinct("k").as("na_exact"),
+        graft.functions.KmvSketch.kmv_estimate(col("h")).as("na_est"),
+        graft.functions.SmallestK.smallest_k(col("h"), KmvK).as("ska"))
+    val b = hashed(spark.read.parquet(s"$dir/customer.parquet"), "c_custkey")
+      .agg(countDistinct("k").as("nb_exact"),
+        graft.functions.KmvSketch.kmv_estimate(col("h")).as("nb_est"),
+        graft.functions.SmallestK.smallest_k(col("h"), KmvK).as("skb"))
+    val actualInter = hashed(ev, "user_id").select("k").distinct()
+      .join(spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k")).distinct(), Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("inter_exact"))
+    val joinRows = ev.filter(col("user_id").isNotNull)
+      .join(broadcast(spark.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").as("user_id"))), Seq("user_id"))
+      .agg(count(lit(1)).as("join_rows_exact"))
+    val nEvents = ev.filter(col("user_id").isNotNull).agg(count(lit(1)).as("n_fact"))
+    a.crossJoin(b).crossJoin(actualInter).crossJoin(joinRows).crossJoin(nEvents)
+      .withColumn("merged", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $KmvK)"))
+      .withColumn("union_est",
+        when(size(col("merged")) < KmvK, size(col("merged")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(col("merged"), KmvK).cast("double")))
+      .withColumn("inter_est", greatest(lit(0.0),
+        col("na_est") + col("nb_est") - col("union_est")))
+      .withColumn("join_rows_est",
+        col("n_fact").cast("double") * col("inter_est") / col("na_est"))
+      .select("na_exact", "na_est", "nb_exact", "nb_est", "union_est",
+        "inter_est", "inter_exact", "join_rows_est", "join_rows_exact")
+  }
+
+  val q101Sql: String = {
+    def side(table: String, key: String, tag: String) =
+      s""" ${tag}h AS (SELECT DISTINCT CAST($key AS BIGINT) AS k,
+         |   CAST(('0x' || substr(md5(CAST(CAST($key AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM $table WHERE $key IS NOT NULL),
+         | ${tag}r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ${tag}h),
+         | ${tag}e AS (SELECT COUNT(*) AS exact,
+         |   CASE WHEN (SELECT COUNT(*) FROM ${tag}h) < $KmvK
+         |        THEN CAST((SELECT COUNT(*) FROM ${tag}h) AS DOUBLE)
+         |        ELSE CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0 /
+         |          CAST((SELECT h FROM ${tag}r WHERE rn = $KmvK) AS DOUBLE) END AS est,
+         |   list(h ORDER BY h)[:$KmvK] AS sk
+         |  FROM ${tag}h)""".stripMargin
+    s"""WITH ${side("events", "user_id", "a")},
+       |${side("customer", "c_custkey", "b")},
+       | inter AS (SELECT COUNT(*) AS inter_exact FROM
+       |  (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) e
+       |  WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = e.user_id)),
+       | jr AS (SELECT COUNT(*) AS join_rows_exact FROM events e JOIN customer c
+       |  ON e.user_id = c.c_custkey WHERE e.user_id IS NOT NULL),
+       | nf AS (SELECT COUNT(*) AS n_fact FROM events WHERE user_id IS NOT NULL),
+       | m AS (SELECT ae.exact AS na_exact, ae.est AS na_est,
+       |   be.exact AS nb_exact, be.est AS nb_est,
+       |   list_sort(list_distinct(ae.sk || be.sk))[:$KmvK] AS merged
+       |  FROM ae, be),
+       | u AS (SELECT *, CASE WHEN len(merged) < $KmvK THEN CAST(len(merged) AS DOUBLE)
+       |   ELSE CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0 / CAST(merged[$KmvK] AS DOUBLE)
+       |   END AS union_est FROM m),
+       | x AS (SELECT *, greatest(0.0, na_est + nb_est - union_est) AS inter_est FROM u)
+       |SELECT na_exact, na_est, nb_exact, nb_est, union_est, inter_est, inter_exact,
+       | CAST(n_fact AS DOUBLE) * inter_est / na_est AS join_rows_est, join_rows_exact
+       |FROM x, inter, jr, nf""".stripMargin.replace("\n", " ")
+  }
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_join_cardinality" -> (q101JoinCardinality _),
     "q100_erasure_audit" -> (q100ErasureAudit _),
     "q95_burst_detection" -> (q95BurstDetection _),
     "q93_log_compaction" -> (q93LogCompaction _),
@@ -1127,6 +1214,7 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q101_join_cardinality" -> q101Sql,
     "q100_erasure_audit" -> q100Sql,
     "q95_burst_detection" -> q95Sql,
     "q93_log_compaction" -> q93Sql,
