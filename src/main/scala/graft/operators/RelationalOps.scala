@@ -844,7 +844,45 @@ object RelationalOps {
       |FROM dh JOIN dm ON dh.flag = dm.flag JOIN qm ON dh.flag = qm.flag
       |GROUP BY dh.flag ORDER BY dh.flag""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q102 — interval assignment through the band-join optimizer rule:
+  // orders land in price tiers via a PLAIN theta join
+  // (`price BETWEEN lo AND hi`) — the idiomatic formulation that planners
+  // execute as a nested loop — and `RewriteRangeJoin` (GraftExtensions,
+  // gated on spark.graft.rangeJoin.bucketWidth) turns it into the bucketed
+  // equi-join q52 builds by hand. The USER-FACING query stays declarative;
+  // the rule owns the scale mechanics. Exact cents arithmetic; the DuckDB
+  // oracle runs the same plain band join (no rule — same rows by
+  // construction, which is the point: the rewrite is semantics-free).
+  // ===========================================================
+  val TierCents = 5000000L // 50k-currency tiers over [0, 500k]
+  val BandBucketWidth = 4000000L
+
+  def q102PriceBand(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set(graft.plans.RewriteRangeJoin.WidthConf, BandBucketWidth.toString)
+    val tiers = spark.range(10).select(col("id").as("tier"),
+      (col("id") * TierCents).as("lo"), ((col("id") + 1) * TierCents - 1L).as("hi"))
+    val oc = t(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+    oc.join(tiers, col("pc") >= col("lo") && col("pc") <= col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"),
+        min("pc").as("min_cents"), max("pc").as("max_cents"),
+        sum("pc").cast("long").as("total_cents"))
+      .orderBy("tier")
+  }
+
+  val q102Sql: String =
+    s"""WITH tiers AS (SELECT CAST(t AS BIGINT) AS tier, CAST(t AS BIGINT) * $TierCents AS lo,
+       |  (CAST(t AS BIGINT) + 1) * $TierCents - 1 AS hi FROM range(10) r(t)),
+       | oc AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+       |SELECT tier, COUNT(*) AS n_orders, MIN(pc) AS min_cents, MAX(pc) AS max_cents,
+       | CAST(SUM(pc) AS BIGINT) AS total_cents
+       |FROM oc JOIN tiers ON pc >= lo AND pc <= hi
+       |GROUP BY tier ORDER BY tier""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_price_band" -> (q102PriceBand _),
     "q98_mad_outliers" -> (q98MadOutliers _),
     "q96_skyline" -> (q96Skyline _),
     "q94_benford_audit" -> (q94BenfordAudit _),
@@ -865,6 +903,7 @@ object RelationalOps {
     "q29_grouping_sets" -> (q29GroupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "q102_price_band" -> q102Sql,
     "q98_mad_outliers" -> q98Sql,
     "q96_skyline" -> q96Sql,
     "q94_benford_audit" -> q94Sql,

@@ -160,5 +160,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // two-phase (map-side-pruned) TopKPerKey operator
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // band theta-joins -> bucketed equi-joins (opt-in via
+    // spark.graft.rangeJoin.bucketWidth; see RewriteRangeJoin)
+    ext.injectOptimizerRule(_ => RewriteRangeJoin)
   }
 }
