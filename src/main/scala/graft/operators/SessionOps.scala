@@ -350,8 +350,13 @@ object SessionOps {
   // Funnel lag is exact integer micros, summed and divided once.
   // ===========================================================
   def q84Funnel(spark: SparkSession, dir: String): DataFrame = {
+    // MICROSECOND grain, explicitly: the parquet timestamps are NANOS,
+    // which Spark reads in full while DuckDB truncates to its µs TIMESTAMP
+    // — comparing at ns grain diverges in the sub-µs digits. Funnel
+    // ordering at µs is the same contract the reference's latency
+    // bookkeeping uses.
     val ev = events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts"))
     val t1 = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t1"))
     val t2 = ev.join(t1, "user_id")
@@ -364,12 +369,12 @@ object SessionOps {
     val n1 = t1.agg(count(lit(1)).as("n_view"))
     val n2 = t2.agg(count(lit(1)).as("n_view_click"))
     val n3 = t3.agg(count(lit(1)).as("n_full_funnel"),
-      expr("CAST(SUM((t3 - t1) DIV 1000) DIV COUNT(*) AS BIGINT)").as("avg_funnel_us"))
+      expr("CAST(SUM(t3 - t1) DIV COUNT(*) AS BIGINT)").as("avg_funnel_us"))
     n0.crossJoin(n1).crossJoin(n2).crossJoin(n3)
   }
 
   val q84Sql: String =
-    """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
       | t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
       | t2 AS (SELECT ev.user_id, MIN(ev.ts) AS t2, ANY_VALUE(t1.t1) AS t1
       |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
@@ -381,7 +386,7 @@ object SessionOps {
       | (SELECT COUNT(*) FROM t1) AS n_view,
       | (SELECT COUNT(*) FROM t2) AS n_view_click,
       | (SELECT COUNT(*) FROM t3) AS n_full_funnel,
-      | (SELECT CAST(SUM((t3 - t1) // 1000) // COUNT(*) AS BIGINT) FROM t3) AS avg_funnel_us""".stripMargin.replace("\n", " ")
+      | (SELECT CAST(SUM(t3 - t1) // COUNT(*) AS BIGINT) FROM t3) AS avg_funnel_us""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q91 — cohort retention: users grouped by first-activity week, tracked
@@ -425,15 +430,18 @@ object SessionOps {
   // probabilities in exact integer permille of each source state's mass.
   // Output is |event_type|² rows, bounded by the domain.
   // ===========================================================
-  val TransGapNs = 1800000000000L // 30 min
+  val TransGapUs = 1800000000L // 30 min in µs
 
   def q92TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    // µs grain like q84: the ns-resolution parquet timestamps truncate to
+    // µs in DuckDB, so ordering/gap arithmetic must use the shared grain
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val tr = events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts"))
       .withColumn("next_type", lead("event_type", 1).over(w))
       .withColumn("next_ts", lead("ts", 1).over(w))
-      .filter(col("next_type").isNotNull && col("next_ts") - col("ts") <= TransGapNs)
+      .filter(col("next_type").isNotNull && col("next_ts") - col("ts") <= TransGapUs)
       .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
     val fromTot = tr.groupBy("from_type").agg(count(lit(1)).as("n_from"))
     tr.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
@@ -444,13 +452,13 @@ object SessionOps {
   }
 
   val q92Sql: String =
-    s"""WITH s AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events),
+    s"""WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts FROM events),
        | nx AS (SELECT event_type,
        |   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
        |   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts, ts
        |  FROM s),
        | tr AS (SELECT event_type AS from_type, next_type AS to_type FROM nx
-       |  WHERE next_type IS NOT NULL AND next_ts - ts <= $TransGapNs),
+       |  WHERE next_type IS NOT NULL AND next_ts - ts <= $TransGapUs),
        | ft AS (SELECT from_type, COUNT(*) AS n_from FROM tr GROUP BY from_type)
        |SELECT tr.from_type, to_type, COUNT(*) AS n,
        | COUNT(*) * 1000 // ANY_VALUE(n_from) AS permille
