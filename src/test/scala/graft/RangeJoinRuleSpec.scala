@@ -101,6 +101,34 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     spark.conf.unset(graft.plans.RewriteRangeJoin.WidthConf)
   }
 
+  test("randomized differential: rule-on equals rule-off across widths and shapes") {
+    val rnd = new scala.util.Random(20260813)
+    (1 to 8).foreach { trial =>
+      val nP = 50 + rnd.nextInt(200)
+      val nI = 5 + rnd.nextInt(40)
+      val span = 1 + rnd.nextInt(2000)
+      val ps = (0 until nP).map(i => (i.toLong, rnd.nextInt(span).toLong)).toDF("pid", "x")
+      val is = (0 until nI).map { i =>
+        val lo = rnd.nextInt(span).toLong - 50
+        // mix of proper, empty (lo > hi) and degenerate single-point ranges
+        val hi = lo + (rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(200).toLong
+          case 1 => -1L - rnd.nextInt(50).toLong
+          case _ => 0L
+        })
+        (i.toLong, lo, hi)
+      }.toDF("iid", "lo", "hi")
+      val plain = ps.join(is, col("x") >= col("lo") && col("x") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val width = 1L << (1 + rnd.nextInt(8)) // 2 .. 256
+      val bucketed = withWidth(width) {
+        ps.join(is, col("x") >= col("lo") && col("x") <= col("hi"))
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      assert(bucketed == plain, s"trial $trial width $width diverged")
+    }
+  }
+
   test("residual predicates survive alongside the band") {
     withWidth(32L) {
       val plain = points.join(intervals,
