@@ -76,6 +76,20 @@ class NearestCentroidSpec extends AnyFunSuite {
         typedlit(Seq.empty[(Int, Seq[Long])]))).head().isNullAt(0))
   }
 
+  test("injected functions are SQL-callable (array_dot, nearest_centroid)") {
+    // the extension may not own the shared suite session — register directly
+    // (same builders GraftExtensions injects)
+    graft.plans.ArrayDot.register(spark)
+    org.apache.spark.sql.graft.Shims.registerFunction(spark, "nearest_centroid",
+      exprs => graft.plans.NearestCentroid(exprs(0), exprs(1)))
+    val r = spark.sql(
+      """SELECT array_dot(array(1L, 2L), array(3L, 4L)) AS d,
+        | nearest_centroid(array(9L, 2L),
+        |   array(struct(0, array(0L, 0L)), struct(3, array(10L, 0L)))).cid AS cid""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 11L && r.getInt(1) == 3)
+  }
+
   test("interpreted path agrees with codegen") {
     // force the interpreted path by evaluating via a filter on a literal
     // projection with codegen disabled
