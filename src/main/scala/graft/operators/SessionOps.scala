@@ -465,7 +465,121 @@ object SessionOps {
        |FROM tr JOIN ft ON tr.from_type = ft.from_type
        |GROUP BY tr.from_type, to_type ORDER BY tr.from_type, to_type""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q103 — calibration / reliability curve: treat `value` as a model score
+  // and purchase as the label; per score decile, predicted mass vs
+  // observed positive rate — the standard "is the model calibrated"
+  // diagnostic an ML data pipeline runs on every scored corpus. One
+  // map-side-combinable aggregation to 10 buckets; rates in exact integer
+  // permille (observed·1000 DIV n), mean score in exact millis.
+  // ===========================================================
+  def q103Calibration(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        // log2 score bands (bit-length classes): value is exponential-ish
+        // (mean ~50, max ~490), so linear deciles would pile into one
+        // bucket — log spacing splits the mass, and stays integer-exact
+        least(expr("CAST(length(bin(CAST(floor(value) AS BIGINT) + 1)) AS BIGINT)"), lit(9L))
+          .as("score_band"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("score_cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      .groupBy("score_band")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(score_cents) DIV COUNT(*) AS BIGINT)").as("mean_score_cents"),
+        sum("label").cast("long").as("positives"))
+      .withColumn("observed_permille", expr("positives * 1000 DIV n"))
+      .orderBy("score_band")
+
+  val q103Sql: String =
+    """WITH s AS (SELECT
+      |  least(CAST(length(bin(CAST(floor(value) AS BIGINT) + 1)) AS BIGINT), 9) AS score_band,
+      |  CAST(floor(value * 100) AS BIGINT) AS score_cents,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label FROM events)
+      |SELECT score_band, COUNT(*) AS n,
+      | CAST(SUM(score_cents) // COUNT(*) AS BIGINT) AS mean_score_cents,
+      | CAST(SUM(label) AS BIGINT) AS positives,
+      | CAST(SUM(label) AS BIGINT) * 1000 // COUNT(*) AS observed_permille
+      |FROM s GROUP BY score_band ORDER BY score_band""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q104 — A/B experiment readout with an exact integer test statistic:
+  // variant = user-id parity (the deterministic assignment a real
+  // experiment platform hashes), outcome = converted (any purchase).
+  // The 2×2 chi-square has the closed form N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+  // — every factor an exact integer, one closing DIV to millis, so the
+  // whole readout (rates AND significance statistic) hash-matches
+  // bit-for-bit. Per-user conversion reduces events -> users first
+  // (user-keyed aggregation), then the 2×2 table is four counters.
+  // ===========================================================
+  def q104AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // conversion := the user's FIRST purchase (min event_id) had value
+    // above the median-ish 50 — a per-user outcome that does NOT saturate
+    // with event volume (any "ever did X" predicate converges to 1 as
+    // activity grows)
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("event_id"), col("value"))).as("fst"))
+      .select(col("user_id"),
+        when(col("fst.value") > 50.0, 1L).otherwise(0L).as("converted"))
+    val users = ev.select("user_id").distinct()
+      .join(firstPurchase, Seq("user_id"), "left_outer")
+      .withColumn("converted", coalesce(col("converted"), lit(0L)))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    users
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === 0 && col("converted") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("variant") === 0 && col("converted") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("variant") === 1 && col("converted") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("variant") === 1 && col("converted") === 0L, 1L).otherwise(0L)).as("d"))
+      .select(
+        (col("a") + col("b")).cast("long").as("n_control"),
+        col("a").cast("long").as("conv_control"),
+        (col("c") + col("d")).cast("long").as("n_treat"),
+        col("c").cast("long").as("conv_treat"),
+        expr("a * 1000 DIV (a + b)").as("rate_control_permille"),
+        expr("c * 1000 DIV (c + d)").as("rate_treat_permille"),
+        // 128-bit intermediates: the numerator grows like n^5/16, past
+        // int64 beyond ~2.7k users in the worst case — DECIMAL(38,0) here,
+        // HUGEINT in the oracle, identical truncating division. A zero
+        // margin (nobody/everybody converted) makes the statistic
+        // undefined: report 0, not a crash.
+        expr("""CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0L ELSE
+               | CAST(CAST(a + b + c + d AS DECIMAL(38,0)) *
+               |  CAST(a * d - b * c AS DECIMAL(38,0)) *
+               |  CAST(a * d - b * c AS DECIMAL(38,0)) * 1000
+               | DIV (CAST((a + b) * (c + d) AS DECIMAL(38,0)) *
+               |  CAST((a + c) * (b + d) AS DECIMAL(38,0))) AS BIGINT) END""".stripMargin
+          .replace("\n", " ")).as("chi2_millis"))
+  }
+
+  val q104Sql: String =
+    """WITH fp AS (SELECT user_id,
+      |  CASE WHEN arg_min(value, event_id) > 50.0 THEN 1 ELSE 0 END AS converted
+      | FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      | u AS (SELECT du.user_id, COALESCE(fp.converted, 0) AS converted
+      |  FROM (SELECT DISTINCT user_id FROM events) du
+      |  LEFT JOIN fp ON du.user_id = fp.user_id),
+      | t AS (SELECT
+      |  CAST(SUM(CASE WHEN user_id % 2 = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |  CAST(SUM(CASE WHEN user_id % 2 = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |  CAST(SUM(CASE WHEN user_id % 2 = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(SUM(CASE WHEN user_id % 2 = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      | FROM u)
+      |SELECT a + b AS n_control, a AS conv_control, c + d AS n_treat, c AS conv_treat,
+      | a * 1000 // (a + b) AS rate_control_permille,
+      | c * 1000 // (c + d) AS rate_treat_permille,
+      | CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0
+      |  ELSE CAST(CAST(a + b + c + d AS HUGEINT) * CAST(a * d - b * c AS HUGEINT)
+      |   * CAST(a * d - b * c AS HUGEINT) * 1000
+      |   // (CAST((a + b) * (c + d) AS HUGEINT) * CAST((a + c) * (b + d) AS HUGEINT))
+      |   AS BIGINT) END AS chi2_millis
+      |FROM t""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_calibration" -> (q103Calibration _),
+    "q104_ab_test" -> (q104AbTest _),
     "q91_cohort_retention" -> (q91CohortRetention _),
     "q92_transition_matrix" -> (q92TransitionMatrix _),
     "q84_funnel" -> (q84Funnel _),
@@ -479,6 +593,8 @@ object SessionOps {
     "q46_ann_ivf" -> (q46AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q103_calibration" -> q103Sql,
+    "q104_ab_test" -> q104Sql,
     "q91_cohort_retention" -> q91Sql,
     "q92_transition_matrix" -> q92Sql,
     "q84_funnel" -> q84Sql,
