@@ -1116,24 +1116,24 @@ object ForwardingOps {
           conv(substring(md5(col("k").cast("string").cast("binary")), 1, 15), 16, 10)
             .cast("long"))
     val ev = events(spark, dir)
+    // scan 1: every fact-side figure (sketch state, exact distinct, row
+    // count) from ONE aggregation
     val a = hashed(ev, "user_id")
       .agg(countDistinct("k").as("na_exact"),
         graft.functions.KmvSketch.kmv_estimate(col("h")).as("na_est"),
-        graft.functions.SmallestK.smallest_k(col("h"), KmvK).as("ska"))
+        graft.functions.SmallestK.smallest_k(col("h"), KmvK).as("ska"),
+        count(lit(1)).as("n_fact"))
     val b = hashed(spark.read.parquet(s"$dir/customer.parquet"), "c_custkey")
       .agg(countDistinct("k").as("nb_exact"),
         graft.functions.KmvSketch.kmv_estimate(col("h")).as("nb_est"),
         graft.functions.SmallestK.smallest_k(col("h"), KmvK).as("skb"))
-    val actualInter = hashed(ev, "user_id").select("k").distinct()
-      .join(spark.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey").as("k")).distinct(), Seq("k"), "left_semi")
-      .agg(count(lit(1)).as("inter_exact"))
-    val joinRows = ev.filter(col("user_id").isNotNull)
+    // scan 2: the ground-truth join, yielding BOTH exact figures at once
+    val exact = ev.filter(col("user_id").isNotNull)
       .join(broadcast(spark.read.parquet(s"$dir/customer.parquet").select(
         col("c_custkey").as("user_id"))), Seq("user_id"))
-      .agg(count(lit(1)).as("join_rows_exact"))
-    val nEvents = ev.filter(col("user_id").isNotNull).agg(count(lit(1)).as("n_fact"))
-    a.crossJoin(b).crossJoin(actualInter).crossJoin(joinRows).crossJoin(nEvents)
+      .agg(count(lit(1)).as("join_rows_exact"),
+        countDistinct("user_id").as("inter_exact"))
+    a.crossJoin(b).crossJoin(exact)
       .withColumn("merged", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $KmvK)"))
       .withColumn("union_est",
         when(size(col("merged")) < KmvK, size(col("merged")).cast("double"))

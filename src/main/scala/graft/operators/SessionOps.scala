@@ -402,11 +402,14 @@ object SessionOps {
   val WeekNanos = 604800000000000L
 
   def q91CohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+    // ONE scan: the cohort week is a window min over the distinct
+    // (user, week) frame — a separate cohort aggregation would rescan and
+    // re-shuffle the events
+    val act = events(spark, dir)
       .select(col("user_id"), expr(s"ts DIV $WeekNanos").as("wk"))
-    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    ev.distinct()
-      .join(cohort, "user_id")
+      .distinct()
+    act
+      .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
       .withColumn("offset", col("wk") - col("cohort_wk"))
       .groupBy("cohort_wk", "offset")
       .agg(countDistinct("user_id").as("n_active"))
@@ -517,14 +520,17 @@ object SessionOps {
     // above the median-ish 50 — a per-user outcome that does NOT saturate
     // with event volume (any "ever did X" predicate converges to 1 as
     // activity grows)
-    val firstPurchase = ev.filter(col("event_type") === "purchase")
+    // ONE user-keyed aggregation: min() skips the nulls the conditional
+    // leaves on non-purchase rows, so the first-purchase pick and the
+    // "user exists" roll-up fuse into a single scan (a purchase-filtered
+    // frame joined back to distinct users would scan events twice)
+    val users = ev
       .groupBy("user_id")
-      .agg(min(struct(col("event_id"), col("value"))).as("fst"))
+      .agg(min(when(col("event_type") === "purchase",
+        struct(col("event_id"), col("value")))).as("fst"))
       .select(col("user_id"),
-        when(col("fst.value") > 50.0, 1L).otherwise(0L).as("converted"))
-    val users = ev.select("user_id").distinct()
-      .join(firstPurchase, Seq("user_id"), "left_outer")
-      .withColumn("converted", coalesce(col("converted"), lit(0L)))
+        when(col("fst").isNotNull && col("fst.value") > 50.0, 1L).otherwise(0L)
+          .as("converted"))
       .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
     users
       .groupBy()

@@ -910,11 +910,15 @@ object TextOps {
   val MinDf = 50L
 
   def q74InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    // the (token, doc) frame feeds BOTH the df/cf rollup and the posting
+    // lists — materialize it once instead of re-running tokenize+explode
+    // per reference (the q65 lesson)
     val tf = docs(spark, dir)
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
       .groupBy("tok", "doc_id")
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = tf.groupBy("tok")
       .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
       .filter(col("df") >= MinDf)
@@ -960,9 +964,12 @@ object TextOps {
   val MinPair = 20L
 
   def q75PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    // one tokenize scan feeds unigram AND bigram counts — persisted, since
+    // both sides reference it (the q65 lesson)
     val toks = docs(spark, dir)
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val totals = uni.agg(sum("n_w").cast("long").as("n_total"))
@@ -1100,14 +1107,17 @@ object TextOps {
   val BoilerplateTop = 15
 
   def q99Boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    // BOTH edges ride out of one scan as a 2-element array + explode — a
+    // union of two selects would tokenize the corpus twice
+    val edges = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
       .filter(size(col("ts")) >= EdgeTokens)
-      .withColumn("head", expr(s"array_join(slice(ts, 1, $EdgeTokens), ' ')"))
-      .withColumn("tail", expr(s"array_join(slice(ts, -$EdgeTokens, $EdgeTokens), ' ')"))
-    val edges = d.select(col("doc_id"), col("source"), lit("head").as("kind"), col("head").as("edge"))
-      .unionByName(d.select(col("doc_id"), col("source"), lit("tail").as("kind"), col("tail").as("edge")))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""array(struct('head' AS kind, array_join(slice(ts, 1, $EdgeTokens), ' ') AS edge),
+           |      struct('tail' AS kind, array_join(slice(ts, -$EdgeTokens, $EdgeTokens), ' ') AS edge))"""
+          .stripMargin.replace("\n", " "))).as("e"))
+      .select(col("doc_id"), col("source"), col("e.kind").as("kind"), col("e.edge").as("edge"))
     val w = Window.partitionBy("kind").orderBy(col("n_docs").desc, col("edge"))
     edges
       .groupBy("kind", "edge")
