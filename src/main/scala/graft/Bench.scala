@@ -71,14 +71,33 @@ object Bench {
     // driver-resident centroids) reuse the compiled class because the
     // generated source depends on expression shape, not literal values.
     locally {
-      val warmDir = "/root/testdata/sf0.001"
-      if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        }
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc()
+      // warm-up data: an explicit SPARK_GRAFT_WARM_DIR wins; otherwise the
+      // smallest sibling sf* directory of sfDir (so the pass exists on any
+      // layout, not just the canonical /root/testdata one). A skipped
+      // warm-up is loud — it means the measured pass re-absorbs one-shot
+      // Janino/JIT compile cost and the numbers are not steady-state.
+      val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").orElse {
+        val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+        Option(if (parent == null) null else parent.listFiles())
+          .map(_.toSeq).getOrElse(Seq.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("sf") &&
+            d.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath &&
+            new java.io.File(d, "lineitem.parquet").exists())
+          .sortBy(d => d.getName.drop(2).toDoubleOption.getOrElse(Double.MaxValue))
+          .headOption.map(_.getAbsolutePath)
+      }
+      warmDir match {
+        case Some(wd) if new java.io.File(wd).isDirectory =>
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+            try fn(spark, wd).count() catch { case _: Throwable => () }
+          }
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+        case _ =>
+          System.err.println(
+            s"[bench] WARM-UP SKIPPED: no sibling sf* dir next to $sfDir and " +
+              "SPARK_GRAFT_WARM_DIR unset — measured times include one-time codegen/JIT cost")
       }
     }
 

@@ -1065,11 +1065,17 @@ object ForwardingOps {
         sum(when(col("listed").isNotNull, 1L).otherwise(0L)).as("n_erased"),
         sum(when(col("listed").isNull, 1L).otherwise(0L)).as("n_retained"),
         countDistinct(when(col("listed").isNotNull, col("user_id"))).as("subjects_erased"))
-    // the audit PROOF: re-probe the ACTUAL retained output (the anti-join
-    // a deletion job would write) against the list — must come back zero;
-    // this evaluates the erasure, not a tautology on the flag column
-    val leaked = ev.join(erase, Seq("user_id"), "left_anti")
-      .join(erase, Seq("user_id"), "left_semi")
+    // The deletion job itself: one broadcast anti-join writes the retained
+    // dataset. The audit then probes the MATERIALIZED output re-read from
+    // disk — so it verifies what was actually persisted (the write path,
+    // serialization, every file), not the join algebra that produced it.
+    // An in-plan `anti.join(semi)` would be empty by construction and prove
+    // nothing; the round-trip through storage is what makes this an audit.
+    val outPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q100-retained-${java.util.UUID.randomUUID()}").getAbsolutePath
+    ev.join(erase, Seq("user_id"), "left_anti").write.mode("overwrite").parquet(outPath)
+    val retained = spark.read.parquet(outPath)
+    val leaked = retained.join(erase, Seq("user_id"), "left_semi")
       .groupBy(col("event_type").as("topic"))
       .agg(count(lit(1)).as("leaked"))
     stats.join(leaked, Seq("topic"), "left_outer")

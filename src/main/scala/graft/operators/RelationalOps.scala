@@ -518,10 +518,15 @@ object RelationalOps {
   val SuppOffset = 10000000L
 
   def q86PageRank(spark: SparkSession, dir: String): DataFrame = {
-    // the 2-column orders projection broadcasts (fact-to-fact on the full
-    // tables, but the probe side only needs orderkey -> custkey)
+    // lineitem ⋈ orders is fact-to-fact: the 2-column orders projection is
+    // tiny at test SFs but grows linearly with the data, so a hardcoded
+    // broadcast() hint would OOM the driver at 100×. No hint: AQE promotes
+    // the shuffle join to broadcast at runtime when the projection's actual
+    // size is under spark.sql.autoBroadcastJoinThreshold, and keeps the
+    // shuffle join when it isn't — the size gate lives in the engine, where
+    // the runtime statistics are.
     val trade = t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "orders").select("o_orderkey", "o_custkey")),
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), (col("l_suppkey") + SuppOffset).as("supp"))
       .distinct()
@@ -859,17 +864,34 @@ object RelationalOps {
   val BandBucketWidth = 4000000L
 
   def q102PriceBand(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set(graft.plans.RewriteRangeJoin.WidthConf, BandBucketWidth.toString)
-    val tiers = spark.range(10).select(col("id").as("tier"),
-      (col("id") * TierCents).as("lo"), ((col("id") + 1) * TierCents - 1L).as("hi"))
-    val oc = t(spark, dir, "orders")
-      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
-    oc.join(tiers, col("pc") >= col("lo") && col("pc") <= col("hi"))
-      .groupBy("tier")
-      .agg(count(lit(1)).as("n_orders"),
-        min("pc").as("min_cents"), max("pc").as("max_cents"),
-        sum("pc").cast("long").as("total_cents"))
-      .orderBy("tier")
+    // The rewrite rule reads the width conf at PLAN time, so scope it: set,
+    // force physical planning of this one query, then restore the previous
+    // value. Without the restore the rule stays armed for every later query
+    // in the session (band-shaped joins elsewhere would silently get a width
+    // tuned for q102); without the forced planning the restore would win the
+    // race and q102 itself would lose the rewrite.
+    val widthConf = graft.plans.RewriteRangeJoin.WidthConf
+    val prev = spark.conf.getOption(widthConf)
+    spark.conf.set(widthConf, BandBucketWidth.toString)
+    try {
+      val tiers = spark.range(10).select(col("id").as("tier"),
+        (col("id") * TierCents).as("lo"), ((col("id") + 1) * TierCents - 1L).as("hi"))
+      val oc = t(spark, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val out = oc.join(tiers, col("pc") >= col("lo") && col("pc") <= col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_orders"),
+          min("pc").as("min_cents"), max("pc").as("max_cents"),
+          sum("pc").cast("long").as("total_cents"))
+        .orderBy("tier")
+      out.queryExecution.executedPlan // materialize the plan while the conf is set
+      out
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(widthConf, v)
+        case None => spark.conf.unset(widthConf)
+      }
+    }
   }
 
   val q102Sql: String =

@@ -31,6 +31,14 @@ import org.apache.spark.sql.graft.Shims
  * Reference motivation: the autoscaler-style placement loops in the
  * reference pick argmin over small driver-resident tables
  * (RebalancerCommon.java); here the same move is a per-row vector argmin.
+ *
+ * Overflow contract: the accumulation is CHECKED 64-bit arithmetic —
+ * `Math.multiplyExact`/`Math.addExact` throw `ArithmeticException` rather
+ * than wrapping silently, matching the SQL-engine (BIGINT overflow error)
+ * behavior the oracle exhibits. Safe input range: with |a−b| ≤ 2^m and
+ * dim ≤ 2^k, the sum is bounded by 2^(2m+k), so any m + k/2 ≤ 31 cannot
+ * overflow (e.g. quantized coordinates within ±2^27 at dim ≤ 256). The
+ * shipped callers quantize to ~2^20, far inside the contract.
  */
 case class NearestCentroid(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -74,8 +82,8 @@ case class NearestCentroid(left: Expression, right: Expression)
       var acc = 0L
       var i = 0
       while (i < dim) {
-        val d = vec.getLong(i) - cq.getLong(i)
-        acc += d * d
+        val d = Math.subtractExact(vec.getLong(i), cq.getLong(i))
+        acc = Math.addExact(acc, Math.multiplyExact(d, d))
         i += 1
       }
       if (!found || acc < bestD2) {
@@ -113,8 +121,8 @@ case class NearestCentroid(left: Expression, right: Expression)
          |  if ($cq.numElements() != $dim) { ${ev.isNull} = true; break; }
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    long $d = $vec.getLong($i) - $cq.getLong($i);
-         |    $acc += $d * $d;
+         |    long $d = java.lang.Math.subtractExact($vec.getLong($i), $cq.getLong($i));
+         |    $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
          |  }
          |  if (!$found || $acc < $bestD2) {
          |    $bestD2 = $acc;

@@ -90,6 +90,31 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(r.getLong(0) == 11L && r.getInt(1) == 3)
   }
 
+  test("overflow fails loudly (checked arithmetic) in both eval paths") {
+    // |a-b| = 2^33 => d*d = 2^66 overflows a long; the contract is an
+    // ArithmeticException like the oracle's BIGINT overflow error, never a
+    // silent wrap
+    val big: Seq[(Int, Seq[Long])] = Seq((0, Seq(-(1L << 32))))
+    val df = Seq((1L, Seq(1L << 32))).toDF("vec_id", "qv")
+    def run(): Unit =
+      df.select(nearest_centroid(col("qv"), typedlit(big)).as("b"))
+        .select(col("b.d2")).head()
+    val eCg = intercept[Exception](run())
+    assert(exceptionChain(eCg).exists(_.isInstanceOf[ArithmeticException]), eCg.toString)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val eInt = intercept[Exception](run())
+      assert(exceptionChain(eInt).exists(_.isInstanceOf[ArithmeticException]), eInt.toString)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("interpreted path agrees with codegen") {
     // force the interpreted path by evaluating via a filter on a literal
     // projection with codegen disabled

@@ -129,6 +129,20 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 scopes the width conf: rewrite applies, session conf restored") {
+    val testdata = new java.io.File("/root/testdata/sf0.001")
+    assume(testdata.isDirectory)
+    assert(spark.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
+    val df = graft.operators.RelationalOps.q102PriceBand(spark, testdata.getAbsolutePath)
+    // conf already restored at return — later band joins in the session
+    // must NOT silently inherit q102's width
+    assert(spark.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
+    // ...yet q102's own (already-materialized) plan kept the rewrite
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_range_bucket"), p.take(1500))
+    assert(df.count() > 0)
+  }
+
   test("residual predicates survive alongside the band") {
     withWidth(32L) {
       val plain = points.join(intervals,
