@@ -23,11 +23,16 @@ import org.apache.spark.sql.SparkSessionExtensions
  * input, then a final phase merges. At 100 TB with k=10 this is the
  * difference between shuffling terabytes and shuffling megabytes.
  *
- * Memory bound: each task holds k rows per DISTINCT KEY in its partition
- * (the heaps map does not spill). That is the win when keys ≪ rows — the
- * usual top-k shape — but for extreme key cardinality (≫10⁷ distinct keys
- * per task × k) the spillable window sort can be preferable: disable the
- * rewrite by building the session without [[GraftExtensions]].
+ * Memory bound: each task holds k rows per DISTINCT KEY in its partition,
+ * capped at `spark.graft.topk.maxKeysPerTask` keys (default 4M). Beyond the
+ * cap the operator degrades instead of OOMing: the map-side phase passes
+ * overflow-key rows through unpruned (pruning is only an optimization
+ * there), and the final phase routes overflow-key rows into a SPILLABLE
+ * external sort keyed by (keys, order) and stream-groups the sorted run —
+ * exactly the window operator's sort-based plan, applied only to the keys
+ * that exceeded the hash budget. Keys never migrate between the two paths
+ * (a key enters the map on first sight or never), so each path computes an
+ * exact per-key top-k over all of that key's rows.
  *
  * Wired via [[GraftExtensions]]: an optimizer rule rewrites the
  * Filter(row_number ≤ k over Window) pattern automatically, so the
@@ -73,45 +78,113 @@ case class TopKPerKeyExec(
     val orderExprs = order
     val childOutput = child.output
     val emitRank = rankAttr.isDefined && !partial
+    val isPartial = partial
+    val maxKeys = conf.getConfString(TopKPerKeyExec.MaxKeysConf, "4194304").toInt
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(orderExprs, childOutput)
+      def emit(r: InternalRow, rank: Int): InternalRow =
+        if (!emitRank) r
+        else {
+          val joined = new GenericInternalRow(childOutput.size + 1)
+          var c = 0
+          while (c < childOutput.size) {
+            joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
+          }
+          joined.update(childOutput.size, rank.toLong)
+          joined
+        }
       // per-key bounded "heap": k is small — an insertion-sorted array beats
       // a real heap on constant factors and preserves deterministic order
       val heaps = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.ArrayList[InternalRow](kLocal + 1)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal || ordering.compare(row, heap.get(heap.size - 1)) < 0) {
-          val copied = row.copy()
-          var i = heap.size
-          heap.add(copied) // placeholder slot
-          while (i > 0 && ordering.compare(copied, heap.get(i - 1)) < 0) {
-            heap.set(i, heap.get(i - 1)); i -= 1
+      // Overflow path (final phase only), created lazily on the first key
+      // past the cap: a spillable external sort on (keys, order); the sorted
+      // run stream-groups into per-key top-k. Overflow keys are exactly the
+      // keys NOT in the map, so the two paths partition the key space.
+      var sorter: org.apache.spark.sql.execution.UnsafeExternalRowSorter = null
+      lazy val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      def overflowSorter() = {
+        if (sorter == null) {
+          val schema = org.apache.spark.sql.types.StructType(
+            childOutput.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+          val fullOrder = keyExprs.map(e => SortOrder(e, Ascending)) ++ orderExprs
+          val sortOrdering = RowOrdering.create(fullOrder, childOutput)
+          val prefixComputer = new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer {
+            private val p = new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow) = { p.value = 0L; p.isNull = false; p }
           }
-          heap.set(i, copied)
-          if (heap.size > kLocal) heap.remove(kLocal)
+          sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter.create(
+            schema, sortOrdering,
+            org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+            prefixComputer,
+            org.apache.spark.sql.graft.Shims.taskPageSizeBytes(),
+            false)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => if (sorter != null) sorter.cleanupResources()))
+        }
+        sorter
+      }
+      def heapsIterator: Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        // stream straight out of the heaps map — buffering the output would
+        // hold a second full copy of k×keys rows next to the heaps
+        heaps.values().iterator().asScala.flatMap { heap =>
+          (0 until heap.size).iterator.map(i => emit(heap.get(i), i + 1))
         }
       }
-      // stream straight out of the heaps map — buffering the output would
-      // hold a second full copy of k×keys rows next to the heaps
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        (0 until heap.size).iterator.map { i =>
-          if (emitRank) {
-            val joined = new GenericInternalRow(childOutput.size + 1)
-            val r = heap.get(i)
-            var c = 0
-            while (c < childOutput.size) {
-              joined.update(c, r.get(c, childOutput(c).dataType)); c += 1
+      def sortedOverflowIterator: Iterator[InternalRow] =
+        if (sorter == null) Iterator.empty
+        else {
+          var curKey: UnsafeRow = null
+          var rankInKey = 0
+          sorter.sort().flatMap { row =>
+            val key = keyProj(row)
+            if (curKey == null || key != curKey) { curKey = key.copy(); rankInKey = 0 }
+            rankInKey += 1
+            if (rankInKey <= kLocal) Iterator.single(emit(row, rankInKey)) else Iterator.empty
+          }
+        }
+      // Streaming driver loop: consumes input, prunes map-resident keys in
+      // place, and (partial phase) passes overflow rows straight through —
+      // the operator's own memory stays bounded by maxKeys × k rows.
+      new Iterator[InternalRow] {
+        private var pending: InternalRow = null
+        private var tail: Iterator[InternalRow] = null
+        private def advance(): Unit = {
+          while (pending == null && tail == null) {
+            if (!rows.hasNext) {
+              tail = heapsIterator ++ sortedOverflowIterator
+            } else {
+              val row = rows.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null && heaps.size >= maxKeys) {
+                // key budget exhausted: degrade instead of growing the map
+                if (isPartial) pending = row // unpruned pass-through is correct
+                else overflowSorter().insertRow(toUnsafe(row))
+              } else {
+                if (heap == null) {
+                  heap = new java.util.ArrayList[InternalRow](kLocal + 1)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap.size < kLocal || ordering.compare(row, heap.get(heap.size - 1)) < 0) {
+                  val copied = row.copy()
+                  var i = heap.size
+                  heap.add(copied) // placeholder slot
+                  while (i > 0 && ordering.compare(copied, heap.get(i - 1)) < 0) {
+                    heap.set(i, heap.get(i - 1)); i -= 1
+                  }
+                  heap.set(i, copied)
+                  if (heap.size > kLocal) heap.remove(kLocal)
+                }
+              }
             }
-            joined.update(childOutput.size, i + 1L)
-            joined: InternalRow
-          } else heap.get(i)
+          }
+        }
+        override def hasNext: Boolean = { advance(); pending != null || tail.hasNext }
+        override def next(): InternalRow = {
+          advance()
+          if (pending != null) { val r = pending; pending = null; r } else tail.next()
         }
       }
     }
@@ -122,6 +195,12 @@ case class TopKPerKeyExec(
 
   override def nodeName: String =
     if (partial) "GraftTopKPerKey(partial)" else "GraftTopKPerKey(final)"
+}
+
+object TopKPerKeyExec {
+  /** Max distinct keys a single task holds in the hash phase before
+    * degrading to pass-through (partial) / spillable sort (final). */
+  val MaxKeysConf = "spark.graft.topk.maxKeysPerTask"
 }
 
 /**

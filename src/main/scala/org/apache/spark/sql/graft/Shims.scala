@@ -14,6 +14,11 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Page size for task-side external sorters (TaskMemoryManager is
+    * private[spark]); call only inside a running task. */
+  def taskPageSizeBytes(): Long =
+    org.apache.spark.TaskContext.get().taskMemoryManager().pageSizeBytes()
+
   def registerFunction(
       spark: SparkSession,
       name: String,

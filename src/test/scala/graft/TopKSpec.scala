@@ -107,6 +107,39 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("key-cap overflow degrades to the spill path with identical results") {
+    // 20,011 distinct keys through a 64-key budget: virtually every key in
+    // every task takes the overflow path (partial: unpruned pass-through;
+    // final: external sort + stream-group). Results must be byte-identical
+    // to the window formulation.
+    val df = spark.range(200000).select(
+      (col("id") % 20011).as("key"),
+      ((col("id") * 131) % 99991).as("score"),
+      col("id"))
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    def q = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).orderBy("key", "rank")
+    val expected = q.collect().map(_.toString)
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxKeysConf, "64")
+    try withTopK {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftTopKPerKey(final)"), plan.take(1500))
+      val got = q.collect().map(_.toString)
+      assert(got.length == expected.length)
+      assert(got.sameElements(expected))
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxKeysConf)
+  }
+
+  test("global top-k (empty key set) is immune to the key cap") {
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxKeysConf, "1")
+    try withTopK {
+      val df = spark.range(100000).select(col("id"), ((col("id") * 31) % 10007).as("score"))
+      val w = Window.orderBy(col("score").desc, col("id"))
+      val q = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      assert(q.count() == 10)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxKeysConf)
+  }
+
   test("q40-style query under the operator still matches its plain result") {
     val dir = "/root/testdata/sf0.001"
     val plain = SparkEntry.queries("q40_ann_cosine")(spark, dir).collect().map(_.toString)
