@@ -97,6 +97,20 @@ object ForwardingEngine {
     }
   }
 
+  /** Adapt a Kafka-schema source DataFrame (the `format("kafka")` /
+    * `format("graft-queue")` includeHeaders=true layout) into the engine's
+    * typed record stream. One adapter serves both sources — the engine
+    * never knows which connector produced the frame. */
+  def fromSourceFrame(df: DataFrame): Dataset[KafkaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+        col("key"), col("value"), col("topic"), col("partition"), col("offset"),
+        (unix_micros(col("timestamp")) * 1000L).as("timestampNs"),
+        when(col("headers").isNotNull, map_from_entries(col("headers")))
+          .otherwise(typedLit(Map.empty[String, Array[Byte]])).as("headers"))
+      .as[KafkaRecord]
+  }
+
   /** Anti-replication-loop guard
     * (reference: OriginalClusterFilter.java:8-27). */
   def clusterFilter(localCluster: String)(m: ProcessorMessage): Boolean =
@@ -369,7 +383,8 @@ object ForwardingEngine {
       store: QueueStore,
       checkpointDir: String,
       queryName: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      committer: Option[OffsetCommitter] = None): StreamingQuery = {
     // default trigger: continuous micro-batches — a long-running forwarding
     // job keeps consuming as data arrives (AvailableNow would snapshot the
     // offsets at start and self-terminate, which only fits drain jobs)
@@ -378,8 +393,26 @@ object ForwardingEngine {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[KafkaRecord], batchId: Long) =>
-        val outcomes = processBatch(spec, dispatcherFactory, localCluster, batch)
-        store.produce(outcomes)
+        if (committer.isEmpty) {
+          store.produce(processBatch(spec, dispatcherFactory, localCluster, batch))
+        } else {
+          // two actions over the outcomes (queue produce + watermark pull):
+          // persist so the dispatch pass — which talks to the consumer
+          // service — runs exactly once per batch
+          val outcomes = processBatch(spec, dispatcherFactory, localCluster, batch).persist()
+          try {
+            store.produce(outcomes)
+            // commit the ACK watermark per (topic,partition) — the
+            // reference's semantic (commit the acked prefix, not the fetch
+            // position) — through the cadence/keepalive policy
+            val wms = outcomes.filter(col("commitWatermark") >= 0L)
+              .groupBy(col("physicalTopic"), col("physicalPartition"))
+              .agg(max(col("commitWatermark")).as("wm"))
+              .collect()
+              .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+            committer.foreach { c => c.offer(wms); c.tick() }
+          } finally { outcomes.unpersist(); () }
+        }
         ()
       }
       .start()

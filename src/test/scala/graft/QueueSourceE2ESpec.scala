@@ -1,0 +1,224 @@
+package graft
+
+import graft.model._
+import graft.sources.GraftBroker
+import graft.streaming._
+import graft.streaming.ForwardingEngine._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end replay of the reference's three integration scenarios
+ * (UforwarderIntegrationTests.java:164,199,246) through Spark's REAL
+ * streaming machinery: `spark.readStream.format("graft-queue")` →
+ * MicroBatchExecution (offset log, checkpoints, admission control, source
+ * commit) → the full forwarding engine → a DSv2 batch write with per-row
+ * topic routing back into the broker. The only substitution vs the
+ * reference harness is the broker itself (in-process, Kafka semantics) —
+ * no Kafka jars exist in this environment; the engine code is
+ * connector-agnostic (`fromSourceFrame`) and runs identically against
+ * `format("kafka")`.
+ */
+class QueueSourceE2ESpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.metricsEnabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def spec(topic: String, group: String, tiers: Int, tierDelayMs: Long): JobSpec = JobSpec(
+    jobGroupId = s"${topic}__$group", cluster = "local-cluster",
+    topic = topic, consumerGroup = group,
+    rpc = RpcSpec("grpc://consumer", s"kafka.consumerproxy.$group/$topic",
+      maxRpcTimeouts = 2, dlqTopic = TopicNames.dlq(topic, group)),
+    retryEnabled = tiers > 0,
+    retryTiers = (1 to tiers).map(i =>
+      RetryTier(TopicNames.retry(topic, group, i), tierDelayMs, 1)))
+
+  /** Outcomes with a destination go back to the broker through the DSv2
+    * batch write — per-row `topic` column routing, exactly the Kafka sink
+    * call the production engine makes inside foreachBatch. */
+  private object BrokerQueueStore extends QueueStore {
+    def produce(outcomes: Dataset[Outcome]): Unit = {
+      outcomes.filter(col("destination") =!= "")
+        .select(col("destination").as("topic"),
+          col("outKey").as("key"), col("outValue").as("value"))
+        .write.format("graft-queue").mode("append").save()
+      ()
+    }
+  }
+
+  private def await(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(cond, s"timed out after ${timeoutMs}ms waiting for: $what")
+  }
+
+  private def ckpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-e2e-$tag").toString
+
+  private def startEngine(
+      s: JobSpec,
+      behaviorId: String,
+      subscribe: Seq[String],
+      delays: Map[String, Long],
+      checkpoint: String,
+      extraOptions: Map[String, String] = Map.empty) = {
+    var reader = spark.readStream.format("graft-queue")
+      .option("topics", subscribe.mkString(","))
+      .option("groupid", s.consumerGroup)
+      .option("startingoffsets", "earliest")
+    if (delays.nonEmpty)
+      reader = reader.option("visibilitydelays",
+        delays.map { case (t, d) => s"$t:$d" }.mkString(","))
+    extraOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    val stream = ForwardingEngine.fromSourceFrame(reader.load())
+    // cadence 0: commit every batch so the test observes progress promptly;
+    // production uses the default 1 s cadence / 60 s keepalive
+    val committer = new OffsetCommitter(new BrokerCommitTarget, s.consumerGroup, cadenceMs = 0L)
+    ForwardingEngine.run(s, MockDispatcherFactory(behaviorId), "local-cluster",
+      stream, BrokerQueueStore, checkpoint, s"e2e-${s.topic}",
+      committer = Some(committer))
+  }
+
+  // === scenario 1: happy path — 5 produced, 5 delivered exactly once,
+  // consumer-group commit visible broker-side, checkpoint restart clean ===
+  test("scenario 1 E2E: deliver 5, commit group offsets, survive restart") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-commit" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "e2e1-topic"; val group = "e2e1-group"
+    GraftBroker.createTopic(topic, 2)
+    (1 to 5).foreach(i => GraftBroker.produce(topic, Some((i - 1) % 2),
+      s"k$i".getBytes, s"v$i".getBytes))
+    val s = spec(topic, group, tiers = 0, tierDelayMs = 0L)
+    val cp = ckpt("s1")
+    val q = startEngine(s, "e2e-commit", Seq(topic), Map.empty, cp)
+    try {
+      await("all 5 delivered once") {
+        (1 to 5).forall(i => TestConsumer.count("e2e-commit", s"v$i") == 1)
+      }
+      // consumer-group commit exposure: lag drains to zero broker-side
+      await("group lag reaches 0")(GraftBroker.lag(group, topic).values.sum == 0L)
+      // drain: the awaited conditions fire INSIDE foreachBatch — without
+      // this, stop() can cancel the query before the batch's commit-log
+      // write and the restart (correctly, at-least-once) redelivers
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the checkpoint: committed records must NOT redeliver
+    (6 to 7).foreach(i => GraftBroker.produce(topic, Some(i % 2),
+      s"k$i".getBytes, s"v$i".getBytes))
+    val q2 = startEngine(s, "e2e-commit", Seq(topic), Map.empty, cp)
+    try {
+      await("new records delivered after restart") {
+        (6 to 7).forall(i => TestConsumer.count("e2e-commit", s"v$i") == 1)
+      }
+      (1 to 5).foreach(i =>
+        assert(TestConsumer.count("e2e-commit", s"v$i") == 1, s"v$i redelivered"))
+    } finally q2.stop()
+  }
+
+  // === scenario 2: always-nack escalates main -> retry tier -> DLQ; the
+  // bounded DLQ merge (batch read) redelivers from the DLQ topic ===
+  test("scenario 2 E2E: nack walks retry tier to DLQ; DLQ merge redelivers") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-nack" ->
+      (_ => DispatchResult("RESOURCE_EXHAUSTED", None, overdue = false))
+    val topic = "e2e2-topic"; val group = "e2e2-group"
+    val s = spec(topic, group, tiers = 1, tierDelayMs = 300L)
+    val retry1 = TopicNames.retry(topic, group, 1)
+    GraftBroker.createTopic(topic, 1)
+    GraftBroker.produce(topic, Some(0), "k1".getBytes, "m1".getBytes)
+    val q = startEngine(s, "e2e-nack", Seq(topic, retry1),
+      Map(retry1 -> 300L), ckpt("s2"))
+    try {
+      // nacked from main -> retry topic record appears; after the 300ms
+      // visibility delay the SOURCE releases it, nacked again -> DLQ
+      await("DLQ record produced")(GraftBroker.endOffsets(s.rpc.dlqTopic).values.sum == 1L)
+      assert(GraftBroker.endOffsets(retry1).values.sum == 1L)
+      assert(TestConsumer.count("e2e-nack", "m1") == 2) // main + retry views
+    } finally q.stop()
+    // bounded DLQ merge job: batch (not streaming) read of the DLQ topic
+    val merged = ForwardingEngine.fromSourceFrame(
+      spark.read.format("graft-queue").option("topics", s.rpc.dlqTopic).load())
+    val outcomes = ForwardingEngine.processBatch(
+      s, MockDispatcherFactory("e2e-nack"), "local-cluster", merged)
+    BrokerQueueStore.produce(outcomes)
+    // >= 3 views of the message, from original, retry, and DLQ topics
+    // (the reference's scenario-2 assertion)
+    assert(TestConsumer.count("e2e-nack", "m1") >= 3)
+  }
+
+  // === scenario 3: two tiers honored in ORDER, then DLQ ===
+  test("scenario 3 E2E: tier1 -> tier2 -> DLQ with DlqMetadata retry counts") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-nack2" ->
+      (_ => DispatchResult("RESOURCE_EXHAUSTED", None, overdue = false))
+    val topic = "e2e3-topic"; val group = "e2e3-group"
+    val s = spec(topic, group, tiers = 2, tierDelayMs = 200L)
+    val t1 = TopicNames.retry(topic, group, 1)
+    val t2 = TopicNames.retry(topic, group, 2)
+    GraftBroker.createTopic(topic, 1)
+    GraftBroker.produce(topic, Some(0), "k1".getBytes, "m1".getBytes)
+    val q = startEngine(s, "e2e-nack2", Seq(topic, t1, t2),
+      Map(t1 -> 200L, t2 -> 200L), ckpt("s3"))
+    try {
+      await("DLQ record after walking both tiers") {
+        GraftBroker.endOffsets(s.rpc.dlqTopic).values.sum == 1L
+      }
+      // tier order: one record in each tier topic, three consumer views
+      assert(GraftBroker.endOffsets(t1).values.sum == 1L)
+      assert(GraftBroker.endOffsets(t2).values.sum == 1L)
+      assert(TestConsumer.count("e2e-nack2", "m1") == 3)
+      // the DLQ record's DlqMetadata envelope carries the full journey:
+      // produced 3 times (tier1, tier2, dlq) and the original identity
+      val dlqRec = GraftBroker.fetch(s.rpc.dlqTopic, 0, 0L, 1L).head
+      val meta = DlqMetadata.decode(dlqRec.key).get
+      assert(meta.retryCount == 3L)
+      assert(meta.topic == topic && meta.partition == 0 && meta.offset == 0L)
+      assert(new String(meta.data) == "k1")
+    } finally q.stop()
+  }
+
+  // === connector behaviors the scenarios rely on ===
+
+  test("headers round-trip the source; foreign original_cluster is dropped") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-hdr" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "e2e-hdr-topic"; val group = "e2e-hdr-group"
+    GraftBroker.createTopic(topic, 1)
+    GraftBroker.produce(topic, Some(0), "kf".getBytes, "foreign".getBytes,
+      headers = Seq("original_cluster" -> "other-cluster".getBytes))
+    GraftBroker.produce(topic, Some(0), "kl".getBytes, "local".getBytes,
+      headers = Seq("original_cluster" -> "local-cluster".getBytes))
+    val s = spec(topic, group, tiers = 0, tierDelayMs = 0L)
+    val q = startEngine(s, "e2e-hdr", Seq(topic), Map.empty, ckpt("hdr"))
+    try {
+      await("local-cluster record delivered")(TestConsumer.count("e2e-hdr", "local") == 1)
+      await("group lag reaches 0")(GraftBroker.lag(group, topic).values.sum == 0L)
+      assert(TestConsumer.count("e2e-hdr", "foreign") == 0, "replication loop not filtered")
+    } finally q.stop()
+  }
+
+  test("admission control: maxoffsetspertrigger bounds every micro-batch") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-adm" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "e2e-adm-topic"; val group = "e2e-adm-group"
+    GraftBroker.createTopic(topic, 1)
+    (1 to 12).foreach(i => GraftBroker.produce(topic, Some(0), s"k$i".getBytes, s"v$i".getBytes))
+    val s = spec(topic, group, tiers = 0, tierDelayMs = 0L)
+    val q = startEngine(s, "e2e-adm", Seq(topic), Map.empty, ckpt("adm"),
+      extraOptions = Map("maxoffsetspertrigger" -> "3"))
+    try {
+      await("all 12 delivered under the trigger cap") {
+        (1 to 12).forall(i => TestConsumer.count("e2e-adm", s"v$i") == 1)
+      }
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.nonEmpty)
+      assert(batches.forall(_.numInputRows <= 3),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+}

@@ -132,11 +132,17 @@ class RangeJoinRuleSpec extends AnyFunSuite {
   test("q102 scopes the width conf: rewrite applies, session conf restored") {
     val testdata = new java.io.File("/root/testdata/sf0.001")
     assume(testdata.isDirectory)
-    assert(spark.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
-    val df = graft.operators.RelationalOps.q102PriceBand(spark, testdata.getAbsolutePath)
+    // own session: suites share the JVM-wide session, and a parallel suite
+    // legitimately holding the conf would make a global-emptiness assert racy
+    val s = spark.newSession()
+    // the shared suite session may predate GraftExtensions (getOrCreate
+    // returns whatever an earlier suite built) — inject the rule directly
+    s.experimental.extraOptimizations = Seq(RewriteRangeJoin)
+    assert(s.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
+    val df = graft.operators.RelationalOps.q102PriceBand(s, testdata.getAbsolutePath)
     // conf already restored at return — later band joins in the session
     // must NOT silently inherit q102's width
-    assert(spark.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
+    assert(s.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
     // ...yet q102's own (already-materialized) plan kept the rewrite
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("graft_range_bucket"), p.take(1500))
