@@ -154,4 +154,7 @@ final class AutoScaler(config: AutoScaler.Config = AutoScaler.Config()) {
   /** Desired worker count = ceil(scale). */
   def desiredWorkers(group: String): Int =
     states.get(group).map(s => math.ceil(s.scale).toInt).getOrElse(1)
+
+  /** Groups with a scale state (for the management snapshot endpoint). */
+  def groups: Seq[String] = states.keys.toSeq.sorted
 }

@@ -120,6 +120,7 @@ final class JobManager(spark: SparkSession) {
       (spec, partitions) <- expected
       p <- 0 until math.max(partitions, 1)
     } yield Rebalancer.JobKey(spec.jobGroupId, p)
+    require(workers.nonEmpty, "rebalance requires at least one live worker")
     val placement = Rebalancer.placeWithScale(jobs, scaleByGroup, workers)
     val placedGroups = placement.assignments.keySet.map(_.jobGroupId)
     val runningNow = running.toSet
@@ -132,6 +133,17 @@ final class JobManager(spark: SparkSession) {
         runningNow.diff(placedGroups).toSeq.sorted.map(CancelGroup.apply)
     (placement, cmds)
   }
+
+  /** Rebalance against a TTL'd worker registry: only workers whose
+    * heartbeat is within the TTL participate, so an expired worker's jobs
+    * land elsewhere on the next loop — the reference's worker-TTL failover
+    * (ZKStore TTLDecorator, worker TTL 10 s,
+    * application-uforwarder-controller.yaml:101) without a lease protocol. */
+  def rebalance(
+      expected: Seq[(JobSpec, Int)],
+      scaleByGroup: Map[String, Double],
+      registry: TtlRegistry[String, Long]): (Rebalancer.Placement, Seq[Command]) =
+    rebalance(expected, scaleByGroup, registry.live.keys.toSeq.sorted)
 
   /** Management endpoint payload: all groups' status as one JSON document
     * (reference: the management HTML/JSON debug pages). */
@@ -218,4 +230,17 @@ final class ParquetJobStore(spark: SparkSession, path: String) {
 
   def load(version: Long): Seq[JobSpec] =
     spark.read.parquet(s"$path/v$version").as[JobSpec].collect().toSeq
+
+  /** Expire old versions, keeping the newest `keepLast` — the store's
+    * retention duty (reference: ZKStore TTLDecorator + BufferedWriteDecorator
+    * keep ZK from accumulating stale state; yaml :94-109). Returns how many
+    * versions were deleted. */
+  def prune(keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = versions.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
+    drop.size
+  }
 }

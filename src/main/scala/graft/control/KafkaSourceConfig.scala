@@ -1,6 +1,6 @@
 package graft.control
 
-import graft.model.{FlowControl, JobSpec}
+import graft.model.{FlowControl, JobSpec, SecuritySpec}
 
 /**
  * Pure builders translating control-plane specs into Spark Kafka
@@ -89,8 +89,24 @@ object KafkaSourceConfig {
     }
     val flow = maxOffsetsPerTrigger(spec.flowControl, triggerSec)
       .map(n => Map("maxOffsetsPerTrigger" -> n.toString)).getOrElse(Map.empty)
-    base ++ startOpt ++ flow
+    base ++ startOpt ++ flow ++ securityOptions(spec.security)
   }
+
+  /**
+   * Kafka-client security options from the job's SecurityConfig
+   * (reference: KafkaUtils.getSecurityConfigs — security.protocol=SSL plus
+   * key/trust manager config; job gating via SecurityConfig.is_secure,
+   * job.proto:370-379). Site-specific TLS material (stores, algorithms,
+   * providers) comes from `SecuritySpec.clientOptions` so no deployment's
+   * provider classes are hardcoded here. Insecure jobs contribute nothing —
+   * the "identity provided but is_secure false runs unsecured" rule.
+   */
+  def securityOptions(sec: SecuritySpec): Map[String, String] =
+    if (!sec.isSecure) Map.empty
+    else Map("kafka.security.protocol" -> "SSL") ++
+      sec.clientOptions.map { case (k, v) =>
+        (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
+      }
 
   /** Bounded (batch) read options for DLQ merge/purge jobs
     * (reference: DlqTopicKafkaFetcher.java:66-79 bounded consumption). */
@@ -104,16 +120,20 @@ object KafkaSourceConfig {
     "assign" -> s"""{"$topic": [${start.keys.toSeq.sorted.mkString(",")}]}""",
     "startingOffsets" -> offsetsJson(topic, start),
     "endingOffsets" -> offsetsJson(topic, end),
-    "includeHeaders" -> "true")
+    "includeHeaders" -> "true") ++ securityOptions(spec.security)
 
   /** Producer options for the retry/DLQ/resq sink: lossless acks, snappy
     * compression (reference: application-uforwarder-worker.yaml:85-100).
     * The DataFrame's per-row `topic` column routes each record natively. */
-  def sinkOptions(bootstrapServers: String, lossless: Boolean = true): Map[String, String] = Map(
+  def sinkOptions(
+      bootstrapServers: String,
+      lossless: Boolean = true,
+      security: SecuritySpec = SecuritySpec()): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> bootstrapServers,
     "kafka.acks" -> (if (lossless) "all" else "1"),
     "kafka.compression.type" -> "snappy",
-    "kafka.max.request.size" -> (30 * 1024 * 1024).toString)
+    "kafka.max.request.size" -> (30 * 1024 * 1024).toString) ++
+    securityOptions(security)
 
   /** messages_per_sec × trigger window, the micro-batch admission quota. */
   def maxOffsetsPerTrigger(fc: FlowControl, triggerSec: Double): Option[Long] =

@@ -1,0 +1,97 @@
+package graft.control
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import scala.collection.concurrent.TrieMap
+
+/**
+ * TTL'd registry — the Store TTL decorator analog
+ * (reference: controller/storage/TTLDecorator over ZKStore; worker TTL 10 s,
+ * job-status TTL 1 h, application-uforwarder-controller.yaml:94-109). A
+ * worker that stops heartbeating ages out of `live`, so the next rebalance
+ * reschedules its jobs — failover without a lease protocol.
+ */
+final class TtlRegistry[K, V](
+    ttlMs: Long,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  private val entries = TrieMap.empty[K, (V, Long)]
+
+  def put(k: K, v: V): Unit = { entries.put(k, (v, clock())); () }
+
+  def get(k: K): Option[V] =
+    entries.get(k).collect { case (v, t) if clock() - t <= ttlMs => v }
+
+  /** Unexpired entries; expired ones are purged as a side effect. */
+  def live: Map[K, V] = { purge(); entries.view.mapValues(_._1).toMap }
+
+  /** Drop expired entries, returning how many were removed. */
+  def purge(): Int = {
+    val now = clock()
+    val dead = entries.collect { case (k, (_, t)) if now - t > ttlMs => k }.toSeq
+    dead.foreach(entries.remove)
+    dead.size
+  }
+
+  def size: Int = entries.size
+}
+
+/**
+ * Minimal JSON status endpoint — the management/debug surface
+ * (reference: uforwarder-core/.../management/ 17 files of HTML+JSON pages;
+ * the JSON shapes operators actually script against — WorkerStubsJson.java,
+ * jobs/workers/masters). Spark's UI covers task-level detail; this serves
+ * the CONTROL-PLANE state Spark doesn't know: job-group status, live
+ * workers, autoscaler snapshots.
+ *
+ * Endpoints:
+ *   GET /status/jobs    -> JobManager.statusJson
+ *   GET /status/workers -> live worker heartbeats (TTL-filtered)
+ *   GET /status/scaler  -> per-group AutoScaler snapshot
+ *   GET /health         -> {"status":"ok"}
+ */
+final class StatusServer(
+    jm: JobManager,
+    scaler: Option[AutoScaler] = None,
+    workers: Option[TtlRegistry[String, Long]] = None,
+    port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private def reply(ex: HttpExchange, body: String, code: Int = 200): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def scalerJson: String = scaler match {
+    case None => "[]"
+    case Some(sc) =>
+      sc.groups.flatMap(g => sc.state(g).map(g -> _)).map { case (g, st) =>
+        s"""{"jobGroupId":"$g","phase":"${st.phase}","scale":${st.scale},""" +
+          s""""desiredWorkers":${sc.desiredWorkers(g)}}"""
+      }.mkString("[", ",", "]")
+  }
+
+  private def workersJson: String = workers match {
+    case None => "[]"
+    case Some(w) =>
+      w.live.toSeq.sortBy(_._1).map { case (id, lastMs) =>
+        s"""{"workerId":"$id","lastHeartbeatMs":$lastMs}"""
+      }.mkString("[", ",", "]")
+  }
+
+  server.createContext("/status/jobs", (ex: HttpExchange) => reply(ex, jm.statusJson))
+  server.createContext("/status/workers", (ex: HttpExchange) => reply(ex, workersJson))
+  server.createContext("/status/scaler", (ex: HttpExchange) => reply(ex, scalerJson))
+  server.createContext("/health", (ex: HttpExchange) => reply(ex, """{"status":"ok"}"""))
+  server.setExecutor(null) // serve on the dispatch thread; status-volume traffic
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}

@@ -34,6 +34,21 @@ final case class RpcSpec(
     maxRpcTimeouts: Int = 0,
     dlqTopic: String = "")
 
+/**
+ * Security posture of a job (reference: job.proto:370-379 SecurityConfig).
+ * `serviceIdentities` are the principal names allowed to consume the topic
+ * (SPIFFE-style); `isSecure` turns TLS on for BOTH the Kafka client and the
+ * RPC dispatcher channel; identities are advisory until enforced at the
+ * dispatcher boundary. `clientOptions` carries deployment-specific TLS
+ * material (e.g. `ssl.truststore.location`) merged verbatim into the Kafka
+ * client config — the engine stays agnostic of any site's provider classes.
+ */
+final case class SecuritySpec(
+    serviceIdentities: Seq[String] = Nil,
+    isSecure: Boolean = false,
+    multiTenancyEnabled: Boolean = false,
+    clientOptions: Map[String, String] = Map.empty)
+
 final case class JobSpec(
     jobGroupId: String,
     cluster: String,
@@ -44,7 +59,8 @@ final case class JobSpec(
     retryTiers: Seq[RetryTier] = Nil,
     resqTopic: String = "",
     flowControl: FlowControl = FlowControl.unlimited,
-    processingDelayMs: Long = 0L) {
+    processingDelayMs: Long = 0L,
+    security: SecuritySpec = SecuritySpec()) {
 
   /** Retry tiers sorted by visibility delay — the tier escalation order
     * (reference: uforwarder/.../utils/RetryUtils.java:50-58). */

@@ -159,7 +159,7 @@ object ForwardingEngine {
       records: Iterator[KafkaRecord]): Iterator[Outcome] = {
     import java.util.concurrent.{CompletableFuture, Executors, TimeUnit}
 
-    val dispatcher = dispatcherFactory.create()
+    val dispatcher = dispatcherFactory.create(spec.security)
     val poolSize = {
       val mi = spec.flowControl.maxInflightMessages
       if (mi >= Double.MaxValue) 32 else math.max(1, math.min(mi.toInt, 64))
@@ -432,9 +432,13 @@ trait Dispatcher extends java.io.Closeable {
 }
 
 /** Serializable factory — one Dispatcher per executor task (mirrors the
-  * per-pipeline gRPC channel pool). */
+  * per-pipeline gRPC channel pool). Security-aware factories override the
+  * two-arg form to build TLS channels / verify service identities from the
+  * job's SecurityConfig (reference: job.proto:370-379; the fetcher side
+  * keys channel pools by (cluster, isSecure) — ClusterAndIsSecureKey.java). */
 trait DispatcherFactory extends Serializable {
   def create(): Dispatcher
+  def create(security: graft.model.SecuritySpec): Dispatcher = create()
 }
 
 /** Where routed (retry/DLQ/resq) records go. In production this is the Kafka

@@ -44,6 +44,53 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(opts("endingOffsets") == """{"t__g__dlq": {"0": 20}}""")
   }
 
+  test("security config threads into source, bounded-read, and sink options") {
+    val sec = SecuritySpec(
+      serviceIdentities = Seq("spiffe://svc/consumer"),
+      isSecure = true,
+      clientOptions = Map(
+        "ssl.truststore.location" -> "/etc/tls/trust.jks",
+        "kafka.ssl.keystore.location" -> "/etc/tls/key.jks"))
+    val s = spec.copy(security = sec)
+    val src = KafkaSourceConfig.sourceOptions(s, "b:9092",
+      KafkaSourceConfig.StartOffsets.Earliest)
+    assert(src("kafka.security.protocol") == "SSL")
+    assert(src("kafka.ssl.truststore.location") == "/etc/tls/trust.jks")
+    assert(src("kafka.ssl.keystore.location") == "/etc/tls/key.jks") // prefix not doubled
+    val bounded = KafkaSourceConfig.boundedReadOptions(s, "b:9092", "t__g__dlq",
+      Map(0 -> 0L), Map(0 -> 10L))
+    assert(bounded("kafka.security.protocol") == "SSL")
+    val sink = KafkaSourceConfig.sinkOptions("b:9092", security = sec)
+    assert(sink("kafka.security.protocol") == "SSL")
+    assert(sink("kafka.ssl.truststore.location") == "/etc/tls/trust.jks")
+  }
+
+  test("insecure jobs contribute no security options even with identities") {
+    // the reference rule: identity provided but is_secure=false runs unsecured
+    val s = spec.copy(security = SecuritySpec(
+      serviceIdentities = Seq("spiffe://svc/consumer"), isSecure = false,
+      clientOptions = Map("ssl.truststore.location" -> "/x")))
+    val src = KafkaSourceConfig.sourceOptions(s, "b:9092",
+      KafkaSourceConfig.StartOffsets.Earliest)
+    assert(!src.keys.exists(_.contains("ssl")))
+    assert(!src.contains("kafka.security.protocol"))
+  }
+
+  test("dispatcher factory receives the job's security spec") {
+    var seen: Option[SecuritySpec] = None
+    val f = new graft.streaming.DispatcherFactory {
+      override def create(): graft.streaming.Dispatcher =
+        (_: graft.streaming.DispatchRequest) =>
+          graft.streaming.DispatchResult("OK", None, overdue = false)
+      override def create(sec: SecuritySpec): graft.streaming.Dispatcher = {
+        seen = Some(sec); create()
+      }
+    }
+    val sec = SecuritySpec(isSecure = true)
+    f.create(sec)
+    assert(seen.contains(sec))
+  }
+
   test("unlimited flow control means no trigger cap") {
     assert(KafkaSourceConfig.maxOffsetsPerTrigger(FlowControl.unlimited, 1.0).isEmpty)
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.control.{JobManager, ParquetJobStore}
+import graft.control.{AutoScaler, JobManager, ParquetJobStore, StatusServer, TtlRegistry}
 import graft.model._
 import graft.streaming.ForwardingEngine.KafkaRecord
 import graft.streaming.{DispatchRequest, DispatchResult, Dispatcher, DispatcherFactory}
@@ -101,6 +101,84 @@ class JobManagerSpec extends AnyFunSuite {
     // management endpoint reflects the same group
     assert(jm.statusJson.contains("\"jobGroupId\":\"scale__g\""))
     jm.stopAll()
+  }
+
+  test("expired worker's jobs get rescheduled on the next rebalance") {
+    val jm = new JobManager(spark)
+    var now = 0L
+    // worker TTL 10s (reference: application-uforwarder-controller.yaml:101)
+    val workers = new TtlRegistry[String, Long](10000L, () => now)
+    workers.put("w1", now); workers.put("w2", now)
+    val expected = Seq((spec("a__g"), 2), (spec("b__g"), 2))
+    val scale = Map("a__g" -> 1.0, "b__g" -> 1.0)
+    val (p1, _) = jm.rebalance(expected, scale, workers)
+    assert(p1.assignments.values.toSet == Set("w1", "w2"),
+      "both live workers should host jobs")
+    // w1 stops heartbeating; w2 keeps going
+    now = 11000L
+    workers.put("w2", now)
+    assert(workers.live.keySet == Set("w2"))
+    val (p2, cmds) = jm.rebalance(expected, scale, workers)
+    assert(p2.assignments.values.toSet == Set("w2"),
+      "expired worker must not receive placements")
+    // every group is still placed — nothing got dropped with the worker
+    assert(p2.assignments.keySet.map(_.jobGroupId) == Set("a__g", "b__g"))
+    assert(cmds.collect { case jm.RunGroup(g, w) => (g, w) }
+      .forall(_._2 == "w2"))
+  }
+
+  test("ttl registry expires by wall clock and purges") {
+    var now = 0L
+    val reg = new TtlRegistry[String, Long](1000L, () => now)
+    reg.put("a", 1L); reg.put("b", 2L)
+    assert(reg.get("a").contains(1L))
+    now = 500L
+    reg.put("b", 3L) // refresh
+    now = 1200L
+    assert(reg.get("a").isEmpty, "past TTL")
+    assert(reg.get("b").contains(3L), "refreshed entry still live")
+    assert(reg.live.keySet == Set("b"))
+    assert(reg.size == 1, "live() purges expired entries")
+  }
+
+  test("status server serves jobs, workers, scaler JSON over HTTP") {
+    val jm = new JobManager(spark)
+    var now = 1000L
+    val workers = new TtlRegistry[String, Long](10000L, () => now)
+    workers.put("w1", 999L)
+    val scaler = new AutoScaler()
+    scaler.onSample("t__g", 8000.0, 1024.0, 0L)
+    val srv = new StatusServer(jm, Some(scaler), Some(workers))
+    val port = srv.start()
+    def getJson(path: String): String = {
+      val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+      val in = url.openStream()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    try {
+      assert(getJson("/health") == """{"status":"ok"}""")
+      assert(getJson("/status/jobs") == "[]") // no queries running
+      val w = org.json4s.jackson.JsonMethods.parse(getJson("/status/workers"))
+      val ids = w.children.map(c => (c \ "workerId").values.toString)
+      assert(ids == List("w1"))
+      val sc = org.json4s.jackson.JsonMethods.parse(getJson("/status/scaler"))
+      val entry = sc.children.head
+      assert((entry \ "jobGroupId").values == "t__g")
+      assert((entry \ "phase").values == "Calibrating")
+      assert((entry \ "desiredWorkers").values.asInstanceOf[BigInt] >= 1)
+    } finally srv.stop()
+  }
+
+  test("store prune keeps only the newest versions") {
+    val dir = java.nio.file.Files.createTempDirectory("job-store-prune").toString
+    val store = new ParquetJobStore(spark, dir)
+    (1 to 4).foreach(i => store.save(Seq(spec(s"g$i"))))
+    assert(store.latestVersion.contains(4L))
+    assert(store.prune(keepLast = 2) == 2)
+    assert(store.latestVersion.contains(4L))
+    assert(store.load().map(_.jobGroupId) == Seq("g4"))
+    assert(store.load(3L).map(_.jobGroupId) == Seq("g3"))
+    intercept[Exception](store.load(1L)) // pruned away
   }
 
   test("parquet job store versions specs") {
