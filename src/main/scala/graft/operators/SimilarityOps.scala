@@ -170,7 +170,16 @@ object SimilarityOps {
     // without the hint both verify joins plan as sort-merge shuffles. The
     // two join sides are the SAME broadcast subtree (aliases applied via the
     // join condition, not before the exchange) so ReuseExchange ships it once.
-    val shB = broadcast(shingleSets)
+    // SIZE-GATED (the q48 adaptive move): on a duplicate-dense corpus the
+    // candidate set approaches the corpus itself, and broadcasting every
+    // candidate's shingle array would OOM the driver — the candidate count
+    // is already on the driver (cand is checkpointed, count is cheap), so
+    // past ~256k distinct candidate docs the hint drops and the verify
+    // joins run as shuffles.
+    val nCandDocs = candidateIds.count()
+    val SmallCandidateDocs = 1L << 18
+    val shB =
+      if (nCandDocs <= SmallCandidateDocs) broadcast(shingleSets) else shingleSets
     cand
       .join(shB.as("x"), col("a") === col("x.doc_id"))
       .join(shB.as("y"), col("b") === col("y.doc_id"))
