@@ -49,6 +49,39 @@ final case class SecuritySpec(
     multiTenancyEnabled: Boolean = false,
     clientOptions: Map[String, String] = Map.empty)
 
+/** The kind of work a job performs (reference: job.proto:339-356 JobType).
+  * ConsumerToRpcDispatcher is the consumer-proxy hot path; Audit counts/
+  * latency-monitors a topic; Replication copies one queue into another;
+  * LoadGen produces synthetic records; Availability probes produce/consume
+  * health.
+  *
+  * JobSpec stores the NAME (a string) so the whole spec stays
+  * Spark-encodable for the parquet job store — the same stored-as-string
+  * move AutoScaler.StepState uses for its phase. */
+sealed abstract class JobType(val name: String)
+object JobType {
+  case object ConsumerToRpcDispatcher extends JobType("CONSUMER_TO_RPC_DISPATCHER")
+  case object Audit extends JobType("AUDIT")
+  case object Replication extends JobType("REPLICATION")
+  case object LoadGen extends JobType("LOAD_GEN")
+  case object Availability extends JobType("AVAILABILITY")
+
+  val all: Seq[JobType] =
+    Seq(ConsumerToRpcDispatcher, Audit, Replication, LoadGen, Availability)
+  def of(name: String): JobType =
+    all.find(_.name == name).getOrElse(ConsumerToRpcDispatcher)
+}
+
+/** Produce-side target for replication/load-gen jobs
+  * (reference: job.proto:142-152 KafkaDispatcherTask — cluster, topic,
+  * optional fixed partition, dedup + security flags). */
+final case class DispatchTarget(
+    cluster: String,
+    topic: String,
+    partition: Option[Int] = None,
+    dedupEnabled: Boolean = false,
+    isSecure: Boolean = false)
+
 final case class JobSpec(
     jobGroupId: String,
     cluster: String,
@@ -60,7 +93,11 @@ final case class JobSpec(
     resqTopic: String = "",
     flowControl: FlowControl = FlowControl.unlimited,
     processingDelayMs: Long = 0L,
-    security: SecuritySpec = SecuritySpec()) {
+    security: SecuritySpec = SecuritySpec(),
+    jobTypeName: String = JobType.ConsumerToRpcDispatcher.name,
+    kafkaDispatch: Option[DispatchTarget] = None) {
+
+  def jobType: JobType = JobType.of(jobTypeName)
 
   /** Retry tiers sorted by visibility delay — the tier escalation order
     * (reference: uforwarder/.../utils/RetryUtils.java:50-58). */

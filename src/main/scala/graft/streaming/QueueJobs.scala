@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.model.DispatchTarget
+import graft.streaming.ForwardingEngine.KafkaRecord
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * The non-RPC job types (reference: job.proto:339-356 — KAFKA_REPLICATION,
+ * LOAD_GEN_PRODUCE, AVAILABILITY), each expressed as a thin composition of
+ * the engine's source adapter and the per-row-routed queue sink. These are
+ * the "other" workloads the reference controller schedules next to the
+ * consumer-proxy hot path; their Spark forms are one declarative stream
+ * each — no new machinery.
+ */
+object QueueJobs {
+
+  /**
+   * KAFKA_REPLICATION (job.proto:347-349, ReplicationTask): consume one
+   * queue, produce to another — with the cross-cluster loop guard.
+   *
+   * Loop guard semantics (reference: ProcessorMessage's `original_cluster`
+   * header + OriginalClusterFilter): a record's FIRST replication stamps the
+   * header with the cluster it was read from; a replicator only forwards
+   * records whose header is absent or equal to its own local cluster, so a
+   * record that already crossed clusters is never replicated back
+   * (A→B→A cannot cycle). The transform is pure column algebra — stays in
+   * whole-stage codegen; the write is the per-row-routed queue sink.
+   */
+  def replicateFrame(
+      records: Dataset[KafkaRecord],
+      localCluster: String,
+      target: DispatchTarget): DataFrame = {
+    val hdr = col("headers")
+    records
+      .filter(
+        not(map_contains_key(hdr, "original_cluster")) ||
+          lower(expr("CAST(headers['original_cluster'] AS STRING)")) === localCluster.toLowerCase)
+      .select(
+        lit(target.topic).as("topic"),
+        col("key"),
+        col("value"),
+        target.partition.map(p => lit(p)).getOrElse(lit(null).cast("int")).as("partition"),
+        map_entries(map_concat(
+          map_filter(hdr, (k, _) => k =!= "original_cluster"),
+          map(lit("original_cluster"), lit(localCluster.getBytes("UTF-8")))))
+          .as("headers"))
+  }
+
+  /** Run the replication stream through the DSv2 streaming writer. */
+  def runReplication(
+      records: Dataset[KafkaRecord],
+      localCluster: String,
+      target: DispatchTarget,
+      checkpointDir: String,
+      queryName: String,
+      format: String = "graft-queue",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    replicateFrame(records, localCluster, target)
+      .writeStream
+      .queryName(queryName)
+      .format(format)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /**
+   * LOAD_GEN_PRODUCE (job.proto:350-352): synthesize records at a target
+   * rate into a topic — Spark's `rate` source IS the load generator
+   * (per-second row budget, backfill on lag), mapped to deterministic
+   * payloads. Used to exercise a pipeline end-to-end at a known msgs/sec.
+   */
+  def loadGenFrame(spark: SparkSession, ratePerSec: Long, payloadBytes: Int,
+      target: DispatchTarget): DataFrame = {
+    val payload = "x" * math.max(1, payloadBytes)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", ratePerSec.toString)
+      .load()
+      .select(
+        lit(target.topic).as("topic"),
+        encode(concat(lit("lg-"), col("value")), "UTF-8").as("key"),
+        encode(lit(payload), "UTF-8").as("value"))
+  }
+
+  def runLoadGen(
+      spark: SparkSession,
+      ratePerSec: Long,
+      payloadBytes: Int,
+      target: DispatchTarget,
+      checkpointDir: String,
+      queryName: String,
+      format: String = "graft-queue"): StreamingQuery =
+    loadGenFrame(spark, ratePerSec, payloadBytes, target)
+      .writeStream
+      .queryName(queryName)
+      .format(format)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /**
+   * AVAILABILITY (job.proto:353-356, AvailabilityJobType NATIVE_CONSUMER):
+   * evaluate probe records from an availability topic — per-minute delivery
+   * count and produce→observe latency percentiles. Consuming the topic a
+   * NATIVE_PRODUCER/LOAD_GEN probe writes closes the loop: a healthy
+   * pipeline shows the probe rate and single-digit-seconds p99.
+   */
+  def probeStats(records: Dataset[KafkaRecord], nowMs: Long): DataFrame =
+    records
+      .withColumn("minute_ts", expr("timestampNs DIV 60000000000"))
+      .withColumn("latency_ms", lit(nowMs) - expr("timestampNs DIV 1000000"))
+      .groupBy(col("topic"), col("minute_ts"))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        expr("CAST(percentile(latency_ms, 0.5) AS BIGINT)").as("p50_ms"),
+        expr("CAST(percentile(latency_ms, 0.99) AS BIGINT)").as("p99_ms"),
+        max("latency_ms").as("max_ms"))
+      .orderBy("topic", "minute_ts")
+}
