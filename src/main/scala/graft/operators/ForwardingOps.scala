@@ -1187,9 +1187,50 @@ object ForwardingOps {
        |FROM x, inter, jr, nf""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q105 — availability probe evaluation (job.proto:353-356
+  // AVAILABILITY_JOB_TYPE_NATIVE_CONSUMER; AuditType AUDIT_TYPE_AVAILABILITY
+  // job.proto:324-325): the events table viewed as the probe topic a
+  // NATIVE_PRODUCER writes — per (topic, minute): delivery count and
+  // produce→observe latency percentiles against a fixed observation
+  // instant. This is the batch form of streaming/QueueJobs.probeStats (the
+  // SAME operator the AVAILABILITY job runs), so the oracle gates the job
+  // type's arithmetic. One projection + one hash aggregation; percentile
+  // runs map-side-partial like q11's.
+  // ===========================================================
+  /** Fixed observation instant: 2024-02-01T00:00:00Z, after every event at
+    * any SF — latencies stay positive and deterministic. */
+  val ProbeNowMs = 1706745600000L
+
+  def q105ProbeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = events(spark, dir).select(
+      lit(null).cast("binary").as("key"),
+      lit(null).cast("binary").as("value"),
+      col("event_type").as("topic"),
+      pmod(col("user_id"), lit(8)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").cast("long").as("timestampNs"),
+      typedLit(Map.empty[String, Array[Byte]]).as("headers"))
+      .as[graft.streaming.ForwardingEngine.KafkaRecord]
+    graft.streaming.QueueJobs.probeStats(recs, ProbeNowMs)
+  }
+
+  val q105Sql: String =
+    s"""WITH probes AS (SELECT event_type AS topic,
+       |  epoch_ns(ts) // 60000000000 AS minute_ts,
+       |  $ProbeNowMs - epoch_ns(ts) // 1000000 AS latency_ms FROM events)
+       |SELECT topic, minute_ts, COUNT(*) AS n_probes,
+       | CAST(floor(quantile_cont(latency_ms, 0.5)) AS BIGINT) AS p50_ms,
+       | CAST(floor(quantile_cont(latency_ms, 0.99)) AS BIGINT) AS p99_ms,
+       | MAX(latency_ms) AS max_ms
+       |FROM probes GROUP BY topic, minute_ts
+       |ORDER BY topic, minute_ts""".stripMargin.replace("\n", " ")
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_probe_stats" -> (q105ProbeStats _),
     "q101_join_cardinality" -> (q101JoinCardinality _),
     "q100_erasure_audit" -> (q100ErasureAudit _),
     "q95_burst_detection" -> (q95BurstDetection _),
@@ -1220,6 +1261,7 @@ object ForwardingOps {
     "q70_throughput_trend" -> (q70ThroughputTrend _))
 
   val oracles: Map[String, String] = Map(
+    "q105_probe_stats" -> q105Sql,
     "q101_join_cardinality" -> q101Sql,
     "q100_erasure_audit" -> q100Sql,
     "q95_burst_detection" -> q95Sql,
