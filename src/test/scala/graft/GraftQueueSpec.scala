@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.{GraftBroker, GraftQueue, GraftQueueMicroBatchStream, GraftQueueOffset}
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Connector-level units for the graft-queue DSv2 source: offset codec,
+  * fetcher-level visibility gating, admission-control budgeting, and seek
+  * policies — the pieces the E2E spec exercises only indirectly. */
+class GraftQueueSpec extends AnyFunSuite {
+
+  private def stream(opts: Map[String, String]) =
+    new GraftQueueMicroBatchStream(new CaseInsensitiveStringMap(opts.asJava))
+
+  test("offset JSON round-trips, multi-topic, deterministic key order") {
+    val offs = Map(
+      "b-topic" -> Map(1 -> 7L, 0 -> 3L),
+      "a-topic" -> Map(0 -> 0L, 2 -> 123456789012L))
+    val json = GraftQueue.offsetsToJson(offs)
+    // topics and partitions serialize sorted -> stable checkpoint contents
+    assert(json ==
+      """{"a-topic":{"0":0,"2":123456789012},"b-topic":{"0":3,"1":7}}""")
+    assert(GraftQueue.offsetsFromJson(json) == offs)
+  }
+
+  test("visibility delay caps end offsets at the first too-young record") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("vis", 1)
+    val now = 100000L
+    GraftBroker.produce("vis", Some(0), null, "old1".getBytes, timestampMs = now - 5000)
+    GraftBroker.produce("vis", Some(0), null, "old2".getBytes, timestampMs = now - 4000)
+    GraftBroker.produce("vis", Some(0), null, "young".getBytes, timestampMs = now - 100)
+    // head-gating: the too-young record BLOCKS everything after it, even
+    // records that would themselves be old enough (offset order is the
+    // delivery contract, like the reference's paused partition)
+    GraftBroker.produce("vis", Some(0), null, "old3".getBytes, timestampMs = now - 9000)
+    assert(GraftBroker.visibleEndOffsets("vis", 1000L, now) == Map(0 -> 2L))
+    assert(GraftBroker.visibleEndOffsets("vis", 0L, now) == Map(0 -> 4L))
+    // delay passes -> the gate opens for the whole tail
+    assert(GraftBroker.visibleEndOffsets("vis", 1000L, now + 1000) == Map(0 -> 4L))
+  }
+
+  test("maxRows budget distributes proportionally and never exceeds available") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("adm", 2)
+    (0 until 30).foreach(i => GraftBroker.produce("adm", Some(0), null, s"a$i".getBytes))
+    (0 until 10).foreach(i => GraftBroker.produce("adm", Some(1), null, s"b$i".getBytes))
+    val s = stream(Map("topics" -> "adm"))
+    val start = GraftQueueOffset(Map("adm" -> Map(0 -> 0L, 1 -> 0L)))
+    val end = s.latestOffset(start, ReadLimit.maxRows(8L))
+      .asInstanceOf[GraftQueueOffset].offsets("adm")
+    val granted = end(0) + end(1)
+    assert(granted <= 10L, s"grants $end overshot the 8-row budget beyond rounding")
+    assert(end(0) > end(1), "larger backlog gets the larger share")
+    assert(end(0) <= 30L && end(1) <= 10L)
+    // no budget -> everything
+    val all = s.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[GraftQueueOffset].offsets("adm")
+    assert(all == Map(0 -> 30L, 1 -> 10L))
+  }
+
+  test("seek policies: earliest, latest, and committed-group resume") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("seek", 1)
+    (0 until 5).foreach(i => GraftBroker.produce("seek", Some(0), null, s"m$i".getBytes))
+    GraftBroker.commitGroup("g1", Map(("seek", 0) -> 3L))
+    def initial(start: String, group: String = "g1") =
+      stream(Map("topics" -> "seek", "groupid" -> group, "startingoffsets" -> start))
+        .initialOffset().asInstanceOf[GraftQueueOffset].offsets("seek")
+    assert(initial("earliest") == Map(0 -> 0L))
+    assert(initial("latest") == Map(0 -> 5L))
+    assert(initial("group") == Map(0 -> 3L), "resume from the group's committed offset")
+    // unknown group: no committed offsets -> earliest semantics
+    assert(initial("group", "nobody") == Map(0 -> 0L))
+  }
+
+  test("stream commit advances consumer-group offsets; lag reflects them") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("lagt", 2)
+    (0 until 6).foreach(i => GraftBroker.produce("lagt", Some(i % 2), null, s"m$i".getBytes))
+    val s = stream(Map("topics" -> "lagt", "groupid" -> "lg"))
+    assert(GraftBroker.lag("lg", "lagt") == Map(0 -> 3L, 1 -> 3L))
+    s.commit(GraftQueueOffset(Map("lagt" -> Map(0 -> 3L, 1 -> 1L))))
+    assert(GraftBroker.lag("lg", "lagt") == Map(0 -> 0L, 1 -> 2L))
+  }
+}
