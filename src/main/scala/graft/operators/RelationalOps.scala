@@ -530,23 +530,36 @@ object RelationalOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), (col("l_suppkey") + SuppOffset).as("supp"))
       .distinct()
-      // materialize the distinct pair set ONCE: the undirected union
-      // references it twice and the degree table + init once more — without
-      // the cut, the join+distinct replays per reference
+      // materialize the distinct pair set ONCE — the degree aggs and the
+      // half-edge build below reference it three times
       .localCheckpoint()
-    val edges = trade.select(col("cust").as("src"), col("supp").as("dst"))
-      .union(trade.select(col("supp").as("src"), col("cust").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e2 = edges.join(deg, "src").localCheckpoint()
-    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("rank"))
+    // The undirected graph is NEVER materialized: instead of doubling trade
+    // into 2|E| rows, joining degrees onto them, and checkpointing 2|E|×3
+    // columns, keep the |E| directed half with BOTH endpoint degrees
+    // attached and emit the two directions per round map-side (explode of a
+    // 2-struct array). Halves the checkpoint and replaces the 2|E|-row
+    // degree shuffle join with two node-sized aggregations AQE broadcasts.
+    val degC = trade.groupBy("cust").agg(count(lit(1)).as("degc"))
+    val degS = trade.groupBy("supp").agg(count(lit(1)).as("degs"))
+    val half = trade.join(degC, "cust").join(degS, "supp").localCheckpoint()
+    var ranks = degC.select(col("cust").as("node"), lit(PrScale).as("rank"))
+      .union(degS.select(col("supp").as("node"), lit(PrScale).as("rank")))
     for (_ <- 1 to PrIters) {
       // the node-rank table is orders of magnitude smaller than the edge
-      // table (nodes ≪ edges in any dense graph); broadcast it per round.
-      // When node count outgrows broadcast, drop the hint and this SAME
-      // plan runs as a co-partitioned shuffle join on src.
-      ranks = e2.join(broadcast(ranks), col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("rank DIV outdeg")).as("inflow"))
+      // table (nodes ≪ edges in any dense graph); broadcast it per round —
+      // both endpoint joins probe the SAME broadcast (ReuseExchange ships
+      // it once). When node count outgrows broadcast, drop the hints and
+      // this SAME plan runs as co-partitioned shuffle joins.
+      val rb = broadcast(ranks.localCheckpoint())
+      ranks = half
+        .join(rb.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
+        .join(rb.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")
+        .select(explode(array(
+          struct(col("supp").as("dst"), expr("rankc DIV degc").as("contrib")),
+          struct(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib")))).as("e"))
+        .select(col("e.dst").as("dst"), col("e.contrib").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("inflow"))
         .select(col("dst").as("node"),
           (lit(150L * PrScale / 1000L) + expr("850 * inflow DIV 1000")).as("rank"))
     }
