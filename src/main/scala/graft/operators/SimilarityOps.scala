@@ -185,7 +185,10 @@ object SimilarityOps {
       .join(shB.as("y"), col("b") === col("y.doc_id"))
       .withColumn("sha", col("x.sh")).withColumn("shb", col("y.sh"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
+      // |A∪B| = |A|+|B|−|A∩B| for the distinct arrays sha/shb — same value
+      // as array_union(...) without materializing a third array per pair
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .select("a", "b", "inter", "uni", "jaccard")
       .orderBy(col("jaccard").desc, col("a"), col("b"))
