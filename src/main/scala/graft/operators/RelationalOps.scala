@@ -717,6 +717,9 @@ object RelationalOps {
     val h = t(spark, dir, "orders")
       .withColumn("d", expr("CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"))
       .groupBy("d").agg(count(lit(1)).as("observed"))
+      // ≤9 rows after the aggregation, referenced twice (histogram + total):
+      // materialize once so the orders scan runs once, not per reference
+      .localCheckpoint()
     h.crossJoin(broadcast(h.agg(sum("observed").cast("long").as("n"))))
       .withColumn("expected_millis", expr(s"($expCase) * n"))
       .withColumn("observed_millis", col("observed") * 1000L)
