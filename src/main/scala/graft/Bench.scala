@@ -196,7 +196,58 @@ object Bench {
         0.0
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"stream_msgs_per_sec":$streamRate,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
+    // connector-mode throughput: the SAME live engine, but fed through the
+    // graft-queue DataSource V2 source (offset planning, admission control,
+    // ack-watermark group commits included) and routing produced records
+    // through the DSv2 batch writer — the full production codepath shape,
+    // where MemoryStream above isolates pure engine cost.
+    val queueStreamRate = try {
+      import graft.streaming._
+      import org.apache.spark.sql.functions.{lit, map, pmod}
+      graft.sources.GraftBroker.reset()
+      val feed = ev.limit(1000000).select(
+          col("event_id").cast("string").cast("binary").as("key"),
+          col("props").cast("binary").as("value"),
+          col("event_type").as("topic"),
+          pmod(col("user_id"), lit(8)).cast("int").as("partition"))
+        .collect()
+      val topics = feed.map(_.getAs[String]("topic")).distinct.sorted
+      topics.foreach(t => graft.sources.GraftBroker.createTopic(t, 8))
+      feed.foreach { r =>
+        graft.sources.GraftBroker.produce(r.getAs[String]("topic"),
+          Some(r.getAs[Int]("partition")),
+          r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"))
+        ()
+      }
+      val routed = new java.util.concurrent.atomic.AtomicLong
+      val store = new QueueStore {
+        def produce(o: org.apache.spark.sql.Dataset[ForwardingEngine.Outcome]): Unit = {
+          routed.addAndGet(o.filter(_.destination.nonEmpty).count()); ()
+        }
+      }
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-qckpt").toString
+      val stream = ForwardingEngine.fromSourceFrame(
+        spark.readStream.format("graft-queue")
+          .option("topics", topics.mkString(","))
+          .option("groupid", "bench").option("startingoffsets", "earliest").load())
+      val committer = new OffsetCommitter(new BrokerCommitTarget, "bench", cadenceMs = 0L)
+      val t0 = System.nanoTime()
+      val q = ForwardingEngine.run(
+        graft.operators.PipelineOps.pipelineSpec("events"),
+        graft.operators.PipelineOps.DeterministicDispatcherFactory,
+        "local", stream, store, ckpt, "bench_queue_stream",
+        committer = Some(committer))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      if (sec > 0 && routed.get() > 0) feed.length / sec else 0.0
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] queue-connector streaming leg failed: ${e.getMessage}")
+        0.0
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"stream_msgs_per_sec":$streamRate,"queue_stream_msgs_per_sec":$queueStreamRate,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
     spark.stop()
   }
 }

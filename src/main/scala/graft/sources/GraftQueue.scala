@@ -87,6 +87,9 @@ object GraftBroker {
         math.floorMod(java.util.Arrays.hashCode(key), parts.length)
       else math.floorMod(roundRobin.getAndIncrement(), parts.length.toLong).toInt
     }
+    require(p >= 0 && p < parts.length,
+      s"produce to $topic partition $p, but topic has ${parts.length} partition(s) " +
+        "(auto-created topics have 1 — createTopic first for more)")
     val buf = parts(p)
     buf.synchronized {
       buf += Rec(key, value, headers, timestampMs)
