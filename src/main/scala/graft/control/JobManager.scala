@@ -120,7 +120,14 @@ final class JobManager(spark: SparkSession) {
       (spec, partitions) <- expected
       p <- 0 until math.max(partitions, 1)
     } yield Rebalancer.JobKey(spec.jobGroupId, p)
-    require(workers.nonEmpty, "rebalance requires at least one live worker")
+    // total worker outage (every heartbeat past TTL) is a state the loop
+    // must survive, not crash on: nothing can be placed, so the command
+    // list cancels whatever is still running and the next loop with live
+    // workers re-places everything from the (unchanged) expected set
+    if (workers.isEmpty) {
+      val cancels = running.map(CancelGroup.apply)
+      return (Rebalancer.Placement(Map.empty), cancels)
+    }
     val placement = Rebalancer.placeWithScale(jobs, scaleByGroup, workers)
     val placedGroups = placement.assignments.keySet.map(_.jobGroupId)
     val runningNow = running.toSet

@@ -68,11 +68,21 @@ final class StatusServer(
     try os.write(bytes) finally os.close()
   }
 
+  /** Minimal JSON string escaping — ids are free-form heartbeat strings
+    * and must not be able to break the document. */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def scalerJson: String = scaler match {
     case None => "[]"
     case Some(sc) =>
       sc.groups.flatMap(g => sc.state(g).map(g -> _)).map { case (g, st) =>
-        s"""{"jobGroupId":"$g","phase":"${st.phase}","scale":${st.scale},""" +
+        s"""{"jobGroupId":"${esc(g)}","phase":"${st.phase}","scale":${st.scale},""" +
           s""""desiredWorkers":${sc.desiredWorkers(g)}}"""
       }.mkString("[", ",", "]")
   }
@@ -81,7 +91,7 @@ final class StatusServer(
     case None => "[]"
     case Some(w) =>
       w.live.toSeq.sortBy(_._1).map { case (id, lastMs) =>
-        s"""{"workerId":"$id","lastHeartbeatMs":$lastMs}"""
+        s"""{"workerId":"${esc(id)}","lastHeartbeatMs":$lastMs}"""
       }.mkString("[", ",", "]")
   }
 

@@ -68,8 +68,13 @@ object JobType {
 
   val all: Seq[JobType] =
     Seq(ConsumerToRpcDispatcher, Audit, Replication, LoadGen, Availability)
+  /** Strict: an unknown name (typo, future proto value) must fail loudly —
+    * silently treating it as the RPC hot path would dispatch traffic for a
+    * job that was meant to be something else. */
   def of(name: String): JobType =
-    all.find(_.name == name).getOrElse(ConsumerToRpcDispatcher)
+    all.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown job type '$name' (known: ${all.map(_.name).mkString(", ")})"))
 }
 
 /** Produce-side target for replication/load-gen jobs

@@ -1071,8 +1071,11 @@ object ForwardingOps {
     // serialization, every file), not the join algebra that produced it.
     // An in-plan `anti.join(semi)` would be empty by construction and prove
     // nothing; the round-trip through storage is what makes this an audit.
+    // fixed per-process path + overwrite: repeated invocations (Bench runs
+    // every query twice) REUSE one directory instead of accumulating a full
+    // retained copy of the table per call until the disk fills
     val outPath = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q100-retained-${java.util.UUID.randomUUID()}").getAbsolutePath
+      s"graft-q100-retained-${spark.sparkContext.applicationId}").getAbsolutePath
     ev.join(erase, Seq("user_id"), "left_anti").write.mode("overwrite").parquet(outPath)
     val retained = spark.read.parquet(outPath)
     val leaked = retained.join(erase, Seq("user_id"), "left_semi")

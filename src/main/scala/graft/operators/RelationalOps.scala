@@ -879,35 +879,35 @@ object RelationalOps {
   val TierCents = 5000000L // 50k-currency tiers over [0, 500k]
   val BandBucketWidth = 4000000L
 
-  def q102PriceBand(spark: SparkSession, dir: String): DataFrame = {
-    // The rewrite rule reads the width conf at PLAN time, so scope it: set,
-    // force physical planning of this one query, then restore the previous
-    // value. Without the restore the rule stays armed for every later query
-    // in the session (band-shaped joins elsewhere would silently get a width
-    // tuned for q102); without the forced planning the restore would win the
-    // race and q102 itself would lose the rewrite.
-    val widthConf = graft.plans.RewriteRangeJoin.WidthConf
-    val prev = spark.conf.getOption(widthConf)
-    spark.conf.set(widthConf, BandBucketWidth.toString)
-    try {
-      val tiers = spark.range(10).select(col("id").as("tier"),
-        (col("id") * TierCents).as("lo"), ((col("id") + 1) * TierCents - 1L).as("hi"))
-      val oc = t(spark, dir, "orders")
-        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
-      val out = oc.join(tiers, col("pc") >= col("lo") && col("pc") <= col("hi"))
-        .groupBy("tier")
-        .agg(count(lit(1)).as("n_orders"),
-          min("pc").as("min_cents"), max("pc").as("max_cents"),
-          sum("pc").cast("long").as("total_cents"))
-        .orderBy("tier")
-      out.queryExecution.executedPlan // materialize the plan while the conf is set
-      out
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(widthConf, v)
-        case None => spark.conf.unset(widthConf)
-      }
-    }
+  def q102PriceBand(spark0: SparkSession, dir: String): DataFrame = {
+    // The rewrite rule reads the width conf at EVERY optimization — and each
+    // new action on the returned frame (count(), write, …) builds a fresh
+    // QueryExecution that re-optimizes. So the conf must stay set for the
+    // frame's whole lifetime WITHOUT leaking into the caller's session: a
+    // cloned session (same SparkContext, same extensions, isolated runtime
+    // conf) carries the width; the caller's session never sees it, and any
+    // later re-planning of this frame still finds the rule armed. A
+    // set-then-restore scope would silently lose the rewrite on the second
+    // action — the plan pinned while the conf was set is cached only on the
+    // first QueryExecution.
+    val spark = spark0.newSession()
+    spark.conf.set(graft.plans.RewriteRangeJoin.WidthConf, BandBucketWidth.toString)
+    // arm the rule on the private session regardless of how the parent was
+    // built (GraftExtensions configs don't reach sessions created without
+    // them); double-injection is a no-op — the rewritten join carries an
+    // equality conjunct, which the rule explicitly leaves untouched
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteRangeJoin
+    val tiers = spark.range(10).select(col("id").as("tier"),
+      (col("id") * TierCents).as("lo"), ((col("id") + 1) * TierCents - 1L).as("hi"))
+    val oc = t(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+    oc.join(tiers, col("pc") >= col("lo") && col("pc") <= col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"),
+        min("pc").as("min_cents"), max("pc").as("max_cents"),
+        sum("pc").cast("long").as("total_cents"))
+      .orderBy("tier")
   }
 
   val q102Sql: String =

@@ -160,26 +160,28 @@ object SimilarityOps {
     // shingling runs on the tiny candidate set, not the corpus
     val candidateIds = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
+    // SIZE GATE (the q48 adaptive move), covering EVERY broadcast downstream:
+    // on a duplicate-dense corpus the candidate set approaches the corpus
+    // itself, and broadcasting either the candidate-id set (semi-join) or
+    // the candidates' shingle arrays (verify joins) would OOM the driver.
+    // The count is cheap — cand is checkpointed — and past ~256k distinct
+    // candidate docs every hint drops and all three joins run as shuffles.
+    val nCandDocs = candidateIds.count()
+    val smallCandSet = nCandDocs <= (1L << 18)
+    // restrict to candidate docs FIRST (semi-join), THEN project the shingle
+    // arrays — the expensive shingling runs on the candidate set, not the
+    // corpus. Broadcast hints (when small): Spark's stats can't see the
+    // candidate bound through the semi-join, and without the hints all
+    // three joins plan as sort-merge shuffles. The two verify sides are the
+    // SAME broadcast subtree (aliases applied via the join condition, not
+    // before the exchange) so ReuseExchange ships it once.
+    val candB = if (smallCandSet) broadcast(candidateIds) else candidateIds
     val shingleSets = docs(spark, dir)
-      .join(broadcast(candidateIds), Seq("doc_id"), "left_semi")
+      .join(candB, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
           .as("sh"))
-    // broadcast: the shingle sets cover only candidate docs (bounded by the
-    // bucket cap), but Spark's stats can't see that through the semi-join —
-    // without the hint both verify joins plan as sort-merge shuffles. The
-    // two join sides are the SAME broadcast subtree (aliases applied via the
-    // join condition, not before the exchange) so ReuseExchange ships it once.
-    // SIZE-GATED (the q48 adaptive move): on a duplicate-dense corpus the
-    // candidate set approaches the corpus itself, and broadcasting every
-    // candidate's shingle array would OOM the driver — the candidate count
-    // is already on the driver (cand is checkpointed, count is cheap), so
-    // past ~256k distinct candidate docs the hint drops and the verify
-    // joins run as shuffles.
-    val nCandDocs = candidateIds.count()
-    val SmallCandidateDocs = 1L << 18
-    val shB =
-      if (nCandDocs <= SmallCandidateDocs) broadcast(shingleSets) else shingleSets
+    val shB = if (smallCandSet) broadcast(shingleSets) else shingleSets
     cand
       .join(shB.as("x"), col("a") === col("x.doc_id"))
       .join(shB.as("y"), col("b") === col("y.doc_id"))

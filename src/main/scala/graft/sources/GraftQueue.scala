@@ -105,6 +105,13 @@ object GraftBroker {
     parts.indices.map(p => p -> parts(p).synchronized(parts(p).size.toLong)).toMap
   }
 
+  // last gate position per (topic, partition, delay): the gate is monotone
+  // in `now` over an append-only log, so each planning call resumes the
+  // scan where the previous one stopped — amortized O(new records) per
+  // trigger instead of O(partition) (the source calls this at least twice
+  // per micro-batch)
+  private val gatePos = TrieMap.empty[(String, Int, Long), Int]
+
   /** End offsets capped by visibility delay: the end stops at the first
     * record with `timestampMs + delayMs > nowMs` (head-gating, like the
     * reference's shouldDelayProcess partition pause). */
@@ -114,14 +121,20 @@ object GraftBroker {
     parts.indices.map { p =>
       val buf = parts(p)
       buf.synchronized {
-        var i = 0
+        var i = gatePos.getOrElse((topic, p, delayMs), 0)
         while (i < buf.size && buf(i).timestampMs + delayMs <= nowMs) i += 1
+        gatePos.put((topic, p, delayMs), i)
         p -> i.toLong
       }
     }.toMap
   }
 
   def fetch(topic: String, partition: Int, from: Long, until: Long): IndexedSeq[Rec] = {
+    // the in-process log is array-indexed: make the single-JVM capacity
+    // limit loud rather than silently truncating offsets past 2^31 (which
+    // would re-read from 0 under fabricated offsets)
+    require(from >= 0 && until <= Int.MaxValue,
+      s"offset range [$from, $until) exceeds the in-process broker's Int-indexed log")
     val buf = log(topic)(partition)
     buf.synchronized(buf.slice(from.toInt, until.toInt).toIndexedSeq)
   }
@@ -138,7 +151,9 @@ object GraftBroker {
       p -> (end - committed(group, topic, p).getOrElse(0L))
     }
 
-  def reset(): Unit = { topics.clear(); groupOffsets.clear(); roundRobin.set(0L) }
+  def reset(): Unit = {
+    topics.clear(); groupOffsets.clear(); gatePos.clear(); roundRobin.set(0L)
+  }
 }
 
 /** Provider for `spark.read[Stream].format("graft-queue")` /

@@ -103,10 +103,18 @@ object ForwardingEngine {
     * never knows which connector produced the frame. */
   def fromSourceFrame(df: DataFrame): Dataset[KafkaRecord] = {
     import df.sparkSession.implicits._
+    // Kafka's wire format allows REPEATED header keys (routine for tracing
+    // headers); a plain map_from_entries would throw on the first duplicate
+    // and kill the query. Fold with filter-then-concat instead: last
+    // occurrence wins, matching Headers.lastHeader semantics. O(n²) in the
+    // header count, which is single digits per record.
+    val dedupedHeaders = expr(
+      """aggregate(headers, CAST(map() AS MAP<STRING, BINARY>),
+        |  (acc, h) -> map_concat(map_filter(acc, (k, v) -> k != h.key), map(h.key, h.value)))""".stripMargin)
     df.select(
         col("key"), col("value"), col("topic"), col("partition"), col("offset"),
         (unix_micros(col("timestamp")) * 1000L).as("timestampNs"),
-        when(col("headers").isNotNull, map_from_entries(col("headers")))
+        when(col("headers").isNotNull, dedupedHeaders)
           .otherwise(typedLit(Map.empty[String, Array[Byte]])).as("headers"))
       .as[KafkaRecord]
   }

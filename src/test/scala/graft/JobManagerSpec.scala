@@ -127,6 +127,27 @@ class JobManagerSpec extends AnyFunSuite {
       .forall(_._2 == "w2"))
   }
 
+  test("total worker outage yields cancel commands, not a crash") {
+    val jm = new JobManager(spark)
+    var now = 0L
+    val workers = new TtlRegistry[String, Long](10000L, () => now)
+    workers.put("w1", now)
+    now = 20000L // every heartbeat expired
+    assert(workers.live.isEmpty)
+    val (placement, cmds) = jm.rebalance(
+      Seq((spec("a__g"), 1)), Map("a__g" -> 1.0), workers)
+    assert(placement.assignments.isEmpty)
+    // nothing running in this manager -> nothing to cancel; the loop
+    // survives and re-places on the next tick with live workers
+    assert(cmds.isEmpty)
+  }
+
+  test("unknown job type name fails loudly") {
+    val e = intercept[IllegalArgumentException](JobType.of("REPLICATON"))
+    assert(e.getMessage.contains("REPLICATON"))
+    assert(JobType.of("REPLICATION") == JobType.Replication)
+  }
+
   test("ttl registry expires by wall clock and purges") {
     var now = 0L
     val reg = new TtlRegistry[String, Long](1000L, () => now)
@@ -146,6 +167,7 @@ class JobManagerSpec extends AnyFunSuite {
     var now = 1000L
     val workers = new TtlRegistry[String, Long](10000L, () => now)
     workers.put("w1", 999L)
+    workers.put("""w"2\evil""", 998L) // free-form id must not break the JSON
     val scaler = new AutoScaler()
     scaler.onSample("t__g", 8000.0, 1024.0, 0L)
     val srv = new StatusServer(jm, Some(scaler), Some(workers))
@@ -160,7 +182,8 @@ class JobManagerSpec extends AnyFunSuite {
       assert(getJson("/status/jobs") == "[]") // no queries running
       val w = org.json4s.jackson.JsonMethods.parse(getJson("/status/workers"))
       val ids = w.children.map(c => (c \ "workerId").values.toString)
-      assert(ids == List("w1"))
+      // parses as valid JSON despite the hostile id, and round-trips it
+      assert(ids == List("""w"2\evil""", "w1"))
       val sc = org.json4s.jackson.JsonMethods.parse(getJson("/status/scaler"))
       val entry = sc.children.head
       assert((entry \ "jobGroupId").values == "t__g")

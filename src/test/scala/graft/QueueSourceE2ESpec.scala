@@ -202,6 +202,21 @@ class QueueSourceE2ESpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("duplicate header keys survive the adapter with last-wins semantics") {
+    // Kafka's wire format allows repeated header keys (tracing headers do
+    // this routinely); the adapter must not kill the query on them
+    GraftBroker.reset()
+    GraftBroker.createTopic("dup-hdr", 1)
+    GraftBroker.produce("dup-hdr", Some(0), "k".getBytes, "v".getBytes,
+      headers = Seq("trace" -> "first".getBytes, "other" -> "x".getBytes,
+        "trace" -> "second".getBytes))
+    val recs = ForwardingEngine.fromSourceFrame(
+      spark.read.format("graft-queue").option("topics", "dup-hdr").load()).collect()
+    assert(recs.length == 1)
+    assert(new String(recs.head.headers("trace")) == "second", "last occurrence wins")
+    assert(new String(recs.head.headers("other")) == "x")
+  }
+
   test("admission control: maxoffsetspertrigger bounds every micro-batch") {
     GraftBroker.reset(); TestConsumer.reset()
     TestConsumer.behaviors += "e2e-adm" -> (_ => DispatchResult("OK", None, overdue = false))

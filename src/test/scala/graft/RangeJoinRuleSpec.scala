@@ -129,23 +129,26 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("q102 scopes the width conf: rewrite applies, session conf restored") {
+  test("q102 isolates the width conf in a private session; re-planning keeps the rewrite") {
     val testdata = new java.io.File("/root/testdata/sf0.001")
     assume(testdata.isDirectory)
-    // own session: suites share the JVM-wide session, and a parallel suite
-    // legitimately holding the conf would make a global-emptiness assert racy
     val s = spark.newSession()
-    // the shared suite session may predate GraftExtensions (getOrCreate
-    // returns whatever an earlier suite built) — inject the rule directly
-    s.experimental.extraOptimizations = Seq(RewriteRangeJoin)
     assert(s.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
     val df = graft.operators.RelationalOps.q102PriceBand(s, testdata.getAbsolutePath)
-    // conf already restored at return — later band joins in the session
+    // the caller's session never sees the conf — later band joins there
     // must NOT silently inherit q102's width
     assert(s.conf.getOption(RewriteRangeJoin.WidthConf).isEmpty)
-    // ...yet q102's own (already-materialized) plan kept the rewrite
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("graft_range_bucket"), p.take(1500))
+    // ...the frame lives on a private session that carries it
+    assert(df.sparkSession ne s)
+    assert(df.sparkSession.conf.getOption(RewriteRangeJoin.WidthConf)
+      .contains(graft.operators.RelationalOps.BandBucketWidth.toString))
+    assert(df.queryExecution.executedPlan.toString.contains("graft_range_bucket"))
+    // the regression that motivated the private session: count()/write build
+    // a FRESH QueryExecution — re-optimization must still find the rule
+    // armed, not fall back to the nested-loop band join
+    val replanned = df.filter(lit(true)).queryExecution.executedPlan.toString
+    assert(replanned.contains("graft_range_bucket"), replanned.take(1500))
+    assert(!replanned.contains("BroadcastNestedLoopJoin"), replanned.take(1500))
     assert(df.count() > 0)
   }
 
