@@ -224,22 +224,24 @@ object Bench {
         spark.readStream.format("graft-queue")
           .option("topics", topics.mkString(","))
           .option("groupid", "bench").option("startingoffsets", "earliest").load())
-      val committer = new OffsetCommitter(new BrokerCommitTarget, "bench", cadenceMs = 0L)
+      // NO committer here: the MemoryStream leg runs without one, and this
+      // leg's purpose is the connector-overhead delta — commit-exposure
+      // cost is a separate feature with its own specs
       val q = ForwardingEngine.run(
         graft.operators.PipelineOps.pipelineSpec("events"),
         graft.operators.PipelineOps.DeterministicDispatcherFactory,
-        "local", stream, store, ckpt, "bench_queue_stream",
-        committer = Some(committer))
+        "local", stream, store, ckpt, "bench_queue_stream")
       // timer starts AFTER the query is up (like the MemoryStream leg) so
-      // the two legs exclude the same one-time stream-startup cost and
-      // their delta isolates pure connector overhead
+      // the two legs exclude the same one-time stream-startup cost; the
+      // feed lands as one bulk append per partition (like the single
+      // addData) so it is consumed in few big batches on both legs and the
+      // delta isolates pure connector overhead
       val t0 = System.nanoTime()
-      feed.foreach { r =>
-        graft.sources.GraftBroker.produce(r.getAs[String]("topic"),
-          Some(r.getAs[Int]("partition")),
-          r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"))
-        ()
-      }
+      feed.groupBy(r => (r.getAs[String]("topic"), r.getAs[Int]("partition")))
+        .foreach { case ((t, p), rs) =>
+          graft.sources.GraftBroker.produceAll(t, p,
+            rs.map(r => (r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"))))
+        }
       q.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
       q.stop()

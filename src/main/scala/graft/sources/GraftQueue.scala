@@ -97,6 +97,23 @@ object GraftBroker {
     }
   }
 
+  /** Bulk append to one partition under a single lock acquisition — the
+    * batching producers actually use (and what keeps a driver-side feed
+    * from smearing across many tiny micro-batches in tests/benches). */
+  def produceAll(
+      topic: String,
+      partition: Int,
+      records: Iterable[(Array[Byte], Array[Byte])],
+      timestampMs: Long = System.currentTimeMillis()): Unit = {
+    val parts = log(topic)
+    require(partition >= 0 && partition < parts.length,
+      s"produceAll to $topic partition $partition, but topic has ${parts.length} partition(s)")
+    val buf = parts(partition)
+    buf.synchronized {
+      records.foreach { case (k, v) => buf += Rec(k, v, Nil, timestampMs) }
+    }
+  }
+
   def partitionsOf(topic: String): Int = log(topic).length
 
   /** End offsets (exclusive) per partition. */
