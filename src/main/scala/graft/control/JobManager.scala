@@ -115,22 +115,32 @@ final class JobManager(spark: SparkSession) {
   def rebalance(
       expected: Seq[(JobSpec, Int)], // spec + live partition count
       scaleByGroup: Map[String, Double],
-      workers: Seq[String]): (Rebalancer.Placement, Seq[Command]) = {
+      workers: Seq[String]): (Rebalancer.Placement, Seq[Command]) =
+    rebalance(expected, scaleByGroup, workers, running.toSet)
+
+  /** Pure core of the loop body: `runningNow` made explicit (the 3-arg
+    * overloads pass this manager's live query set). */
+  def rebalance(
+      expected: Seq[(JobSpec, Int)],
+      scaleByGroup: Map[String, Double],
+      workers: Seq[String],
+      runningNow: Set[String]): (Rebalancer.Placement, Seq[Command]) = {
     val jobs = for {
       (spec, partitions) <- expected
       p <- 0 until math.max(partitions, 1)
     } yield Rebalancer.JobKey(spec.jobGroupId, p)
-    // total worker outage (every heartbeat past TTL) is a state the loop
-    // must survive, not crash on: nothing can be placed, so the command
-    // list cancels whatever is still running and the next loop with live
-    // workers re-places everything from the (unchanged) expected set
+    // total worker "outage" (every heartbeat past TTL) is more often a
+    // registry blip — a paused controller thread, a GC pause stamping all
+    // heartbeats stale — than a real fleet death. Hold steady: issue no
+    // commands, keep current placements, and let the next loop with live
+    // workers produce a real placement. Groups on genuinely dead workers
+    // are cancelled then, when a placement that excludes those workers
+    // exists — never as a panic stop of the whole fleet.
     if (workers.isEmpty) {
-      val cancels = running.map(CancelGroup.apply)
-      return (Rebalancer.Placement(Map.empty), cancels)
+      return (Rebalancer.Placement(Map.empty), Seq.empty)
     }
     val placement = Rebalancer.placeWithScale(jobs, scaleByGroup, workers)
     val placedGroups = placement.assignments.keySet.map(_.jobGroupId)
-    val runningNow = running.toSet
     val cmds =
       placedGroups.diff(runningNow).toSeq.sorted.map { g =>
         // a group's query runs where its partition-0 job landed (the other

@@ -146,6 +146,21 @@ object GraftBroker {
     }.toMap
   }
 
+  /** First offset whose record timestamp >= tsMs — Kafka's offsetsForTimes
+    * contract ("first message with timestamp >= queried timestamp",
+    * BatchJobCreator.java:163-171). None when the timestamp is past every
+    * record (or the partition is empty) — the caller falls back to the high
+    * watermark, mirroring BatchJobCreator.java:218-231's fallback. Linear
+    * scan: the in-process log has no time index; a real broker serves this
+    * from its index. */
+  def offsetForTime(topic: String, partition: Int, tsMs: Long): Option[Long] = {
+    val buf = log(topic)(partition)
+    buf.synchronized {
+      val i = buf.indexWhere(_.timestampMs >= tsMs)
+      if (i < 0) None else Some(i.toLong)
+    }
+  }
+
   def fetch(topic: String, partition: Int, from: Long, until: Long): IndexedSeq[Rec] = {
     // the in-process log is array-indexed: make the single-JVM capacity
     // limit loud rather than silently truncating offsets past 2^31 (which
@@ -261,16 +276,30 @@ class GraftQueueScan(options: CaseInsensitiveStringMap) extends Scan {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftQueueMicroBatchStream(options)
 
-  /** Bounded read: a [start, end] snapshot taken at planning — the DLQ
-    * merge/purge job shape (BatchRpcUriRebalancer / bounded DLQ fetcher,
-    * SURVEY §2.1). */
+  /** Bounded read: a [start, end) snapshot taken at planning — the DLQ
+    * merge/purge job shape (bounded DLQ fetcher, SURVEY §2.1). Optional
+    * `startingoffsets`/`endingoffsets` JSON bounds (the Kafka batch-read
+    * options, KafkaSourceConfig.boundedReadOptions) narrow the range per
+    * partition; a partition whose start == end contributes NOTHING — the
+    * reference's purge-job degenerate case
+    * (DlqTopicKafkaFetcher.java:103-115). */
   override def toBatch(): Batch = new Batch {
     private val topics = GraftQueue.topicsOf(options)
+    private def bounds(key: String): Map[String, Map[Int, Long]] =
+      Option(options.get(key)).filter(_.trim.startsWith("{"))
+        .map(GraftQueue.offsetsFromJson).getOrElse(Map.empty)
+    private val startBounds = bounds("startingoffsets")
+    private val endBounds = bounds("endingoffsets")
     private val snapshot: Map[String, Map[Int, Long]] =
       topics.map(t => t -> GraftBroker.endOffsets(t)).toMap
     override def planInputPartitions(): Array[InputPartition] =
       snapshot.toSeq.flatMap { case (t, pm) =>
-        pm.toSeq.collect { case (p, end) if end > 0 => QueueSlice(t, p, 0L, end) }
+        pm.toSeq.flatMap { case (p, logEnd) =>
+          val from = startBounds.getOrElse(t, Map.empty).getOrElse(p, 0L)
+          val until = math.min(logEnd,
+            endBounds.getOrElse(t, Map.empty).getOrElse(p, logEnd))
+          if (until > from) Some(QueueSlice(t, p, from, until)) else None
+        }
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
   }
@@ -311,6 +340,14 @@ class GraftQueueMicroBatchStream(options: CaseInsensitiveStringMap)
   private val groupId = Option(options.get("groupid"))
   private val startingOffsets = Option(options.get("startingoffsets")).getOrElse("earliest")
   private val maxOffsetsPerTrigger = Option(options.get("maxoffsetspertrigger")).map(_.toLong)
+  // timestamp->offset seek, the Kafka source's option names and precedence:
+  // startingOffsetsByTimestamp (per-partition) > startingTimestamp (global)
+  // > startingOffsets (KafkaSourceConfig.StartOffsets.ByTimestamp emits the
+  // same pair for format("kafka"))
+  private val startingTimestamp = Option(options.get("startingtimestamp")).map(_.toLong)
+  private val startingTsByPartition: Map[String, Map[Int, Long]] =
+    Option(options.get("startingoffsetsbytimestamp"))
+      .map(GraftQueue.offsetsFromJson).getOrElse(Map.empty)
 
   private def availableEnd(): Map[String, Map[Int, Long]] = {
     val now = System.currentTimeMillis()
@@ -318,6 +355,33 @@ class GraftQueueMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   override def initialOffset(): Offset = {
+    // timestamp seek resolved via the broker's offsetsForTimes analog, with
+    // the reference's watermark fallback: a timestamp past the log tail
+    // resolves to the high watermark (start there = consume only what
+    // arrives later), BatchJobCreator.java:218-231
+    def resolveTs(t: String, p: Int, end: Long, ts: Long): Long =
+      GraftBroker.offsetForTime(t, p, ts).getOrElse(end)
+    if (startingTsByPartition.nonEmpty) {
+      val m = topics.map { t =>
+        val perPart = startingTsByPartition.getOrElse(t, Map.empty[Int, Long])
+        t -> GraftBroker.endOffsets(t).map { case (p, end) =>
+          // Kafka's default startingOffsetsByTimestampStrategy=error: a
+          // subscribed partition missing from the map is a config bug
+          val ts = perPart.getOrElse(p, sys.error(
+            s"startingoffsetsbytimestamp has no entry for $t-$p " +
+              s"(got partitions ${perPart.keys.toSeq.sorted.mkString(",")})"))
+          p -> resolveTs(t, p, end, ts)
+        }
+      }.toMap
+      return GraftQueueOffset(m)
+    }
+    startingTimestamp.foreach { ts =>
+      return GraftQueueOffset(topics.map { t =>
+        t -> GraftBroker.endOffsets(t).map { case (p, end) =>
+          p -> resolveTs(t, p, end, ts)
+        }
+      }.toMap)
+    }
     val m = startingOffsets match {
       case "latest" => topics.map(t => t -> GraftBroker.endOffsets(t)).toMap
       case "group" => // resume from the consumer group's committed offsets
@@ -340,7 +404,16 @@ class GraftQueueMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[GraftQueueOffset].offsets
-    val end = availableEnd()
+    // Clamp the visibility-gated end to the checkpointed start: with
+    // startingoffsets=latest the initial offset is the UNGATED log end, so a
+    // visibility gate still behind it would otherwise return an end < start,
+    // regressing the offset log (and, via commit(), the broker group) and
+    // later re-delivering pre-start records once the gate opens.
+    val end = availableEnd().map { case (t, pm) =>
+      t -> pm.map { case (p, e) =>
+        p -> math.max(e, startMap.getOrElse(t, Map.empty).getOrElse(p, 0L))
+      }
+    }
     val capped = limit match {
       case _: ReadAllAvailable => end
       case mr: ReadMaxRows =>
@@ -443,6 +516,15 @@ class QueueDataWriter(schema: StructType) extends DataWriter[InternalRow] {
     s"graft-queue sink requires 'topic' and 'value' columns, got ${schema.fieldNames.mkString(",")}")
 
   override def write(row: InternalRow): Unit = {
+    // mirror the Kafka sink's null-topic error rather than an opaque NPE:
+    // a routing bug upstream should name itself
+    if (row.isNullAt(topicI)) {
+      val off = if (schema.fieldNames.contains("offset")) {
+        val i = idx("offset"); if (!row.isNullAt(i)) s" (source offset ${row.getLong(i)})" else ""
+      } else ""
+      throw new IllegalStateException(
+        s"graft-queue sink: null topic in row$off — topic column must be set for every record")
+    }
     val topic = row.getUTF8String(topicI).toString
     val key = if (keyI >= 0 && !row.isNullAt(keyI)) row.getBinary(keyI) else null
     val value = if (row.isNullAt(valueI)) null else row.getBinary(valueI)

@@ -406,7 +406,10 @@ object ForwardingEngine {
         } else {
           // two actions over the outcomes (queue produce + watermark pull):
           // persist so the dispatch pass — which talks to the consumer
-          // service — runs exactly once per batch
+          // service — normally runs once per batch. Cache eviction or
+          // partition loss can recompute it, re-dispatching that slice:
+          // at-least-once, the same contract the dispatch path already
+          // accepts (task retries duplicate too)
           val outcomes = processBatch(spec, dispatcherFactory, localCluster, batch).persist()
           try {
             store.produce(outcomes)

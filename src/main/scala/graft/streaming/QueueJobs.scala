@@ -99,6 +99,40 @@ object QueueJobs {
       .start()
 
   /**
+   * Bounded DLQ merge/purge job (reference: DlqTopicKafkaFetcher.java:66-79
+   * bounded consumption, :103-115 purge semantics). One batch read of
+   * exactly [start, end) per partition, the merge dispatch through the full
+   * engine, and the job-completion consumer-group commit of the end
+   * offsets. The purge degenerate case falls out of the bounds: start ==
+   * end plans zero input slices, so NOTHING is dispatched — yet the commit
+   * still advances the group to `end`, which is what "purge" means
+   * broker-side (the range is skipped, never redelivered).
+   */
+  def runDlqBounded(
+      spark: SparkSession,
+      spec: graft.model.JobSpec,
+      dispatcherFactory: DispatcherFactory,
+      localCluster: String,
+      topic: String,
+      start: Map[Int, Long],
+      end: Map[Int, Long],
+      store: QueueStore,
+      commitTarget: CommitTarget,
+      format: String = "graft-queue"): Unit = {
+    import graft.sources.GraftQueue
+    val frame = spark.read.format(format)
+      .option("topics", topic)
+      .option("startingoffsets", GraftQueue.offsetsToJson(Map(topic -> start)))
+      .option("endingoffsets", GraftQueue.offsetsToJson(Map(topic -> end)))
+      .load()
+    val records = ForwardingEngine.fromSourceFrame(frame)
+    store.produce(ForwardingEngine.processBatch(
+      spec, dispatcherFactory, localCluster, records))
+    commitTarget.commit(spec.consumerGroup,
+      end.map { case (p, o) => (topic, p) -> o })
+  }
+
+  /**
    * AVAILABILITY (job.proto:353-356, AvailabilityJobType NATIVE_CONSUMER):
    * evaluate probe records from an availability topic — per-minute delivery
    * count and produce→observe latency percentiles. Consuming the topic a

@@ -77,6 +77,89 @@ class GraftQueueSpec extends AnyFunSuite {
     assert(initial("group", "nobody") == Map(0 -> 0L))
   }
 
+  test("timestamp seek: first-offset>=ts, high-watermark fallback, per-partition map") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("tseek", 2)
+    val base = 1000000L
+    (0 until 3).foreach(i =>
+      GraftBroker.produce("tseek", Some(0), null, s"a$i".getBytes, timestampMs = base + i * 100))
+    (0 until 2).foreach(i =>
+      GraftBroker.produce("tseek", Some(1), null, s"b$i".getBytes, timestampMs = base + i * 100))
+    // offsetsForTimes contract: first offset with record ts >= query ts;
+    // None when the timestamp is past every record
+    assert(GraftBroker.offsetForTime("tseek", 0, base + 100).contains(1L))
+    assert(GraftBroker.offsetForTime("tseek", 0, base + 101).contains(2L))
+    assert(GraftBroker.offsetForTime("tseek", 0, base + 999).isEmpty)
+    // global startingtimestamp resolves every partition
+    val g = stream(Map("topics" -> "tseek", "startingtimestamp" -> (base + 100).toString))
+    assert(g.initialOffset().asInstanceOf[GraftQueueOffset].offsets("tseek") ==
+      Map(0 -> 1L, 1 -> 1L))
+    // past-tail timestamp -> high watermark (BatchJobCreator.java:218-231
+    // fallback: start at the log end, consume only future records)
+    val hw = stream(Map("topics" -> "tseek", "startingtimestamp" -> (base + 999).toString))
+    assert(hw.initialOffset().asInstanceOf[GraftQueueOffset].offsets("tseek") ==
+      Map(0 -> 3L, 1 -> 2L))
+    // per-partition timestamps; a subscribed partition missing from the map
+    // fails loudly (Kafka's startingOffsetsByTimestampStrategy=error default)
+    val pp = stream(Map("topics" -> "tseek",
+      "startingoffsetsbytimestamp" -> s"""{"tseek":{"0":${base + 200},"1":$base}}"""))
+    assert(pp.initialOffset().asInstanceOf[GraftQueueOffset].offsets("tseek") ==
+      Map(0 -> 2L, 1 -> 0L))
+    val bad = stream(Map("topics" -> "tseek",
+      "startingoffsetsbytimestamp" -> s"""{"tseek":{"0":$base}}"""))
+    val e = intercept[RuntimeException](bad.initialOffset())
+    assert(e.getMessage.contains("tseek-1"))
+  }
+
+  test("batch read honors [start,end) bounds; start==end plans nothing") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("bnd", 1)
+    (0 until 4).foreach(i => GraftBroker.produce("bnd", Some(0), null, s"m$i".getBytes))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").getOrCreate()
+    def read(start: Long, end: Long) = spark.read.format("graft-queue")
+      .option("topics", "bnd")
+      .option("startingoffsets", s"""{"bnd":{"0":$start}}""")
+      .option("endingoffsets", s"""{"bnd":{"0":$end}}""")
+      .load().select("value").collect().map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(read(1, 3).toSeq == Seq("m1", "m2"))
+    assert(read(2, 2).isEmpty, "start==end is the purge degenerate case")
+    // end clamps to the log's high watermark
+    assert(read(3, 99).toSeq == Seq("m3"))
+  }
+
+  test("latest start + visibility delay never regresses below the start offset") {
+    GraftBroker.reset()
+    GraftBroker.createTopic("clamp", 1)
+    // three records, all younger than the 1h visibility delay
+    (0 until 3).foreach(i => GraftBroker.produce("clamp", Some(0), null, s"m$i".getBytes))
+    val s = stream(Map(
+      "topics" -> "clamp", "startingoffsets" -> "latest",
+      "visibilitydelays" -> "clamp:3600000"))
+    // startingoffsets=latest seeks to the UNGATED log end (3); the gated
+    // available end is 0 — the planned end must clamp to the start, not
+    // regress the offset log below it
+    val start = s.initialOffset().asInstanceOf[GraftQueueOffset]
+    assert(start.offsets("clamp") == Map(0 -> 3L))
+    val endAll = s.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[GraftQueueOffset].offsets("clamp")
+    assert(endAll == Map(0 -> 3L), s"gated end must clamp to start, got $endAll")
+    val endMax = s.latestOffset(start, ReadLimit.maxRows(5L))
+      .asInstanceOf[GraftQueueOffset].offsets("clamp")
+    assert(endMax == Map(0 -> 3L))
+  }
+
+  test("sink rejects a null topic value with a descriptive error") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("topic", StringType), StructField("value", BinaryType)))
+    val w = new graft.sources.QueueDataWriter(schema)
+    val e = intercept[IllegalStateException](
+      w.write(new GenericInternalRow(Array[Any](null, "v".getBytes))))
+    assert(e.getMessage.contains("null topic"))
+  }
+
   test("stream commit advances consumer-group offsets; lag reflects them") {
     GraftBroker.reset()
     GraftBroker.createTopic("lagt", 2)

@@ -127,19 +127,29 @@ class JobManagerSpec extends AnyFunSuite {
       .forall(_._2 == "w2"))
   }
 
-  test("total worker outage yields cancel commands, not a crash") {
+  test("total worker outage holds placements instead of cancelling the fleet") {
     val jm = new JobManager(spark)
     var now = 0L
     val workers = new TtlRegistry[String, Long](10000L, () => now)
     workers.put("w1", now)
     now = 20000L // every heartbeat expired
     assert(workers.live.isEmpty)
+    // a group IS running: a transient registry blip (all heartbeats
+    // momentarily past TTL) must hold it steady, not stop/restart the fleet
     val (placement, cmds) = jm.rebalance(
-      Seq((spec("a__g"), 1)), Map("a__g" -> 1.0), workers)
+      Seq((spec("a__g"), 1)), Map("a__g" -> 1.0),
+      workers.live.keys.toSeq.sorted, runningNow = Set("a__g"))
     assert(placement.assignments.isEmpty)
-    // nothing running in this manager -> nothing to cancel; the loop
-    // survives and re-places on the next tick with live workers
-    assert(cmds.isEmpty)
+    assert(cmds.isEmpty, "no cancels during a zero-worker blip")
+    // once a live worker reappears, the normal diff applies: the running
+    // group stays (placed on the live worker), an orphan gets cancelled
+    now = 21000L
+    workers.put("w2", now)
+    val (p2, cmds2) = jm.rebalance(
+      Seq((spec("a__g"), 1)), Map("a__g" -> 1.0),
+      workers.live.keys.toSeq.sorted, runningNow = Set("a__g", "orphan__g"))
+    assert(p2.assignments.keySet.map(_.jobGroupId) == Set("a__g"))
+    assert(cmds2.collect { case jm.CancelGroup(g) => g } == Seq("orphan__g"))
   }
 
   test("unknown job type name fails loudly") {

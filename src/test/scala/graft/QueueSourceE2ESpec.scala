@@ -182,6 +182,79 @@ class QueueSourceE2ESpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // === timestamp-based start: the BatchJobCreator seek path, E2E ===
+  test("timestamp start E2E: delivery begins at the resolved offset, survives restart") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-ts" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "e2e5-topic"; val group = "e2e5-group"
+    GraftBroker.createTopic(topic, 1)
+    val base = 1700000000000L
+    (1 to 4).foreach(i => GraftBroker.produce(topic, Some(0), s"k$i".getBytes,
+      s"v$i".getBytes, timestampMs = base + i * 1000L))
+    val s = spec(topic, group, tiers = 0, tierDelayMs = 0L)
+    // drive the option surface through the control plane: ByTimestamp emits
+    // the same startingTimestamp option format("kafka") takes
+    // (KafkaSourceConfig.StartOffsets.ByTimestamp -> offsetsForTimes,
+    //  reference: BatchJobCreator.java:117-260)
+    val opts = graft.control.KafkaSourceConfig.sourceOptions(
+      s, "unused:9092", graft.control.KafkaSourceConfig.StartOffsets.ByTimestamp(base + 2500L))
+    assert(opts("startingTimestamp") == (base + 2500L).toString)
+    val cp = ckpt("ts")
+    val q = startEngine(s, "e2e-ts", Seq(topic), Map.empty, cp,
+      extraOptions = Map("startingtimestamp" -> opts("startingTimestamp")))
+    try {
+      // first offset with record-ts >= base+2500 is v3 — v1/v2 predate the
+      // seek timestamp and must never deliver
+      await("records at/after the timestamp delivered") {
+        (3 to 4).forall(i => TestConsumer.count("e2e-ts", s"v$i") == 1)
+      }
+      assert(TestConsumer.count("e2e-ts", "v1") == 0)
+      assert(TestConsumer.count("e2e-ts", "v2") == 0)
+      q.processAllAvailable()
+    } finally q.stop()
+    // checkpoint restart: the offset LOG governs now, not re-resolution —
+    // new records deliver, pre-timestamp history stays skipped
+    (5 to 6).foreach(i => GraftBroker.produce(topic, Some(0), s"k$i".getBytes,
+      s"v$i".getBytes, timestampMs = base + i * 1000L))
+    val q2 = startEngine(s, "e2e-ts", Seq(topic), Map.empty, cp,
+      extraOptions = Map("startingtimestamp" -> opts("startingTimestamp")))
+    try {
+      await("post-restart records delivered") {
+        (5 to 6).forall(i => TestConsumer.count("e2e-ts", s"v$i") == 1)
+      }
+      assert(TestConsumer.count("e2e-ts", "v1") == 0, "restart must not re-resolve the timestamp")
+      (3 to 4).foreach(i =>
+        assert(TestConsumer.count("e2e-ts", s"v$i") == 1, s"v$i redelivered"))
+    } finally q2.stop()
+  }
+
+  // === bounded DLQ merge/purge through explicit offset ranges ===
+  test("DLQ purge E2E: start==end dispatches nothing and still commits the range") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "e2e-purge" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "e2e6-topic"; val group = "e2e6-group"
+    val s = spec(topic, group, tiers = 0, tierDelayMs = 0L)
+    val dlq = s.rpc.dlqTopic
+    GraftBroker.createTopic(dlq, 1)
+    (1 to 3).foreach(i => GraftBroker.produce(dlq, Some(0), s"k$i".getBytes, s"d$i".getBytes))
+    val target = new BrokerCommitTarget
+    // bounded merge [0,2): exactly two records dispatch, group commits to 2
+    QueueJobs.runDlqBounded(spark, s, MockDispatcherFactory("e2e-purge"),
+      "local-cluster", dlq, Map(0 -> 0L), Map(0 -> 2L), BrokerQueueStore, target)
+    assert(TestConsumer.count("e2e-purge", "d1") == 1)
+    assert(TestConsumer.count("e2e-purge", "d2") == 1)
+    assert(TestConsumer.count("e2e-purge", "d3") == 0, "out-of-range record must not dispatch")
+    assert(GraftBroker.committed(group, dlq, 0).contains(2L))
+    // purge: start==end==high-watermark skips d3 entirely yet commits past
+    // it (DlqTopicKafkaFetcher.java:103-115 — a purge job processes nothing
+    // even inside the range)
+    QueueJobs.runDlqBounded(spark, s, MockDispatcherFactory("e2e-purge"),
+      "local-cluster", dlq, Map(0 -> 3L), Map(0 -> 3L), BrokerQueueStore, target)
+    assert(TestConsumer.count("e2e-purge", "d3") == 0, "purge must not dispatch")
+    assert(GraftBroker.committed(group, dlq, 0).contains(3L))
+    assert(GraftBroker.lag(group, dlq) == Map(0 -> 0L), "purged range never redelivers")
+  }
+
   // === connector behaviors the scenarios rely on ===
 
   test("headers round-trip the source; foreign original_cluster is dropped") {
