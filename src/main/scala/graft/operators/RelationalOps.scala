@@ -516,8 +516,21 @@ object RelationalOps {
   val PrIters = 3
   val PrScale = 1000000L
   val SuppOffset = 10000000L
+  // Broadcast the per-round rank table only while the graph's node count
+  // stays under this cap. A rank row is two longs (~50 B as an unsafe row
+  // with overhead): 4M nodes ≈ 200 MB broadcast — the upper edge of what a
+  // driver should ship per round; past it the rank joins fall back to
+  // co-partitioned shuffle joins. Same order as q48's 4M union-find edge
+  // gate.
+  val PrBroadcastNodeCap = 4000000L
 
-  def q86PageRank(spark: SparkSession, dir: String): DataFrame = {
+  def q86PageRank(spark: SparkSession, dir: String): DataFrame =
+    q86PageRank(spark, dir, PrBroadcastNodeCap)
+
+  /** Cap-parameterized core — PlanSpec drives `broadcastNodeCap = 0` to
+    * assert the over-cap shuffle-join variant produces the identical
+    * result and plan shape without broadcast hints. */
+  def q86PageRank(spark: SparkSession, dir: String, broadcastNodeCap: Long): DataFrame = {
     // lineitem ⋈ orders is fact-to-fact: the 2-column orders projection is
     // tiny at test SFs but grows linearly with the data, so a hardcoded
     // broadcast() hint would OOM the driver at 100×. No hint: AQE promotes
@@ -542,15 +555,24 @@ object RelationalOps {
     val degC = trade.groupBy("cust").agg(count(lit(1)).as("degc"))
     val degS = trade.groupBy("supp").agg(count(lit(1)).as("degs"))
     val half = trade.join(degC, "cust").join(degS, "supp").localCheckpoint()
+    // The node-rank table is orders of magnitude smaller than the edge
+    // table (nodes ≪ edges in any dense graph), so broadcasting it per
+    // round is usually right — but nodes still grow linearly with data,
+    // and a multi-GB broadcast repeated every round kills the driver. So
+    // the hint is GATED on the driver-known node count (the q48/q41
+    // adaptive pattern): the degree aggregations are node-sized and
+    // scan the checkpointed pair set, so counting them here is cheap.
+    // Past the cap the SAME loop body runs as co-partitioned shuffle
+    // joins — a runtime decision, not a code edit.
+    val nodeCount = degC.count() + degS.count()
+    val gateBroadcast = nodeCount <= broadcastNodeCap
     var ranks = degC.select(col("cust").as("node"), lit(PrScale).as("rank"))
       .union(degS.select(col("supp").as("node"), lit(PrScale).as("rank")))
     for (_ <- 1 to PrIters) {
-      // the node-rank table is orders of magnitude smaller than the edge
-      // table (nodes ≪ edges in any dense graph); broadcast it per round —
-      // both endpoint joins probe the SAME broadcast (ReuseExchange ships
-      // it once). When node count outgrows broadcast, drop the hints and
-      // this SAME plan runs as co-partitioned shuffle joins.
-      val rb = broadcast(ranks.localCheckpoint())
+      // under the cap, both endpoint joins probe the SAME broadcast
+      // (ReuseExchange ships it once)
+      val ckpt = ranks.localCheckpoint()
+      val rb = if (gateBroadcast) broadcast(ckpt) else ckpt
       ranks = half
         .join(rb.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
         .join(rb.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")

@@ -200,4 +200,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q54_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
   }
+
+  test("q86 rank broadcast is gated on node count; over-cap variant matches") {
+    import graft.operators.RelationalOps
+    // under the cap (the default at any test SF): the per-round rank joins
+    // carry the broadcast hint
+    val hinted = RelationalOps.q86PageRank(spark, dir)
+    // by optimization time the hint is folded into the Join node's JoinHint
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "node count under the cap should hint the rank broadcast")
+    // force the gate to trip (cap 0 = every graph is 'too big'): no hint
+    // anywhere in the plan — the join strategy is left to the engine, which
+    // may still AQE-promote at runtime when the actual size allows (that
+    // runtime gate is the point)
+    val shuffled = RelationalOps.q86PageRank(spark, dir, broadcastNodeCap = 0L)
+    assert(!shuffled.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "over-cap run must not hint a broadcast of the rank table")
+    // and the fallback is not a different algorithm: identical rows
+    val a = hinted.collect().map(_.toSeq)
+    val b = shuffled.collect().map(_.toSeq)
+    assert(a.sameElements(b), "gated and ungated variants must agree")
+  }
 }
