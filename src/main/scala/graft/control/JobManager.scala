@@ -162,6 +162,18 @@ final class JobManager(spark: SparkSession) {
       registry: TtlRegistry[String, Long]): (Rebalancer.Placement, Seq[Command]) =
     rebalance(expected, scaleByGroup, registry.live.keys.toSeq.sorted)
 
+  /** Materialize a timestamp/offset-ranged job GROUP into its per-partition
+    * bounded jobs (the reference's batch-job path — a ranged group stored in
+    * the job store becomes N bounded Jobs at creation time,
+    * BatchJobCreator.java:117-260). The caller runs each through the bounded
+    * batch read (QueueJobs.runDlqBounded / boundedReadOptions). */
+  def createBoundedJobs(
+      spec: JobSpec,
+      range: graft.model.GroupRange,
+      resolver: BatchJobCreator.OffsetResolver = BatchJobCreator.BrokerResolver)
+      : Seq[BatchJobCreator.BoundedJob] =
+    BatchJobCreator.createJobs(spec, range, resolver)
+
   /** Management endpoint payload: all groups' status as one JSON document
     * (reference: the management HTML/JSON debug pages). */
   def statusJson: String =
@@ -175,16 +187,21 @@ final class JobManager(spark: SparkSession) {
 
 /**
  * The autoscaling feedback loop (SURVEY.md §3.3): streaming-progress
- * throughput feeds the AutoScaler state machine; scale decisions become
- * updated FlowControl quotas (maxOffsetsPerTrigger on restart) and desired
- * worker counts (executor demand).
+ * throughput is ingested as JobStatus heartbeats into a TTL'd history
+ * store ([[JobStatusStore]], the reference master's StoredJobStatus store,
+ * ControllerWorkerService.java:46-260), and the AutoScaler state machine
+ * is driven FROM the store — every retained sample reaches it exactly
+ * once, in order, regardless of the loop's own cadence. Scale decisions
+ * become updated FlowControl quotas (maxOffsetsPerTrigger on restart) and
+ * desired worker counts (executor demand).
  *
- * Driver-side, called on a cadence (the reference samples every 5s).
+ * Driver-side, called on a cadence (the reference ingests every 1 s).
  */
 final class ScalingLoop(
     jm: JobManager,
     scaler: AutoScaler,
-    bytesPerMsgEstimate: Double = 1024.0) {
+    bytesPerMsgEstimate: Double = 1024.0,
+    val statusStore: JobStatusStore = new JobStatusStore()) {
 
   final case class Decision(
       jobGroupId: String,
@@ -192,12 +209,22 @@ final class ScalingLoop(
       desiredWorkers: Int,
       messagesPerSec: Double)
 
-  /** Sample every running group once; returns the scale decisions. */
+  /** Heartbeat every running group into the status store, then drive the
+    * scaler from retained history. A group with no NEW samples since the
+    * last tick (cadence-coalesced) yields no fresh decision. */
   def tick(nowMs: Long): Seq[Decision] =
     jm.running.flatMap { id =>
-      jm.status(id).map { st =>
+      jm.status(id).foreach { st =>
         val msgsPerSec = math.max(st.processedRowsPerSec, st.inputRowsPerSec)
-        val scale = scaler.onSample(id, msgsPerSec, msgsPerSec * bytesPerMsgEstimate, nowMs)
+        statusStore.ingest(JobStatusRecord(
+          jobGroupId = id, state = st.state,
+          readOffset = -1L, commitOffset = -1L, // filled by connector-aware callers
+          messagesPerSec = msgsPerSec,
+          bytesPerSec = msgsPerSec * bytesPerMsgEstimate,
+          totalMessagesInflight = st.numInputRows, totalBytesInflight = 0L,
+          cpuUsage = 0.0, recordsProduced = 0L, tsMs = nowMs))
+      }
+      statusStore.driveScaler(scaler, id).map { scale =>
         Decision(id, scale, scaler.desiredWorkers(id),
           scale * AutoScaler.MessagesPerWorker)
       }

@@ -50,12 +50,14 @@ final class TtlRegistry[K, V](
  *   GET /status/jobs    -> JobManager.statusJson
  *   GET /status/workers -> live worker heartbeats (TTL-filtered)
  *   GET /status/scaler  -> per-group AutoScaler snapshot
+ *   GET /status/history -> TTL'd JobStatus heartbeat history per group
  *   GET /health         -> {"status":"ok"}
  */
 final class StatusServer(
     jm: JobManager,
     scaler: Option[AutoScaler] = None,
     workers: Option[TtlRegistry[String, Long]] = None,
+    statusStore: Option[JobStatusStore] = None,
     port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -98,6 +100,8 @@ final class StatusServer(
   server.createContext("/status/jobs", (ex: HttpExchange) => reply(ex, jm.statusJson))
   server.createContext("/status/workers", (ex: HttpExchange) => reply(ex, workersJson))
   server.createContext("/status/scaler", (ex: HttpExchange) => reply(ex, scalerJson))
+  server.createContext("/status/history", (ex: HttpExchange) =>
+    reply(ex, statusStore.map(_.historyJson).getOrElse("[]")))
   server.createContext("/health", (ex: HttpExchange) => reply(ex, """{"status":"ok"}"""))
   server.setExecutor(null) // serve on the dispatch thread; status-volume traffic
 

@@ -87,6 +87,34 @@ final case class DispatchTarget(
     dedupEnabled: Boolean = false,
     isSecure: Boolean = false)
 
+/** Explicit per-partition consumption bounds
+  * (reference: job_group.proto:224-244 PartitionOffsetRange[s]). */
+final case class PartitionOffsetRange(
+    partition: Int,
+    startOffset: Long,
+    endOffset: Long)
+
+/**
+ * Job-group-level bounded-consumption range
+ * (reference: job_group.proto:93-116 KafkaConsumerTaskGroup):
+ *
+ *  - `startTimestampMs >= 0`: consume from the earliest offset whose record
+ *    timestamp >= start; `endTimestampMs` follows zero-offset semantics —
+ *    the first timestamp NOT to consume.
+ *  - `partitionOffsetRanges`, when non-empty, make the creator IGNORE the
+ *    timestamps: only the listed partitions are consumed, at exactly the
+ *    listed offsets (new partitions after expansion are not picked up).
+ *
+ * Timestamps unset (< 0) with no ranges = not a bounded group.
+ */
+final case class GroupRange(
+    startTimestampMs: Long = -1L,
+    endTimestampMs: Long = -1L,
+    partitionOffsetRanges: Seq[PartitionOffsetRange] = Nil) {
+  def isBounded: Boolean =
+    partitionOffsetRanges.nonEmpty || (startTimestampMs >= 0 && endTimestampMs >= 0)
+}
+
 final case class JobSpec(
     jobGroupId: String,
     cluster: String,

@@ -152,6 +152,47 @@ class JobManagerSpec extends AnyFunSuite {
     assert(cmds2.collect { case jm.CancelGroup(g) => g } == Seq("orphan__g"))
   }
 
+  test("timestamp-ranged group materializes bounded jobs; merged read matches the range") {
+    import graft.control.BatchJobCreator
+    import graft.sources.{GraftBroker, GraftQueue}
+    GraftBroker.reset()
+    val topic = "ranged-topic"
+    GraftBroker.createTopic(topic, 2)
+    val base = 1700000000000L
+    // 10 records, timestamps base+0s..base+9s, alternating partitions
+    (0 until 10).foreach(i => GraftBroker.produce(topic, Some(i % 2),
+      s"k$i".getBytes, s"v$i".getBytes, timestampMs = base + i * 1000L))
+    val jm = new JobManager(spark)
+    val s = spec("ranged__g").copy(topic = topic)
+    // [base+3s, base+8s): end follows zero-offset semantics — v8 excluded
+    val jobs = jm.createBoundedJobs(s,
+      GroupRange(startTimestampMs = base + 3000L, endTimestampMs = base + 8000L))
+    assert(jobs.size == 2, "one bounded job per partition")
+    assert(jobs.forall(_.spec == s))
+    // the merged bounded read is EXACTLY the records in the time range —
+    // the q13-style check, against the broker instead of an oracle table
+    val (starts, ends) = BatchJobCreator.toBounds(jobs)
+    val vals = spark.read.format("graft-queue")
+      .option("topics", topic)
+      .option("startingoffsets", GraftQueue.offsetsToJson(Map(topic -> starts)))
+      .option("endingoffsets", GraftQueue.offsetsToJson(Map(topic -> ends)))
+      .load().select("value").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+    assert(vals == (3 to 7).map(i => s"v$i").toSet)
+    // explicit offset ranges override timestamps AND restrict partitions
+    val explicit = jm.createBoundedJobs(s,
+      GroupRange(startTimestampMs = base, endTimestampMs = base + 9000L,
+        partitionOffsetRanges = Seq(PartitionOffsetRange(1, 1L, 3L))))
+    assert(explicit == Seq(BatchJobCreator.BoundedJob(s, 1, 1L, 3L)))
+    // start timestamp past the tail -> empty ranges (nothing consumed),
+    // never an earliest reset (BatchJobCreator.java:218-260 fallbacks)
+    val past = jm.createBoundedJobs(s,
+      GroupRange(startTimestampMs = base + 99000L, endTimestampMs = base + 100000L))
+    assert(past.nonEmpty && past.forall(j => j.startOffset == j.endOffset))
+    // an unbounded group is a loud error, not a silent full read
+    intercept[IllegalArgumentException](jm.createBoundedJobs(s, GroupRange()))
+  }
+
   test("unknown job type name fails loudly") {
     val e = intercept[IllegalArgumentException](JobType.of("REPLICATON"))
     assert(e.getMessage.contains("REPLICATON"))
