@@ -7,12 +7,20 @@ Key integrity across replicas: every foreign key gets the same offset as the
 primary key it references (orders.o_custkey and customer.c_custkey both
 shift by r*CUST_STEP, etc), so join cardinalities scale linearly like a true
 larger scale factor. Dimension tables (nation, region) are copied once.
-Documents/embeddings keep their payloads, so each document gains N-1 exact
-replicas — a deliberately duplicate-heavy corpus (web-scale dedup inputs
-are) that stresses the dedup/LSH family's bucket joins.
 
-Usage: gen_scale_data.py SRC_DIR DST_DIR N_REPLICAS
+Documents/embeddings replicas are DISTINCT by default: replica text gets a
+deterministic hash-derived word mutation (~1/3 of words replaced, killing
+cross-replica shingle identity while preserving length/stopword/lang
+statistics), and replica vectors get deterministic bounded noise (preserving
+label-cluster structure). This makes the dedup/LSH family's 10x ratios
+measure the ALGORITHM, not an artificial every-doc-is-a-10-clone-cluster
+corpus; pass --clone-docs to get the old exact-replica behavior (the
+duplicate-heavy stress variant).
+
+Usage: gen_scale_data.py SRC_DIR DST_DIR N_REPLICAS [--clone-docs]
 """
+import hashlib
+import struct
 import sys
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -42,7 +50,41 @@ OFFSETS = {
 }
 
 
-def replicate(src, dst, table, n):
+def _h64(*parts):
+    """Deterministic 64-bit hash of the parts (no RNG state, reproducible)."""
+    d = hashlib.blake2b("|".join(str(p) for p in parts).encode(), digest_size=8)
+    return struct.unpack("<Q", d.digest())[0]
+
+
+def mutate_text(text, doc_id, r):
+    """Replace ~1/3 of words with hash-derived tokens: replicas stay
+    realistic (length, stopword ratio, 2/3 of the vocabulary intact) but
+    lose cross-replica shingle identity, so MinHash/SimHash/span-dedup see
+    a distinct document, not a clone."""
+    words = text.split(" ")
+    out = []
+    for i, w in enumerate(words):
+        h = _h64(doc_id, r, i)
+        if h % 3 == 0 and w:
+            out.append("w%x" % (h >> 16 & 0xFFFFFF))
+        else:
+            out.append(w)
+    return " ".join(out)
+
+
+def mutate_vector(vec, vec_id, r):
+    """Bounded deterministic noise (+-15% of the element scale): replicas
+    stop being exact/cosine-1 duplicates but keep their label-cluster
+    neighborhood."""
+    out = []
+    for d, v in enumerate(vec):
+        h = _h64(vec_id, r, d)
+        noise = ((h % 2001) - 1000) / 1000.0 * 0.15  # [-0.15, 0.15]
+        out.append(v + noise * (abs(v) if v != 0 else 0.1))
+    return out
+
+
+def replicate(src, dst, table, n, clone_docs=False):
     t = pq.read_table(f"{src}/{table}.parquet")
     offsets = OFFSETS[table]
     writer = pq.ParquetWriter(f"{dst}/{table}.parquet", t.schema)
@@ -56,6 +98,23 @@ def replicate(src, dst, table, n):
                 col = t.column(name)
                 if name in offsets and r > 0:
                     col = pc.add(col, pa.scalar(r * offsets[name], type=col.type))
+                elif not clone_docs and r > 0 and table == "documents" and name == "text":
+                    ids = t.column("doc_id").to_pylist()
+                    col = pa.array(
+                        [mutate_text(s, i, r) for s, i in zip(col.to_pylist(), ids)],
+                        type=col.type)
+                elif not clone_docs and r > 0 and table == "documents" and name == "n_chars":
+                    # keep the stored length consistent with the mutated text
+                    ids = t.column("doc_id").to_pylist()
+                    texts = t.column("text").to_pylist()
+                    col = pa.array(
+                        [len(mutate_text(s, i, r)) for s, i in zip(texts, ids)],
+                        type=col.type)
+                elif not clone_docs and r > 0 and table == "embeddings" and name == "embedding":
+                    ids = t.column("vec_id").to_pylist()
+                    col = pa.array(
+                        [mutate_vector(v, i, r) for v, i in zip(col.to_pylist(), ids)],
+                        type=col.type)
                 cols.append(col)
             writer.write_table(pa.table(cols, schema=t.schema))
         return t.num_rows * n
@@ -65,10 +124,11 @@ def replicate(src, dst, table, n):
 
 def main():
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    clone_docs = "--clone-docs" in sys.argv[4:]
     import os
     os.makedirs(dst, exist_ok=True)
     for table in OFFSETS:
-        rows = replicate(src, dst, table, n)
+        rows = replicate(src, dst, table, n, clone_docs)
         print(f"{table}: {rows} rows")
 
 
