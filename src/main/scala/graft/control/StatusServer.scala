@@ -62,9 +62,13 @@ final class StatusServer(
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
-  private def reply(ex: HttpExchange, body: String, code: Int = 200): Unit = {
+  private def reply(
+      ex: HttpExchange,
+      body: String,
+      code: Int = 200,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
@@ -103,9 +107,49 @@ final class StatusServer(
   server.createContext("/status/history", (ex: HttpExchange) =>
     reply(ex, statusStore.map(_.historyJson).getOrElse("[]")))
   server.createContext("/health", (ex: HttpExchange) => reply(ex, """{"status":"ok"}"""))
+  // The HTML debug surface, same shape as the reference's management pages
+  // (uforwarder-core/.../management/AbstractHtml.java + JobsHtml/WorkersHtml/
+  // MastersHtml: static HTML shells whose client-side script fetches the
+  // JSON endpoints) — one page here covers jobs/workers/scaler/history.
+  server.createContext("/debug", (ex: HttpExchange) =>
+    reply(ex, StatusServer.DebugHtml, contentType = "text/html"))
   server.setExecutor(null) // serve on the dispatch thread; status-volume traffic
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
+}
+
+object StatusServer {
+  /** Static debug page: fetches the JSON endpoints client-side and renders
+    * them as tables (the reference's management-page pattern). Served from
+    * a constant — no resource files, no templating. */
+  val DebugHtml: String =
+    """<!DOCTYPE html>
+      |<html><head><title>graft control plane</title><style>
+      |body{font-family:monospace;margin:2em}table{border-collapse:collapse;margin:1em 0}
+      |td,th{border:1px solid #999;padding:2px 8px;text-align:left}h2{margin-bottom:0}
+      |</style></head><body>
+      |<h1>graft control plane</h1>
+      |<div id="root">loading…</div>
+      |<script>
+      |const SECTIONS = [["jobs","/status/jobs"],["workers","/status/workers"],
+      |  ["scaler","/status/scaler"],["history","/status/history"]];
+      |function table(rows){
+      |  if(!rows.length) return "<i>empty</i>";
+      |  const cols = Object.keys(rows[0]);
+      |  return "<table><tr>" + cols.map(c=>"<th>"+c+"</th>").join("") + "</tr>" +
+      |    rows.map(r=>"<tr>"+cols.map(c=>"<td>"+JSON.stringify(r[c])+"</td>").join("")+"</tr>").join("") +
+      |    "</table>";
+      |}
+      |Promise.all(SECTIONS.map(([n,u])=>fetch(u).then(r=>r.json()).then(d=>[n,d])))
+      |  .then(all=>{
+      |    document.getElementById("root").innerHTML = all.map(([n,d])=>
+      |      "<h2>"+n+"</h2>"+(n==="history"
+      |        ? d.map(g=>"<h3>"+g.jobGroupId+"</h3>"+table(g.history)).join("")||"<i>empty</i>"
+      |        : table(d))).join("");
+      |  })
+      |  .catch(e=>{document.getElementById("root").textContent = "error: "+e});
+      |</script></body></html>
+      |""".stripMargin
 }

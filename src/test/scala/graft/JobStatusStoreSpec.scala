@@ -86,6 +86,14 @@ class JobStatusStoreSpec extends AnyFunSuite {
       assert((hist.head \ "readOffset").values == BigInt(1000))
       assert((hist.last \ "commitOffset").values == BigInt(1990))
       assert((hist.last \ "cpuUsage").values == 0.5)
+      // the HTML debug shell serves and references every JSON endpoint
+      val durl = java.net.URI.create(s"http://127.0.0.1:$port/debug").toURL
+      val conn = durl.openConnection()
+      val din = conn.getInputStream
+      val html = try new String(din.readAllBytes(), "UTF-8") finally din.close()
+      assert(conn.getContentType.startsWith("text/html"))
+      Seq("/status/jobs", "/status/workers", "/status/scaler", "/status/history")
+        .foreach(ep => assert(html.contains(ep), s"debug page must fetch $ep"))
     } finally srv.stop()
   }
 }
