@@ -136,8 +136,11 @@ object Bench {
       val (sec, rows) =
         if (rows1 < 0) (sec1, rows1)
         else {
-          val reruns = (1 to 2).map(_ => once())
-          ((sec1 +: reruns.map(_._1)).min, reruns.last._2)
+          // min over SUCCESSFUL runs only: a rerun that fails (e.g. a
+          // transient OOM) must not poison a valid measurement with its
+          // short aborted elapsed time, nor flip the query to failed
+          val runs = (sec1, rows1) +: (1 to 2).map(_ => once()).filter(_._2 >= 0)
+          (runs.map(_._1).min, rows1)
         }
       // isolate measurements: caches a query built must not occupy executor
       // memory while the NEXT query is timed (dropped outside the timer).

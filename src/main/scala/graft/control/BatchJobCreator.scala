@@ -35,7 +35,13 @@ object BatchJobCreator {
   /** [[OffsetResolver]] over the in-process broker. */
   object BrokerResolver extends OffsetResolver {
     import graft.sources.GraftBroker
-    def partitions(topic: String): Seq[Int] = 0 until GraftBroker.partitionsOf(topic)
+    def partitions(topic: String): Seq[Int] = {
+      // a typo'd topic must fail loudly, not auto-create a phantom
+      // 1-partition topic and "succeed" with an empty bounded job
+      require(GraftBroker.topicExists(topic),
+        s"topic '$topic' does not exist on the broker")
+      0 until GraftBroker.partitionsOf(topic)
+    }
     def beginningOffset(topic: String, partition: Int): Long = 0L
     def endOffset(topic: String, partition: Int): Long =
       GraftBroker.endOffsets(topic)(partition)
@@ -57,6 +63,14 @@ object BatchJobCreator {
     require(range.isBounded,
       s"group ${spec.jobGroupId} has no timestamps and no offset ranges — not a bounded group")
     if (range.partitionOffsetRanges.nonEmpty) {
+      // one range per partition: duplicates would make createJobs (a job
+      // per range) and toBounds (a map per partition) silently diverge
+      val dup = range.partitionOffsetRanges.groupBy(_.partition).collect {
+        case (p, rs) if rs.size > 1 => p
+      }
+      require(dup.isEmpty,
+        s"duplicate partition(s) ${dup.toSeq.sorted.mkString(",")} in " +
+          s"partitionOffsetRanges for group ${spec.jobGroupId}")
       range.partitionOffsetRanges.map { r =>
         require(r.startOffset >= 0 && r.endOffset >= r.startOffset,
           s"invalid offset range [${r.startOffset}, ${r.endOffset}) for " +

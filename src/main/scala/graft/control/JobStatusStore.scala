@@ -43,18 +43,30 @@ final class JobStatusStore(
     cadenceMs: Long = 1000L,
     clock: () => Long = () => System.currentTimeMillis()) {
 
-  private val entries = new TtlRegistry[(String, Long), JobStatusRecord](ttlMs, clock)
+  // one TTL'd registry PER GROUP, keyed by sample timestamp: history(g)
+  // and driveScaler(g) touch only that group's own samples — with G groups
+  // at 1 s cadence / 1 h TTL a flat map would make every per-group call
+  // scan G×3600 entries
+  private val byGroup = TrieMap.empty[String, TtlRegistry[Long, JobStatusRecord]]
   private val lastAcceptedTs = TrieMap.empty[String, Long]
   private val lastFedTs = TrieMap.empty[String, Long]
 
   /** Ingest one heartbeat; false = coalesced away (within the cadence gate
-    * of the previously accepted record for the group). */
+    * of the previously accepted record for the group). A BACKWARD timestamp
+    * step (worker clock correction, restart with a skewed clock) is
+    * accepted, not treated as "too soon" — gating on it would silently
+    * starve the store and the scaler until the clock caught back up. */
   def ingest(rec: JobStatusRecord): Boolean = {
-    val gated = lastAcceptedTs.get(rec.jobGroupId)
-      .exists(last => rec.tsMs - last < cadenceMs)
-    if (gated) false
+    val delta = lastAcceptedTs.get(rec.jobGroupId).map(rec.tsMs - _)
+    if (delta.exists(d => d >= 0 && d < cadenceMs)) false
     else {
-      entries.put((rec.jobGroupId, rec.tsMs), rec)
+      // the feed cursor must never sit ABOVE an accepted record's
+      // timestamp (a backward clock step would otherwise starve
+      // driveScaler until the clock passed the old high-water mark);
+      // for normal forward records this min is a no-op
+      lastFedTs.updateWith(rec.jobGroupId)(_.map(f => math.min(f, rec.tsMs - 1)))
+      byGroup.getOrElseUpdate(rec.jobGroupId,
+        new TtlRegistry[Long, JobStatusRecord](ttlMs, clock)).put(rec.tsMs, rec)
       lastAcceptedTs.put(rec.jobGroupId, rec.tsMs)
       true
     }
@@ -62,16 +74,30 @@ final class JobStatusStore(
 
   /** Unexpired history for one group, oldest first. */
   def history(group: String): Seq[JobStatusRecord] =
-    entries.live.collect { case ((g, _), r) if g == group => r }
-      .toSeq.sortBy(_.tsMs)
+    byGroup.get(group)
+      .map(_.live.toSeq.sortBy(_._1).map(_._2)).getOrElse(Seq.empty)
 
   def latest(group: String): Option[JobStatusRecord] =
     history(group).lastOption
 
   /** Groups with at least one unexpired record. */
-  def groups: Seq[String] = entries.live.keys.map(_._1).toSeq.distinct.sorted
+  def groups: Seq[String] = { purge(); byGroup.keys.toSeq.sorted }
 
-  def purge(): Int = entries.purge()
+  /** Drop expired samples; a group whose history fully expired is removed
+    * ENTIRELY (registry + cadence/feed cursors), so transient group ids
+    * don't leak and a reused id starts fresh instead of inheriting a stale
+    * cadence gate. */
+  def purge(): Int = {
+    var n = 0
+    byGroup.foreach { case (g, reg) =>
+      n += reg.purge()
+      if (reg.size == 0) {
+        byGroup.remove(g); lastAcceptedTs.remove(g); lastFedTs.remove(g)
+        ()
+      }
+    }
+    n
+  }
 
   /**
    * Drive the autoscaler from retained history: replay every record newer
@@ -93,12 +119,7 @@ final class JobStatusStore(
 
   /** History JSON for the management surface (StatusServer). */
   def historyJson: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    import StatusServer.{escJson => esc}
     groups.map { g =>
       val recs = history(g).map { r =>
         s"""{"tsMs":${r.tsMs},"state":"${esc(r.state)}",""" +

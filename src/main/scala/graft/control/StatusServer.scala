@@ -74,15 +74,7 @@ final class StatusServer(
     try os.write(bytes) finally os.close()
   }
 
-  /** Minimal JSON string escaping — ids are free-form heartbeat strings
-    * and must not be able to break the document. */
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def esc(s: String): String = StatusServer.escJson(s)
 
   private def scalerJson: String = scaler match {
     case None => "[]"
@@ -121,6 +113,17 @@ final class StatusServer(
 }
 
 object StatusServer {
+  /** Minimal JSON string escaping — ids are free-form heartbeat strings
+    * and must not be able to break the document. Shared by every JSON
+    * producer on the management surface (StatusServer, JobStatusStore). */
+  private[control] def escJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Static debug page: fetches the JSON endpoints client-side and renders
     * them as tables (the reference's management-page pattern). Served from
     * a constant — no resource files, no templating. */
@@ -135,18 +138,22 @@ object StatusServer {
       |<script>
       |const SECTIONS = [["jobs","/status/jobs"],["workers","/status/workers"],
       |  ["scaler","/status/scaler"],["history","/status/history"]];
+      |// ids/values are free-form strings: everything reaching innerHTML is
+      |// HTML-escaped, or a hostile jobGroupId becomes script on this page
+      |function esc(s){return String(s).replace(/[&<>"']/g,
+      |  c=>({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;"}[c]));}
       |function table(rows){
       |  if(!rows.length) return "<i>empty</i>";
       |  const cols = Object.keys(rows[0]);
-      |  return "<table><tr>" + cols.map(c=>"<th>"+c+"</th>").join("") + "</tr>" +
-      |    rows.map(r=>"<tr>"+cols.map(c=>"<td>"+JSON.stringify(r[c])+"</td>").join("")+"</tr>").join("") +
+      |  return "<table><tr>" + cols.map(c=>"<th>"+esc(c)+"</th>").join("") + "</tr>" +
+      |    rows.map(r=>"<tr>"+cols.map(c=>"<td>"+esc(JSON.stringify(r[c]))+"</td>").join("")+"</tr>").join("") +
       |    "</table>";
       |}
       |Promise.all(SECTIONS.map(([n,u])=>fetch(u).then(r=>r.json()).then(d=>[n,d])))
       |  .then(all=>{
       |    document.getElementById("root").innerHTML = all.map(([n,d])=>
       |      "<h2>"+n+"</h2>"+(n==="history"
-      |        ? d.map(g=>"<h3>"+g.jobGroupId+"</h3>"+table(g.history)).join("")||"<i>empty</i>"
+      |        ? d.map(g=>"<h3>"+esc(g.jobGroupId)+"</h3>"+table(g.history)).join("")||"<i>empty</i>"
       |        : table(d))).join("");
       |  })
       |  .catch(e=>{document.getElementById("root").textContent = "error: "+e});

@@ -116,6 +116,10 @@ object GraftBroker {
 
   def partitionsOf(topic: String): Int = log(topic).length
 
+  /** Does the topic exist, WITHOUT auto-creating it (the metadata probe a
+    * job creator runs before trusting a spec's topic name). */
+  def topicExists(topic: String): Boolean = topics.contains(topic)
+
   /** End offsets (exclusive) per partition. */
   def endOffsets(topic: String): Map[Int, Long] = {
     val parts = log(topic)
@@ -294,11 +298,24 @@ class GraftQueueScan(options: CaseInsensitiveStringMap) extends Scan {
       topics.map(t => t -> GraftBroker.endOffsets(t)).toMap
     override def planInputPartitions(): Array[InputPartition] =
       snapshot.toSeq.flatMap { case (t, pm) =>
+        // When bounds name this topic, ONLY the listed partitions are
+        // consumed — the PartitionOffsetRanges restriction ("new partitions
+        // after expansion will not be consumed either",
+        // job_group.proto:111-115) and the graft-queue analog of the Kafka
+        // path's explicit `assign`. Unbounded topics read everything.
+        val listed: Option[Set[Int]] =
+          (startBounds.get(t), endBounds.get(t)) match {
+            case (None, None) => None
+            case (s, e) => Some(s.getOrElse(Map.empty).keySet ++ e.getOrElse(Map.empty).keySet)
+          }
         pm.toSeq.flatMap { case (p, logEnd) =>
-          val from = startBounds.getOrElse(t, Map.empty).getOrElse(p, 0L)
-          val until = math.min(logEnd,
-            endBounds.getOrElse(t, Map.empty).getOrElse(p, logEnd))
-          if (until > from) Some(QueueSlice(t, p, from, until)) else None
+          if (listed.exists(!_.contains(p))) None
+          else {
+            val from = startBounds.getOrElse(t, Map.empty).getOrElse(p, 0L)
+            val until = math.min(logEnd,
+              endBounds.getOrElse(t, Map.empty).getOrElse(p, logEnd))
+            if (until > from) Some(QueueSlice(t, p, from, until)) else None
+          }
         }
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory

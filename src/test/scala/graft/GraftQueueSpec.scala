@@ -126,6 +126,19 @@ class GraftQueueSpec extends AnyFunSuite {
     assert(read(2, 2).isEmpty, "start==end is the purge degenerate case")
     // end clamps to the log's high watermark
     assert(read(3, 99).toSeq == Seq("m3"))
+    // bounds RESTRICT partitions: an unlisted partition is not consumed
+    // (the PartitionOffsetRanges contract, job_group.proto:111-115)
+    GraftBroker.createTopic("bnd2", 2)
+    (0 until 2).foreach(p => (0 until 3).foreach(i =>
+      GraftBroker.produce("bnd2", Some(p), null, s"p$p-m$i".getBytes)))
+    val restricted = spark.read.format("graft-queue")
+      .option("topics", "bnd2")
+      .option("startingoffsets", """{"bnd2":{"1":1}}""")
+      .option("endingoffsets", """{"bnd2":{"1":3}}""")
+      .load().select("value").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).toSet
+    assert(restricted == Set("p1-m1", "p1-m2"),
+      s"unlisted partition 0 must not be read, got $restricted")
   }
 
   test("latest start + visibility delay never regresses below the start offset") {

@@ -191,6 +191,17 @@ class JobManagerSpec extends AnyFunSuite {
     assert(past.nonEmpty && past.forall(j => j.startOffset == j.endOffset))
     // an unbounded group is a loud error, not a silent full read
     intercept[IllegalArgumentException](jm.createBoundedJobs(s, GroupRange()))
+    // a typo'd topic fails loudly instead of auto-creating a phantom topic
+    val typo = intercept[IllegalArgumentException](jm.createBoundedJobs(
+      s.copy(topic = "no-such-topic"),
+      GroupRange(startTimestampMs = base, endTimestampMs = base + 1000L)))
+    assert(typo.getMessage.contains("no-such-topic"))
+    // duplicate partitions in explicit ranges fail loudly (createJobs and
+    // toBounds would otherwise silently diverge)
+    val dup = intercept[IllegalArgumentException](jm.createBoundedJobs(s,
+      GroupRange(partitionOffsetRanges = Seq(
+        PartitionOffsetRange(0, 0L, 5L), PartitionOffsetRange(0, 10L, 20L)))))
+    assert(dup.getMessage.contains("duplicate partition"))
   }
 
   test("unknown job type name fails loudly") {

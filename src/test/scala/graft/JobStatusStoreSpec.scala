@@ -40,6 +40,28 @@ class JobStatusStoreSpec extends AnyFunSuite {
     assert(store.groups == Seq("g2"))
   }
 
+  test("backward clock step is accepted, not a starvation gate; purge clears cursors") {
+    var now = 0L
+    val store = new JobStatusStore(ttlMs = 10000L, cadenceMs = 1000L, clock = () => now)
+    now = 60000L
+    assert(store.ingest(rec("g", 60000L)))
+    // worker clock steps BACK 30s (NTP correction): the heartbeat must land
+    now = 61000L
+    assert(store.ingest(rec("g", 31000L)), "backward step must not be gated")
+    // and the scaler feed follows the clock back instead of starving
+    val scaler = new AutoScaler(AutoScaler.Config(calibrateMs = 0L))
+    assert(store.driveScaler(scaler, "g").isDefined)
+    now = 62000L
+    assert(store.ingest(rec("g", 32000L)))
+    assert(store.driveScaler(scaler, "g").isDefined, "post-step samples keep feeding")
+    // full expiry removes the group AND its cadence/feed cursors: a reused
+    // group id starts fresh instead of inheriting a stale gate
+    now = 80000L
+    store.purge()
+    assert(store.groups.isEmpty)
+    assert(store.ingest(rec("g", 100L)), "reused id must not inherit a stale cadence gate")
+  }
+
   test("driveScaler feeds each retained sample exactly once, in order") {
     var now = 0L
     val store = new JobStatusStore(ttlMs = 3600000L, cadenceMs = 1000L, clock = () => now)

@@ -93,23 +93,24 @@ def replicate(src, dst, table, n, clone_docs=False):
             writer.write_table(t)
             return t.num_rows
         for r in range(n):
+            # mutate once per replica; text and n_chars both derive from it
+            # (the per-word hashing dominates generator cost)
+            mutated = None
+            if not clone_docs and r > 0 and table == "documents":
+                mutated = [
+                    mutate_text(s, i, r)
+                    for s, i in zip(t.column("text").to_pylist(),
+                                    t.column("doc_id").to_pylist())]
             cols = []
             for name in t.schema.names:
                 col = t.column(name)
                 if name in offsets and r > 0:
                     col = pc.add(col, pa.scalar(r * offsets[name], type=col.type))
-                elif not clone_docs and r > 0 and table == "documents" and name == "text":
-                    ids = t.column("doc_id").to_pylist()
-                    col = pa.array(
-                        [mutate_text(s, i, r) for s, i in zip(col.to_pylist(), ids)],
-                        type=col.type)
-                elif not clone_docs and r > 0 and table == "documents" and name == "n_chars":
+                elif mutated is not None and name == "text":
+                    col = pa.array(mutated, type=col.type)
+                elif mutated is not None and name == "n_chars":
                     # keep the stored length consistent with the mutated text
-                    ids = t.column("doc_id").to_pylist()
-                    texts = t.column("text").to_pylist()
-                    col = pa.array(
-                        [len(mutate_text(s, i, r)) for s, i in zip(texts, ids)],
-                        type=col.type)
+                    col = pa.array([len(s) for s in mutated], type=col.type)
                 elif not clone_docs and r > 0 and table == "embeddings" and name == "embedding":
                     ids = t.column("vec_id").to_pylist()
                     col = pa.array(
