@@ -48,17 +48,24 @@ final class JobStatusStore(
   // at 1 s cadence / 1 h TTL a flat map would make every per-group call
   // scan G×3600 entries
   private val byGroup = TrieMap.empty[String, TtlRegistry[Long, JobStatusRecord]]
-  private val lastAcceptedTs = TrieMap.empty[String, Long]
+  // (ts, state) of the last ACCEPTED record per group — the cadence gate
+  private val lastAcceptedTs = TrieMap.empty[String, (Long, String)]
   private val lastFedTs = TrieMap.empty[String, Long]
 
   /** Ingest one heartbeat; false = coalesced away (within the cadence gate
     * of the previously accepted record for the group). A BACKWARD timestamp
     * step (worker clock correction, restart with a skewed clock) is
     * accepted, not treated as "too soon" — gating on it would silently
-    * starve the store and the scaler until the clock caught back up. */
+    * starve the store and the scaler until the clock caught back up.
+    * A STATE TRANSITION (RUNNING → FAILED/CANCELED) always lands: the
+    * cadence gate coalesces same-state heartbeats only, so a terminal
+    * status arriving within the cadence window of the last heartbeat is
+    * never dropped. */
   def ingest(rec: JobStatusRecord): Boolean = {
-    val delta = lastAcceptedTs.get(rec.jobGroupId).map(rec.tsMs - _)
-    if (delta.exists(d => d >= 0 && d < cadenceMs)) false
+    val last = lastAcceptedTs.get(rec.jobGroupId)
+    val delta = last.map(rec.tsMs - _._1)
+    val sameState = last.forall(_._2 == rec.state)
+    if (sameState && delta.exists(d => d >= 0 && d < cadenceMs)) false
     else {
       // the feed cursor must never sit ABOVE an accepted record's
       // timestamp (a backward clock step would otherwise starve
@@ -67,7 +74,7 @@ final class JobStatusStore(
       lastFedTs.updateWith(rec.jobGroupId)(_.map(f => math.min(f, rec.tsMs - 1)))
       byGroup.getOrElseUpdate(rec.jobGroupId,
         new TtlRegistry[Long, JobStatusRecord](ttlMs, clock)).put(rec.tsMs, rec)
-      lastAcceptedTs.put(rec.jobGroupId, rec.tsMs)
+      lastAcceptedTs.put(rec.jobGroupId, (rec.tsMs, rec.state))
       true
     }
   }
