@@ -184,6 +184,66 @@ class ControlPlaneSpec extends AnyFunSuite {
     assert(p.assignments.keySet == Set(JobKey("live", 0)))
   }
 
+  test("load-aware move phase bounds max/mean load after moves") {
+    // ring placement balances JOB COUNTS; the observed load signal is
+    // per-group skewed (one hot group), so counts alone leave one worker
+    // far over the mean — the move phase must fix it
+    val jobs = (0 until 8).map(p => JobKey("hot", p)) ++
+      (0 until 8).map(p => JobKey("cold", p))
+    val workers = Seq("w1", "w2", "w3", "w4")
+    // hot jobs carry 10x the load of cold ones
+    val scale = Map("hot" -> 80.0, "cold" -> 8.0)
+    val (balanced, moves) = Rebalancer.placeBalanced(jobs, scale, workers, tolerance = 0.25)
+    assert(balanced.assignments.size == 16, "every job still placed")
+    val loadOf = (j: JobKey) => if (j.jobGroupId == "hot") 10.0 else 1.0
+    val loads = workers.map(w => balanced.jobsOf(w).map(loadOf).sum)
+    val mean = loads.sum / workers.size
+    assert(loads.max <= mean * 1.25 + 1e-9,
+      s"worst worker ${loads.max} exceeds mean*1.25 = ${mean * 1.25} (moves=$moves)")
+    // the phase is deterministic (same inputs, same moves)
+    assert(Rebalancer.placeBalanced(jobs, scale, workers, tolerance = 0.25)._2 == moves)
+  }
+
+  test("move phase is minimal: only overloaded workers donate, others keep ring placement") {
+    val jobs = (0 until 8).map(p => JobKey("hot", p)) ++
+      (0 until 8).map(p => JobKey("cold", p))
+    val workers = Seq("w1", "w2", "w3", "w4")
+    val scale = Map("hot" -> 80.0, "cold" -> 8.0)
+    val base = Rebalancer.placeWithScale(jobs, scale, workers)
+    val (balanced, moves) = Rebalancer.placeBalanced(jobs, scale, workers, tolerance = 0.25)
+    // every non-moved job keeps its ring placement (stability)
+    val movedSet = moves.map(_.job).toSet
+    base.assignments.foreach { case (j, w) =>
+      if (!movedSet.contains(j)) assert(balanced.workerOf(j).contains(w))
+    }
+    // minimality vs plain re-hash: the balance diff is strictly smaller than
+    // what a fresh placement over a permuted worker list moves (the re-hash
+    // alternative to targeted moves)
+    val rehash = Rebalancer.placeWithScale(jobs, scale, workers.reverse)
+    val rehashMoved = Rebalancer.moved(base, rehash)
+    assert(moves.size < math.max(rehashMoved.size, jobs.size / 2),
+      s"${moves.size} targeted moves vs ${rehashMoved.size} from a re-hash")
+    // moves are exactly the diff between the two placements
+    assert(Rebalancer.moved(base, balanced).toSet == movedSet)
+  }
+
+  test("move phase never strands a job and respects atomicity") {
+    // one worker, one giant job: nothing to move (single-job workers are
+    // never adjusted; a job is atomic)
+    val one = Rebalancer.Placement(Map(JobKey("g", 0) -> "w1"))
+    val (p1, m1) = Rebalancer.balanceLoad(one, _ => 100.0, Seq("w1", "w2"))
+    assert(m1.isEmpty && p1 == one)
+    // zero total load: no-op
+    val (p2, m2) = Rebalancer.balanceLoad(one, _ => 0.0, Seq("w1", "w2"))
+    assert(m2.isEmpty && p2 == one)
+    // an empty worker may absorb a heavy job even past the limit
+    val two = Rebalancer.Placement(Map(
+      JobKey("g", 0) -> "w1", JobKey("g", 1) -> "w1"))
+    val (p3, m3) = Rebalancer.balanceLoad(two, _ => 100.0, Seq("w1", "w2"))
+    assert(m3.size == 1 && p3.jobsOf("w2").size == 1,
+      s"empty worker should take one job: $m3")
+  }
+
   // ---- delay gate ----
 
   test("delay gate SQL holds back young records") {
