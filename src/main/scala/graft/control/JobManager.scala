@@ -246,11 +246,11 @@ final class ScalingLoop(
 final class ParquetJobStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  private def versions: Seq[Long] = {
+  private def versionsUnder(root: String): Seq[Long] = {
     // list through the Hadoop filesystem of the path, not java.io.File —
     // save/load go through Spark, so an hdfs:// or s3a:// store would
     // otherwise always list empty and every save would overwrite v1
-    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hPath = new org.apache.hadoop.fs.Path(root)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) Nil
     else fs.listStatus(hPath).toSeq
@@ -259,6 +259,8 @@ final class ParquetJobStore(spark: SparkSession, path: String) {
       .sorted
   }
 
+  private def versions: Seq[Long] = versionsUnder(path)
+
   def latestVersion: Option[Long] = versions.lastOption
 
   def save(specs: Seq[JobSpec]): Long = {
@@ -266,6 +268,24 @@ final class ParquetJobStore(spark: SparkSession, path: String) {
     specs.toDS().coalesce(1).write.mode("overwrite").parquet(s"$path/v$v")
     v
   }
+
+  /** Versioned persistence of full admin documents (spec + desired state +
+    * optional bounded range) — the StoredJobGroup analog (reference:
+    * idl/.../job_group.proto StoredJobGroup = JobGroup + JobState). Kept
+    * under `$path/groups/` so spec-only versions and admin-doc versions
+    * evolve independently. */
+  def saveGroups(groups: Seq[AdminService.StoredGroup]): Long = {
+    val v = versionsUnder(s"$path/groups").lastOption.getOrElse(0L) + 1
+    groups.toDS().coalesce(1).write.mode("overwrite").parquet(s"$path/groups/v$v")
+    v
+  }
+
+  def loadGroups(): Seq[AdminService.StoredGroup] =
+    versionsUnder(s"$path/groups").lastOption match {
+      case None => Nil
+      case Some(v) =>
+        spark.read.parquet(s"$path/groups/v$v").as[AdminService.StoredGroup].collect().toSeq
+    }
 
   def load(): Seq[JobSpec] = latestVersion match {
     case None => Nil

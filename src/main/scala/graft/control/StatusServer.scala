@@ -52,13 +52,26 @@ final class TtlRegistry[K, V](
  *   GET /status/scaler  -> per-group AutoScaler snapshot
  *   GET /status/history -> TTL'd JobStatus heartbeat history per group
  *   GET /health         -> {"status":"ok"}
+ *
+ * When an [[AdminService]] is supplied, the mutation surface mounts too —
+ * the MasterAdminService analog (reference: master_admin_service.proto:17-37
+ * over gRPC; HTTP+JSON here, same verbs):
+ *   POST   /admin/jobgroup        -> AddJobGroup (idempotent)
+ *   PUT    /admin/jobgroup        -> UpdateJobGroup (404 when absent)
+ *   GET    /admin/jobgroup?id=X   -> GetJobGroup
+ *   DELETE /admin/jobgroup?id=X   -> DeleteJobGroup
+ *   POST   /admin/jobgroup/state  -> UpdateJobGroupState {"id","state"}
+ *   GET    /admin/jobgroups       -> GetAllJobGroups (array; ?format=ndjson
+ *                                    streams one chunked doc per line — the
+ *                                    streamed-response analog)
  */
 final class StatusServer(
     jm: JobManager,
     scaler: Option[AutoScaler] = None,
     workers: Option[TtlRegistry[String, Long]] = None,
     statusStore: Option[JobStatusStore] = None,
-    port: Int = 0) {
+    port: Int = 0,
+    admin: Option[AdminService] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -92,6 +105,86 @@ final class StatusServer(
         s"""{"workerId":"${esc(id)}","lastHeartbeatMs":$lastMs}"""
       }.mkString("[", ",", "]")
   }
+
+  private def readBody(ex: HttpExchange): String = {
+    val in = ex.getRequestBody
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name =>
+        java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }
+
+  /** Validate-then-store boundary: parse/validation failures are the
+    * caller's fault (400), absent ids are 404, everything else is the
+    * reference's Status.fromThrowable → 500. */
+  private def handle(ex: HttpExchange)(body: => (Int, String)): Unit = {
+    val (code, payload) =
+      try body catch {
+        case e: IllegalArgumentException =>
+          (400, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+        case e: Exception =>
+          (500, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+      }
+    reply(ex, payload, code)
+  }
+
+  private val NotFound = (404, """{"error":"no such job group"}""")
+  private val BadMethod = (405, """{"error":"method not allowed"}""")
+
+  private def mountAdmin(ad: AdminService): Unit = {
+    // longest-prefix routing: /admin/jobgroup/state wins over /admin/jobgroup
+    server.createContext("/admin/jobgroup/state", (ex: HttpExchange) =>
+      handle(ex) {
+        ex.getRequestMethod match {
+          case "POST" | "PUT" =>
+            val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBody(ex))
+            if (n == null || !n.isObject) throw new IllegalArgumentException("body must be a JSON object")
+            val id = Option(n.get("id")).filter(_.isTextual).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException("missing required field 'id'"))
+            val state = Option(n.get("state")).filter(_.isTextual).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException("missing required field 'state'"))
+            ad.updateState(id, state).map(g => (200, JobGroupJson.toJson(g))).getOrElse(NotFound)
+          case _ => BadMethod
+        }
+      })
+    server.createContext("/admin/jobgroup", (ex: HttpExchange) =>
+      handle(ex) {
+        ex.getRequestMethod match {
+          case "POST" => (200, JobGroupJson.toJson(ad.add(JobGroupJson.parseDoc(readBody(ex)))))
+          case "PUT" =>
+            ad.update(JobGroupJson.parseDoc(readBody(ex)))
+              .map(g => (200, JobGroupJson.toJson(g))).getOrElse(NotFound)
+          case "GET" =>
+            queryParam(ex, "id").flatMap(ad.get)
+              .map(g => (200, JobGroupJson.toJson(g))).getOrElse(NotFound)
+          case "DELETE" =>
+            queryParam(ex, "id") match {
+              case None => throw new IllegalArgumentException("missing query parameter 'id'")
+              case Some(id) => if (ad.delete(id)) (200, """{"deleted":true}""") else NotFound
+            }
+          case _ => BadMethod
+        }
+      })
+    server.createContext("/admin/jobgroups", (ex: HttpExchange) =>
+      if (queryParam(ex, "format").contains("ndjson")) {
+        // the streamed GetAllJobGroups analog: chunked transfer, one
+        // document per line, flushed per group
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0L)
+        val os = ex.getResponseBody
+        try ad.all.foreach { g =>
+          os.write((JobGroupJson.toJson(g) + "\n").getBytes(StandardCharsets.UTF_8))
+          os.flush()
+        } finally os.close()
+      } else reply(ex, JobGroupJson.toJson(ad.all)))
+  }
+
+  admin.foreach(mountAdmin)
 
   server.createContext("/status/jobs", (ex: HttpExchange) => reply(ex, jm.statusJson))
   server.createContext("/status/workers", (ex: HttpExchange) => reply(ex, workersJson))
