@@ -73,21 +73,19 @@ object AckStateOp {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(process(capacity))
   }
 
-  private def process(capacity: Int)(
+  /** Shared event fold: replay deferred-then-incoming events into the
+    * queue, appending watermark advances to `out`; returns the events
+    * deferred by capacity backpressure. */
+  private def fold(
+      q: AckTrackingQueue,
       key: (String, Int),
-      events: Iterator[AckStateOp.AckEvent],
-      state: GroupState[AckStateOp.OpState]): Iterator[WatermarkUpdate] = {
-    val prior = state.getOption
-    val q = prior.map(s => AckTrackingQueueRestore.restore(s.queue))
-      .getOrElse(new AckTrackingQueue(capacity))
-    val out = scala.collection.mutable.ArrayBuffer.empty[WatermarkUpdate]
+      incoming: Seq[AckEvent],
+      out: scala.collection.mutable.ArrayBuffer[WatermarkUpdate]): Seq[AckEvent] = {
     val deferred = scala.collection.mutable.ArrayBuffer.empty[AckEvent]
     val deferredMsgs = scala.collection.mutable.Set.empty[Long]
     // state-op contract: events within a group arrive unordered across the
     // batch; the queue itself tolerates unordered acks, receives must be
     // replayed in offset order for the in-order-receive invariant.
-    // Deferred events from prior triggers replay ahead of this batch's.
-    val incoming = prior.map(_.pending).getOrElse(Seq.empty) ++ events
     val (receives, others) = incoming.partition(_.kind == "receive")
     receives.sortBy(_.offset).foreach { e =>
       // once one receive defers, every later one must too (in-order
@@ -114,7 +112,110 @@ object AckStateOp {
         case _ =>
       }
     }
-    state.update(OpState(q.snapshot, deferred.toSeq))
+    deferred.toSeq
+  }
+
+  private def process(capacity: Int)(
+      key: (String, Int),
+      events: Iterator[AckStateOp.AckEvent],
+      state: GroupState[AckStateOp.OpState]): Iterator[WatermarkUpdate] = {
+    val prior = state.getOption
+    val q = prior.map(s => AckTrackingQueueRestore.restore(s.queue))
+      .getOrElse(new AckTrackingQueue(capacity))
+    val out = scala.collection.mutable.ArrayBuffer.empty[WatermarkUpdate]
+    // deferred events from prior triggers replay ahead of this batch's
+    val incoming = prior.map(_.pending).getOrElse(Seq.empty) ++ events
+    val deferred = fold(q, key, incoming, out)
+    state.update(OpState(q.snapshot, deferred))
     out.iterator
   }
+
+  // ---- head-of-line mitigation (the detector ACTUATED in the live path) ----
+
+  /** Output of [[signals]]: a watermark advance or a head-of-line diversion
+    * order. kind = "watermark" | "divert". A divert carries the stuck
+    * MESSAGE offset the caller must fetch, re-produce to its retry/DLQ
+    * route, and then ack back through the event stream — the reference's
+    * cancel → poison-pill diversion (BlockingQueueStubManager.java:43-376;
+    * cancel→code mapping ProcessorImpl.java:750-757). */
+  final case class AckSignal(
+      kind: String,
+      topic: String,
+      partition: Int,
+      commitOffset: Long,
+      inflight: Int,
+      highestReceived: Long,
+      divertOffset: Long)
+
+  /**
+   * [[updates]] plus live head-of-line detection: after each trigger's
+   * fold, the detector inspects the queue — if the (nearly) full queue is
+   * mostly acked with an unacked head, the head is CANCELED in the queue
+   * state and a divert signal is emitted. The canceled offset leaves the
+   * cancelable set, so the detector won't re-order the same diversion on
+   * the next trigger; the watermark advances once the caller's re-produce
+   * confirm arrives as an ack event.
+   */
+  def signals(
+      events: Dataset[AckEvent],
+      capacity: Int = 10000,
+      detector: HeadBlockingDetector = HeadBlockingDetector()): Dataset[AckSignal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.topic, e.partition))
+      .flatMapGroupsWithState[OpState, AckSignal](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(processSignals(capacity, detector))
+  }
+
+  private def processSignals(capacity: Int, detector: HeadBlockingDetector)(
+      key: (String, Int),
+      events: Iterator[AckStateOp.AckEvent],
+      state: GroupState[AckStateOp.OpState]): Iterator[AckSignal] = {
+    val prior = state.getOption
+    val q = prior.map(s => AckTrackingQueueRestore.restore(s.queue))
+      .getOrElse(new AckTrackingQueue(capacity))
+    val wmOut = scala.collection.mutable.ArrayBuffer.empty[WatermarkUpdate]
+    val incoming = prior.map(_.pending).getOrElse(Seq.empty) ++ events
+    val deferred = fold(q, key, incoming, wmOut)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AckSignal]
+    wmOut.foreach(w => out += AckSignal(
+      "watermark", w.topic, w.partition, w.commitOffset, w.inflight, w.highestReceived,
+      AckTrackingQueue.InitialOffset))
+    detector.detect(q).foreach { off =>
+      if (q.cancel(off + 1))
+        out += AckSignal("divert", key._1, key._2, AckTrackingQueue.InitialOffset,
+          q.size, q.highestReceivedOffset, off)
+    }
+    state.update(OpState(q.snapshot, deferred))
+    out.iterator
+  }
+
+  /**
+   * Run the mitigation loop as a streaming query: fold the ack-event
+   * stream, emit watermarks, and hand each signal to `onSignal` on the
+   * driver (the per-trigger signal count is bounded by the partition count,
+   * so the collect is control-plane-sized by construction). The caller's
+   * divert handler fetches the stuck record, produces it to its retry/DLQ
+   * route, and feeds the produce-confirm back as an ack event — after
+   * which the next trigger's fold advances the watermark past the pill.
+   */
+  def runMitigation(
+      events: Dataset[AckEvent],
+      capacity: Int,
+      detector: HeadBlockingDetector,
+      checkpointDir: String,
+      queryName: String)(onSignal: AckSignal => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    signals(events, capacity, detector)
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[AckSignal], _: Long) =>
+        batch.collect()
+          .sortBy(s => (s.topic, s.partition, s.kind, s.commitOffset, s.divertOffset))
+          .foreach(onSignal)
+        ()
+      }
+      .start()
 }

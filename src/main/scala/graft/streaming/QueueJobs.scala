@@ -17,6 +17,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object QueueJobs {
 
   /**
+   * Live consumption stream for a job spec over the graft-queue connector —
+   * the spec→source wiring the rebalance/actuation loops use: topics = main
+   * + retry tiers, the consumer group, per-tier visibility delays, and the
+   * flow-control quota as the per-trigger admission cap. This is how an
+   * UPDATE_JOB quota lands (reference: ProcessorImpl.updateQuota:1316-1365
+   * applies FlowControl to the live limiter): Spark fixes source options at
+   * query start, so [[graft.control.JobManager.update]] re-runs the query
+   * from its checkpoint with the stream built from the NEW spec — the next
+   * micro-batch runs under the new cap.
+   */
+  def liveStream(
+      spark: SparkSession,
+      spec: graft.model.JobSpec,
+      triggerSec: Double = 1.0,
+      startingOffsets: String = "earliest"): Dataset[KafkaRecord] = {
+    val topics = spec.topic +: spec.sortedTiers.map(_.topic)
+    var reader = spark.readStream.format("graft-queue")
+      .option("topics", topics.mkString(","))
+      .option("groupid", spec.consumerGroup)
+      .option("startingoffsets", startingOffsets)
+    val delays = spec.sortedTiers.filter(_.processingDelayMs > 0)
+    if (delays.nonEmpty)
+      reader = reader.option("visibilitydelays",
+        delays.map(t => s"${t.topic}:${t.processingDelayMs}").mkString(","))
+    graft.control.KafkaSourceConfig.maxOffsetsPerTrigger(spec.flowControl, triggerSec)
+      .foreach(n => reader = reader.option("maxoffsetspertrigger", n.toString))
+    ForwardingEngine.fromSourceFrame(reader.load())
+  }
+
+  /**
    * KAFKA_REPLICATION (job.proto:347-349, ReplicationTask): consume one
    * queue, produce to another — with the cross-cluster loop guard.
    *
