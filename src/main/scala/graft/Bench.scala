@@ -157,8 +157,6 @@ object Bench {
       System.gc()
       (name, sec, rows)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // forwarding throughput: full engine path (q50) rows + payload bytes/sec
     import org.apache.spark.sql.functions.{octet_length, sum => fsum, col}
@@ -187,10 +185,13 @@ object Bench {
     // streaming-mode throughput: replay the events table through a LIVE
     // StreamingQuery running the full engine (unwrap -> dispatch -> code ->
     // route -> ack watermark), the BASELINE.md protocol. Separate from the
-    // q50 batch number, which excludes micro-batch machinery. Best-of-3
-    // (fresh checkpoint each): rates are time-inverted, so max(rate) is the
-    // same steady-state estimator as min(time).
-    val streamRate = try {
+    // q50 batch number, which excludes micro-batch machinery. FIVE
+    // repetitions (fresh checkpoint each): the headline stays best-of (rates
+    // are time-inverted, so max(rate) is the min(time) steady-state
+    // estimator) and the MEDIAN is reported alongside so a wobbling leg is
+    // distinguishable from a noisy best — the round-5 −10% MemoryStream
+    // question this protocol exists to answer.
+    val streamReps = try {
       import graft.streaming._
       import graft.streaming.ForwardingEngine.KafkaRecord
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -232,11 +233,11 @@ object Bench {
         // silently did nothing and the rate would be a lie
         if (sec > 0 && routed.get() > 0) recs.size / sec else 0.0
       }
-      (1 to 3).map { _ => coolDown(); onceStream() }.max
+      (1 to 5).map { _ => coolDown(); onceStream() }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")
-        0.0
+        Seq(0.0)
     }
 
     // connector-mode throughput: the SAME live engine, but fed through the
@@ -244,7 +245,7 @@ object Bench {
     // ack-watermark group commits included) and routing produced records
     // through the DSv2 batch writer — the full production codepath shape,
     // where MemoryStream above isolates pure engine cost.
-    val queueStreamRate = try {
+    val queueStreamReps = try {
       import graft.streaming._
       import org.apache.spark.sql.functions.{lit, map, pmod}
       val feed = ev.limit(1000000).select(
@@ -291,12 +292,21 @@ object Bench {
         q.stop()
         if (sec > 0 && routed.get() > 0) feed.length / sec else 0.0
       }
-      (1 to 3).map { _ => coolDown(); onceQueue() }.max
+      (1 to 5).map { _ => coolDown(); onceQueue() }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] queue-connector streaming leg failed: ${e.getMessage}")
-        0.0
+        Seq(0.0)
     }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val streamRate = streamReps.max
+    val streamMedian = median(streamReps)
+    val queueStreamRate = queueStreamReps.max
+    val queueStreamMedian = median(queueStreamReps)
 
     // connector-path overhead as a TRACKED ratio: offset planning + group
     // commits cost ~1.4x vs MemoryStream today (r4: 0.72 ratio); asserting
@@ -312,7 +322,27 @@ object Bench {
     // this JSON is unreliable
     val sanityEnd = sanityProbe()
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","forward_msgs_per_sec":$fwdRate,"forward_bytes_per_sec":$fwdBytes,"stream_msgs_per_sec":$streamRate,"queue_stream_msgs_per_sec":$queueStreamRate,"queue_stream_ratio":$queueRatio,"sanity_probe_sec":$sanityStart,"sanity_probe_end_sec":$sanityEnd,"measured_runs":3,"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}""")
+    // One compact JSON line. Rounding keeps the line SHORT enough to
+    // survive log-tail capture windows intact (full-precision doubles for
+    // 105 queries previously pushed the line past the capture window and
+    // the official artifact lost q01-q48); the same document is ALSO
+    // written whole to a file so a truncated log can never be the only
+    // record.
+    def r4(d: Double): Double = math.rint(d * 10000) / 10000
+    def r1(d: Double): Double = math.rint(d * 10) / 10
+    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val jsonLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, jsonLine + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(jsonLine)
     // assert AFTER the JSON prints so the record always lands; a tripped
     // floor surfaces as a nonzero exit the driver flags
     assert(streamRate == 0.0 || queueRatio >= ratioMin,

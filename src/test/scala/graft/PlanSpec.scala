@@ -221,4 +221,28 @@ class PlanSpec extends AnyFunSuite {
     val b = shuffled.collect().map(_.toSeq)
     assert(a.sameElements(b), "gated and ungated variants must agree")
   }
+
+  test("the committed plan dump covers exactly the current query set") {
+    // the whole-suite plan audit trail must track the query surface: a
+    // query added without a plan dump — or a dump left from an older
+    // surface — fails here rather than silently going stale
+    import scala.jdk.CollectionConverters._
+    val docs = java.nio.file.Paths.get("docs")
+    assert(java.nio.file.Files.isDirectory(docs), s"docs/ not found from ${System.getProperty("user.dir")}")
+    val dumps = java.nio.file.Files.list(docs).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("plans_r\\d+\\.txt")).toSeq
+    val latest = dumps.maxByOption(n => "\\d+".r.findFirstIn(n).get.toInt)
+    assert(latest.isDefined, "no docs/plans_rN.txt plan dump committed")
+    val content = java.nio.file.Files.readString(docs.resolve(latest.get))
+    val dumped = "================ (\\S+) ================".r
+      .findAllMatchIn(content).map(_.group(1)).toSet
+    val current = SparkEntry.queries.keySet
+    assert(dumped == current,
+      s"plan dump ${latest.get} is stale — missing=${(current -- dumped).toSeq.sorted}, " +
+        s"extra=${(dumped -- current).toSeq.sorted}; regenerate with " +
+        "sbt 'runMain graft.Explain /root/testdata/sf0.001 docs/plans_rN.txt'")
+    assert(!content.contains("ERROR:"),
+      s"plan dump ${latest.get} contains failed explains — regenerate")
+  }
 }
