@@ -239,6 +239,47 @@ final class ScalingLoop(
 }
 
 /**
+ * Worker-side lease-loss semantics — the other half of the failover story
+ * (reference: worker/controller/StateWorking.java:37-140 + Lease.java: the
+ * worker extends its master lease on every successful heartbeat; when the
+ * 21 s lease expires it CANCELS ALL WORK and drops back to registering,
+ * so a partitioned worker can't keep consuming a topic the master has
+ * already reassigned — the double-consumption guard).
+ *
+ * Spark analog under the single-driver stance: the "worker" is the set of
+ * StreamingQueries this driver runs, the "master tick" is whatever control
+ * loop heartbeats this guard (the rebalance tick, the registry refresher).
+ * When the tick goes silent past the lease, [[enforce]] stops every
+ * pipeline — dispatching ceases — and reports what it cancelled; the next
+ * live master loop reschedules from checkpoints, exactly once preserved.
+ */
+final class LeaseGuard(
+    jm: JobManager,
+    leaseMs: Long = 21000L, // the reference's worker lease (yaml master.ttl)
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  // Long.max accumulation like the reference's LongAccumulator: a late
+  // out-of-order tick can only extend the lease, never retract it
+  private val lastTickMs = new java.util.concurrent.atomic.AtomicLong(clock())
+
+  /** Master touched this worker (heartbeat succeeded / command received). */
+  def tick(): Unit = { lastTickMs.accumulateAndGet(clock(), math.max(_, _)); () }
+
+  def expired: Boolean = clock() - lastTickMs.get() > leaseMs
+
+  /** Check once (call on the worker's own cadence): on an expired lease,
+    * stop all pipelines and return the cancelled group ids; a live lease
+    * is a no-op. Idempotent — after the first enforcement nothing runs. */
+  def enforce(): Seq[String] =
+    if (!expired) Seq.empty
+    else {
+      val cancelled = jm.running
+      jm.stopAll()
+      cancelled
+    }
+}
+
+/**
  * Versioned job-spec store on parquet — the ZK store analog
  * (reference: ZKStore.java:44,194-302, VersionedProto.java). Each save
  * writes a new version directory; load reads the latest.

@@ -230,7 +230,8 @@ object StatusServer {
       |<div id="root">loading…</div>
       |<script>
       |const SECTIONS = [["jobs","/status/jobs"],["workers","/status/workers"],
-      |  ["scaler","/status/scaler"],["history","/status/history"]];
+      |  ["scaler","/status/scaler"],["history","/status/history"],
+      |  ["jobgroups","/admin/jobgroups"]];
       |// ids/values are free-form strings: everything reaching innerHTML is
       |// HTML-escaped, or a hostile jobGroupId becomes script on this page
       |function esc(s){return String(s).replace(/[&<>"']/g,
@@ -242,11 +243,19 @@ object StatusServer {
       |    rows.map(r=>"<tr>"+cols.map(c=>"<td>"+esc(JSON.stringify(r[c]))+"</td>").join("")+"</tr>").join("") +
       |    "</table>";
       |}
-      |Promise.all(SECTIONS.map(([n,u])=>fetch(u).then(r=>r.json()).then(d=>[n,d])))
+      |// per-section resilience: an unmounted surface (e.g. no admin service)
+      |// renders as absent instead of killing the whole page
+      |Promise.all(SECTIONS.map(([n,u])=>
+      |    fetch(u).then(r=>r.ok?r.json():null).then(d=>[n,d]).catch(()=>[n,null])))
       |  .then(all=>{
-      |    document.getElementById("root").innerHTML = all.map(([n,d])=>
+      |    document.getElementById("root").innerHTML = all.filter(([,d])=>d!==null).map(([n,d])=>
       |      "<h2>"+n+"</h2>"+(n==="history"
       |        ? d.map(g=>"<h3>"+esc(g.jobGroupId)+"</h3>"+table(g.history)).join("")||"<i>empty</i>"
+      |        : n==="jobgroups"
+      |        ? table(d.map(g=>({jobGroupId:g.jobGroup.jobGroupId,state:g.jobGroupState,
+      |            topic:g.jobGroup.topic,consumerGroup:g.jobGroup.consumerGroup,
+      |            jobType:g.jobGroup.jobTypeName,
+      |            msgsPerSec:g.jobGroup.flowControl.messagesPerSec})))
       |        : table(d))).join("");
       |  })
       |  .catch(e=>{document.getElementById("root").textContent = "error: "+e});

@@ -204,6 +204,42 @@ class JobManagerSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("duplicate partition"))
   }
 
+  test("expired worker lease stops dispatching; a live tick keeps work running") {
+    import graft.control.LeaseGuard
+    val jm = new JobManager(spark)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaRecord](
+      implicitly[org.apache.spark.sql.Encoder[KafkaRecord]], spark.sqlContext)
+    input.addData((0 until 5).map(i =>
+      KafkaRecord(Array[Byte](1), s"m$i".getBytes, "t", 0, i.toLong, 0L, Map.empty)))
+    val ckpt = java.nio.file.Files.createTempDirectory("lease-ckpt").toString
+    var now = 0L
+    val guard = new LeaseGuard(jm, leaseMs = 21000L, clock = () => now)
+    val q = jm.run(spec("lease__g"), AlwaysOkDispatcherFactory, "local",
+      input.toDS(), InMemoryQueueStore, ckpt)
+    q.processAllAvailable()
+    // master keeps ticking within the lease: work stays up
+    now = 15000L; guard.tick()
+    now = 30000L
+    assert(guard.enforce().isEmpty, "a refreshed lease must not cancel work")
+    assert(jm.running == Seq("lease__g"))
+    // master goes silent past the 21 s lease: ALL work cancels — the
+    // worker-side double-consumption guard (StateWorking.java:37-140)
+    now = 15000L + 21001L
+    assert(guard.expired)
+    assert(guard.enforce() == Seq("lease__g"))
+    assert(jm.running.isEmpty, "an expired lease stops dispatching")
+    assert(!q.isActive)
+    // idempotent once enforced; a revived master tick re-arms the lease
+    assert(guard.enforce().isEmpty)
+    guard.tick()
+    assert(!guard.expired)
+    // a late out-of-order tick can only EXTEND, never retract
+    val now0 = now
+    now = 1000L; guard.tick() // stale tick from before the partition
+    now = now0
+    assert(!guard.expired, "stale tick must not retract the lease")
+  }
+
   test("unknown job type name fails loudly") {
     val e = intercept[IllegalArgumentException](JobType.of("REPLICATON"))
     assert(e.getMessage.contains("REPLICATON"))
