@@ -120,9 +120,41 @@ object Bench {
       once() // compile/JIT once, unmeasured
       (1 to 3).map(_ => once()).min
     }
+    // JIT code-cache occupancy (MB): the suite + streaming legs compile
+    // thousands of codegen classes; if the reserved code cache fills, the
+    // JVM disables the JIT ("CodeCache is full. Compiler has been
+    // disabled.") and every subsequent query runs interpreted — a
+    // sustained, order-dependent, bimodal multi-x collapse that host-load
+    // probes CANNOT see. Recording occupancy start/end makes that failure
+    // mode visible in the artifact itself.
+    def codeCacheMb(): (Double, Double) = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+      val used = pools.map(_.getUsage.getUsed).sum / 1e6
+      val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1e6
+      (used, max)
+    }
     val sanityStart = sanityProbe()
+    val (ccStart, ccMax) = codeCacheMb()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Diagnostic mode: skip the 105-query loop and measure only the
+    // streaming legs + probes (fast iteration when pinning down a
+    // streaming-leg anomaly; the official driver run never sets this).
+    val legsOnly = sys.env.get("SPARK_GRAFT_LEGS_ONLY").contains("1")
+
+    // The query suite as a deferred block: it runs AFTER the streaming
+    // legs (see leg-order comment below) so the legs measure a fresh
+    // session — a 105-query suite leaves enough heap/codegen residue that
+    // leg throughput intermittently collapsed 7x when measured after it
+    // (r6 diagnosis: legs-only 42k connector median vs 3.8k post-suite on
+    // the same quiet host), which is noise about the SUITE, not the engine.
+    // second diagnostic knob: SPARK_GRAFT_ONLY_QUERY=q50_forwarding_pipeline
+    // runs a single named query (official runs never set either knob)
+    val onlyQuery = sys.env.get("SPARK_GRAFT_ONLY_QUERY")
+    def runQuerySuite(): Seq[(String, Double, Long)] = (if (legsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+                   else SparkEntry.queries.toSeq.sortBy(_._1)
+                     .filter(q => onlyQuery.forall(_ == q._1))).map { case (name, fn) =>
       // three measured executions, report the min: single-shot numbers on a
       // shared host carry ±0.5s of scheduler/GC noise that the minimum
       // filters out (the standard steady-state estimator); failures
@@ -157,27 +189,26 @@ object Bench {
       System.gc()
       (name, sec, rows)
     }
-    val total = results.map(_._2).sum
-    // forwarding throughput: full engine path (q50) rows + payload bytes/sec
     import org.apache.spark.sql.functions.{octet_length, sum => fsum, col}
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val eventsRows = ev.count()
     val eventsBytes = ev.select(fsum(octet_length(col("props")).cast("long")))
       .head().getLong(0)
-    // only a SUCCESSFUL q50 run (rows >= 0) yields a rate — a fast failure
-    // would otherwise fabricate an enormous msgs/sec figure
-    val q50Sec = results.find(r => r._1 == "q50_forwarding_pipeline" && r._3 >= 0)
-      .map(_._2).getOrElse(0.0)
-    val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
-    val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
 
     // Explicit cool-down between legs: caches and checkpoint blocks dropped,
     // garbage collected OUTSIDE any timer, so one leg's heap pressure cannot
-    // bleed into the next. Legs always run in this fixed order: queries →
-    // forwarding(q50-derived) → MemoryStream → graft-queue connector.
+    // bleed into the next. Legs always run in this fixed order:
+    // MemoryStream → graft-queue connector → query suite →
+    // forwarding(q50-derived). Streaming first, ON A FRESH SESSION: the
+    // r5→r6 wobble investigation found post-suite leg numbers bimodal
+    // (healthy or collapsed several-fold) while isolated legs are stable.
     def coolDown(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // drop the StreamingQueryManager's terminated-query retention so a
+      // finished leg's StreamExecution (and the MemoryStream batches its
+      // plan pins) is actually collectable
+      spark.streams.resetTerminated()
       System.gc()
       Thread.sleep(200)
     }
@@ -292,12 +323,28 @@ object Bench {
         q.stop()
         if (sec > 0 && routed.get() > 0) feed.length / sec else 0.0
       }
-      (1 to 5).map { _ => coolDown(); onceQueue() }
+      val reps = (1 to 5).map { _ => coolDown(); onceQueue() }
+      // the broker is a JVM-global object: leave it empty so the last
+      // rep's replayed corpus doesn't occupy heap during the query suite
+      graft.sources.GraftBroker.reset()
+      reps
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] queue-connector streaming leg failed: ${e.getMessage}")
         Seq(0.0)
     }
+
+    // the query suite runs after the legs (leg-order comment above)
+    coolDown()
+    val results = runQuerySuite()
+    val total = results.map(_._2).sum
+    // forwarding throughput: full engine path (q50) rows + payload bytes/sec.
+    // Only a SUCCESSFUL q50 run (rows >= 0) yields a rate — a fast failure
+    // would otherwise fabricate an enormous msgs/sec figure
+    val q50Sec = results.find(r => r._1 == "q50_forwarding_pipeline" && r._3 >= 0)
+      .map(_._2).getOrElse(0.0)
+    val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
+    val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -313,7 +360,9 @@ object Bench {
     // the floor keeps that overhead from silently growing round over round.
     // Floor 0.6 = the judge's ~70% bar minus run-to-run noise allowance
     // (overridable for degraded hosts via SPARK_GRAFT_QUEUE_RATIO_MIN).
-    val queueRatio = if (streamRate > 0) queueStreamRate / streamRate else 0.0
+    // Median/median, not max/max: one lucky rep on either leg would
+    // otherwise swing the ratio by 40%+ (observed on a loaded host).
+    val queueRatio = if (streamMedian > 0) queueStreamMedian / streamMedian else 0.0
     val ratioMin = sys.env.get("SPARK_GRAFT_QUEUE_RATIO_MIN")
       .flatMap(_.toDoubleOption).getOrElse(0.6)
 
@@ -321,6 +370,7 @@ object Bench {
     // capacity shifted DURING the run and round-over-round comparison of
     // this JSON is unreliable
     val sanityEnd = sanityProbe()
+    val (ccEnd, _) = codeCacheMb()
 
     // One compact JSON line. Rounding keeps the line SHORT enough to
     // survive log-tail capture windows intact (full-precision doubles for
@@ -333,7 +383,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -345,9 +395,9 @@ object Bench {
     println(jsonLine)
     // assert AFTER the JSON prints so the record always lands; a tripped
     // floor surfaces as a nonzero exit the driver flags
-    assert(streamRate == 0.0 || queueRatio >= ratioMin,
-      f"connector leg at ${queueRatio * 100}%.0f%% of MemoryStream leg " +
-        f"(floor ${ratioMin * 100}%.0f%%) — connector overhead grew")
+    assert(streamMedian == 0.0 || queueRatio >= ratioMin,
+      f"connector leg median at ${queueRatio * 100}%.0f%% of MemoryStream " +
+        f"leg median (floor ${ratioMin * 100}%.0f%%) — connector overhead grew")
     spark.stop()
   }
 }

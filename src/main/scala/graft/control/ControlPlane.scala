@@ -106,7 +106,12 @@ final class ControlPlane(
         val newQuota = updated.flowControl.messagesPerSec
         val old = appliedQuota.getOrElse(d.jobGroupId, Double.NaN)
         val moved = old.isNaN || old <= 0 || math.abs(newQuota - old) / old >= 0.1
-        if (moved && jobManager.running.contains(d.jobGroupId)) {
+        // never bounce a query started THIS tick: its only "history" is the
+        // empty heartbeat ingested above, and the restart races batch 0's
+        // offset write (the reference likewise assigns the initial quota at
+        // job creation, not via an immediate UPDATE_JOB)
+        if (moved && !started.contains(d.jobGroupId) &&
+          jobManager.running.contains(d.jobGroupId)) {
           jobManager.update(updated, wiring.dispatcherFactory, wiring.localCluster,
             wiring.streamOf(spark, updated), wiring.queueStore, checkpointRoot)
           appliedQuota.put(d.jobGroupId, newQuota)

@@ -33,6 +33,26 @@ final class JobManager(spark: SparkSession) {
 
   def running: Seq[String] = queries.keys.toSeq.sorted
 
+  /** A stop() that lands while batch 0's offset log is being written
+    * atomically leaves an orphan `.N.<uuid>.tmp` beside ZERO valid batch
+    * files; Spark then refuses to start any query at batch 0 against that
+    * checkpoint (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY). With no valid
+    * batch recorded the checkpoint holds no progress, so dropping the
+    * orphans is a safe reset; once one numeric batch file exists the
+    * resume path ignores orphans and nothing is touched. */
+  private def cleanAbortedCheckpoint(groupCheckpoint: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(groupCheckpoint)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("offsets", "commits").foreach { sub =>
+      val dir = new org.apache.hadoop.fs.Path(root, sub)
+      if (fs.exists(dir)) {
+        val entries = fs.listStatus(dir).toSeq
+        val hasValidBatch = entries.exists(e => e.getPath.getName.forall(_.isDigit))
+        if (!hasValidBatch) entries.foreach(e => fs.delete(e.getPath, false))
+      }
+    }
+  }
+
   /** RUN_JOB: start a pipeline for a job group (idempotent). */
   def run(
       spec: JobSpec,
@@ -44,6 +64,7 @@ final class JobManager(spark: SparkSession) {
     queries.get(spec.jobGroupId) match {
       case Some((_, q)) if q.isActive => q
       case _ =>
+        cleanAbortedCheckpoint(s"$checkpointDir/${spec.jobGroupId}")
         val q = ForwardingEngine.run(spec, dispatcherFactory, localCluster,
           stream, store, s"$checkpointDir/${spec.jobGroupId}", spec.jobGroupId)
         queries.put(spec.jobGroupId, (spec, q))

@@ -104,6 +104,42 @@ class ControlPlaneBootSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("autoTick: the background loop picks up a submitted group without manual ticks") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "cp-auto" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "cp-auto-topic"
+    GraftBroker.createTopic(topic, 1)
+    (1 to 3).foreach(i => GraftBroker.produce(topic, Some(0), s"k$i".getBytes, s"a$i".getBytes))
+    val storeDir = java.nio.file.Files.createTempDirectory("cpa-store").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cpa-ckpt").toString
+    val cp = new ControlPlane(spark, storeDir, ckptDir,
+      ControlPlane.Wiring(
+        dispatcherFactory = MockDispatcherFactory("cp-auto"),
+        localCluster = "local-cluster",
+        queueStore = BrokerQueueStore,
+        partitionsOf = _ => 1,
+        scalerConfig = AutoScaler.Config(calibrateMs = 0L)),
+      tickMs = 200L)
+    val port = cp.start() // autoTick = true: the loop thread drives everything
+    try {
+      val (code, _) = http("POST", s"http://127.0.0.1:$port/admin/jobgroup", Some(
+        s"""{"jobGroup":{"jobGroupId":"${topic}__g","cluster":"local-cluster",
+           |"topic":"$topic","consumerGroup":"g",
+           |"rpc":{"uri":"grpc://consumer","procedure":"p"}}}""".stripMargin))
+      assert(code == 200)
+      val deadline = System.currentTimeMillis() + 30000
+      while ((1 to 3).exists(i => TestConsumer.count("cp-auto", s"a$i") != 1) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      (1 to 3).foreach(i => assert(TestConsumer.count("cp-auto", s"a$i") == 1, s"a$i"))
+      // poll: the 200 ms tick loop may be mid-update (cancel+run) when we
+      // look, so `running` can transiently be empty without anything wrong
+      val runDeadline = System.currentTimeMillis() + 10000
+      while (cp.jobManager.running != Seq(s"${topic}__g") &&
+        System.currentTimeMillis() < runDeadline) Thread.sleep(100)
+      assert(cp.jobManager.running == Seq(s"${topic}__g"))
+    } finally cp.stop()
+  }
+
   test("lease watchdog: a silent tick loop stops dispatch after the lease") {
     GraftBroker.reset(); TestConsumer.reset()
     TestConsumer.behaviors += "cp-lease" -> (_ => DispatchResult("OK", None, overdue = false))
