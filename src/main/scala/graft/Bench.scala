@@ -222,7 +222,7 @@ object Bench {
     // estimator) and the MEDIAN is reported alongside so a wobbling leg is
     // distinguishable from a noisy best — the round-5 −10% MemoryStream
     // question this protocol exists to answer.
-    val streamReps = try {
+    val memLegThunk: Option[() => Double] = try {
       import graft.streaming._
       import graft.streaming.ForwardingEngine.KafkaRecord
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -264,11 +264,11 @@ object Bench {
         // silently did nothing and the rate would be a lie
         if (sec > 0 && routed.get() > 0) recs.size / sec else 0.0
       }
-      (1 to 5).map { _ => coolDown(); onceStream() }
+      Some(() => onceStream())
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] streaming leg failed: ${e.getMessage}")
-        Seq(0.0)
+        System.err.println(s"[bench] streaming leg failed to prepare: ${e.getMessage}")
+        None
     }
 
     // connector-mode throughput: the SAME live engine, but fed through the
@@ -276,7 +276,7 @@ object Bench {
     // ack-watermark group commits included) and routing produced records
     // through the DSv2 batch writer — the full production codepath shape,
     // where MemoryStream above isolates pure engine cost.
-    val queueStreamReps = try {
+    val queueLegThunk: Option[() => Double] = try {
       import graft.streaming._
       import org.apache.spark.sql.functions.{lit, map, pmod}
       val feed = ev.limit(1000000).select(
@@ -323,16 +323,36 @@ object Bench {
         q.stop()
         if (sec > 0 && routed.get() > 0) feed.length / sec else 0.0
       }
-      val reps = (1 to 5).map { _ => coolDown(); onceQueue() }
-      // the broker is a JVM-global object: leave it empty so the last
-      // rep's replayed corpus doesn't occupy heap during the query suite
-      graft.sources.GraftBroker.reset()
-      reps
+      Some(() => onceQueue())
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] queue-connector streaming leg failed: ${e.getMessage}")
-        Seq(0.0)
+        System.err.println(s"[bench] queue-connector streaming leg failed to prepare: ${e.getMessage}")
+        None
     }
+
+    // INTERLEAVED reps (M,C,M,C,…): on a shared host whose capacity drifts
+    // over minutes, two sequential 5-rep blocks sample DIFFERENT load
+    // regimes and their ratio conflates connector overhead with that drift
+    // (observed: block-ordered ratio 0.55 on a degraded host vs 0.78
+    // isolated). Adjacent pairs share a regime, so per-pair ratios isolate
+    // the protocol overhead the floor is meant to track.
+    def safeRep(leg: Option[() => Double], name: String): Double =
+      leg.map { f =>
+        try f() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name rep failed: ${e.getMessage}"); 0.0
+        }
+      }.getOrElse(0.0)
+    val legPairs = (1 to 5).map { _ =>
+      coolDown(); val m = safeRep(memLegThunk, "memory-stream")
+      coolDown(); val c = safeRep(queueLegThunk, "queue-connector")
+      (m, c)
+    }
+    val streamReps = legPairs.map(_._1)
+    val queueStreamReps = legPairs.map(_._2)
+    // the broker is a JVM-global object: leave it empty so the last
+    // rep's replayed corpus doesn't occupy heap during the query suite
+    graft.sources.GraftBroker.reset()
 
     // the query suite runs after the legs (leg-order comment above)
     coolDown()
@@ -360,9 +380,11 @@ object Bench {
     // the floor keeps that overhead from silently growing round over round.
     // Floor 0.6 = the judge's ~70% bar minus run-to-run noise allowance
     // (overridable for degraded hosts via SPARK_GRAFT_QUEUE_RATIO_MIN).
-    // Median/median, not max/max: one lucky rep on either leg would
-    // otherwise swing the ratio by 40%+ (observed on a loaded host).
-    val queueRatio = if (streamMedian > 0) queueStreamMedian / streamMedian else 0.0
+    // The tracked value is the MEDIAN OF PER-PAIR ratios from the
+    // interleaved reps: each pair shares one host-load regime, so the ratio
+    // tracks protocol overhead, not drift between two sequential blocks.
+    val pairRatios = legPairs.collect { case (m, c) if m > 0 && c > 0 => c / m }
+    val queueRatio = median(pairRatios)
     val ratioMin = sys.env.get("SPARK_GRAFT_QUEUE_RATIO_MIN")
       .flatMap(_.toDoubleOption).getOrElse(0.6)
 
@@ -383,7 +405,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -395,9 +417,10 @@ object Bench {
     println(jsonLine)
     // assert AFTER the JSON prints so the record always lands; a tripped
     // floor surfaces as a nonzero exit the driver flags
-    assert(streamMedian == 0.0 || queueRatio >= ratioMin,
-      f"connector leg median at ${queueRatio * 100}%.0f%% of MemoryStream " +
-        f"leg median (floor ${ratioMin * 100}%.0f%%) — connector overhead grew")
+    assert(pairRatios.isEmpty || queueRatio >= ratioMin,
+      f"connector leg at ${queueRatio * 100}%.0f%% of its paired MemoryStream " +
+        f"reps (median of per-pair ratios, floor ${ratioMin * 100}%.0f%%) — " +
+        "connector overhead grew")
     spark.stop()
   }
 }

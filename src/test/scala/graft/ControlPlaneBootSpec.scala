@@ -140,6 +140,54 @@ class ControlPlaneBootSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("quota actuation: deferred past the starting tick, applied on a later one") {
+    GraftBroker.reset(); TestConsumer.reset()
+    TestConsumer.behaviors += "cp-quota" -> (_ => DispatchResult("OK", None, overdue = false))
+    val topic = "cp-quota-topic"
+    GraftBroker.createTopic(topic, 1)
+    (1 to 8).foreach(i => GraftBroker.produce(topic, Some(0), s"k$i".getBytes, s"q$i".getBytes))
+    val storeDir = java.nio.file.Files.createTempDirectory("cpq-store").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cpq-ckpt").toString
+    val cp = new ControlPlane(spark, storeDir, ckptDir,
+      ControlPlane.Wiring(
+        dispatcherFactory = MockDispatcherFactory("cp-quota"),
+        localCluster = "local-cluster",
+        queueStore = BrokerQueueStore,
+        partitionsOf = _ => 1,
+        scalerConfig = AutoScaler.Config(calibrateMs = 0L)))
+    cp.start(autoTick = false)
+    try {
+      cp.admin.add(AdminService.StoredGroup(JobSpec(
+        jobGroupId = s"${topic}__g", cluster = "local-cluster", topic = topic,
+        consumerGroup = "g", rpc = RpcSpec("grpc://consumer", "p"),
+        flowControl = FlowControl(5.0, Double.MaxValue, Double.MaxValue))))
+      // starting tick: the group comes up but is NEVER quota-bounced on its
+      // own empty heartbeat (the batch-0 checkpoint race this gate closes)
+      val r1 = cp.tick()
+      assert(r1.started == Seq(s"${topic}__g") && r1.quotaUpdated.isEmpty)
+      val deadline = System.currentTimeMillis() + 30000
+      while ((1 to 8).exists(i => TestConsumer.count("cp-quota", s"q$i") != 1) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      (1 to 8).foreach(i => assert(TestConsumer.count("cp-quota", s"q$i") == 1, s"q$i"))
+      // later ticks see real throughput history -> the scaler's quota
+      // (>= one worker's 4000 msgs/s target, a >10% move off 5.0) actuates
+      val updDeadline = System.currentTimeMillis() + 30000
+      var updated = Seq.empty[String]
+      while (updated.isEmpty && System.currentTimeMillis() < updDeadline) {
+        updated = cp.tick().quotaUpdated
+        if (updated.isEmpty) Thread.sleep(100)
+      }
+      assert(updated == Seq(s"${topic}__g"))
+      assert(cp.jobManager.running == Seq(s"${topic}__g"))
+      // the restarted query still drains new records exactly once
+      (9 to 12).foreach(i => GraftBroker.produce(topic, Some(0), s"k$i".getBytes, s"q$i".getBytes))
+      val drain = System.currentTimeMillis() + 30000
+      while ((9 to 12).exists(i => TestConsumer.count("cp-quota", s"q$i") != 1) &&
+        System.currentTimeMillis() < drain) Thread.sleep(50)
+      (1 to 12).foreach(i => assert(TestConsumer.count("cp-quota", s"q$i") == 1, s"q$i"))
+    } finally cp.stop()
+  }
+
   test("lease watchdog: a silent tick loop stops dispatch after the lease") {
     GraftBroker.reset(); TestConsumer.reset()
     TestConsumer.behaviors += "cp-lease" -> (_ => DispatchResult("OK", None, overdue = false))
