@@ -152,6 +152,10 @@ object Bench {
     // second diagnostic knob: SPARK_GRAFT_ONLY_QUERY=q50_forwarding_pipeline
     // runs a single named query (official runs never set either knob)
     val onlyQuery = sys.env.get("SPARK_GRAFT_ONLY_QUERY")
+    // first failure per query, kept so a broken run can DIE LOUD at exit
+    // with the actual exception instead of a bare failed-count (round 6
+    // published failed:30 + two zeroed legs and nobody noticed for a round)
+    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runQuerySuite(): Seq[(String, Double, Long)] = (if (legsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
                    else SparkEntry.queries.toSeq.sortBy(_._1)
                      .filter(q => onlyQuery.forall(_ == q._1))).map { case (name, fn) =>
@@ -161,7 +165,9 @@ object Bench {
       // short-circuit to one attempt
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val rows = try fn(spark, sfDir).count() catch { case e: Throwable =>
+          queryErrors.getOrElseUpdate(name, String.valueOf(e)); -1L
+        }
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val (sec1, rows1) = once()
@@ -190,7 +196,7 @@ object Bench {
       (name, sec, rows)
     }
     import org.apache.spark.sql.functions.{octet_length, sum => fsum, col}
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = Tables.events(spark, sfDir)
     val eventsRows = ev.count()
     val eventsBytes = ev.select(fsum(octet_length(col("props")).cast("long")))
       .head().getLong(0)
@@ -370,10 +376,19 @@ object Bench {
       val s = xs.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
+    // min over SUCCESSFUL reps (failed reps record 0.0 and are not a
+    // throughput observation): the r6 wobble notes argue min-of-reps is the
+    // low-interference estimator on a shared host — reported alongside the
+    // best-of headline and the median so all three are in the artifact
+    def minPos(xs: Seq[Double]): Double = {
+      val pos = xs.filter(_ > 0); if (pos.isEmpty) 0.0 else pos.min
+    }
     val streamRate = streamReps.max
     val streamMedian = median(streamReps)
+    val streamMin = minPos(streamReps)
     val queueStreamRate = queueStreamReps.max
     val queueStreamMedian = median(queueStreamReps)
+    val queueStreamMin = minPos(queueStreamReps)
 
     // connector-path overhead as a TRACKED ratio: offset planning + group
     // commits cost ~1.4x vs MemoryStream today (r4: 0.72 ratio); asserting
@@ -405,7 +420,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -421,6 +436,29 @@ object Bench {
       f"connector leg at ${queueRatio * 100}%.0f%% of its paired MemoryStream " +
         f"reps (median of per-pair ratios, floor ${ratioMin * 100}%.0f%%) — " +
         "connector overhead grew")
+    // Hard sanity gate: a bench that published zeroed legs or failed
+    // queries must be LOUD (nonzero exit + the first real exception), not
+    // a quietly-archived JSON — round 6 shipped failed:30 and two 0.0 legs
+    // without anyone noticing until the next judge pass. Diagnostic knobs
+    // (legs-only / single-query) relax only the gates their mode disables.
+    val gateErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (results.count(_._3 < 0) > 0) {
+      val failedNames = results.filter(_._3 < 0).map(_._1)
+      gateErrors += s"${failedNames.size} queries failed: ${failedNames.take(10).mkString(", ")}"
+      queryErrors.headOption.foreach { case (n, e) =>
+        gateErrors += s"first failure [$n]: ${e.take(500)}" }
+    }
+    if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && fwdRate <= 0)
+      gateErrors += "forward_msgs_per_sec is 0 — q50 engine leg did not run"
+    if (streamRate <= 0)
+      gateErrors += "stream_msgs_per_sec is 0 — MemoryStream leg produced nothing"
+    if (queueStreamRate <= 0)
+      gateErrors += "queue_stream_msgs_per_sec is 0 — connector leg produced nothing"
+    if (gateErrors.nonEmpty) {
+      gateErrors.foreach(e => System.err.println(s"[bench] SANITY GATE: $e"))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

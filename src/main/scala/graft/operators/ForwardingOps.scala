@@ -34,13 +34,11 @@ object ForwardingOps {
 
   import RoutingColumns.{codeColumn, codeSql, latencyBucketColumn, latencyBucketSql, statusFromIdColumn, statusFromIdSql}
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a raw
-    * nanos long; minute bucketing is done with integer arithmetic on nanos
-    * (a double roundtrip would lose precision at 1.7e18). */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  /** events with `ts` normalized to epoch-nanos Long (see [[graft.Tables]]);
+    * minute bucketing is integer arithmetic on nanos (a double roundtrip
+    * would lose precision at 1.7e18). */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
 
   /** Shared Kafka-record-shaped projection of the events table. */
   def messages(ev: DataFrame): DataFrame = {

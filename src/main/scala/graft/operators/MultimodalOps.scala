@@ -17,11 +17,9 @@ import org.apache.spark.sql.types._
 object MultimodalOps {
 
   /** events reader shared by every query here (the payload source);
-    * events.ts is parquet TIMESTAMP(NANOS), hence nanosAsLong. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+    * `ts` arrives normalized to epoch-nanos Long (see [[graft.Tables]]). */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
 
   /** STUB: deterministic stand-in for a real media decoder. In production
     * this is the boundary where libjpeg/ffmpeg-style codecs plug in; the

@@ -46,8 +46,7 @@ object PipelineOps {
   // ===========================================================
   def q50ForwardingPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val records = spark.read.parquet(s"$dir/events.parquet")
+    val records = graft.Tables.events(spark, dir)
       .select(
         col("event_id").cast("string").cast("binary").as("key"),
         col("props").cast("binary").as("value"),

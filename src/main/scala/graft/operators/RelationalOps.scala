@@ -22,11 +22,9 @@ import org.apache.spark.sql.functions._
  */
 object RelationalOps {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // events.ts is TIMESTAMP(NANOS)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") graft.Tables.events(spark, dir) // ts → epoch-nanos Long
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,2)")
@@ -585,11 +583,17 @@ object RelationalOps {
         .select(col("dst").as("node"),
           (lit(150L * PrScale / 1000L) + expr("850 * inflow DIV 1000")).as("rank"))
     }
-    val w = Window.orderBy(col("rank").desc, col("node"))
-    ranks
+    // final top-20 via orderBy().limit(): plans as TakeOrderedAndProject
+    // (per-partition bounded heap + driver merge of 20) — an unpartitioned
+    // row_number window here would instead drag the whole node-sized rank
+    // table through ONE task's sort. The rank window below runs AFTER the
+    // limit, over exactly 20 rows.
+    val top20 = ranks
       .withColumn("kind", when(col("node") >= SuppOffset, "supplier").otherwise("customer"))
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= 20)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+    top20
+      .withColumn("pos", row_number().over(Window.orderBy(col("rank").desc, col("node"))))
       .select(col("pos"), col("kind"),
         when(col("node") >= SuppOffset, col("node") - SuppOffset).otherwise(col("node")).as("id"),
         col("rank"))

@@ -10,10 +10,8 @@ import org.apache.spark.sql.functions._
  */
 object SessionOps {
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =

@@ -1026,7 +1026,10 @@ object TextOps {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // top-10 via orderBy().limit() → TakeOrderedAndProject (bounded heaps,
+    // driver merges 10); the matching-doc score table is corpus-sized in
+    // the worst case and must never funnel through one task's sort. The
+    // rank window runs post-limit, over exactly 10 rows.
     tf.join(broadcast(dfs), "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("contrib",
@@ -1034,8 +1037,9 @@ object TextOps {
           expr("tf * 1000 DIV (tf + 2)"))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select("rank", "doc_id", "score", "n_terms")
       .orderBy("rank")
   }

@@ -114,8 +114,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("partition-pruned scan: a topic filter reads only that topic's files") {
     val base = java.nio.file.Files.createTempDirectory("graft-part").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.Tables.events(spark, dir)
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
     val q = spark.read.parquet(base).filter(col("event_type") === "click")
       .groupBy("user_id").count()
@@ -244,5 +243,16 @@ class PlanSpec extends AnyFunSuite {
         "sbt 'runMain graft.Explain /root/testdata/sf0.001 docs/plans_rN.txt'")
     assert(!content.contains("ERROR:"),
       s"plan dump ${latest.get} contains failed explains — regenerate")
+  }
+
+  test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
+    // an unpartitioned row_number window filter drags the whole ranked
+    // table through ONE task's sort; orderBy().limit(k) plans per-partition
+    // bounded heaps + a driver merge of k. The residual Window in these
+    // plans runs AFTER the limit, over exactly k rows.
+    for (q <- Seq("q86_pagerank", "q76_bm25")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q top-k not heap-based:\n" + p.take(2000))
+    }
   }
 }

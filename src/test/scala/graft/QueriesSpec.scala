@@ -175,4 +175,43 @@ class QueriesSpec extends AnyFunSuite {
       assert(permille >= 0L && permille <= 1000L)
     }
   }
+
+  test("events.ts loader is encoding-agnostic: nanos-long and micros-timestamp parquet agree") {
+    // The driver has regenerated testdata with ts as TIMESTAMP(NANOS) in
+    // some rounds and TIMESTAMP_MICROS in others; round 7 lost 30 queries
+    // to that drift. This pins the contract: Tables.events normalizes
+    // either encoding to the same epoch-nanos Long, so ts-arithmetic
+    // queries return IDENTICAL results on both.
+    import java.nio.file.{Files, Paths}
+    val normalized = graft.Tables.events(spark, dir) // ts: Long nanos
+    def mkVariant(name: String)(write: String => Unit): String = {
+      val d = Files.createTempDirectory(s"graft-ts-$name").toString
+      // the queries under test only read events, but symlink the rest of
+      // the tables so the variant dir is a drop-in sf directory
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.getName == "events.parquet")
+        .foreach(f => Files.createSymbolicLink(
+          Paths.get(d, f.getName), f.toPath.toAbsolutePath))
+      write(s"$d/events.parquet")
+      d
+    }
+    import org.apache.spark.sql.functions.{col, expr}
+    val nanosDir = mkVariant("nanos") { p => normalized.write.parquet(p) }
+    val microsDir = mkVariant("micros") { p =>
+      normalized
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
+        .write.parquet(p)
+    }
+    // sanity: the two variants really are different physical encodings
+    assert(spark.read.parquet(s"$nanosDir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(s"$microsDir/events.parquet").schema("ts").dataType !=
+      org.apache.spark.sql.types.LongType)
+    for (q <- Seq("q01_code_distribution", "q16_sessionize", "q50_forwarding_pipeline")) {
+      val a = SparkEntry.queries(q)(spark, nanosDir).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(q)(spark, microsDir).collect().map(_.toString).sorted
+      assert(a.nonEmpty, s"$q returned no rows")
+      assert(a.sameElements(b), s"$q differs between ts encodings")
+    }
+  }
 }
