@@ -830,6 +830,16 @@ object SimilarityOps {
   // x/sqrt(dot(x,x)) bit-for-bit), lands in the same cluster, and scores
   // cosine exactly 1.0. Every post-quantization op is integer; the one
   // float step (the norm) is a sequential sum replayed identically in SQL.
+  //
+  // Scale note on K: in-cluster pairwise work is O((n/K)²·K) = O(n²/K), so
+  // a FIXED K degrades quadratically as the corpus grows (the 10× run in
+  // docs/SCALE_r8.md measured 2.6×, consistent with n²/K at small n). At
+  // production scale set K ∝ n / targetClusterSize (SemDeDup trains 50k
+  // clusters for LAION-scale corpora for exactly this reason) — then
+  // per-cluster work is constant and total work linear in n. K is 8 here
+  // only because the DuckDB oracle replays Lloyd with K as a literal; the
+  // operator itself takes K from KmeansK and nothing in the plan shape
+  // changes with it (centroids stay driver-resident literals up to ~10⁵).
   // ===========================================================
   val SemDedupThr = 0.95
 
