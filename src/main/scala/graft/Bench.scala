@@ -372,6 +372,41 @@ object Bench {
     val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
     val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
 
+    // wire-dispatch leg: the SAME engine batch path as q50, but every
+    // dispatch crosses a real loopback TCP connection through the pooled
+    // SocketDispatcher with per-message deadlines. The reference's
+    // 4,000 msgs/s scale unit is defined against real gRPC I/O, so this is
+    // the honest baseline comparison; the in-process forward rate above
+    // isolates pure engine cost (their ratio is the wire overhead).
+    val socketFwdRate: Double =
+      if (legsOnly || onlyQuery.nonEmpty) 0.0
+      else {
+        coolDown()
+        var server: graft.streaming.SocketConsumerServer = null
+        try {
+          server = new graft.streaming.SocketConsumerServer(_ =>
+            graft.streaming.DispatchResult(graft.model.GrpcStatus.OK, None, overdue = false))
+          val factory = graft.streaming.SocketDispatcherFactory(
+            "127.0.0.1", server.port, rpcTimeoutMs = 30000)
+          val spec = graft.operators.PipelineOps.pipelineSpec("events")
+          val recs = graft.operators.PipelineOps.eventRecords(spark, sfDir)
+          def once(ds: org.apache.spark.sql.Dataset[graft.streaming.ForwardingEngine.KafkaRecord]): Double = {
+            val t0 = System.nanoTime()
+            val n = graft.streaming.ForwardingEngine
+              .processBatch(spec, factory, "local", ds).count()
+            if (n > 0) n / ((System.nanoTime() - t0) / 1e9) else 0.0
+          }
+          once(recs.limit(20000)) // warm: codegen + server threads + pools
+          val rate = math.max(once(recs), once(recs))
+          server.close(); server = null
+          rate
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] socket-forward leg failed: ${e.getMessage}")
+            0.0
+        } finally if (server != null) server.close()
+      }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
@@ -420,7 +455,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -450,6 +485,8 @@ object Bench {
     }
     if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && fwdRate <= 0)
       gateErrors += "forward_msgs_per_sec is 0 — q50 engine leg did not run"
+    if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && socketFwdRate <= 0)
+      gateErrors += "socket_forward_msgs_per_sec is 0 — wire-dispatch leg produced nothing"
     if (streamRate <= 0)
       gateErrors += "stream_msgs_per_sec is 0 — MemoryStream leg produced nothing"
     if (queueStreamRate <= 0)

@@ -44,9 +44,11 @@ object PipelineOps {
   // q50 — run the engine over the events stream; per (topic, partition):
   // received count, commit watermark, and outcome-code distribution
   // ===========================================================
-  def q50ForwardingPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The events table as the engine's Kafka-record feed (shared by q50 and
+    * the bench's forwarding legs). */
+  def eventRecords(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[KafkaRecord] = {
     import spark.implicits._
-    val records = graft.Tables.events(spark, dir)
+    graft.Tables.events(spark, dir)
       .select(
         col("event_id").cast("string").cast("binary").as("key"),
         col("props").cast("binary").as("value"),
@@ -56,6 +58,10 @@ object PipelineOps {
         col("ts").as("timestampNs"),
         map().cast("map<string,binary>").as("headers"))
       .as[KafkaRecord]
+  }
+
+  def q50ForwardingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val records = eventRecords(spark, dir)
     // one spec per topic is identical up to the topic name; the engine is
     // applied per-record with the spec of its topic — since routing only
     // depends on relative names, a single spec parameterized by topic works

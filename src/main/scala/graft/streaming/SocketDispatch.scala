@@ -109,7 +109,10 @@ final case class SocketDispatcherFactory(host: String, port: Int, rpcTimeoutMs: 
  * then decides the outcome, exactly the property under test).
  */
 final class SocketConsumerServer(handler: DispatchRequest => DispatchResult) {
-  private val server = new ServerSocket(0) // ephemeral port
+  // ephemeral port; deep accept backlog — a 32-task × 32-thread dispatch
+  // burst dials ~1k connections at once and the default backlog of 50
+  // would refuse the overflow
+  private val server = new ServerSocket(0, 4096)
   def port: Int = server.getLocalPort
   private val running = new AtomicBoolean(true)
   /** Total connections ever accepted — lets tests prove the client pool
@@ -118,6 +121,10 @@ final class SocketConsumerServer(handler: DispatchRequest => DispatchResult) {
 
   private def serve(sock: Socket): Unit = {
     try {
+      // without NODELAY on the server side too, Nagle + delayed-ACK turns
+      // every small response frame into a ~40 ms stall and the whole leg
+      // serializes to ~25 RPC/s per connection
+      sock.setTcpNoDelay(true)
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
       while (running.get()) {
