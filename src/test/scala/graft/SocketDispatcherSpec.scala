@@ -104,6 +104,39 @@ class SocketDispatcherSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("framing round-trips arbitrary payload bytes and headers") {
+    // the server echoes what it decoded back through the status/action
+    // fields, so a mismatch anywhere in the framing (UTF headers, length-
+    // prefixed binary payload incl. 0x00/0xFF bytes and empty payloads)
+    // surfaces as a wrong digest rather than a hang
+    def digest(req: DispatchRequest): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      req.headers.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        md.update(k.getBytes("UTF-8")); md.update(v.getBytes("UTF-8")) }
+      md.update(req.payload)
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val server = new SocketConsumerServer(req =>
+      DispatchResult(digest(req), Some(s"len=${req.payload.length}"), overdue = false))
+    try {
+      val d = new SocketDispatcher("127.0.0.1", server.port, rpcTimeoutMs = 5000)
+      try {
+        val rng = new scala.util.Random(42)
+        for (i <- 0 until 50) {
+          val payload = new Array[Byte](rng.nextInt(4096))
+          rng.nextBytes(payload)
+          val headers = (0 until rng.nextInt(6)).map(j =>
+            s"h$j" -> rng.nextString(rng.nextInt(32))).toMap
+          val req = DispatchRequest(payload, headers)
+          val res = d.dispatch(req)
+          assert(res.statusCode == digest(req), s"iteration $i framing mismatch")
+          assert(res.action.contains(s"len=${payload.length}"))
+          assert(!res.overdue)
+        }
+      } finally d.close()
+    } finally server.close()
+  }
+
   test("refused connection: UNAVAILABLE (not overdue) → in-memory retry → INVALID, no produce") {
     // bind-then-close guarantees a port with nothing listening
     val probe = new java.net.ServerSocket(0)
