@@ -28,12 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q62 mixture sampling, q63 sequence packing, q65 count-LM quality,
   *    q66 bloom-prefiltered decontamination, q67 per-group uniform sample,
   *    q74 inverted index, q75 PMI collocations, q76 BM25 retrieval,
-  *    q77 weighted sampling, q99 boilerplate detection
+  *    q77 weighted sampling, q99 boilerplate detection,
+  *    q108 token-budget corpus selection
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
   *    semantic dedup), q69 cluster outliers, q72 ANN recall@k,
-  *    q97 MRR@k index evaluation
+  *    q97 MRR@k index evaluation, q106 hard-negative mining,
+  *    q107 coverage-aware diversity sampling
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows
   *  - PipelineOps: q50 full-engine pipeline

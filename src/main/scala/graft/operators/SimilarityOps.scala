@@ -1066,6 +1066,99 @@ object SimilarityOps {
        |FROM gt LEFT JOIN iv ON gt.qid = iv.qid AND gt.gt_vec = iv.vec_id
        |ORDER BY gt.qid""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q106 — hard-negative mining for contrastive training data: for each
+  // query vector, the closest vectors with a DIFFERENT label — semantically
+  // near but class-distinct, the pairs a contrastive/embedding trainer
+  // wants as negatives. Runs on the trained IVF index (probe the query's
+  // own cell only), so mining is a bucket equi-join, never a corpus
+  // cross-join; the label filter rides the probe. At 100 TB cells shard
+  // across executors and each query touches one cell's rows (nprobe=1 —
+  // widen nprobe for recall exactly as in q58). All-integer distances ⇒
+  // exact oracle parity.
+  // ===========================================================
+  val HardNegK = 3
+
+  def q106HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeansTrain(spark, dir)
+    val labels = emb(spark, dir).select(col("vec_id"), col("label"))
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .join(labels, Seq("vec_id"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("cid"), col("vec_id").as("qid"), col("qv").as("qqv"),
+        col("label").as("qlabel"), col("nv").as("nq"))
+    val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    index.join(broadcast(queries), Seq("cid"))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("qid"), col("qlabel"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("label").as("neg_label"), col("dq"))
+      .orderBy("qid", "rank")
+  }
+
+  val q106Sql: String =
+    s"""$kmeansCtes,
+       | ix AS (SELECT af.cid, af.vec_id, af.qv, l.label
+       |  FROM af JOIN embeddings l ON af.vec_id = l.vec_id),
+       | q AS (SELECT cid, vec_id AS qid, qv AS qqv, label AS qlabel
+       |  FROM ix WHERE vec_id < 10),
+       | probe AS (SELECT q.qid, q.qlabel, ix.vec_id, ix.label AS neg_label,
+       |   list_reduce(list_transform(range(1, len(ix.qv) + 1),
+       |     i -> (ix.qv[i] - q.qqv[i]) * (ix.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM ix JOIN q ON ix.cid = q.cid WHERE ix.label <> q.qlabel),
+       | r AS (SELECT qid, qlabel, vec_id, neg_label, dq,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rank FROM probe)
+       |SELECT qid, qlabel, CAST(rank AS BIGINT) AS rank, vec_id, neg_label, dq
+       |FROM r WHERE rank <= $HardNegK ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q107 — coverage-aware diversity sampling: pick ⌈√n_c⌉ documents from
+  // every quantizer cell, chosen by smallest md5(vec_id) — a deterministic
+  // uniform draw that guarantees every region of embedding space is
+  // represented (cluster-proportional sqrt allocation down-weights the
+  // head the way diversity-sampling pipelines want). The per-cell pick
+  // runs as the idiomatic row_number window capped at the GLOBAL max cell
+  // quota — a literal, so the TopKPerKey rewrite turns it into map-side
+  // bounded heaps (≤ maxK rows per cell per input partition ever shuffle);
+  // the exact per-cell ⌈√n_c⌉ cut is then a broadcast join against the
+  // K-row cell-size table. Cell sizes and quotas are driver-resident
+  // (K rows — same footprint class as the centroids themselves).
+  // ===========================================================
+  def q107CoverageSample(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeansTrain(spark, dir)
+    val a = assigned.select(col("cid"), col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+    // K rows: per-cell sizes and sqrt quotas live on the driver, like the
+    // centroid table they derive from
+    val sizes = a.groupBy("cid").agg(count(lit(1)).as("n_total"))
+      .withColumn("quota", ceil(sqrt(col("n_total"))).cast("long"))
+    val maxK = sizes.agg(max("quota")).head().getLong(0).toInt
+    val w = Window.partitionBy("cid").orderBy("h", "vec_id")
+    a.withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= maxK) // literal cap → TopKPerKey rewrite
+      .join(broadcast(sizes), Seq("cid"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("cid").as("cluster"), col("n_total"), col("quota"),
+        col("pick_rank").cast("long").as("pick_rank"), col("vec_id"))
+      .orderBy("cluster", "pick_rank")
+  }
+
+  val q107Sql: String =
+    s"""$kmeansCtes,
+       | a AS (SELECT cid, vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM af),
+       | sizes AS (SELECT cid, COUNT(*) AS n_total,
+       |   CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS quota FROM a GROUP BY cid),
+       | r AS (SELECT cid, vec_id, h,
+       |   ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h, vec_id) AS pick_rank FROM a)
+       |SELECT r.cid AS cluster, s.n_total, s.quota,
+       | CAST(r.pick_rank AS BIGINT) AS pick_rank, r.vec_id
+       |FROM r JOIN sizes s ON r.cid = s.cid WHERE r.pick_rank <= s.quota
+       |ORDER BY cluster, pick_rank""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
@@ -1079,7 +1172,9 @@ object SimilarityOps {
     "q59_pq_ann" -> (q59PqAnn _),
     "q68_semdedup" -> (q68SemDedup _),
     "q69_cluster_outliers" -> (q69ClusterOutliers _),
-    "q72_ann_recall" -> (q72AnnRecall _))
+    "q72_ann_recall" -> (q72AnnRecall _),
+    "q106_hard_negatives" -> (q106HardNegatives _),
+    "q107_coverage_sample" -> (q107CoverageSample _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -1145,5 +1240,7 @@ object SimilarityOps {
     "q59_pq_ann" -> q59Sql,
     "q68_semdedup" -> q68Sql,
     "q69_cluster_outliers" -> q69Sql,
-    "q72_ann_recall" -> q72Sql)
+    "q72_ann_recall" -> q72Sql,
+    "q106_hard_negatives" -> q106Sql,
+    "q107_coverage_sample" -> q107Sql)
 }

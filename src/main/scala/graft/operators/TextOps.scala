@@ -1146,7 +1146,64 @@ object TextOps {
        |SELECT kind, rank, edge, n_docs, n_sources FROM r WHERE rank <= $BoilerplateTop
        |ORDER BY kind, rank""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q108 — token-budget corpus selection: keep the highest-quality tiers
+  // of the corpus that fit a training-token budget (¼ of total tokens
+  // here). Quality = type-token ratio in exact integer permille (lexical
+  // diversity — boilerplate and repetition score low); docs are tiered by
+  // that score and tiers are admitted greedily from the top until the
+  // budget is spent. Selection is decided at TIER granularity, which is
+  // what makes the greedy prefix exact AND distributed: the per-tier
+  // token totals are a value-domain histogram (≤1001 rows regardless of
+  // corpus size — the q98 compression move), the running sum over it is a
+  // window over that reduced table, and docs then join the admitted-tier
+  // list by broadcast. No per-document running sum, no global sort of the
+  // corpus, two scans (tier + final join side) of one tokenize pass.
+  // ===========================================================
+  val BudgetShareDiv = 4 // budget = total_tokens / 4
+
+  def q108TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("tokens", size(col("toks")).cast("long"))
+      .filter(col("tokens") > 0)
+      .withColumn("ttr", expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 DIV tokens"))
+    // value-domain histogram: ≤1001 tiers, so the ordered running sum is a
+    // window over a reduced table, not over the corpus
+    val tiers = d.groupBy("ttr").agg(sum("tokens").as("tier_tokens"))
+    val wdesc = Window.orderBy(col("ttr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = tiers
+      .withColumn("cum", sum("tier_tokens").over(wdesc))
+      .crossJoin(broadcast(tiers.agg((sum("tier_tokens") / BudgetShareDiv)
+        .cast("long").as("budget"))))
+      .filter(col("cum") <= col("budget"))
+      .select("ttr")
+    d.join(broadcast(admitted), Seq("ttr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("sel_docs"), sum("tokens").as("sel_tokens"),
+        min("ttr").as("min_ttr"))
+      .orderBy("source")
+  }
+
+  val q108Sql: String =
+    s"""WITH d AS (SELECT source,
+       |  CAST(len(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens,
+       |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+'))) AS BIGINT) AS dtokens
+       | FROM documents),
+       | dd AS (SELECT source, tokens, dtokens * 1000 // tokens AS ttr FROM d WHERE tokens > 0),
+       | tiers AS (SELECT ttr, SUM(tokens) AS tier_tokens FROM dd GROUP BY ttr),
+       | cum AS (SELECT ttr, SUM(tier_tokens) OVER (ORDER BY ttr DESC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tiers),
+       | admitted AS (SELECT ttr FROM cum
+       |  WHERE cum <= (SELECT CAST(floor(CAST(SUM(tier_tokens) AS DOUBLE) / $BudgetShareDiv) AS BIGINT) FROM tiers))
+       |SELECT source, COUNT(*) AS sel_docs, CAST(SUM(tokens) AS BIGINT) AS sel_tokens,
+       | CAST(MIN(ttr) AS BIGINT) AS min_ttr
+       |FROM dd JOIN admitted USING (ttr)
+       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_token_budget" -> (q108TokenBudget _),
     "q99_boilerplate" -> (q99Boilerplate _),
     "q74_inverted_index" -> (q74InvertedIndex _),
     "q75_pmi_collocations" -> (q75PmiCollocations _),
@@ -1174,6 +1231,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q108_token_budget" -> q108Sql,
     "q99_boilerplate" -> q99Sql,
     "q74_inverted_index" -> q74Sql,
     "q75_pmi_collocations" -> q75Sql,

@@ -176,6 +176,44 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q106 negatives are cross-label and densely ranked per query") {
+    val rows = SparkEntry.queries("q106_hard_negatives")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) != r.getInt(4), "negative shares the query's label")
+      assert(r.getLong(5) >= 0L) // integer squared distance
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= graft.operators.SimilarityOps.HardNegK)
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length)) // dense ranks
+      // ranked by distance: dq non-decreasing in rank
+      val byRank = rs.sortBy(_.getLong(2)).map(_.getLong(5))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q107 draws exactly the sqrt quota from every cell") {
+    val rows = SparkEntry.queries("q107_coverage_sample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val (n, quota) = (rs.head.getLong(1), rs.head.getLong(2))
+      assert(quota == math.ceil(math.sqrt(n.toDouble)).toLong)
+      assert(rs.length == quota.min(n).toInt, "cell sample size != quota")
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("q108 selection fits the token budget and is non-empty") {
+    val rows = SparkEntry.queries("q108_token_budget")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val selected = rows.map(_.getLong(2)).sum
+    // budget = total tokens over non-empty docs / BudgetShareDiv
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(s"CAST(size(regexp_extract_all(lower(text), '${"[^ \\\\t\\\\n\\\\r\\\\f]+"}', 0)) AS BIGINT) AS t")
+      .agg(org.apache.spark.sql.functions.sum("t")).head().getLong(0)
+    assert(selected > 0L && selected <= total / graft.operators.TextOps.BudgetShareDiv)
+  }
+
   test("events.ts loader is encoding-agnostic: nanos-long and micros-timestamp parquet agree") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS) in
     // some rounds and TIMESTAMP_MICROS in others; round 7 lost 30 queries
