@@ -35,7 +35,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
   *    semantic dedup), q69 cluster outliers, q72 ANN recall@k,
   *    q97 MRR@k index evaluation, q106 hard-negative mining,
-  *    q107 coverage-aware diversity sampling
+  *    q107 coverage-aware diversity sampling, q109 quality-aware
+  *    canonical selection over verified near-dup pairs
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows
   *  - PipelineOps: q50 full-engine pipeline

@@ -146,7 +146,9 @@ object SimilarityOps {
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketSize)
   }
 
-  def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs with exact Jaccard — the shared LSH verify stage
+    * behind q41 (top-20 readout) and q109 (canonical selection). */
+  private[graft] def q41Scored(spark: SparkSession, dir: String): DataFrame = {
     // one-pass native signature, bands carrying only (doc_id, band,
     // band_sig), ONE bounded-state shuffle per bucket — see q41Buckets
     val buckets = q41Buckets(spark, dir)
@@ -193,9 +195,12 @@ object SimilarityOps {
         (size(col("sha")) + size(col("shb"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .select("a", "b", "inter", "uni", "jaccard")
+  }
+
+  def q41MinHashLsh(spark: SparkSession, dir: String): DataFrame =
+    q41Scored(spark, dir)
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
-  }
 
   // ===========================================================
   // q42 — SimHash signatures: token hashes vote per bit; signature = sign
@@ -1159,6 +1164,53 @@ object SimilarityOps {
        |FROM r JOIN sizes s ON r.cid = s.cid WHERE r.pick_rank <= s.quota
        |ORDER BY cluster, pick_rank""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q109 — quality-aware canonical selection: of every verified near-dup
+  // pair (LSH candidate with Jaccard ≥ ½ — the integer gate inter·2 ≥ uni,
+  // no float compare), keep the higher-quality copy and drop the other;
+  // quality = type-token ratio in integer permille (q108's signal), ties
+  // broken toward the lower doc_id. This is the "which copy survives
+  // dedup" pass a curation pipeline runs after near-dup discovery —
+  // min-doc_id keep-first (q60/q68's rule) keeps an arbitrary copy; this
+  // keeps the best one. The pair set is the corpus sliver q41 already
+  // bounds (banded LSH + bucket cap), so both quality joins stream the
+  // corpus against broadcast pair/loser sets; nothing corpus-sized
+  // shuffles.
+  // ===========================================================
+  def q109CanonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    // verified near-dup pairs: integer jaccard gate, no float compare
+    val dups = q41Scored(spark, dir)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select("a", "b")
+      .localCheckpoint() // pair discovery is the dominant cost; scan it once
+    val qual = docs(spark, dir)
+      .withColumn("tk", regexp_extract_all(lower(col("text")), lit("[^ \\t\\n\\r\\f]+"), lit(0)))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("tokens"),
+        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
+          .as("ttr"))
+    // pairs are tiny (LSH-bounded): broadcast them through both quality
+    // lookups, then broadcast the distinct losers into the final corpus
+    // pass. Same size gate as q41's candidate broadcasts — on a
+    // duplicate-dense corpus the pair set approaches corpus scale and all
+    // three joins must fall back to shuffles instead of OOMing the driver.
+    val smallPairSet = dups.count() <= (1L << 20)
+    def gated(df: DataFrame): DataFrame = if (smallPairSet) broadcast(df) else df
+    val withQ = qual.join(gated(dups), col("doc_id") === col("a"))
+      .select(col("a"), col("b"), col("ttr").as("qa"))
+    val losers = qual.join(gated(withQ), col("doc_id") === col("b"))
+      .select(when(col("qa") > col("ttr"), col("b"))
+        .when(col("ttr") > col("qa"), col("a"))
+        .otherwise(greatest(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+    qual.join(gated(losers.withColumn("dropped", lit(1L))), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        sum(when(col("dropped").isNull, col("tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
@@ -1174,7 +1226,8 @@ object SimilarityOps {
     "q69_cluster_outliers" -> (q69ClusterOutliers _),
     "q72_ann_recall" -> (q72AnnRecall _),
     "q106_hard_negatives" -> (q106HardNegatives _),
-    "q107_coverage_sample" -> (q107CoverageSample _))
+    "q107_coverage_sample" -> (q107CoverageSample _),
+    "q109_canonical_selection" -> (q109CanonicalSelection _))
 
   /** q41 oracle: replays the ENTIRE LSH pipeline in SQL — signature,
     * banding, bucket cap, pair explosion, jaccard, top-20 — generated from
@@ -1184,7 +1237,9 @@ object SimilarityOps {
     * arithmetic mod 2^64 replays the u64 wraparound exactly. Recall being
     * probabilistic doesn't matter: the oracle runs the same algorithm, not
     * a brute-force ideal. */
-  val q41Sql: String = {
+  /** The full LSH chain through the `scored` CTE — shared by q41Sql and
+    * q109Sql (both consume the verified candidate pairs). */
+  private val q41Ctes: String = {
     import graft.plans.MinHashSig.{Increments, Multipliers, P}
     val T = "18446744073709551616" // 2^64
     val H = "9223372036854775808" // 2^63
@@ -1222,10 +1277,30 @@ object SimilarityOps {
       "   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN ids USING (doc_id)),",
       " scored AS (SELECT a, b, CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,",
       "  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni",
-      "  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)",
-      "SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard",
-      "FROM scored ORDER BY jaccard DESC, a, b LIMIT 20").mkString(" ")
+      "  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)").mkString(" ")
   }
+
+  val q41Sql: String =
+    s"""$q41Ctes
+       |SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
+       |FROM scored ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")
+
+  val q109Sql: String =
+    s"""$q41Ctes,
+       | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
+       | qual0 AS (SELECT doc_id, source,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS tk FROM documents),
+       | qual AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS tokens,
+       |   CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS BIGINT) * 1000 // len(tk)
+       |    ELSE 0 END AS ttr FROM qual0),
+       | losers AS (SELECT DISTINCT CASE WHEN xa.ttr > xb.ttr THEN dup.b
+       |    WHEN xb.ttr > xa.ttr THEN dup.a ELSE greatest(dup.a, dup.b) END AS doc_id
+       |  FROM dup JOIN qual xa ON dup.a = xa.doc_id JOIN qual xb ON dup.b = xb.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       | CAST(SUM(CASE WHEN l.doc_id IS NULL THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM qual LEFT JOIN losers l ON qual.doc_id = l.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
     "q97_ann_mrr" -> q97Sql,
@@ -1242,5 +1317,6 @@ object SimilarityOps {
     "q69_cluster_outliers" -> q69Sql,
     "q72_ann_recall" -> q72Sql,
     "q106_hard_negatives" -> q106Sql,
-    "q107_coverage_sample" -> q107Sql)
+    "q107_coverage_sample" -> q107Sql,
+    "q109_canonical_selection" -> q109Sql)
 }

@@ -214,6 +214,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(selected > 0L && selected <= total / graft.operators.TextOps.BudgetShareDiv)
   }
 
+  test("q109 drop counts are bounded and kept tokens never exceed source totals") {
+    val rows = SparkEntry.queries("q109_canonical_selection")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totals = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source",
+        "CAST(size(regexp_extract_all(lower(text), '[^ \\\\t\\\\n\\\\r\\\\f]+', 0)) AS BIGINT) AS t")
+      .groupBy("source").sum("t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, n, dropped, kept) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dropped >= 0L && dropped <= n)
+      assert(kept >= 0L && kept <= totals(src))
+      // a dropped doc removes its tokens: strict inequality whenever a
+      // non-empty doc was dropped is not guaranteed (empty docs), so only
+      // the no-drop case pins kept == total
+      if (dropped == 0L) assert(kept == totals(src))
+    }
+  }
+
   test("events.ts loader is encoding-agnostic: nanos-long and micros-timestamp parquet agree") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS) in
     // some rounds and TIMESTAMP_MICROS in others; round 7 lost 30 queries
