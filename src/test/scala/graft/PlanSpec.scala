@@ -245,6 +245,38 @@ class PlanSpec extends AnyFunSuite {
       s"plan dump ${latest.get} contains failed explains — regenerate")
   }
 
+  test("no query plans a CartesianProduct; nested-loop joins stay on the bounded whitelist") {
+    // suite-wide scale-killer sweep over the committed plan dump (kept in
+    // sync with the query surface by the test above): a CartesianProduct
+    // anywhere is an instant fail — at 100 TB it is a corpus² explosion.
+    // BroadcastNestedLoopJoin is tolerated ONLY where one side is provably
+    // tiny by construction (a 1-row scalar aggregate, a <=10-vector query
+    // set, a bounded head set) — growing this list is a design decision,
+    // not a merge accident.
+    val bnljBounded = Set(
+      "q37_tfidf", "q75_pmi_collocations", "q76_bm25", // 1-row corpus totals
+      "q84_funnel", "q87_quality_audit", "q94_benford_audit", // 1-row scalars
+      "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
+      "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
+      "q42_simhash") // 100-row head set theta-join
+    import scala.jdk.CollectionConverters._
+    val docs = java.nio.file.Paths.get("docs")
+    val latest = java.nio.file.Files.list(docs).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("plans_r\\d+\\.txt"))
+      .maxBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+    val content = java.nio.file.Files.readString(docs.resolve(latest))
+    val sections = content.split("================ ").toSeq.drop(1)
+    assert(sections.nonEmpty)
+    sections.foreach { s =>
+      val name = s.takeWhile(_ != ' ')
+      assert(!s.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (s.contains("BroadcastNestedLoopJoin"))
+        assert(bnljBounded.contains(name),
+          s"$name grew a BroadcastNestedLoopJoin outside the bounded whitelist")
+    }
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition
