@@ -94,6 +94,45 @@ class DriftStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partially-built histograms survive a checkpoint restart") {
+    val ms = MemoryStream[DriftRec](implicitly[Encoder[DriftRec]], spark.sqlContext)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString
+    val out = java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[Any]]()
+    // append mode: a window emits once the watermark passes it — the memory
+    // sink refuses checkpoint recovery, so collect via foreachBatch
+    def start() =
+      DriftStream.windowedDrift(ms.toDF(), "ts", "1 minute", "2 minutes", ref)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => out.add(r.toSeq)); ()
+        }.start()
+
+    val (w1Rows, w2Rows) = recs.splitAt(400) // window 1 / window 2
+    val (w2a, w2b) = w2Rows.splitAt(150)
+
+    // run 1: all of window 1 + part of window 2 buffer as open state
+    val q1 = start()
+    ms.addData(w1Rows); q1.processAllAvailable()
+    ms.addData(w2a); q1.processAllAvailable()
+    q1.stop() // "crash" with both windows' histograms in the store
+
+    // run 2: the rest of window 2 must merge into the RECOVERED sketches,
+    // then a far-future event closes both windows
+    val q2 = start()
+    try {
+      ms.addData(w2b)
+      ms.addData(Seq(DriftRec("alpha", 0L, new Timestamp(t0 + 300000))))
+      q2.processAllAvailable()
+      val emitted = scala.jdk.CollectionConverters.SetHasAsScala(out).asScala
+        .filter(_(0).asInstanceOf[Timestamp].getTime < t0 + 120000).toSeq
+        .sortBy(r => (r(0).asInstanceOf[Timestamp].getTime, r(1).asInstanceOf[String]))
+      val batch = DriftStream.windowedDrift(recs.toDF(), "ts", "1 minute", "2 minutes", ref)
+        .orderBy("window_start", "topic").collect().map(_.toSeq).toSeq
+      assert(emitted == batch, "recovered stream diverged from the batch run")
+    } finally q2.stop()
+  }
+
   test("hist_sketch is exact and merge-invariant over random splits") {
     val rnd = new scala.util.Random(11)
     val values = Array.fill(3000)(rnd.nextInt(50).toLong)
