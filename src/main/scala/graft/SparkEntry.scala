@@ -29,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q66 bloom-prefiltered decontamination, q67 per-group uniform sample,
   *    q74 inverted index, q75 PMI collocations, q76 BM25 retrieval,
   *    q77 weighted sampling, q99 boilerplate detection,
-  *    q108 token-budget corpus selection
+  *    q108 token-budget corpus selection, q110 incremental dedup
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

@@ -1202,7 +1202,58 @@ object TextOps {
        |FROM dd JOIN admitted USING (ttr)
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q110 — incremental dedup: yesterday's corpus is already deduped;
+  // today's arrivals (doc_id % 5 = 0 models the new slice) are checked
+  // against the SNAPSHOT's fingerprint set and against each other —
+  // never against the whole corpus text. This is how a daily 100 TB
+  // pipeline actually runs q30: the snapshot side reduces to a distinct
+  // 128-bit digest column (a fraction of corpus bytes, itself
+  // incrementally maintainable), the membership probe is a hash
+  // equi-join on digests, and within-batch keep-first ranks inside
+  // digest groups — partitions are copy-counts of one digest, never a
+  // corpus sort. Precedence: a digest already in the snapshot drops ALL
+  // its new copies (dup_vs_old); otherwise the first new copy survives
+  // and the rest drop (dup_within).
+  // ===========================================================
+  def q110IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), md5(norm.cast("binary")).as("h"))
+    val oldH = d.filter(col("doc_id") % 5 =!= 0).select("h").distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    d.filter(col("doc_id") % 5 === 0)
+      .withColumn("rn", row_number().over(w))
+      .join(oldH.withColumn("in_old", lit(1L)), Seq("h"), "left_outer")
+      .withColumn("status",
+        when(col("in_old").isNotNull, "dup_vs_old")
+          .when(col("rn") > 1, "dup_within")
+          .otherwise("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("kept"),
+        sum(when(col("status") === "dup_vs_old", 1L).otherwise(0L)).as("dup_vs_old"),
+        sum(when(col("status") === "dup_within", 1L).otherwise(0L)).as("dup_within"))
+      .orderBy("source")
+  }
+
+  val q110Sql: String =
+    s"""WITH d AS (SELECT doc_id, source, md5($normSql) AS h FROM documents),
+       | old_h AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+       | nw AS (SELECT doc_id, source, h,
+       |   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |  FROM d WHERE doc_id % 5 = 0),
+       | cls AS (SELECT nw.source,
+       |   CASE WHEN o.h IS NOT NULL THEN 'dup_vs_old'
+       |    WHEN nw.rn > 1 THEN 'dup_within' ELSE 'kept' END AS status
+       |  FROM nw LEFT JOIN old_h o ON nw.h = o.h)
+       |SELECT source, COUNT(*) AS n_new,
+       | CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       | CAST(SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_old,
+       | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
+       |FROM cls GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_incremental_dedup" -> (q110IncrementalDedup _),
     "q108_token_budget" -> (q108TokenBudget _),
     "q99_boilerplate" -> (q99Boilerplate _),
     "q74_inverted_index" -> (q74InvertedIndex _),
@@ -1231,6 +1282,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q110_incremental_dedup" -> q110Sql,
     "q108_token_budget" -> q108Sql,
     "q99_boilerplate" -> q99Sql,
     "q74_inverted_index" -> q74Sql,
