@@ -1,6 +1,8 @@
 package graft.streaming
 
+import graft.functions.BloomSketch
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{not, typedlit}
 
 /** Streaming deduplication for at-least-once pipelines.
   *
@@ -30,4 +32,29 @@ object StreamDedup {
       df.withWatermark(eventTimeCol, delayThreshold)
         .dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
+
+  /** Snapshot-aware streaming dedup — the live twin of the q110 batch
+    * operator: arrivals whose 60-bit content digest (`keyCol`, long, e.g.
+    * the md5-prefix digest q66/q67 use) probes positive against the
+    * deduped SNAPSHOT's Bloom filter drop immediately; survivors then
+    * dedup against each other within the watermark horizon.
+    *
+    * Scale design: the snapshot probe is a STATELESS codegen'd filter over
+    * a broadcast literal of numBits/8 bytes — a billion-digest snapshot at
+    * 10 bits/key is ~1.2 GB of state as an exact set but ~150 MB as bits,
+    * and nothing per-arrival shuffles or lands in the state store for it;
+    * only bloom-negative (i.e. genuinely new) arrivals pay watermark
+    * state. Bloom false positives drop a ~FP-rate sliver of new docs
+    * (no false negatives: a snapshot dup can never leak through) —
+    * the right trade for ingest; where exact accounting matters, replay
+    * the day's dropped digests through q110's exact join offline. */
+  def againstSnapshot(df: DataFrame, eventTimeCol: String, delayThreshold: String,
+                      keyCol: String, snapshotBits: Seq[Long], numProbes: Int): DataFrame = {
+    val numBits = snapshotBits.size * 64
+    val gated = df
+      .withColumn("__snapshot_bits", typedlit(snapshotBits))
+      .filter(not(BloomSketch.mightContain("__snapshot_bits", keyCol, numBits, numProbes)))
+      .drop("__snapshot_bits")
+    withinWatermark(gated, eventTimeCol, delayThreshold, Seq(keyCol))
+  }
 }
