@@ -233,6 +233,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 classifications partition the new slice and agree with exact dedup") {
+    val rows = SparkEntry.queries("q110_incremental_dedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, vsOld, within) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept + vsOld + within == n, "statuses must partition the new docs")
+      assert(kept >= 0L && vsOld >= 0L && within >= 0L)
+    }
+    // the new slice is exactly the doc_id % 5 == 0 docs
+    val newCount = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 5 = 0")).count()
+    assert(rows.map(_.getLong(1)).sum == newCount)
+  }
+
   test("events.ts loader is encoding-agnostic: nanos-long and micros-timestamp parquet agree") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS) in
     // some rounds and TIMESTAMP_MICROS in others; round 7 lost 30 queries
