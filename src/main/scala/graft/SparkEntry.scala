@@ -38,7 +38,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q107 coverage-aware diversity sampling, q109 quality-aware
   *    canonical selection over verified near-dup pairs
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
-  *    q81 perceptual-hash near-dup, q82 audio energy windows
+  *    q81 perceptual-hash near-dup, q82 audio energy windows,
+  *    q111 scene-cut detection
   *  - PipelineOps: q50 full-engine pipeline
   * Every query has an exact DuckDB oracle (see oracleSql).
   */

@@ -278,7 +278,82 @@ object MultimodalOps {
        | MAX(list_max(wins)) AS max_energy
        |FROM wn GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q111 — scene-cut detection over video payloads: the shot-boundary
+  // pass a video curation pipeline runs before scene-based sampling
+  // (sample per SCENE, not per fixed stride — q49's stride sampler
+  // oversamples static shots and misses fast ones). Each 4-byte frame
+  // (stride 1 — cut detection needs consecutive frames; 4 bytes so the
+  // short test payloads still carry ≥ 2 frames) reduces to a 4-bit sign
+  // signature (byte vs exact integer frame mean, the q81 aHash move),
+  // and a cut is a Hamming distance ≥ 2 between CONSECUTIVE signatures —
+  // integer popcount, no float similarity. The only window partitions by
+  // media_id (frames of one video), so parallelism is per-video and a
+  // 100 TB corpus shards cleanly; nothing global sorts. Decode is the
+  // documented stand-in (payload chars as pixels); a real build swaps
+  // the codec at the same column boundary.
+  // ===========================================================
+  val SceneCutThr = 2
+  val FrameLen = 4
+
+  def q111SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    def pixel(i: Int) = s"CAST(ascii(substring(frame.bytes, $i, 1)) AS BIGINT)"
+    val sumExpr = (1 to FrameLen).map(pixel).mkString(" + ")
+    val hashExpr = (1 to FrameLen).map(i =>
+      s"IF(${pixel(i)} * $FrameLen > s, ${1L << (i - 1)}L, 0L)").mkString(" + ")
+    val frames = events(spark, dir)
+      .select(col("event_id").as("media_id"), col("event_type").as("media_kind"),
+        col("props").as("payload"))
+      .filter(length(col("payload")) >= 2 * FrameLen) // at least two frames
+      .withColumn("frame", explode(expr(
+        s"""transform(sequence(0, int(floor((length(payload) - $FrameLen) / $FrameLen))),
+           |  i -> struct(i AS idx, substring(payload, i * $FrameLen + 1, $FrameLen) AS bytes))""".stripMargin)))
+      .withColumn("s", expr(sumExpr))
+      .withColumn("fhash", expr(hashExpr))
+      .select(col("media_id"), col("media_kind"),
+        col("frame.idx").as("frame_idx"), col("fhash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("nexth", lead("fhash", 1).over(w))
+      .filter(col("nexth").isNotNull)
+      .withColumn("is_cut",
+        (expr("bit_count(fhash ^ nexth)") >= SceneCutThr).cast("long"))
+      .groupBy("media_kind")
+      .agg(
+        countDistinct("media_id").as("n_media"),
+        count(lit(1)).as("n_pairs"),
+        sum("is_cut").as("n_cuts"))
+      .withColumn("cut_permille", expr("n_cuts * 1000 DIV n_pairs"))
+      .orderBy("media_kind")
+  }
+
+  val q111Sql: String = {
+    def pixel(i: Int) = s"CAST(ord(substr(bytes, $i, 1)) AS BIGINT)"
+    val sumExpr = (1 to FrameLen).map(pixel).mkString(" + ")
+    val hashExpr = (1 to FrameLen).map(i =>
+      s"CASE WHEN ${pixel(i)} * $FrameLen > s THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH m AS (SELECT event_id AS media_id, event_type AS media_kind, props AS payload
+       |  FROM events WHERE length(props) >= ${2 * FrameLen}),
+       | f0 AS (SELECT media_id, media_kind, u.idx AS frame_idx,
+       |   substring(payload, u.idx * $FrameLen + 1, $FrameLen) AS bytes
+       |  FROM m, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(floor((length(payload) - $FrameLen) / $FrameLen) AS INTEGER))) AS idx) u),
+       | f1 AS (SELECT media_id, media_kind, frame_idx, bytes, $sumExpr AS s FROM f0),
+       | f2 AS (SELECT media_id, media_kind, frame_idx, $hashExpr AS fhash FROM f1),
+       | p AS (SELECT media_id, media_kind, fhash,
+       |   LEAD(fhash) OVER (PARTITION BY media_id ORDER BY frame_idx) AS nexth FROM f2),
+       | c AS (SELECT media_kind, media_id,
+       |   CASE WHEN bit_count(xor(fhash, nexth)) >= $SceneCutThr THEN 1 ELSE 0 END AS is_cut
+       |  FROM p WHERE nexth IS NOT NULL)
+       |SELECT media_kind, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_pairs,
+       | CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+       | CAST(SUM(is_cut) AS BIGINT) * 1000 // COUNT(*) AS cut_permille
+       |FROM c GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_scene_cuts" -> (q111SceneCuts _),
     "q44_multimodal_meta" -> (q44MultimodalMeta _),
     "q45_decode_features" -> (q45DecodeFeatures _),
     "q49_frame_sample" -> (q49FrameSample _),
@@ -286,6 +361,7 @@ object MultimodalOps {
     "q82_audio_energy" -> (q82AudioEnergy _))
 
   val oracles: Map[String, String] = Map(
+    "q111_scene_cuts" -> q111Sql,
     "q44_multimodal_meta" -> q44Sql,
     "q45_decode_features" -> q45Sql,
     "q49_frame_sample" -> q49Sql,
