@@ -51,6 +51,8 @@ final class TtlRegistry[K, V](
  *   GET /status/workers -> live worker heartbeats (TTL-filtered)
  *   GET /status/scaler  -> per-group AutoScaler snapshot
  *   GET /status/history -> TTL'd JobStatus heartbeat history per group
+ *   GET /status/monitors[?kind=drift|hotkeys|...] -> live data-quality
+ *       monitor windows (via [[MonitorHub]] foreachBatch sinks)
  *   GET /health         -> {"status":"ok"}
  *
  * When an [[AdminService]] is supplied, the mutation surface mounts too —
@@ -71,7 +73,8 @@ final class StatusServer(
     workers: Option[TtlRegistry[String, Long]] = None,
     statusStore: Option[JobStatusStore] = None,
     port: Int = 0,
-    admin: Option[AdminService] = None) {
+    admin: Option[AdminService] = None,
+    monitors: Option[MonitorHub] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -191,6 +194,14 @@ final class StatusServer(
   server.createContext("/status/scaler", (ex: HttpExchange) => reply(ex, scalerJson))
   server.createContext("/status/history", (ex: HttpExchange) =>
     reply(ex, statusStore.map(_.historyJson).getOrElse("[]")))
+  // live data-quality monitor snapshots (DriftStream / HotKeyStream /
+  // AuditStream windows pushed through a MonitorHub foreachBatch sink);
+  // ?kind=drift selects one monitor, no param returns all kinds keyed
+  server.createContext("/status/monitors", (ex: HttpExchange) =>
+    reply(ex, monitors match {
+      case None => "{}"
+      case Some(h) => queryParam(ex, "kind").map(h.json).getOrElse(h.allJson)
+    }))
   server.createContext("/health", (ex: HttpExchange) => reply(ex, """{"status":"ok"}"""))
   // The HTML debug surface, same shape as the reference's management pages
   // (uforwarder-core/.../management/AbstractHtml.java + JobsHtml/WorkersHtml/
