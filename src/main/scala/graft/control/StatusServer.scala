@@ -242,7 +242,7 @@ object StatusServer {
       |<script>
       |const SECTIONS = [["jobs","/status/jobs"],["workers","/status/workers"],
       |  ["scaler","/status/scaler"],["history","/status/history"],
-      |  ["jobgroups","/admin/jobgroups"]];
+      |  ["monitors","/status/monitors"],["jobgroups","/admin/jobgroups"]];
       |// ids/values are free-form strings: everything reaching innerHTML is
       |// HTML-escaped, or a hostile jobGroupId becomes script on this page
       |function esc(s){return String(s).replace(/[&<>"']/g,
@@ -262,6 +262,8 @@ object StatusServer {
       |    document.getElementById("root").innerHTML = all.filter(([,d])=>d!==null).map(([n,d])=>
       |      "<h2>"+n+"</h2>"+(n==="history"
       |        ? d.map(g=>"<h3>"+esc(g.jobGroupId)+"</h3>"+table(g.history)).join("")||"<i>empty</i>"
+      |        : n==="monitors"
+      |        ? Object.entries(d).map(([k,rows])=>"<h3>"+esc(k)+"</h3>"+table(rows)).join("")||"<i>empty</i>"
       |        : n==="jobgroups"
       |        ? table(d.map(g=>({jobGroupId:g.jobGroup.jobGroupId,state:g.jobGroupState,
       |            topic:g.jobGroup.topic,consumerGroup:g.jobGroup.consumerGroup,
