@@ -29,14 +29,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q66 bloom-prefiltered decontamination, q67 per-group uniform sample,
   *    q74 inverted index, q75 PMI collocations, q76 BM25 retrieval,
   *    q77 weighted sampling, q99 boilerplate detection,
-  *    q108 token-budget corpus selection, q110 incremental dedup
+  *    q108 token-budget corpus selection, q110 incremental dedup,
+  *    q114 sliding n-gram duplication profile, q115 temperature-scaled
+  *    mixture weights
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
   *    semantic dedup), q69 cluster outliers, q72 ANN recall@k,
   *    q97 MRR@k index evaluation, q106 hard-negative mining,
   *    q107 coverage-aware diversity sampling, q109 quality-aware
-  *    canonical selection over verified near-dup pairs
+  *    canonical selection over verified near-dup pairs,
+  *    q112 cross-modal alignment filter (CLIP-score-gate shape),
+  *    q113 incremental IVF index maintenance
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

@@ -1211,7 +1211,154 @@ object SimilarityOps {
       .orderBy("source")
   }
 
+  // ===========================================================
+  // q112 — cross-modal alignment filter (the CLIP-score gate of LAION /
+  // DataComp curation: drop caption↔media pairs whose embeddings
+  // disagree). `documents` rows pair with `embeddings` rows on
+  // doc_id = vec_id (the caption's media embedding). The text side runs
+  // a deterministic hashing-trick encoder — each token hashes to one of
+  // 8 dims with a ±1 sign (the feature-hashing stand-in for a CLIP text
+  // tower; a real build swaps the encoder at the same column boundary) —
+  // and the media side pools its 64-dim embedding into the same 8 dims
+  // (8-wide sum pooling, fixed-point 2^20 quantized so it's integer).
+  // Alignment = per-dim sign agreement (0..8); pairs clearing ≥6 pass.
+  //
+  // Scale path: the text encoder is the canonical hashing-trick
+  // dataflow — explode tokens, hash, aggregate (doc_id, dim) partial
+  // sums map-side — and the media pool is a per-row array fold (no
+  // shuffle at all). The two 8-rows-per-doc tables equi-join on
+  // (id, dim) and re-aggregate; nothing vector- or text-sized crosses
+  // the wire, and no pairwise structure exists anywhere.
+  // ===========================================================
+  val AlignDims = 8
+  val AlignThr = 6
+
+  def q112CrossmodalAlign(spark: SparkSession, dir: String): DataFrame = {
+    val textDims = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit(graft.operators.TextOps.wsTokenRe), lit(0))).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id"), (col("h") % AlignDims).as("dim"))
+      .agg(sum(expr("IF((h DIV 8) % 2 = 0, 1L, -1L)")).as("tval"))
+    val mediaDims = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("vec_id"), (col("pos").cast("long") / lit(AlignDims)).cast("long").as("dim"))
+      .agg(sum(expr(s"CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT)")).as("pval"))
+    val agree = mediaDims
+      .join(textDims, col("vec_id") === col("doc_id") && mediaDims("dim") === textDims("dim"), "left_outer")
+      .withColumn("tval", coalesce(col("tval"), lit(0L)))
+      .groupBy("vec_id")
+      .agg(sum(when((col("tval") > 0) === (col("pval") > 0), 1L).otherwise(0L)).as("agree"))
+    docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(agree, col("doc_id") === col("vec_id"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("agree").cast("long").as("sum_agree"),
+        sum(when(col("agree") >= AlignThr, 1L).otherwise(0L)).as("n_aligned"))
+      .withColumn("align_permille", expr(s"sum_agree * 1000 DIV (n_pairs * $AlignDims)"))
+      .orderBy("lang", "source")
+  }
+
+  val q112Sql: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |   CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) AS h
+       |  FROM documents, LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+       |    '[^ \\t\\n\\r\\f]+')) AS tok) u),
+       | td AS (SELECT doc_id, h % $AlignDims AS dim,
+       |   SUM(CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END) AS tval
+       |  FROM tk GROUP BY doc_id, h % $AlignDims),
+       | ed AS (SELECT vec_id, (u.pos - 1) // $AlignDims AS dim,
+       |   SUM(CAST(floor(CAST(embedding[CAST(u.pos AS INTEGER)] AS DOUBLE) * $Q) AS BIGINT)) AS pval
+       |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos) u
+       |  GROUP BY vec_id, (u.pos - 1) // $AlignDims),
+       | a AS (SELECT ed.vec_id, ed.pval, COALESCE(td.tval, 0) AS tval
+       |  FROM ed LEFT JOIN td ON td.doc_id = ed.vec_id AND td.dim = ed.dim),
+       | ag AS (SELECT vec_id,
+       |   SUM(CASE WHEN (tval > 0) = (pval > 0) THEN 1 ELSE 0 END) AS agree
+       |  FROM a GROUP BY vec_id)
+       |SELECT d.lang, d.source, COUNT(*) AS n_pairs,
+       | CAST(SUM(ag.agree) AS BIGINT) AS sum_agree,
+       | CAST(SUM(CASE WHEN ag.agree >= $AlignThr THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+       | CAST(SUM(ag.agree) * 1000 // (COUNT(*) * $AlignDims) AS BIGINT) AS align_permille
+       |FROM documents d JOIN ag ON d.doc_id = ag.vec_id
+       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q113 — incremental IVF index maintenance: at 100 TB an IVF index is
+  // never retrained per ingest batch — new vectors are assigned to the
+  // EXISTING trained centroids and cells are monitored for imbalance
+  // (FAISS's add-after-train contract; a cell growing past ~2× the mean
+  // is the re-split trigger). Base corpus (vec_id % 10 ≠ 9) trains the
+  // q57 quantizer; the arrival batch (vec_id % 10 = 9) is assigned via
+  // the codegen'd NearestCentroid against the frozen centroid literals.
+  // Output per cell: base/new counts, growth rate, split flag.
+  //
+  // Scale path: assignment of the new batch is map-only (centroids ride
+  // into the plan as literals — no join, no shuffle); the monitoring
+  // aggregate reduces to K rows, and the totals join broadcasts ONE row.
+  // The ingest batch never touches the base corpus' vectors at all —
+  // only its K-row cell-count summary.
+  // ===========================================================
+  def q113IvfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    val (centFinal, assignedBase) = kmeansTrainOn(all.filter(col("vec_id") % 10 =!= 9))
+    val cents = centFinal.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val newAssigned = all.filter(col("vec_id") % 10 === 9)
+      .withColumn("best", graft.plans.NearestCentroid.nearest_centroid(col("qv"), typedlit(cents)))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    // full-outer: a fresh batch can land in a cell the final base
+    // assignment left empty, and that cell must still be reported
+    val counts = assignedBase.groupBy("cid").agg(count(lit(1)).as("n_base"))
+      .join(newAssigned.groupBy("cid").agg(count(lit(1)).as("n_new")), Seq("cid"), "full_outer")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val totals = counts.agg(sum("n_base").as("tot_base"), sum("n_new").as("tot_new"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("growth_permille", expr("n_new * 1000 DIV greatest(n_base, 1L)"))
+      .withColumn("needs_split",
+        ((col("n_base") + col("n_new")) * col("n_cells") >
+          (col("tot_base") + col("tot_new")) * 2).cast("long"))
+      .select("cid", "n_base", "n_new", "growth_permille", "needs_split")
+      .orderBy("cid")
+  }
+
+  val q113Sql: String = (kmeansCtesFrom(
+    s"""all0 AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       | e AS (SELECT * FROM all0 WHERE vec_id % 10 <> 9),
+       | nb AS (SELECT * FROM all0 WHERE vec_id % 10 = 9)""".stripMargin) +
+    s""",
+       | nbd AS (SELECT nb.vec_id, c.cid,
+       |   list_reduce(list_transform(range(1, len(nb.qv) + 1),
+       |     i -> (nb.qv[i] - c.cq[i]) * (nb.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+       |  FROM nb, c$KmeansIters c),
+       | na AS (SELECT vec_id, cid FROM (SELECT *,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM nbd)
+       |  WHERE rn = 1),
+       | bc AS (SELECT cid, COUNT(*) AS n_base FROM af GROUP BY cid),
+       | nc AS (SELECT cid, COUNT(*) AS n_new FROM na GROUP BY cid),
+       | cc AS (SELECT COALESCE(bc.cid, nc.cid) AS cid,
+       |   COALESCE(bc.n_base, 0) AS n_base, COALESCE(nc.n_new, 0) AS n_new
+       |  FROM bc FULL JOIN nc ON bc.cid = nc.cid),
+       | tt AS (SELECT SUM(n_base) AS tot_base, SUM(n_new) AS tot_new,
+       |   COUNT(*) AS n_cells FROM cc)
+       |SELECT cc.cid, CAST(cc.n_base AS BIGINT) AS n_base,
+       | CAST(cc.n_new AS BIGINT) AS n_new,
+       | CAST(cc.n_new * 1000 // greatest(cc.n_base, 1) AS BIGINT) AS growth_permille,
+       | CAST(CASE WHEN (cc.n_base + cc.n_new) * tt.n_cells >
+       |   (tt.tot_base + tt.tot_new) * 2 THEN 1 ELSE 0 END AS BIGINT) AS needs_split
+       |FROM cc, tt ORDER BY cc.cid""".stripMargin).replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_crossmodal_align" -> (q112CrossmodalAlign _),
+    "q113_ivf_maintenance" -> (q113IvfMaintenance _),
     "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
@@ -1303,6 +1450,8 @@ object SimilarityOps {
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q112_crossmodal_align" -> q112Sql,
+    "q113_ivf_maintenance" -> q113Sql,
     "q97_ann_mrr" -> q97Sql,
     "q40_ann_cosine" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,

@@ -1252,7 +1252,111 @@ object TextOps {
        | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
        |FROM cls GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q114 — sliding n-gram duplication profile (the memorization-risk
+  // audit of Lee et al. 2022, "Deduplicating Training Data Makes
+  // Language Models Better"): for every OVERLAPPING 5-gram position in
+  // the corpus, is that 5-gram repeated anywhere else? q60 dedups
+  // non-overlapping passages (a transform); this measures fine-grained
+  // repetition mass per source (a diagnostic) — the number LM teams
+  // track because repeated n-grams are what models memorize verbatim.
+  //
+  // Scale path: a position never ships its text — each 5-gram reduces
+  // to a 128-bit digest at the scan, then the dataflow aggregates
+  // (digest, source) counts FIRST (map-side combined, so the shuffle
+  // carries one row per distinct (digest, source), not per position),
+  // takes corpus frequency as a second digest-keyed agg, and joins the
+  // two on digest — same key as the groupBy, so the exchange is reused
+  // and nothing re-shuffles. No self-join, no window over the corpus.
+  // ===========================================================
+  val NgramW = 5
+
+  def q114NgramDupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("ntok", size(col("toks")))
+      .filter(col("ntok") >= NgramW)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, ntok - ${NgramW - 1}), " +
+          s"i -> md5(CAST(concat_ws(' ', slice(toks, i, $NgramW)) AS BINARY)))")).as("g"))
+    val bySrc = grams.groupBy("g", "source").agg(count(lit(1)).as("k"))
+    val freq = bySrc.groupBy("g").agg(sum("k").as("f"))
+    bySrc.join(freq, Seq("g"))
+      .groupBy("source")
+      .agg(
+        sum("k").cast("long").as("n_positions"),
+        sum(when(col("f") >= 2, col("k")).otherwise(0L)).cast("long").as("dup_positions"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("f") >= 2, 1L).otherwise(0L)).as("repeated_grams"),
+        max("f").cast("long").as("max_freq"))
+      .withColumn("dup_permille", expr("dup_positions * 1000 DIV n_positions"))
+      .orderBy("source")
+  }
+
+  val q114Sql: String =
+    s"""WITH t AS (SELECT source, regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM documents),
+       | gr AS (SELECT source,
+       |   md5(array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i + ${NgramW - 1} AS INTEGER)], ' ')) AS g
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${NgramW - 2})) AS i) u
+       |  WHERE len(toks) >= $NgramW),
+       | bysrc AS (SELECT g, source, COUNT(*) AS k FROM gr GROUP BY g, source),
+       | fr AS (SELECT g, SUM(k) AS f FROM bysrc GROUP BY g),
+       | j AS (SELECT bysrc.source, bysrc.k, fr.f FROM bysrc JOIN fr USING (g))
+       |SELECT source, CAST(SUM(k) AS BIGINT) AS n_positions,
+       | CAST(SUM(CASE WHEN f >= 2 THEN k ELSE 0 END) AS BIGINT) AS dup_positions,
+       | COUNT(*) AS distinct_grams,
+       | CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS repeated_grams,
+       | CAST(MAX(f) AS BIGINT) AS max_freq,
+       | CAST(SUM(CASE WHEN f >= 2 THEN k ELSE 0 END) * 1000 // SUM(k) AS BIGINT) AS dup_permille
+       |FROM j GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q115 — temperature-scaled mixture weights (the XLM-R/mT5 move:
+  // sample source i with probability p_i^alpha / sum p_j^alpha, alpha=0.5,
+  // so head domains shrink and tail domains boost): computes, per
+  // source, the natural token share, the temperature share, and the
+  // boost delta — the config table a training run broadcast-joins
+  // against its sampler (q62 consumes exactly such permille rates).
+  // alpha=0.5 is integer-exact cross-engine: weight = floor(sqrt(tokens))
+  // and IEEE sqrt is correctly rounded, so perfect squares hit their
+  // integer exactly in both engines; shares are integer permille floors.
+  //
+  // Scale path: one token-count scan (map-side combined groupBy source),
+  // then all arithmetic runs on the |sources|-row aggregate — the
+  // totals join is a broadcast of ONE row, nothing corpus-sized moves.
+  // ===========================================================
+  def q115MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .withColumn("tok", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val totals = per.agg(sum("tokens").as("tot_tokens"), sum("weight").as("tot_weight"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("natural_permille", expr("tokens * 1000 DIV tot_tokens"))
+      .withColumn("temp_permille", expr("weight * 1000 DIV tot_weight"))
+      .withColumn("boost_permille", col("temp_permille") - col("natural_permille"))
+      .select("source", "n_docs", "tokens", "weight",
+        "natural_permille", "temp_permille", "boost_permille")
+      .orderBy("source")
+  }
+
+  val q115Sql: String =
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+      |   CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      | w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight FROM per),
+      | tt AS (SELECT SUM(tokens) AS tot_tokens, SUM(weight) AS tot_weight FROM w)
+      |SELECT source, n_docs, tokens, weight,
+      | CAST(tokens * 1000 // tt.tot_tokens AS BIGINT) AS natural_permille,
+      | CAST(weight * 1000 // tt.tot_weight AS BIGINT) AS temp_permille,
+      | CAST(weight * 1000 // tt.tot_weight - tokens * 1000 // tt.tot_tokens AS BIGINT) AS boost_permille
+      |FROM w, tt ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_ngram_dup_profile" -> (q114NgramDupProfile _),
+    "q115_mixture_weights" -> (q115MixtureWeights _),
     "q110_incremental_dedup" -> (q110IncrementalDedup _),
     "q108_token_budget" -> (q108TokenBudget _),
     "q99_boilerplate" -> (q99Boilerplate _),
@@ -1282,6 +1386,8 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q114_ngram_dup_profile" -> q114Sql,
+    "q115_mixture_weights" -> q115Sql,
     "q110_incremental_dedup" -> q110Sql,
     "q108_token_budget" -> q108Sql,
     "q99_boilerplate" -> q99Sql,

@@ -247,6 +247,79 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == newCount)
   }
 
+  test("q112 alignment scores are bounded and every embedding pairs exactly once") {
+    val rows = SparkEntry.queries("q112_crossmodal_align")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dims = graft.operators.SimilarityOps.AlignDims
+    rows.foreach { r =>
+      val (n, sumAgree, aligned, permille) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(aligned >= 0L && aligned <= n)
+      assert(sumAgree >= 0L && sumAgree <= dims * n)
+      assert(permille == sumAgree * 1000 / (dims * n))
+    }
+    // inner join on doc_id = vec_id: every embedding row appears exactly once
+    val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nEmb)
+  }
+
+  test("q113 cells partition the corpus and split flags match the 2x-mean rule") {
+    val rows = SparkEntry.queries("q113_ivf_maintenance")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nEmb,
+      "base + new cell counts must partition the corpus")
+    val totalAll = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val nCells = rows.length
+    rows.foreach { r =>
+      val (nBase, nNew, growth, split) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(growth == nNew * 1000 / math.max(nBase, 1L))
+      assert(split == (if ((nBase + nNew) * nCells > totalAll * 2) 1L else 0L))
+    }
+  }
+
+  test("q114 duplication profile is bounded and covers every n-gram position") {
+    val rows = SparkEntry.queries("q114_ngram_dup_profile")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup, distinct, repeated, maxF, permille) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(dup >= 0L && dup <= n)
+      assert(repeated >= 0L && repeated <= distinct)
+      assert(distinct <= n)
+      assert(maxF >= 1L)
+      assert(permille == dup * 1000 / n)
+    }
+    // sum over sources of positions == sum over docs of max(ntok - 4, 0)
+    val w = graft.operators.TextOps.NgramW
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("greatest(CAST(size(regexp_extract_all(lower(text), " +
+        s"'[^ \\\\t\\\\n\\\\r\\\\f]+', 0)) AS BIGINT) - ${w - 1}, 0L) AS p")
+      .agg(org.apache.spark.sql.functions.sum("p")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
+  test("q115 temperature weights are exact integer sqrt and shares sum to ~1000") {
+    val rows = SparkEntry.queries("q115_mixture_weights")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tokens, weight, natural, temp, boost) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(weight * weight <= tokens && tokens < (weight + 1) * (weight + 1),
+        s"weight $weight is not floor(sqrt($tokens))")
+      assert(boost == temp - natural)
+    }
+    // permille floors: each sum lands in (1000 - |sources|, 1000]
+    val nat = rows.map(_.getLong(4)).sum
+    val tmp = rows.map(_.getLong(5)).sum
+    assert(nat > 1000L - rows.length && nat <= 1000L)
+    assert(tmp > 1000L - rows.length && tmp <= 1000L)
+    // temperature flattens: the largest source's share must not grow
+    val top = rows.maxBy(_.getLong(2))
+    assert(top.getLong(6) <= 0L, "sqrt temperature cannot boost the head source")
+  }
+
   test("events.ts loader is encoding-agnostic: nanos-long and micros-timestamp parquet agree") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS) in
     // some rounds and TIMESTAMP_MICROS in others; round 7 lost 30 queries
