@@ -1354,7 +1354,109 @@ object TextOps {
       | CAST(weight * 1000 // tt.tot_weight - tokens * 1000 // tt.tot_tokens AS BIGINT) AS boost_permille
       |FROM w, tt ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q116 — BPE merge candidates (the first iteration of byte-pair-
+  // encoding tokenizer training, Sennrich et al. 2016): the top-20
+  // adjacent character pairs by corpus frequency — exactly the statistic
+  // a BPE trainer computes to pick its next merge. The load-bearing
+  // scale move is aggregating the DISTINCT VOCABULARY first: corpus
+  // tokens collapse to (word, count) — orders of magnitude smaller —
+  // and pairs explode off distinct words only, weighted by the count.
+  // (A production trainer adds word-boundary markers and iterates
+  // merges; both ride the identical dataflow.) Top-20 goes through
+  // orderBy().limit() = TakeOrderedAndProject — per-partition heaps,
+  // never a global sort.
+  // ===========================================================
+  val BpeTopK = 20
+
+  def q116BpeMergeCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val pairCounts = words
+      .filter(length(col("word")) >= 2)
+      .select(col("c"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> struct(substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum("c").as("cnt"))
+    val top = pairCounts
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(BpeTopK)
+    // rank assignment runs AFTER the limit, over exactly BpeTopK rows
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("l"), col("r"))))
+      .select("rank", "l", "r", "cnt")
+      .orderBy("rank")
+  }
+
+  val q116Sql: String =
+    s"""WITH w AS (SELECT u.tok AS word, COUNT(*) AS c FROM documents,
+       |  LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok) u
+       |  GROUP BY u.tok),
+       | p AS (SELECT substr(word, CAST(u2.i AS INTEGER), 1) AS l,
+       |   substr(word, CAST(u2.i AS INTEGER) + 1, 1) AS r, c
+       |  FROM w, LATERAL (SELECT unnest(range(1, length(word))) AS i) u2
+       |  WHERE length(word) >= 2),
+       | g AS (SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY l, r),
+       | t AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rank FROM g)
+       |SELECT rank, l, r, cnt FROM t WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q117 — cross-source span-overlap matrix (provenance-leakage audit):
+  // which sources share verbatim 8-token spans with which — the
+  // between-domain contamination signal a curation run checks before
+  // treating sources as independent (crawl snapshots and mirrors
+  // overlap heavily in practice). Spans are q60's non-overlapping
+  // blocks; identity is the span digest, DISTINCT per (digest, source).
+  //
+  // Scale path: the pair explosion is bounded by (sources sharing a
+  // span choose 2) — never doc pairs, never span instances — and the
+  // per-source totals it normalizes by are a |sources|-row broadcast.
+  // The digest self-join shuffles both sides on the digest, the same
+  // key the distinct already partitioned by, so the exchange is reused.
+  // ===========================================================
+  def q117SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val spans = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("ntok", size(col("toks")))
+      .filter(col("ntok") > 0)
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, (ntok + ${SpanW - 1}) div $SpanW - 1),
+           |  b -> md5(CAST(concat_ws(' ', slice(toks, b * $SpanW + 1, $SpanW)) AS BINARY)))""".stripMargin)).as("h"))
+      .distinct()
+    val totals = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
+    val a = spans.select(col("h"), col("source").as("src_a"))
+    val b = spans.select(col("h"), col("source").as("src_b"))
+    a.join(b, Seq("h")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_spans"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_spans").as("n_spans_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_spans").as("n_spans_b"))), Seq("src_b"))
+      .withColumn("overlap_permille",
+        expr("shared_spans * 1000 DIV least(n_spans_a, n_spans_b)"))
+      .select("src_a", "src_b", "shared_spans", "n_spans_a", "n_spans_b", "overlap_permille")
+      .orderBy("src_a", "src_b")
+  }
+
+  val q117Sql: String =
+    s"""WITH t AS (SELECT source, regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM documents),
+       | sp AS (SELECT DISTINCT source,
+       |   md5(array_to_string(toks[CAST(b.b * $SpanW + 1 AS INTEGER):CAST((b.b + 1) * $SpanW AS INTEGER)], ' ')) AS h
+       |  FROM t, LATERAL (SELECT unnest(range(0, (len(toks) + ${SpanW - 1}) // $SpanW)) AS b) b
+       |  WHERE len(toks) > 0),
+       | tot AS (SELECT source, COUNT(*) AS n_spans FROM sp GROUP BY source),
+       | pr AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_spans
+       |  FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT pr.src_a, pr.src_b, pr.shared_spans,
+       | ta.n_spans AS n_spans_a, tb.n_spans AS n_spans_b,
+       | CAST(pr.shared_spans * 1000 // least(ta.n_spans, tb.n_spans) AS BIGINT) AS overlap_permille
+       |FROM pr JOIN tot ta ON pr.src_a = ta.source JOIN tot tb ON pr.src_b = tb.source
+       |ORDER BY pr.src_a, pr.src_b""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_bpe_merge_candidates" -> (q116BpeMergeCandidates _),
+    "q117_source_overlap" -> (q117SourceOverlap _),
     "q114_ngram_dup_profile" -> (q114NgramDupProfile _),
     "q115_mixture_weights" -> (q115MixtureWeights _),
     "q110_incremental_dedup" -> (q110IncrementalDedup _),
@@ -1386,6 +1488,8 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q116_bpe_merge_candidates" -> q116Sql,
+    "q117_source_overlap" -> q117Sql,
     "q114_ngram_dup_profile" -> q114Sql,
     "q115_mixture_weights" -> q115Sql,
     "q110_incremental_dedup" -> q110Sql,

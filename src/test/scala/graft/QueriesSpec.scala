@@ -320,6 +320,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(top.getLong(6) <= 0L, "sqrt temperature cannot boost the head source")
   }
 
+  test("q116 merge candidates are densely ranked single-char pairs with non-increasing counts") {
+    val rows = SparkEntry.queries("q116_bpe_merge_candidates")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.TextOps.BpeTopK)
+    assert(rows.map(_.getInt(0)).sorted.sameElements(1 to rows.length))
+    val byRank = rows.sortBy(_.getInt(0))
+    byRank.foreach { r =>
+      assert(r.getString(1).length == 1 && r.getString(2).length == 1)
+      assert(r.getLong(3) > 0L)
+    }
+    val cnts = byRank.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+  }
+
+  test("q117 overlap pairs are ordered, unique, and bounded by the smaller side") {
+    val rows = SparkEntry.queries("q117_source_overlap")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "pair rows must be unique")
+    rows.foreach { r =>
+      val (a, b, shared, na, nb, permille) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, "pairs must be canonically ordered")
+      assert(shared >= 1L && shared <= math.min(na, nb))
+      assert(permille == shared * 1000 / math.min(na, nb))
+    }
+  }
+
   test("events.ts loader is encoding-agnostic: nanos-long and micros-timestamp parquet agree") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS) in
     // some rounds and TIMESTAMP_MICROS in others; round 7 lost 30 queries
