@@ -1454,7 +1454,99 @@ object TextOps {
        |FROM pr JOIN tot ta ON pr.src_a = ta.source JOIN tot tb ON pr.src_b = tb.source
        |ORDER BY pr.src_a, pr.src_b""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q118 — iterated BPE training (Sennrich et al. 2016, the full loop
+  // q116 computes one round of): NMerges rounds of count-pairs →
+  // argmax → apply-merge over the corpus vocabulary, emitting the merge
+  // table (the actual artifact a tokenizer ships) plus the corpus-
+  // weighted symbol count after each round (the compression curve).
+  //
+  // Representation: a word is its symbols each wrapped in single
+  // spaces (" a  b  c "), so applying merge (l, r) is ONE plain string
+  // replace of " l  r " with " lr " — non-overlapping left-to-right in
+  // both engines, which is exactly BPE's merge semantics ("aaaa" with
+  // (a,a) → "aa aa"), and symbol identity can never leak across
+  // boundaries (every symbol keeps its own delimiters).
+  //
+  // Scale path: the k-means dataflow shape (q57) — per round, the
+  // distributed work is one pair-count aggregation over the DISTINCT
+  // vocabulary (map-side combined; the corpus itself is touched once,
+  // at vocab build), the argmax comes back as ONE driver row (via
+  // TakeOrderedAndProject), and the merge ships back INTO the plan as
+  // two literals. Nothing corpus-sized moves after the first scan;
+  // vocab localCheckpoints per round to cut the replace-chain lineage.
+  // ===========================================================
+  val NMerges = 5
+
+  def q118BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{replace => strReplace}
+    val vocab0 = docs(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(expr(
+        """concat_ws('', transform(sequence(1, length(word)),
+          |  i -> concat(' ', substring(word, i, 1), ' ')))""".stripMargin).as("w"), col("c"))
+      .localCheckpoint()
+    var v = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    for (round <- 1 to NMerges) {
+      val best = v
+        .select(col("c"), expr("split(trim(w), '  ')").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      v = v.withColumn("w",
+          strReplace(col("w"), lit(s" $l  $r "), lit(s" $l$r ")))
+        .localCheckpoint()
+      val symCount = v
+        .select(sum(col("c") * size(expr("split(trim(w), '  ')"))).as("n"))
+        .head().getLong(0)
+      merges += ((round, l, r, l + r, cnt, symCount))
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("round", "l", "r", "merged", "pair_count", "corpus_symbols")
+      .orderBy("round")
+  }
+
+  /** Unrolled per-round CTE chain: the oracle replays count→argmax→merge
+    * for every round in pure SQL (the same shape as the k-means oracle). */
+  val q118Sql: String = {
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s""" st$i AS (SELECT c, string_split(trim(w), '  ') AS s FROM $prev),
+         | g$i AS (SELECT s[CAST(u.k AS INTEGER)] AS l, s[CAST(u.k AS INTEGER) + 1] AS r,
+         |   CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM st$i, LATERAL (SELECT unnest(range(1, len(s))) AS k) u
+         |  GROUP BY 1, 2),
+         | b$i AS (SELECT l, r, cnt FROM (SELECT *,
+         |   ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rn FROM g$i) WHERE rn = 1),
+         | v$i AS (SELECT replace(v.w, ' ' || b.l || '  ' || b.r || ' ',
+         |     ' ' || b.l || b.r || ' ') AS w, v.c FROM $prev v, b$i b),
+         | m$i AS (SELECT CAST($i AS INTEGER) AS round, b.l, b.r, b.l || b.r AS merged,
+         |   b.cnt AS pair_count,
+         |   (SELECT CAST(SUM(c * len(string_split(trim(w), '  '))) AS BIGINT) FROM v$i)
+         |     AS corpus_symbols
+         |  FROM b$i b)""".stripMargin
+    }
+    val rounds = (1 to NMerges).map(round).mkString(",")
+    val union = (1 to NMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH wc AS (SELECT u.tok AS word, COUNT(*) AS c FROM documents,
+       |  LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok) u
+       |  GROUP BY u.tok),
+       | v0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+       |     i -> ' ' || substr(word, CAST(i AS INTEGER), 1) || ' '), '') AS w, c FROM wc),
+       |$rounds
+       |SELECT * FROM ($union) ORDER BY round""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bpe_train" -> (q118BpeTrain _),
     "q116_bpe_merge_candidates" -> (q116BpeMergeCandidates _),
     "q117_source_overlap" -> (q117SourceOverlap _),
     "q114_ngram_dup_profile" -> (q114NgramDupProfile _),
@@ -1488,6 +1580,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q118_bpe_train" -> q118Sql,
     "q116_bpe_merge_candidates" -> q116Sql,
     "q117_source_overlap" -> q117Sql,
     "q114_ngram_dup_profile" -> q114Sql,

@@ -333,6 +333,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
   }
 
+  test("q118 merge table is dense and each round shrinks the corpus by at most its pair count") {
+    val rows = SparkEntry.queries("q118_bpe_train")(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).sameElements(1 to graft.operators.TextOps.NMerges))
+    // baseline: total corpus characters (every symbol starts as one char)
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("CAST(aggregate(transform(regexp_extract_all(lower(text), " +
+        "'[^ \\\\t\\\\n\\\\r\\\\f]+', 0), t -> length(t)), 0L, (a, x) -> a + x) AS BIGINT) AS n")
+      .agg(fsum("n")).head().getLong(0)
+    var prev = chars
+    rows.foreach { r =>
+      val (l, rr, merged, cnt, syms) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))
+      assert(merged == l + rr)
+      assert(cnt > 0L)
+      val shrink = prev - syms
+      // every applied merge removes one symbol; overlapping pair positions
+      // ("aaa" holds two (a,a) pairs but one merge) make shrink < count
+      assert(shrink > 0L && shrink <= cnt, s"round ${r.getInt(0)}: shrink $shrink vs count $cnt")
+      prev = syms
+    }
+  }
+
   test("q117 overlap pairs are ordered, unique, and bounded by the smaller side") {
     val rows = SparkEntry.queries("q117_source_overlap")(spark, dir).collect()
     assert(rows.nonEmpty)
