@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q108 token-budget corpus selection, q110 incremental dedup,
   *    q114 sliding n-gram duplication profile, q115 temperature-scaled
   *    mixture weights, q116 BPE merge candidates, q117 cross-source
-  *    span-overlap matrix, q118 iterated BPE training
+  *    span-overlap matrix, q118 iterated BPE training, q119 trained-
+  *    tokenizer application (fertility/compression per source)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

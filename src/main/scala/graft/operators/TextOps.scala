@@ -1478,12 +1478,24 @@ object TextOps {
   // ===========================================================
   val NMerges = 5
 
-  def q118BpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{replace => strReplace}
-    val vocab0 = docs(spark, dir)
+  /** Runs the trainer loop; returns (per-round merge records, final vocab
+    * (word, w, c) with `w` in the space-wrapped symbol representation).
+    * Shared by q118 (the merge table) and q119 (applying the tokenizer). */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) =
+    bpeTrainOn(docs(spark, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("c"))
-      .select(expr(
+      .groupBy("word").agg(count(lit(1)).as("c")))
+
+  /** Trainer over any (word, c) vocabulary frame — q119 feeds it the
+    * word-sums of its per-(source, word) table so the corpus tokenizes
+    * exactly ONCE across training and application. */
+  private def bpeTrainOn(wc: DataFrame)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+    import org.apache.spark.sql.functions.{replace => strReplace}
+    val spark = wc.sparkSession
+    val vocab0 = wc
+      .select(col("word"), expr(
         """concat_ws('', transform(sequence(1, length(word)),
           |  i -> concat(' ', substring(word, i, 1), ' ')))""".stripMargin).as("w"), col("c"))
       .localCheckpoint()
@@ -1509,14 +1521,19 @@ object TextOps {
         .head().getLong(0)
       merges += ((round, l, r, l + r, cnt, symCount))
     }
-    spark.createDataFrame(merges.toSeq)
-      .toDF("round", "l", "r", "merged", "pair_count", "corpus_symbols")
-      .orderBy("round")
+    (merges.toSeq, v)
   }
 
-  /** Unrolled per-round CTE chain: the oracle replays count→argmax→merge
-    * for every round in pure SQL (the same shape as the k-means oracle). */
-  val q118Sql: String = {
+  def q118BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(bpeTrain(spark, dir)._1)
+      .toDF("round", "l", "r", "merged", "pair_count", "corpus_symbols")
+      .orderBy("round")
+
+  /** Unrolled per-round CTE chain through `v$NMerges` (final vocab with
+    * `word` carried through): the oracle replays count→argmax→merge for
+    * every round in pure SQL (the same shape as the k-means oracle).
+    * Shared by q118Sql and q119Sql. */
+  private val bpeCtes: String = {
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s""" st$i AS (SELECT c, string_split(trim(w), '  ') AS s FROM $prev),
@@ -1526,7 +1543,7 @@ object TextOps {
          |  GROUP BY 1, 2),
          | b$i AS (SELECT l, r, cnt FROM (SELECT *,
          |   ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rn FROM g$i) WHERE rn = 1),
-         | v$i AS (SELECT replace(v.w, ' ' || b.l || '  ' || b.r || ' ',
+         | v$i AS (SELECT v.word, replace(v.w, ' ' || b.l || '  ' || b.r || ' ',
          |     ' ' || b.l || b.r || ' ') AS w, v.c FROM $prev v, b$i b),
          | m$i AS (SELECT CAST($i AS INTEGER) AS round, b.l, b.r, b.l || b.r AS merged,
          |   b.cnt AS pair_count,
@@ -1535,17 +1552,74 @@ object TextOps {
          |  FROM b$i b)""".stripMargin
     }
     val rounds = (1 to NMerges).map(round).mkString(",")
-    val union = (1 to NMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
     s"""WITH wc AS (SELECT u.tok AS word, COUNT(*) AS c FROM documents,
        |  LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok) u
        |  GROUP BY u.tok),
-       | v0 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+       | v0 AS (SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
        |     i -> ' ' || substr(word, CAST(i AS INTEGER), 1) || ' '), '') AS w, c FROM wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q118Sql: String = {
+    val union = (1 to NMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""$bpeCtes
        |SELECT * FROM ($union) ORDER BY round""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q119 — apply the trained tokenizer (the serving half of q118):
+  // tokenize the corpus with the learned merge table and report, per
+  // source, subword fertility (symbols per word — THE capacity-planning
+  // number for a tokenizer: it sets sequence lengths and training cost)
+  // and compression vs raw characters. The trained segmentation comes
+  // from the final vocabulary — every corpus token IS a vocab word, so
+  // application is a join from (source, word) counts to the per-word
+  // symbol count; the corpus text is never re-scanned per merge.
+  //
+  // Scale path: the merges apply to the DISTINCT vocabulary (q118's
+  // loop); the per-(source, word) table aggregates map-side off one
+  // corpus scan and equi-joins the vocab on word — at production scale
+  // the vocab side is broadcast-able (10⁷ rows) and AQE picks that.
+  // ===========================================================
+  def q119TokenizerApply(spark: SparkSession, dir: String): DataFrame = {
+    // tokenize ONCE: the per-(source, word) table both feeds the trainer
+    // (via its word-sums) and receives the trained segmentation
+    val ws = docs(spark, dir)
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val (_, vocab) = bpeTrainOn(ws.groupBy("word").agg(sum("k").as("c")))
+    val perWord = vocab.select(col("word"),
+      size(expr("split(trim(w), '  ')")).cast("long").as("nsym"))
+    ws.join(perWord, Seq("word"))
+      .groupBy("source")
+      .agg(
+        sum("k").cast("long").as("total_words"),
+        sum(col("k") * length(col("word"))).cast("long").as("total_chars"),
+        sum(col("k") * col("nsym")).cast("long").as("total_symbols"))
+      .withColumn("fertility_permille", expr("total_symbols * 1000 DIV total_words"))
+      .withColumn("compression_permille", expr("total_symbols * 1000 DIV total_chars"))
+      .orderBy("source")
+  }
+
+  val q119Sql: String =
+    s"""$bpeCtes,
+       | nv AS (SELECT word, CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS nsym
+       |  FROM v$NMerges),
+       | ws AS (SELECT source, u.tok AS word, COUNT(*) AS k FROM documents,
+       |  LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok) u
+       |  GROUP BY source, u.tok)
+       |SELECT ws.source, CAST(SUM(k) AS BIGINT) AS total_words,
+       | CAST(SUM(k * length(ws.word)) AS BIGINT) AS total_chars,
+       | CAST(SUM(k * nv.nsym) AS BIGINT) AS total_symbols,
+       | CAST(SUM(k * nv.nsym) * 1000 // SUM(k) AS BIGINT) AS fertility_permille,
+       | CAST(SUM(k * nv.nsym) * 1000 // SUM(k * length(ws.word)) AS BIGINT) AS compression_permille
+       |FROM ws JOIN nv ON ws.word = nv.word
+       |GROUP BY ws.source ORDER BY ws.source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_tokenizer_apply" -> (q119TokenizerApply _),
     "q118_bpe_train" -> (q118BpeTrain _),
     "q116_bpe_merge_candidates" -> (q116BpeMergeCandidates _),
     "q117_source_overlap" -> (q117SourceOverlap _),
@@ -1580,6 +1654,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q119_tokenizer_apply" -> q119Sql,
     "q118_bpe_train" -> q118Sql,
     "q116_bpe_merge_candidates" -> q116Sql,
     "q117_source_overlap" -> q117Sql,

@@ -356,6 +356,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 fertility is bounded and totals reconcile with q118's final symbol count") {
+    val rows = SparkEntry.queries("q119_tokenizer_apply")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, chars, syms, fert, comp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(syms >= words, "every word is at least one symbol")
+      assert(syms <= chars, "merging can only shrink the char segmentation")
+      assert(fert == syms * 1000 / words && fert >= 1000L)
+      assert(comp == syms * 1000 / chars && comp <= 1000L)
+    }
+    // the served segmentation IS the trained one: summing per-source
+    // symbols reproduces the trainer's final corpus_symbols exactly
+    val trained = SparkEntry.queries("q118_bpe_train")(spark, dir).collect()
+      .maxBy(_.getInt(0)).getLong(5)
+    assert(rows.map(_.getLong(3)).sum == trained,
+      "q119 symbol total must equal q118's final corpus_symbols")
+  }
+
   test("q117 overlap pairs are ordered, unique, and bounded by the smaller side") {
     val rows = SparkEntry.queries("q117_source_overlap")(spark, dir).collect()
     assert(rows.nonEmpty)
