@@ -27,16 +27,16 @@ final class MonitorHub(
   private val store = new TtlRegistry[(String, String, Long), String](ttlMs, clock)
 
   /** foreachBatch sink for a monitor output frame. Requires columns
-    * `window_start: timestamp` and `topic: string`; every column
-    * (including those two) is serialized generically into the stored
-    * JSON object. */
-  def sink(kind: String)(batch: DataFrame, batchId: Long): Unit =
+    * `window_start: timestamp` and `keyCol: string` (default `topic` —
+    * TokenizerStream keys by `source`); every column (including those
+    * two) is serialized generically into the stored JSON object. */
+  def sink(kind: String, keyCol: String = "topic")(batch: DataFrame, batchId: Long): Unit =
     batch.collect().foreach { row =>
       val fields = row.schema.fields.indices.map { i =>
         s""""${StatusServer.escJson(row.schema.fields(i).name)}":${jsonValue(row.get(i))}"""
       }
       store.put(
-        (kind, row.getAs[String]("topic"), row.getAs[Timestamp]("window_start").getTime),
+        (kind, row.getAs[String](keyCol), row.getAs[Timestamp]("window_start").getTime),
         fields.mkString("{", ",", "}"))
     }
 

@@ -73,6 +73,31 @@ class MonitorHubSpec extends AnyFunSuite {
     } finally { q.stop(); srv.stop() }
   }
 
+  test("tokenizer fertility windows ride the surface keyed by source") {
+    val hub = new MonitorHub()
+    val ms = MemoryStream[TokRec](implicitly[Encoder[TokRec]], spark.sqlContext)
+    val q = graft.streaming.TokenizerStream.windowedFertility(
+        ms.toDF(), "ts", "1 minute", "2 minutes",
+        Seq(("t", "h")), Map("src_a" -> 1500L), 300L)
+      .writeStream.outputMode("complete")
+      .foreachBatch(hub.sink("tokenizer", keyCol = "source") _)
+      .start()
+    val srv = new StatusServer(new JobManager(null), monitors = Some(hub))
+    val port = srv.start()
+    try {
+      ms.addData(Seq(
+        TokRec("src_a", "the thin", new Timestamp(t0)),
+        TokRec("src_b", "zork quux", new Timestamp(t0 + 1000))))
+      q.processAllAvailable()
+      val tok = httpGet(port, "/status/monitors?kind=tokenizer")
+      assert(tok.contains("\"source\":\"src_a\"") && tok.contains("\"source\":\"src_b\""))
+      assert(tok.contains("\"fertility_permille\":"))
+      // src_b has no baseline: null fields serve as JSON null, flag false
+      assert(tok.contains("\"baseline_permille\":null"))
+      assert(hub.kinds == Seq("tokenizer"))
+    } finally { q.stop(); srv.stop() }
+  }
+
   test("monitor windows age out of the hub at the TTL") {
     var now = 1000000L
     val hub = new MonitorHub(ttlMs = 5000L, clock = () => now)
