@@ -42,7 +42,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q107 coverage-aware diversity sampling, q109 quality-aware
   *    canonical selection over verified near-dup pairs,
   *    q112 cross-modal alignment filter (CLIP-score-gate shape),
-  *    q113 incremental IVF index maintenance
+  *    q113 incremental IVF index maintenance, q120 cross-modal
+  *    retrieval evaluation (true-pair rank / hit@k / MRR)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

@@ -1233,8 +1233,10 @@ object SimilarityOps {
   val AlignDims = 8
   val AlignThr = 6
 
-  def q112CrossmodalAlign(spark: SparkSession, dir: String): DataFrame = {
-    val textDims = docs(spark, dir)
+  /** Feature-hashed 8-dim caption vector, one row per (doc_id, dim) with
+    * a signed integer sum — the q112/q120 text-tower stand-in. */
+  private def textDims(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")),
           lit(graft.operators.TextOps.wsTokenRe), lit(0))).as("tok"))
@@ -1242,12 +1244,20 @@ object SimilarityOps {
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
       .groupBy(col("doc_id"), (col("h") % AlignDims).as("dim"))
       .agg(sum(expr("IF((h DIV 8) % 2 = 0, 1L, -1L)")).as("tval"))
-    val mediaDims = emb(spark, dir)
+
+  /** Sum-pooled 8-dim media vector (fixed-point integer), one row per
+    * (vec_id, dim) — the q112/q120 media-tower stand-in. */
+  private def mediaDims(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("vec_id"), (col("pos").cast("long") / lit(AlignDims)).cast("long").as("dim"))
       .agg(sum(expr(s"CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT)")).as("pval"))
-    val agree = mediaDims
-      .join(textDims, col("vec_id") === col("doc_id") && mediaDims("dim") === textDims("dim"), "left_outer")
+
+  def q112CrossmodalAlign(spark: SparkSession, dir: String): DataFrame = {
+    val td = textDims(spark, dir)
+    val md = mediaDims(spark, dir)
+    val agree = md
+      .join(td, col("vec_id") === col("doc_id") && md("dim") === td("dim"), "left_outer")
       .withColumn("tval", coalesce(col("tval"), lit(0L)))
       .groupBy("vec_id")
       .agg(sum(when((col("tval") > 0) === (col("pval") > 0), 1L).otherwise(0L)).as("agree"))
@@ -1262,8 +1272,9 @@ object SimilarityOps {
       .orderBy("lang", "source")
   }
 
-  val q112Sql: String =
-    s"""WITH tk AS (SELECT doc_id,
+  /** Shared text-tower/media-tower CTEs (`td`, `ed`) for q112 and q120. */
+  private val alignCtes: String =
+    s"""tk AS (SELECT doc_id,
        |   CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) AS h
        |  FROM documents, LATERAL (SELECT unnest(regexp_extract_all(lower(text),
        |    '[^ \\t\\n\\r\\f]+')) AS tok) u),
@@ -1273,7 +1284,10 @@ object SimilarityOps {
        | ed AS (SELECT vec_id, (u.pos - 1) // $AlignDims AS dim,
        |   SUM(CAST(floor(CAST(embedding[CAST(u.pos AS INTEGER)] AS DOUBLE) * $Q) AS BIGINT)) AS pval
        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos) u
-       |  GROUP BY vec_id, (u.pos - 1) // $AlignDims),
+       |  GROUP BY vec_id, (u.pos - 1) // $AlignDims)""".stripMargin
+
+  val q112Sql: String =
+    s"""WITH $alignCtes,
        | a AS (SELECT ed.vec_id, ed.pval, COALESCE(td.tval, 0) AS tval
        |  FROM ed LEFT JOIN td ON td.doc_id = ed.vec_id AND td.dim = ed.dim),
        | ag AS (SELECT vec_id,
@@ -1356,7 +1370,56 @@ object SimilarityOps {
        |   (tt.tot_base + tt.tot_new) * 2 THEN 1 ELSE 0 END AS BIGINT) AS needs_split
        |FROM cc, tt ORDER BY cc.cid""".stripMargin).replace("\n", " ")
 
+  // ===========================================================
+  // q120 — cross-modal retrieval evaluation (the CLIP-eval shape: does
+  // each caption retrieve its OWN media?): every query caption's hashed
+  // 8-dim text vector scores all pooled media vectors by integer dot
+  // product; the output is the rank of the true pair per query plus
+  // hit@5 and reciprocal rank — the figures a caption↔media encoder is
+  // graded on before its embeddings feed curation (q112's gate).
+  //
+  // Scale path: the brute-force eval is the correctness baseline and
+  // stays scale-sane because only the QUERY SET is small — the 8-dim
+  // query frame broadcasts (|Q|×8 rows), the media side shards, and
+  // the per-(query, media) score reduces map-side on (qid, vec_id).
+  // Integer arithmetic end-to-end ⇒ exact oracle parity; ties break on
+  // vec_id ascending, the q58/q72 convention.
+  // ===========================================================
+  val RetrievalQ = 10
+  val RetrievalK = 5
+
+  def q120CrossmodalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val qd = textDims(spark, dir).filter(col("doc_id") < RetrievalQ)
+      .select(col("doc_id").as("qid"), col("dim"), col("tval"))
+    val scores = mediaDims(spark, dir).join(broadcast(qd), Seq("dim"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("tval") * col("pval")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    scores
+      .withColumn("true_rank", row_number().over(w))
+      .filter(col("vec_id") === col("qid"))
+      .select(col("qid"),
+        col("true_rank").cast("long").as("true_rank"),
+        (col("true_rank") <= RetrievalK).cast("long").as(s"hit_at_$RetrievalK"),
+        expr("1000 DIV true_rank").cast("long").as("mrr_millis"))
+      .orderBy("qid")
+  }
+
+  val q120Sql: String =
+    s"""WITH $alignCtes,
+       | q AS (SELECT doc_id AS qid, dim, tval FROM td WHERE doc_id < $RetrievalQ),
+       | sc AS (SELECT q.qid, ed.vec_id, SUM(q.tval * ed.pval) AS score
+       |  FROM ed JOIN q ON ed.dim = q.dim GROUP BY q.qid, ed.vec_id),
+       | r AS (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS true_rank
+       |  FROM sc)
+       |SELECT qid, CAST(true_rank AS BIGINT) AS true_rank,
+       | CAST(CASE WHEN true_rank <= $RetrievalK THEN 1 ELSE 0 END AS BIGINT) AS hit_at_$RetrievalK,
+       | CAST(1000 // true_rank AS BIGINT) AS mrr_millis
+       |FROM r WHERE vec_id = qid ORDER BY qid""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_crossmodal_retrieval" -> (q120CrossmodalRetrieval _),
     "q112_crossmodal_align" -> (q112CrossmodalAlign _),
     "q113_ivf_maintenance" -> (q113IvfMaintenance _),
     "q97_ann_mrr" -> (q97AnnMrr _),
@@ -1450,6 +1513,7 @@ object SimilarityOps {
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q120_crossmodal_retrieval" -> q120Sql,
     "q112_crossmodal_align" -> q112Sql,
     "q113_ivf_maintenance" -> q113Sql,
     "q97_ann_mrr" -> q97Sql,

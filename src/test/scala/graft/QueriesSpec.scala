@@ -279,6 +279,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 reports one bounded rank row per query with consistent hit/mrr") {
+    val rows = SparkEntry.queries("q120_crossmodal_retrieval")(spark, dir).collect()
+    val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(
+      0L until graft.operators.SimilarityOps.RetrievalQ))
+    rows.foreach { r =>
+      val (rank, hit, mrr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rank >= 1L && rank <= nEmb)
+      assert(hit == (if (rank <= graft.operators.SimilarityOps.RetrievalK) 1L else 0L))
+      assert(mrr == 1000L / rank)
+    }
+  }
+
   test("q114 duplication profile is bounded and covers every n-gram position") {
     val rows = SparkEntry.queries("q114_ngram_dup_profile")(spark, dir).collect()
     assert(rows.nonEmpty)
