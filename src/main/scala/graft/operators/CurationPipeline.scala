@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Composable corpus-curation pipeline: the library-level API that chains
+ * the gate operators (dedup, length, repetition, language agreement) a
+ * training-data run applies before sampling/packing, producing the kept
+ * corpus AND a first-failing-stage funnel report — the attribution a
+ * curation team reads ("how much did each rule cost us") before tuning
+ * thresholds.
+ *
+ * Scale design: stages are PREDICATES, not transforms — each contributes
+ * one boolean column, and the whole pipeline evaluates in a single scan
+ * (plus whatever shuffles individual gates need, e.g. the dedup window's
+ * digest partition). Attribution is a CASE over the stage booleans in
+ * FIRST-FAILING order, so a document dropped by three rules charges only
+ * the first — funnel numbers sum exactly to the corpus. Nothing
+ * re-executes per stage: the classic "filter then count, stage by stage"
+ * loop re-runs the lineage k times at 100 TB; this runs it once.
+ */
+object CurationPipeline {
+
+  /** One gate: `keep` builds a boolean Column over the annotated frame
+    * (it may use windows — dedup does). */
+  final case class GateStage(name: String, keep: DataFrame => Column)
+
+  /** Kept corpus + funnel. `annotated` carries one `keep_<stage>` column
+    * per gate and `drop_stage` (null = survived); `funnel` has one row
+    * per stage (stage, n_in, n_dropped, n_out) in pipeline order plus a
+    * trailing ("kept", survivors, 0, survivors) row. */
+  final case class Result(annotated: DataFrame, kept: DataFrame, funnel: DataFrame)
+
+  /** The standard gate set, built from the same normalization/tokenizer
+    * as the oracle-checked operators (TextOps.norm / wsTokenRe):
+    * exact-dup keep-first (q30's rule), minimum length, repetition
+    * (distinct-token ratio, q56's family), language agreement (q38's
+    * stopword heuristic vs the declared lang). */
+  def standardStages(minTokens: Int = 5, minDistinctPermille: Long = 250L): Seq[GateStage] = Seq(
+    GateStage("exact_dup", df =>
+      row_number().over(
+        Window.partitionBy(md5(TextOps.norm.cast("binary"))).orderBy("doc_id")) === 1),
+    GateStage("too_short", _ =>
+      size(regexp_extract_all(col("text"), lit(TextOps.wsTokenRe), lit(0))) >= minTokens),
+    GateStage("repetitive", _ => {
+      val toks = regexp_extract_all(lower(col("text")), lit(TextOps.wsTokenRe), lit(0))
+      size(array_distinct(toks)).cast("long") * 1000 >=
+        size(toks).cast("long") * minDistinctPermille
+    }),
+    GateStage("lang_mismatch", _ => {
+      val padded = concat(lit(" "), TextOps.norm, lit(" "))
+      val guess = when(padded.contains(" the ") || padded.contains(" and "), "en")
+        .when(padded.contains(" der ") || padded.contains(" und "), "de")
+        .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+        .otherwise("und")
+      guess === "und" || guess === col("lang")
+    }))
+
+  /** Evaluate all gates in one pass and attribute drops first-failing. */
+  def run(docs: DataFrame, stages: Seq[GateStage] = standardStages()): Result = {
+    require(stages.nonEmpty, "need at least one gate stage")
+    require(stages.map(_.name).distinct.size == stages.size, "stage names must be unique")
+    val annotated0 = stages.foldLeft(docs) { (df, s) =>
+      df.withColumn(s"keep_${s.name}", s.keep(df))
+    }
+    // first-failing attribution, in declared order
+    val attribution = stages.reverse.foldLeft(lit(null).cast("string")) { (tail, s) =>
+      when(!col(s"keep_${s.name}"), lit(s.name)).otherwise(tail)
+    }
+    val annotated = annotated0.withColumn("drop_stage", attribution)
+    val kept = annotated.filter(col("drop_stage").isNull)
+      .drop(stages.map(s => s"keep_${s.name}") :+ "drop_stage": _*)
+    // the funnel reduces to ≤ stages+1 driver rows (the centroid pattern)
+    val counts = annotated.groupBy("drop_stage").agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val total = counts.valuesIterator.sum
+    var in = total
+    val rows = stages.map { s =>
+      val dropped = counts.getOrElse(Some(s.name), 0L)
+      val out = in - dropped
+      val row = (s.name, in, dropped, out)
+      in = out
+      row
+    } :+ (("kept", in, 0L, in))
+    val funnel = docs.sparkSession.createDataFrame(rows)
+      .toDF("stage", "n_in", "n_dropped", "n_out")
+    Result(annotated, kept, funnel)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.CurationPipeline
+import graft.operators.CurationPipeline.GateStage
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The one-scan curation funnel: drops attribute to the FIRST failing
+  * gate, funnel rows telescope exactly, the kept frame matches the
+  * conjunction of all gates, and the dedup stage agrees with q30. */
+class CurationPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("synthetic corpus: first-failing attribution and telescoping funnel") {
+    // doc 1: clean; doc 2: exact dup of 1 AND too short — must charge the
+    // dup gate (first in order); doc 3: too short; doc 4: repetitive;
+    // doc 5: declared de but obviously en
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (3L, "tiny doc", "en"),
+      (4L, "spam spam spam spam spam spam spam spam spam spam", "en"),
+      (5L, "the cat and the dog and the bird and the fish", "de"))
+      .toDF("doc_id", "text", "lang")
+    val res = CurationPipeline.run(docs)
+
+    val attribution = res.annotated.select("doc_id", "drop_stage").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(attribution(1L).isEmpty)
+    assert(attribution(2L).contains("exact_dup")) // not "too_short": first-failing
+    assert(attribution(3L).contains("too_short"))
+    assert(attribution(4L).contains("repetitive"))
+    assert(attribution(5L).contains("lang_mismatch"))
+
+    assert(res.kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(res.kept.columns.toSeq == Seq("doc_id", "text", "lang")) // gates dropped
+
+    val funnel = res.funnel.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._1).toSeq ==
+      Seq("exact_dup", "too_short", "repetitive", "lang_mismatch", "kept"))
+    // telescoping: each stage's n_out is the next stage's n_in; drops sum to total
+    funnel.sliding(2).foreach { case Array(a, b) => assert(a._4 == b._2) }
+    assert(funnel.head._2 == 5L && funnel.last._4 == 1L)
+    assert(funnel.map(_._3).sum == 4L)
+  }
+
+  test("testdata corpus: dedup drops equal q30's removable_dups; kept passes every gate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val res = CurationPipeline.run(docs)
+    val funnel = res.funnel.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // stage 1 sees the whole corpus and its drops are exactly q30's count
+    val q30 = SparkEntry.queries("q30_dedup_exact")(spark, dir).collect()(0)
+    assert(funnel("exact_dup")._1 == q30.getLong(1)) // total_docs
+    assert(funnel("exact_dup")._2 == q30.getLong(2)) // removable_dups
+
+    // every kept doc passes every gate when re-checked independently
+    val keptAnnotated = res.annotated.filter(col("drop_stage").isNull)
+    val gateCols = res.annotated.columns.filter(_.startsWith("keep_"))
+    val allPass = keptAnnotated
+      .filter(gateCols.map(c => !col(c)).reduce(_ || _)).count()
+    assert(allPass == 0L)
+    assert(res.kept.count() == funnel("kept")._3)
+  }
+
+  test("custom stages compose and order decides attribution") {
+    val docs = Seq((1L, "aa bb cc dd ee ff", "en")).toDF("doc_id", "text", "lang")
+    val failBoth = Seq(
+      GateStage("first", _ => lit(false)),
+      GateStage("second", _ => lit(false)))
+    val res = CurationPipeline.run(docs, failBoth)
+    assert(res.annotated.select("drop_stage").as[String].collect().toSeq == Seq("first"))
+    val reversed = CurationPipeline.run(docs, failBoth.reverse)
+    assert(reversed.annotated.select("drop_stage").as[String].collect().toSeq == Seq("second"))
+  }
+}
