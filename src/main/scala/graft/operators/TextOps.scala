@@ -1489,8 +1489,10 @@ object TextOps {
 
   /** Trainer over any (word, c) vocabulary frame — q119 feeds it the
     * word-sums of its per-(source, word) table so the corpus tokenizes
-    * exactly ONCE across training and application. */
-  private def bpeTrainOn(wc: DataFrame)
+    * exactly ONCE across training and application. Package-visible so the
+    * property spec can replay randomized vocabularies against a pure-Scala
+    * reference trainer. */
+  private[graft] def bpeTrainOn(wc: DataFrame)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     import org.apache.spark.sql.functions.{replace => strReplace}
     val spark = wc.sparkSession
