@@ -1264,10 +1264,11 @@ object TextOps {
   // Scale path: a position never ships its text — each 5-gram reduces
   // to a 128-bit digest at the scan, then the dataflow aggregates
   // (digest, source) counts FIRST (map-side combined, so the shuffle
-  // carries one row per distinct (digest, source), not per position),
-  // takes corpus frequency as a second digest-keyed agg, and joins the
-  // two on digest — same key as the groupBy, so the exchange is reused
-  // and nothing re-shuffles. No self-join, no window over the corpus.
+  // carries one row per distinct (digest, source), not per position)
+  // and MATERIALIZES that aggregate once; the corpus frequency derives
+  // from it as a second digest-keyed agg and joins back on the digest.
+  // No self-join, no window over the corpus, and the expensive corpus
+  // explode runs exactly once.
   // ===========================================================
   val NgramW = 5
 
@@ -1279,7 +1280,12 @@ object TextOps {
       .select(col("source"), explode(expr(
         s"transform(sequence(1, ntok - ${NgramW - 1}), " +
           s"i -> md5(CAST(concat_ws(' ', slice(toks, i, $NgramW)) AS BINARY)))")).as("g"))
+    // materialize the (digest, source) aggregate ONCE: both the corpus
+    // frequency and the instance side derive from it, and without the cut
+    // the plan re-scans and re-explodes the corpus for each (verified in
+    // the r8 plan dump — two full Generate branches)
     val bySrc = grams.groupBy("g", "source").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val freq = bySrc.groupBy("g").agg(sum("k").as("f"))
     bySrc.join(freq, Seq("g"))
       .groupBy("source")
@@ -1424,6 +1430,9 @@ object TextOps {
         s"""transform(sequence(0, (ntok + ${SpanW - 1}) div $SpanW - 1),
            |  b -> md5(CAST(concat_ws(' ', slice(toks, b * $SpanW + 1, $SpanW)) AS BINARY)))""".stripMargin)).as("h"))
       .distinct()
+      // three consumers (totals + both join sides) — cut once or the
+      // corpus re-scans and re-explodes for each
+      .localCheckpoint()
     val totals = spans.groupBy("source").agg(count(lit(1)).as("n_spans"))
     val a = spans.select(col("h"), col("source").as("src_a"))
     val b = spans.select(col("h"), col("source").as("src_b"))
