@@ -33,7 +33,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q114 sliding n-gram duplication profile, q115 temperature-scaled
   *    mixture weights, q116 BPE merge candidates, q117 cross-source
   *    span-overlap matrix, q118 iterated BPE training, q119 trained-
-  *    tokenizer application (fertility/compression per source)
+  *    tokenizer application (fertility/compression per source),
+  *    q121 corpus snapshot diff (membership churn + content resurrection)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

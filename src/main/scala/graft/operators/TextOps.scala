@@ -1629,7 +1629,69 @@ object TextOps {
        |FROM ws JOIN nv ON ws.word = nv.word
        |GROUP BY ws.source ORDER BY ws.source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q121 — corpus snapshot diff (dataset versioning): yesterday's
+  // snapshot (v1 = doc_id % 7 ≠ 3) vs today's (v2 = doc_id % 7 ≠ 5),
+  // per source: membership churn by primary key (added/removed via
+  // anti-joins) plus content resurrection — added documents whose
+  // normalized digest already existed in v1 (re-crawled identical text
+  // under a new id, the case key-based diffs misreport as new data).
+  // The % splits only BUILD the two inputs; the operator is the diff
+  // dataflow a versioned corpus runs between releases.
+  //
+  // Scale path: the base (id, digest, source) projection materializes
+  // once and every diff leg derives from it; the anti/semi joins are
+  // key-partitioned equi-joins, and the per-source rollups reduce to
+  // |sources| rows before the final full-outer assembly.
+  // ===========================================================
+  def q121SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("source"), md5(norm.cast("binary")).as("h"))
+      .localCheckpoint()
+    val v1 = base.filter(col("doc_id") % 7 =!= 3)
+    val v2 = base.filter(col("doc_id") % 7 =!= 5)
+    val added = v2.join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
+    val removed = v1.join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
+    val resurrected = added.join(v1.select("h").distinct(), Seq("h"), "left_semi")
+    def per(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    per(v1, "n_v1")
+      .join(per(v2, "n_v2"), Seq("source"), "full_outer")
+      .join(per(added, "added"), Seq("source"), "full_outer")
+      .join(per(removed, "removed"), Seq("source"), "full_outer")
+      .join(per(resurrected, "resurrected"), Seq("source"), "full_outer")
+      .na.fill(0L, Seq("n_v1", "n_v2", "added", "removed", "resurrected"))
+      .withColumn("churn_permille",
+        expr("(added + removed) * 1000 DIV greatest(n_v1, 1L)"))
+      .orderBy("source")
+  }
+
+  val q121Sql: String =
+    s"""WITH base AS (SELECT doc_id, source, md5($normSql) AS h FROM documents),
+       | v1 AS (SELECT * FROM base WHERE doc_id % 7 <> 3),
+       | v2 AS (SELECT * FROM base WHERE doc_id % 7 <> 5),
+       | added AS (SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM v1)),
+       | removed AS (SELECT * FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM v2)),
+       | res AS (SELECT * FROM added WHERE h IN (SELECT h FROM v1)),
+       | p1 AS (SELECT source, COUNT(*) AS n_v1 FROM v1 GROUP BY source),
+       | p2 AS (SELECT source, COUNT(*) AS n_v2 FROM v2 GROUP BY source),
+       | pa AS (SELECT source, COUNT(*) AS added FROM added GROUP BY source),
+       | pr AS (SELECT source, COUNT(*) AS removed FROM removed GROUP BY source),
+       | ps AS (SELECT source, COUNT(*) AS resurrected FROM res GROUP BY source),
+       | j AS (SELECT source,
+       |   COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2,
+       |   COALESCE(added, 0) AS added, COALESCE(removed, 0) AS removed,
+       |   COALESCE(resurrected, 0) AS resurrected
+       |  FROM p1 FULL JOIN p2 USING (source) FULL JOIN pa USING (source)
+       |   FULL JOIN pr USING (source) FULL JOIN ps USING (source))
+       |SELECT source, CAST(n_v1 AS BIGINT) AS n_v1, CAST(n_v2 AS BIGINT) AS n_v2,
+       | CAST(added AS BIGINT) AS added, CAST(removed AS BIGINT) AS removed,
+       | CAST(resurrected AS BIGINT) AS resurrected,
+       | CAST((added + removed) * 1000 // greatest(n_v1, 1) AS BIGINT) AS churn_permille
+       |FROM j ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q119_tokenizer_apply" -> (q119TokenizerApply _),
     "q118_bpe_train" -> (q118BpeTrain _),
     "q116_bpe_merge_candidates" -> (q116BpeMergeCandidates _),
@@ -1665,6 +1727,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q121_snapshot_diff" -> q121Sql,
     "q119_tokenizer_apply" -> q119Sql,
     "q118_bpe_train" -> q118Sql,
     "q116_bpe_merge_candidates" -> q116Sql,

@@ -388,6 +388,21 @@ class QueriesSpec extends AnyFunSuite {
       "q119 symbol total must equal q118's final corpus_symbols")
   }
 
+  test("q121 snapshot diff balances: v2 = v1 - removed + added, both unions cover the corpus") {
+    val rows = SparkEntry.queries("q121_snapshot_diff")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v1, v2, added, removed, res, churn) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(v2 == v1 - removed + added, "membership must balance")
+      assert(res >= 0L && res <= added)
+      assert(churn == (added + removed) * 1000 / math.max(v1, 1L))
+    }
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum == total) // v1 ∪ added
+    assert(rows.map(r => r.getLong(2) + r.getLong(4)).sum == total) // v2 ∪ removed
+  }
+
   test("q117 overlap pairs are ordered, unique, and bounded by the smaller side") {
     val rows = SparkEntry.queries("q117_source_overlap")(spark, dir).collect()
     assert(rows.nonEmpty)
