@@ -62,8 +62,11 @@ object CurationPipeline {
   def run(docs: DataFrame, stages: Seq[GateStage] = standardStages()): Result = {
     require(stages.nonEmpty, "need at least one gate stage")
     require(stages.map(_.name).distinct.size == stages.size, "stage names must be unique")
+    // a gate that cannot evaluate (null text/lang reaching a null-valued
+    // predicate) FAILS the document — without the coalesce, null keeps
+    // fall through every when() and junk lands in the kept corpus
     val annotated0 = stages.foldLeft(docs) { (df, s) =>
-      df.withColumn(s"keep_${s.name}", s.keep(df))
+      df.withColumn(s"keep_${s.name}", coalesce(s.keep(df), lit(false)))
     }
     // first-failing attribution, in declared order
     val attribution = stages.reverse.foldLeft(lit(null).cast("string")) { (tail, s) =>

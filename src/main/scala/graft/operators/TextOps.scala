@@ -27,8 +27,18 @@ object TextOps {
     trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
   private[operators] val normSql =
     "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
-  /** one whitespace-delimited token (explicit class, see header) */
-  private[operators] val wsTokenRe = "[^ \\t\\n\\r\\f]+"
+  /** one whitespace-delimited token (explicit class, see header);
+    * graft-visible so the streaming twins tokenize identically */
+  private[graft] val wsTokenRe = "[^ \\t\\n\\r\\f]+"
+
+  /** q118's symbol representation: every character wrapped in its own
+    * spaces (" a  b  c "). ONE definition serves the batch trainer and
+    * the streaming fertility monitor — a regex-based re-implementation
+    * drifted once (Java's '(.)' skips line-terminator chars the
+    * whitespace tokenizer keeps). */
+  private[graft] def wrapSymbols(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("", transform(sequence(lit(1), length(c)),
+      i => concat(lit(" "), c.substr(i, lit(1)), lit(" "))))
 
   // ===========================================================
   // q30 — exact dedup via content hash (hash-groupBy; scale path:
@@ -1506,14 +1516,14 @@ object TextOps {
     import org.apache.spark.sql.functions.{replace => strReplace}
     val spark = wc.sparkSession
     val vocab0 = wc
-      .select(col("word"), expr(
-        """concat_ws('', transform(sequence(1, length(word)),
-          |  i -> concat(' ', substring(word, i, 1), ' ')))""".stripMargin).as("w"), col("c"))
+      .select(col("word"), wrapSymbols(col("word")).as("w"), col("c"))
       .localCheckpoint()
     var v = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
-    for (round <- 1 to NMerges) {
-      val best = v
+    var round = 1
+    var exhausted = false
+    while (round <= NMerges && !exhausted) {
+      val bestRows = v
         .select(col("c"), expr("split(trim(w), '  ')").as("s"))
         .filter(size(col("s")) >= 2)
         .select(col("c"), explode(expr(
@@ -1522,7 +1532,15 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("c").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()(0)
+        .collect()
+      if (bestRows.isEmpty) {
+        // every word is a single symbol — nothing left to merge. Stop
+        // with the merges learned so far instead of crashing (degenerate
+        // corpora only; the SQL oracle cannot express an early stop, so
+        // qNN parity holds on any corpus with >= NMerges mergeable pairs)
+        exhausted = true
+      } else {
+      val best = bestRows(0)
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       v = v.withColumn("w",
           strReplace(col("w"), lit(s" $l  $r "), lit(s" $l$r ")))
@@ -1531,6 +1549,8 @@ object TextOps {
         .select(sum(col("c") * size(expr("split(trim(w), '  ')"))).as("n"))
         .head().getLong(0)
       merges += ((round, l, r, l + r, cnt, symCount))
+      round += 1
+      }
     }
     (merges.toSeq, v)
   }

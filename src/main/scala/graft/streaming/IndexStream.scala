@@ -39,12 +39,12 @@ object IndexStream {
                        watermarkDelay: String, centroids: Seq[(Int, Seq[Long])],
                        baseCounts: Map[Int, Long], splitFactor: Long): DataFrame = {
     require(centroids.nonEmpty, "need a trained centroid table")
+    require(baseCounts.nonEmpty,
+      "need the trained base distribution (an empty baseline would flag every cell)")
     require(splitFactor >= 1L, "splitFactor must be >= 1")
     val totBase = baseCounts.valuesIterator.sum
-    val meanBase = totBase / math.max(baseCounts.size, 1)
-    val baseLit =
-      if (baseCounts.isEmpty) typedlit(Map(-1 -> 0L))
-      else typedlit(baseCounts)
+    val nCells = baseCounts.size.toLong
+    val baseLit = typedlit(baseCounts)
     val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay) else df
     base
       .withColumn("qv",
@@ -55,8 +55,10 @@ object IndexStream {
       .agg(count(lit(1)).as("n_new"))
       .withColumn("n_base", coalesce(element_at(baseLit, col("cid")), lit(0L)))
       .withColumn("growth_permille", expr("n_new * 1000 DIV greatest(n_base, 1L)"))
+      // exact integer form of (n_base + n_new) > splitFactor × mean:
+      // multiply through by the cell count instead of truncating the mean
       .withColumn("needs_split",
-        col("n_base") + col("n_new") > lit(splitFactor * meanBase))
+        (col("n_base") + col("n_new")) * lit(nCells) > lit(splitFactor * totBase))
       .select(col("window.start").as("window_start"),
         col("cid").cast("string").as("cell"),
         col("n_new"), col("n_base"), col("growth_permille"), col("needs_split"))

@@ -33,13 +33,13 @@ import org.apache.spark.sql.functions._
  */
 object TokenizerStream {
 
-  private val wsTokenRe = "[^ \\t\\n\\r\\f]+"
+  private val wsTokenRe = graft.operators.TextOps.wsTokenRe
 
-  /** Per-token symbol count under `merges` (applied in training order). */
+  /** Per-token symbol count under `merges` (applied in training order).
+    * The wrap is the SHARED TextOps.wrapSymbols — identical semantics to
+    * the batch trainer by construction, not by parallel implementation. */
   private def symbolsOf(tok: Column, merges: Seq[(String, String)]): Column = {
-    // " a  b  c " — every char wrapped in its own spaces, so merge
-    // identity can never leak across symbol boundaries (TextOps.q118)
-    val wrapped = regexp_replace(tok, "(.)", " $1 ")
+    val wrapped = graft.operators.TextOps.wrapSymbols(tok)
     val merged = merges.foldLeft(wrapped) { case (c, (l, r)) =>
       replace(c, lit(s" $l  $r "), lit(s" $l$r "))
     }

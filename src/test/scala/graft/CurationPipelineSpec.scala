@@ -76,6 +76,20 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(res.kept.count() == funnel("kept")._3)
   }
 
+  test("null text or lang cannot slip through a gate") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, null.asInstanceOf[String], "en"), // null text
+      (3L, "the quick brown fox jumps over the hazy dog", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val res = CurationPipeline.run(docs)
+    val kept = res.kept.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"null-field docs must not survive, kept=$kept")
+    // and the funnel still telescopes over them
+    val funnel = res.funnel.collect()
+    assert(funnel.head.getLong(1) == 3L && funnel.last.getLong(3) == 1L)
+  }
+
   test("custom stages compose and order decides attribution") {
     val docs = Seq((1L, "aa bb cc dd ee ff", "en")).toDF("doc_id", "text", "lang")
     val failBoth = Seq(
