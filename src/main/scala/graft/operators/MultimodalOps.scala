@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -352,7 +353,99 @@ object MultimodalOps {
        |FROM c GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q123 — per-scene KEYFRAME selection: the step after q111's shot-boundary
+  // detection in a video curation pipeline. Frames are segmented into scenes
+  // (scene id = running count of preceding cuts, same Hamming >= SceneCutThr
+  // boundary as q111), then each scene elects one representative frame — the
+  // frame with the highest integer "detail" proxy (L1 deviation of its
+  // pixels from the frame mean, scaled by FrameLen so the test stays exact
+  // integer: Σ_i |p_i·FrameLen − Σp|), tie-broken to the earliest frame.
+  //
+  // Scale design: every window partitions by media_id (or media_id+scene) —
+  // frames of one clip are bounded (minutes × fps), so no partition key is
+  // corpus-sized and nothing funnels through a single task. The per-scene
+  // argmax is the rn=1 shape the TopKPerKey rewrite turns into map-side
+  // bounded heaps. The decode stand-in (payload chars as pixels) swaps for
+  // a real codec at the same column boundary, as in q81/q111.
+  // ===========================================================
+  def q123Keyframes(spark: SparkSession, dir: String): DataFrame = {
+    def pixel(i: Int) = s"CAST(ascii(substring(frame.bytes, $i, 1)) AS BIGINT)"
+    val sumExpr = (1 to FrameLen).map(pixel).mkString(" + ")
+    val hashExpr = (1 to FrameLen).map(i =>
+      s"IF(${pixel(i)} * $FrameLen > s, ${1L << (i - 1)}L, 0L)").mkString(" + ")
+    val detailExpr = (1 to FrameLen)
+      .map(i => s"abs(${pixel(i)} * $FrameLen - s)").mkString(" + ")
+    val frames = events(spark, dir)
+      .select(col("event_id").as("media_id"), col("event_type").as("media_kind"),
+        col("props").as("payload"))
+      .filter(length(col("payload")) >= 2 * FrameLen)
+      .withColumn("frame", explode(expr(
+        s"""transform(sequence(0, int(floor((length(payload) - $FrameLen) / $FrameLen))),
+           |  i -> struct(i AS idx, substring(payload, i * $FrameLen + 1, $FrameLen) AS bytes))""".stripMargin)))
+      .withColumn("s", expr(sumExpr))
+      .withColumn("fhash", expr(hashExpr))
+      .withColumn("detail", expr(detailExpr))
+      .select(col("media_id"), col("media_kind"),
+        col("frame.idx").as("frame_idx"), col("fhash"), col("detail"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val scened = frames
+      .withColumn("prevh", lag("fhash", 1).over(w))
+      .withColumn("is_cut", when(col("prevh").isNotNull &&
+        expr("bit_count(fhash ^ prevh)") >= SceneCutThr, 1L).otherwise(0L))
+      .withColumn("scene", sum("is_cut").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id", "scene")
+      .orderBy(col("detail").desc, col("frame_idx"))
+    scened
+      .withColumn("first_idx", min("frame_idx").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("media_id", "scene")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1)
+      .groupBy("media_kind")
+      .agg(countDistinct("media_id").as("n_media"),
+        count(lit(1)).as("n_scenes"),
+        sum("detail").as("sum_kf_detail"),
+        sum(when(col("frame_idx") === col("first_idx"), 1L).otherwise(0L))
+          .as("n_kf_first"))
+      .orderBy("media_kind")
+  }
+
+  val q123Sql: String = {
+    def pixel(i: Int) = s"CAST(ord(substr(bytes, $i, 1)) AS BIGINT)"
+    val sumExpr = (1 to FrameLen).map(pixel).mkString(" + ")
+    val hashExpr = (1 to FrameLen).map(i =>
+      s"CASE WHEN ${pixel(i)} * $FrameLen > s THEN ${1L << (i - 1)} ELSE 0 END").mkString(" + ")
+    val detailExpr = (1 to FrameLen)
+      .map(i => s"abs(${pixel(i)} * $FrameLen - s)").mkString(" + ")
+    s"""WITH m AS (SELECT event_id AS media_id, event_type AS media_kind, props AS payload
+       |  FROM events WHERE length(props) >= ${2 * FrameLen}),
+       | f0 AS (SELECT media_id, media_kind, u.idx AS frame_idx,
+       |   substring(payload, u.idx * $FrameLen + 1, $FrameLen) AS bytes
+       |  FROM m, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(floor((length(payload) - $FrameLen) / $FrameLen) AS INTEGER))) AS idx) u),
+       | f1 AS (SELECT media_id, media_kind, frame_idx, bytes, $sumExpr AS s FROM f0),
+       | f2 AS (SELECT media_id, media_kind, frame_idx, $hashExpr AS fhash,
+       |   $detailExpr AS detail FROM f1),
+       | p AS (SELECT *, LAG(fhash) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prevh
+       |  FROM f2),
+       | c AS (SELECT *, CASE WHEN prevh IS NOT NULL
+       |   AND bit_count(xor(fhash, prevh)) >= $SceneCutThr THEN 1 ELSE 0 END AS is_cut FROM p),
+       | sc AS (SELECT *, SUM(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+       |   ROWS UNBOUNDED PRECEDING) AS scene FROM c),
+       | k AS (SELECT *, MIN(frame_idx) OVER (PARTITION BY media_id, scene) AS first_idx,
+       |   ROW_NUMBER() OVER (PARTITION BY media_id, scene
+       |    ORDER BY detail DESC, frame_idx) AS rn FROM sc)
+       |SELECT media_kind, COUNT(DISTINCT media_id) AS n_media, COUNT(*) AS n_scenes,
+       | CAST(SUM(detail) AS BIGINT) AS sum_kf_detail,
+       | CAST(SUM(CASE WHEN frame_idx = first_idx THEN 1 ELSE 0 END) AS BIGINT) AS n_kf_first
+       |FROM k WHERE rn = 1 GROUP BY media_kind ORDER BY media_kind""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_keyframes" -> (q123Keyframes _),
     "q111_scene_cuts" -> (q111SceneCuts _),
     "q44_multimodal_meta" -> (q44MultimodalMeta _),
     "q45_decode_features" -> (q45DecodeFeatures _),
@@ -361,6 +454,7 @@ object MultimodalOps {
     "q82_audio_energy" -> (q82AudioEnergy _))
 
   val oracles: Map[String, String] = Map(
+    "q123_keyframes" -> q123Sql,
     "q111_scene_cuts" -> q111Sql,
     "q44_multimodal_meta" -> q44Sql,
     "q45_decode_features" -> q45Sql,

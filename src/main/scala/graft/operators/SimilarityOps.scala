@@ -1418,7 +1418,78 @@ object SimilarityOps {
        | CAST(1000 // true_rank AS BIGINT) AS mrr_millis
        |FROM r WHERE vec_id = qid ORDER BY qid""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q122 — SEMANTIC benchmark decontamination: the embedding-space sibling
+  // of the n-gram passes (q54 exact 3-gram overlap, q66 bloom-prefiltered).
+  // N-gram decon misses paraphrased leaks; the standard complement is to
+  // flag any training vector whose cosine against SOME benchmark/eval
+  // vector clears a threshold. Benchmark set = vec_id % 37 == 0 (the
+  // held-out eval suite); corpus = the rest PLUS injected near-verbatim
+  // leaks (scaled copies of half the benchmark vectors — same direction,
+  // cosine exactly 1.0 — the planted positives a decon pass must catch).
+  //
+  // Scale path: a benchmark suite is small BY NATURE (eval sets are
+  // thousands of rows against a 100 TB corpus), so the benchmark side
+  // broadcasts and the max-cosine per corpus vector is a map-side partial
+  // aggregation — the |corpus|×|bench| fanout never leaves the mapper and
+  // only |corpus| rows shuffle. For benchmark suites beyond broadcast
+  // size, the q58 trained-IVF probe replaces the broadcast product (probe
+  // each corpus vector's cell only). Exact cosine — no LSH recall risk —
+  // so the oracle is the same computation, not an ideal.
+  // ===========================================================
+  val DeconTau = 0.30
+
+  def q122SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
+    val bench = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("bid"), col("v").as("bv"))
+    // planted leaks: benchmark rows re-entering the corpus rescaled (the
+    // "benchmark text got crawled" case) — direction identical, cos = 1.0
+    val leaked = e.filter(col("vec_id") % 37 === 0 && col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 3000000).as("vec_id"),
+        expr("transform(v, x -> x * 3.0d)").as("v"), col("label"))
+    val corpus = e.filter(col("vec_id") % 37 =!= 0).unionByName(leaked)
+    val scored = corpus.crossJoin(broadcast(bench))
+      .withColumn("cos", round(dot("v", "bv") / (l2("v") * l2("bv")), 6))
+      .groupBy("vec_id", "label").agg(max("cos").as("max_cos"))
+    scored
+      .withColumn("hit", (col("max_cos") >= DeconTau).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum("hit").as("n_flagged"),
+        sum(when(col("hit") === 1 && col("vec_id") >= 3000000, 1L)
+          .otherwise(0L)).as("n_injected_caught"),
+        round(max("max_cos"), 6).as("max_cos"))
+      .withColumn("flagged_permille", expr("n_flagged * 1000 DIV n_corpus"))
+      .select("label", "n_corpus", "n_flagged", "flagged_permille",
+        "n_injected_caught", "max_cos")
+      .orderBy("label")
+  }
+
+  val q122Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+       |  FROM embeddings),
+       | bench AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 37 = 0),
+       | leaked AS (SELECT vec_id + 3000000 AS vec_id, list_transform(v, x -> x * 3.0) AS v, label
+       |  FROM e WHERE vec_id % 37 = 0 AND vec_id % 2 = 0),
+       | corpus AS (SELECT vec_id, v, label FROM e WHERE vec_id % 37 <> 0
+       |  UNION ALL SELECT vec_id, v, label FROM leaked),
+       | m AS (SELECT c.vec_id, c.label,
+       |   MAX(round(list_dot_product(c.v, b.bv) /
+       |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bv, b.bv))), 6)) AS max_cos
+       |  FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id, c.label)
+       |SELECT label, COUNT(*) AS n_corpus,
+       | CAST(SUM(CASE WHEN max_cos >= $DeconTau THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       | CAST(SUM(CASE WHEN max_cos >= $DeconTau THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |  // COUNT(*) AS flagged_permille,
+       | CAST(SUM(CASE WHEN max_cos >= $DeconTau AND vec_id >= 3000000 THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_injected_caught,
+       | round(MAX(max_cos), 6) AS max_cos
+       |FROM m GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_semantic_decon" -> (q122SemanticDecon _),
     "q120_crossmodal_retrieval" -> (q120CrossmodalRetrieval _),
     "q112_crossmodal_align" -> (q112CrossmodalAlign _),
     "q113_ivf_maintenance" -> (q113IvfMaintenance _),
@@ -1513,6 +1584,7 @@ object SimilarityOps {
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q122_semantic_decon" -> q122Sql,
     "q120_crossmodal_retrieval" -> q120Sql,
     "q112_crossmodal_align" -> q112Sql,
     "q113_ivf_maintenance" -> q113Sql,

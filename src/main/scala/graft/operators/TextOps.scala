@@ -1710,7 +1710,82 @@ object TextOps {
        | CAST((added + removed) * 1000 // greatest(n_v1, 1) AS BIGINT) AS churn_permille
        |FROM j ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q124 — DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling"): score
+  // every document by how much its token distribution resembles a TARGET
+  // domain versus the raw corpus. Features are hashed token buckets (B
+  // buckets via the 60-bit md5 idiom); a bucket's weight is the smoothed
+  // probability ratio as an exact integer PERMILLE deviation from parity:
+  //   (T[b]+1)·Rtot·1000 DIV ((R[b]+1)·Ttot) − 1000
+  // (all DIV operands positive, so Spark DIV ≡ DuckDB // — no floats, no
+  // rounding divergence). Bit-length log classes (the q65/q75 move) are too
+  // coarse here: target and raw token distributions differ at the few-
+  // percent level per bucket, which a whole-bit class cannot see; the
+  // permille ratio keeps that resolution while staying integer-exact. A
+  // document's importance is the sum of its tokens' bucket weights; its
+  // expectation is positive under the target distribution and ~zero under
+  // raw (E_T[T/R] >= E_R[T/R] = 1). Target here = lang='en' docs (the
+  // "quality domain" stand-in; swap the predicate for a real curated
+  // corpus).
+  //
+  // Scale design: the bucket table is B rows — it and the class table
+  // broadcast; totals are an aggregate OF the bucket table, not a second
+  // corpus pass. The corpus is tokenized twice (count pass + score pass);
+  // at 100 TB persist the tokenized frame or fold the class lookup into
+  // the same scan via a two-level aggregate. Both corpus aggregations are
+  // map-side partial; the only shuffles move (bucket) and (source, doc_id)
+  // keyed partials.
+  // ===========================================================
+  val DsirBuckets = 128
+  val DsirTargetLang = "en"
+
+  def q124DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets)
+    // ONE aggregation yields raw and target counts per bucket together;
+    // materialized (≤B rows) so `totals` aggregates the bucket TABLE instead
+    // of Catalyst re-running the corpus tokenize scan for the second branch
+    val buckets = toks.groupBy("b")
+      .agg(count(lit(1)).as("r_c"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t_c"))
+      .localCheckpoint()
+    val totals = buckets.agg(sum("r_c").as("r_tot"), sum("t_c").as("t_tot"))
+    val cls = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (expr("(t_c + 1) * r_tot * 1000 DIV ((r_c + 1) * t_tot)") - 1000L).as("cls"))
+    val perDoc = toks.join(broadcast(cls), Seq("b"))
+      .groupBy("source", "doc_id").agg(sum("cls").as("w"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("sum_weight"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_selected"))
+      .orderBy("source")
+  }
+
+  val q124Sql: String =
+    s"""WITH t AS (SELECT d.source, d.lang, d.doc_id,
+       |   CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM documents d, LATERAL (SELECT unnest(regexp_extract_all(lower(d.text),
+       |   '[^ \\t\\n\\r\\f]+')) AS tok) u),
+       | bk AS (SELECT b, COUNT(*) AS r_c,
+       |   SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS t_c
+       |  FROM t GROUP BY b),
+       | tot AS (SELECT SUM(r_c) AS r_tot, SUM(t_c) AS t_tot FROM bk),
+       | cls AS (SELECT b, (t_c + 1) * r_tot * 1000 // ((r_c + 1) * t_tot) - 1000 AS cls
+       |  FROM bk, tot),
+       | pd AS (SELECT source, doc_id, SUM(cls) AS w
+       |  FROM t JOIN cls USING (b) GROUP BY source, doc_id)
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_weight,
+       | CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q119_tokenizer_apply" -> (q119TokenizerApply _),
     "q118_bpe_train" -> (q118BpeTrain _),
@@ -1747,6 +1822,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,
     "q119_tokenizer_apply" -> q119Sql,
     "q118_bpe_train" -> q118Sql,

@@ -259,7 +259,9 @@ class PlanSpec extends AnyFunSuite {
       "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
-      "q42_simhash") // 100-row head set theta-join
+      "q42_simhash", // 100-row head set theta-join
+      "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
+      "q124_dsir_weights") // 1-row totals over the <=B-bucket table
     import scala.jdk.CollectionConverters._
     val docs = java.nio.file.Paths.get("docs")
     val latest = java.nio.file.Files.list(docs).iterator().asScala
