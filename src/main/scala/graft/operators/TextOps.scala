@@ -1784,7 +1784,82 @@ object TextOps {
        | CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
        |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q125 — per-document memorization-span audit: the document-level
+  // companion of q114. q114 reports each source's repeated-5-gram MASS;
+  // this finds the documents containing long UNBROKEN runs of
+  // corpus-duplicated 5-gram positions — the verbatim spans models
+  // memorize (Lee et al. 2022 / Carlini et al. 2021 extraction risk) and
+  // the per-doc drop signal a curation pass acts on (q60 then removes the
+  // span, or the doc is dropped outright).
+  //
+  // Scale path: positions reduce to digests at the scan (text never
+  // ships); the repeated-digest set comes from one digest-keyed count
+  // (map-side combined), and ONLY dup positions survive the semi-join —
+  // non-dup positions merely break runs, so consecutive-i islanding
+  // (i − row_number, keyed PER DOC, bounded partitions) needs just the
+  // dup rows. At 100 TB the repeated-digest set is a sliver of the
+  // corpus: broadcast it (or its bloom, the q66 move) instead of
+  // shuffling every position by digest.
+  // ===========================================================
+  val RunThr = 8 // >= 8 consecutive dup positions = a 12-token verbatim span
+
+  def q125MemorizationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("ntok", size(col("toks")))
+      .filter(col("ntok") >= NgramW)
+    val positions = base.select(col("doc_id"), col("source"), explode(expr(
+      s"transform(sequence(1, ntok - ${NgramW - 1}), " +
+        s"i -> struct(i AS i, md5(CAST(concat_ws(' ', slice(toks, i, $NgramW)) AS BINARY)) AS g))"))
+      .as("p"))
+      .select(col("doc_id"), col("source"), col("p.i").as("i"), col("p.g").as("g"))
+    val repeated = positions.groupBy("g").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2).select("g")
+    val dup = positions.join(repeated, Seq("g"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val longest = dup
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "source", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id", "source").agg(max("run").as("longest"))
+    val perSrc = longest.groupBy("source")
+      .agg(count(lit(1)).as("n_span_docs"),
+        sum(when(col("longest") >= RunThr, 1L).otherwise(0L)).as("n_risky"),
+        max("longest").as("max_run"))
+    base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(perSrc, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_span_docs"), lit(0L)).as("n_span_docs"),
+        coalesce(col("n_risky"), lit(0L)).as("n_risky"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("source")
+  }
+
+  val q125Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
+       | b AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= $NgramW),
+       | gr AS (SELECT doc_id, source, u.i AS i,
+       |   md5(array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i + ${NgramW - 1} AS INTEGER)], ' ')) AS g
+       |  FROM b, LATERAL (SELECT unnest(range(1, len(toks) - ${NgramW - 2})) AS i) u),
+       | rep AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2),
+       | dup AS (SELECT doc_id, source, i FROM gr SEMI JOIN rep USING (g)),
+       | runs AS (SELECT doc_id, source,
+       |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM dup),
+       | rl AS (SELECT doc_id, source, COUNT(*) AS run FROM runs GROUP BY doc_id, source, grp),
+       | mx AS (SELECT doc_id, source, MAX(run) AS longest FROM rl GROUP BY doc_id, source),
+       | ps AS (SELECT source, COUNT(*) AS n_span_docs,
+       |   SUM(CASE WHEN longest >= $RunThr THEN 1 ELSE 0 END) AS n_risky,
+       |   MAX(longest) AS max_run FROM mx GROUP BY source),
+       | nd AS (SELECT source, COUNT(*) AS n_docs FROM b GROUP BY source)
+       |SELECT nd.source, nd.n_docs,
+       | CAST(COALESCE(ps.n_span_docs, 0) AS BIGINT) AS n_span_docs,
+       | CAST(COALESCE(ps.n_risky, 0) AS BIGINT) AS n_risky,
+       | CAST(COALESCE(ps.max_run, 0) AS BIGINT) AS max_run
+       |FROM nd LEFT JOIN ps USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_memorization_spans" -> (q125MemorizationSpans _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q119_tokenizer_apply" -> (q119TokenizerApply _),
@@ -1822,6 +1897,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q125_memorization_spans" -> q125Sql,
     "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,
     "q119_tokenizer_apply" -> q119Sql,

@@ -488,6 +488,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 span-doc counts nest: risky <= span docs <= docs, runs bounded by doc length") {
+    val rows = SparkEntry.queries("q125_memorization_spans")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val maxTok = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("CAST(size(regexp_extract_all(lower(text), '[^ \\\\t\\\\n\\\\r\\\\f]+', 0)) AS BIGINT) AS t")
+      .agg(org.apache.spark.sql.functions.max("t")).head().getLong(0)
+    rows.foreach { r =>
+      val (n, span, risky, maxRun) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(risky <= span && span <= n, "risky ⊆ span-docs ⊆ docs")
+      // a run of k positions spans k+W-1 tokens, so k <= ntok - W + 1
+      assert(maxRun <= maxTok - graft.operators.TextOps.NgramW + 1,
+        s"run $maxRun impossible for $maxTok-token docs")
+      if (maxRun >= graft.operators.TextOps.RunThr) assert(risky >= 1L)
+    }
+  }
+
   test("q124 importance weights favor the target language") {
     val rows = SparkEntry.queries("q124_dsir_weights")(spark, dir).collect()
     assert(rows.nonEmpty)
