@@ -29,9 +29,13 @@ object Demo {
 
     println(s"== graft demo over $sfDir ==\n")
 
-    // 1. curation: one-scan gate funnel
+    // 1. curation: one-scan gate funnel, plus the corpus-level memorization
+    //    gate (annotate once, then gate like any per-row stage)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val cur = operators.CurationPipeline.run(docs)
+    val annotated = operators.CurationPipeline.annotateMemorization(docs)
+    val cur = operators.CurationPipeline.run(annotated,
+      operators.CurationPipeline.standardStages() :+
+        operators.CurationPipeline.memorizedStage())
     println("-- curation funnel (first-failing attribution) --")
     cur.funnel.show(20, truncate = false)
 

@@ -58,6 +58,24 @@ object CurationPipeline {
       guess === "und" || guess === col("lang")
     }))
 
+  /** Pre-annotator for [[memorizedStage]]: adds `longest_dup_run` — each
+    * document's longest unbroken run of corpus-duplicated
+    * [[TextOps.NgramW]]-gram positions (0 when none), computed by the SAME
+    * machinery as the q125 audit, so the pipeline drops exactly the
+    * documents the audit reports as risky. Corpus-level structure cannot be
+    * a per-row predicate, hence the annotate-then-gate split: run this
+    * once over the input frame, then include the stage. */
+  def annotateMemorization(docs: DataFrame): DataFrame =
+    docs.join(TextOps.longestDupRuns(docs, Seq.empty), Seq("doc_id"), "left_outer")
+      .withColumn("longest_dup_run", coalesce(col("longest"), lit(0L)))
+      .drop("longest")
+
+  /** Drop documents whose longest corpus-duplicated gram run reaches
+    * `runThr` (default = the q125 audit threshold: a ≥12-token verbatim
+    * span). Requires [[annotateMemorization]] to have run. */
+  def memorizedStage(runThr: Long = TextOps.RunThr.toLong): GateStage =
+    GateStage("memorized", _ => col("longest_dup_run") < runThr)
+
   /** Evaluate all gates in one pass and attribute drops first-failing. */
   def run(docs: DataFrame, stages: Seq[GateStage] = standardStages()): Result = {
     require(stages.nonEmpty, "need at least one gate stage")

@@ -1804,24 +1804,42 @@ object TextOps {
   // ===========================================================
   val RunThr = 8 // >= 8 consecutive dup positions = a 12-token verbatim span
 
-  def q125MemorizationSpans(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
+  /** Per-doc longest corpus-duplicated NgramW-gram run over an arbitrary
+    * frame carrying `doc_id` and `text` (plus any carry columns listed in
+    * `carry`): (doc_id, carry..., longest). Docs under NgramW tokens and
+    * docs with no duplicated position produce NO row (longest 0 by
+    * absence). Shared by q125 and [[CurationPipeline]]'s memorization
+    * gate so the pipeline drops exactly what the audit reports. */
+  private[operators] def longestDupRuns(d: DataFrame, carry: Seq[String]): DataFrame = {
+    val base = d
       .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
       .withColumn("ntok", size(col("toks")))
       .filter(col("ntok") >= NgramW)
-    val positions = base.select(col("doc_id"), col("source"), explode(expr(
+    val gramStruct = explode(expr(
       s"transform(sequence(1, ntok - ${NgramW - 1}), " +
         s"i -> struct(i AS i, md5(CAST(concat_ws(' ', slice(toks, i, $NgramW)) AS BINARY)) AS g))"))
-      .as("p"))
-      .select(col("doc_id"), col("source"), col("p.i").as("i"), col("p.g").as("g"))
+      .as("p")
+    val positions = base
+      .select((Seq(col("doc_id")) ++ carry.map(col) ++ Seq(gramStruct)): _*)
+      .select((Seq(col("doc_id")) ++ carry.map(col) ++
+        Seq(col("p.i").as("i"), col("p.g").as("g"))): _*)
     val repeated = positions.groupBy("g").agg(count(lit(1)).as("f"))
       .filter(col("f") >= 2).select("g")
     val dup = positions.join(repeated, Seq("g"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("i")
-    val longest = dup
+    val runKeys = (Seq("doc_id") ++ carry ++ Seq("grp")).map(col)
+    val docKeys = (Seq("doc_id") ++ carry).map(col)
+    dup
       .withColumn("grp", col("i") - row_number().over(w))
-      .groupBy("doc_id", "source", "grp").agg(count(lit(1)).as("run"))
-      .groupBy("doc_id", "source").agg(max("run").as("longest"))
+      .groupBy(runKeys: _*).agg(count(lit(1)).as("run"))
+      .groupBy(docKeys: _*).agg(max("run").as("longest"))
+  }
+
+  def q125MemorizationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("ntok", size(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))))
+      .filter(col("ntok") >= NgramW)
+    val longest = longestDupRuns(docs(spark, dir), Seq("source"))
     val perSrc = longest.groupBy("source")
       .agg(count(lit(1)).as("n_span_docs"),
         sum(when(col("longest") >= RunThr, 1L).otherwise(0L)).as("n_risky"),

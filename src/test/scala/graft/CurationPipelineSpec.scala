@@ -90,6 +90,34 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(funnel.head.getLong(1) == 3L && funnel.last.getLong(3) == 1L)
   }
 
+  test("memorization gate drops exactly the docs the q125 audit flags") {
+    // docs 1 and 2 share a 12-token verbatim span (an 8-position dup run);
+    // docs 3 and 4 share only a 5-gram (run 1 — under the threshold);
+    // doc 5 is clean. Distinct numeric suffixes keep other grams unique.
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"one1 two1 three1 four1 $span five1 six1", "en"),
+      (2L, s"one2 two2 three2 four2 $span five2 six2", "en"),
+      (3L, "pre3 a b c d e post3 tail3 x3 y3", "en"),
+      (4L, "pre4 a b c d e post4 tail4 x4 y4", "en"),
+      (5L, "entirely unique words without any shared grams here at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val annotated = CurationPipeline.annotateMemorization(docs)
+    val runs = annotated.select("doc_id", "longest_dup_run").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(runs(1L) == 8L && runs(2L) == 8L, s"span docs must carry run 8: $runs")
+    assert(runs(3L) == 1L && runs(4L) == 1L)
+    assert(runs(5L) == 0L)
+
+    val res = CurationPipeline.run(annotated,
+      CurationPipeline.standardStages() :+ CurationPipeline.memorizedStage())
+    val attribution = res.annotated.select("doc_id", "drop_stage").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(attribution(1L).contains("memorized"))
+    assert(attribution(2L).contains("memorized"))
+    assert(attribution(3L).isEmpty && attribution(4L).isEmpty && attribution(5L).isEmpty)
+  }
+
   test("custom stages compose and order decides attribution") {
     val docs = Seq((1L, "aa bb cc dd ee ff", "en")).toDF("doc_id", "text", "lang")
     val failBoth = Seq(
