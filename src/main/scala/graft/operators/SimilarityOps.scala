@@ -1488,7 +1488,99 @@ object SimilarityOps {
        | round(MAX(max_cos), 6) AS max_cos
        |FROM m GROUP BY label ORDER BY label""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q126 — hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+  // 2009 — the lexical+dense composition every modern search stack runs):
+  // the BM25 leg (q76's shared scorer) and a dense leg (the q112
+  // feature-hashed text tower scored by integer dot product against the
+  // query terms' own tower) each retrieve a top-LegK candidate list;
+  // fusion scores Σ RrfScale DIV (RrfK + rank) with a leg contributing 0
+  // for docs it didn't retrieve — candidate-list fusion, exactly how two
+  // separate indexes compose in production hybrid search.
+  //
+  // Scale path: each leg independently collapses the corpus to LegK rows
+  // through orderBy().limit() (TakeOrderedAndProject — per-partition
+  // heaps, driver merges LegK); the dense score is a broadcast equi-join
+  // of the (doc_id, dim) tower against the ≤AlignDims-row query tower
+  // (map-side, no pairwise structure); fusion and final ranking window
+  // over ≤LegK rows. Nothing corpus-sized ever sorts globally.
+  // ===========================================================
+  val RrfK = 60
+  val LegK = 100
+  val RrfScale = 1000000L
+
+  def q126HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = graft.operators.TextOps.bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(LegK)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val qd = graft.operators.TextOps.Bm25Terms.toDF("tok")
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy((col("h") % AlignDims).as("dim"))
+      .agg(sum(expr("IF((h DIV 8) % 2 = 0, 1L, -1L)")).as("qval"))
+    val den = textDims(spark, dir)
+      .join(broadcast(qd), "dim")
+      .groupBy("doc_id").agg(sum(col("tval") * col("qval")).as("dot"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(LegK)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "dense_rank")
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$RrfScale DIV ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + dense_rank)"), lit(0L)))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("dense_rank", coalesce(col("dense_rank"), lit(0L)))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "rrf_score", "lex_rank", "dense_rank")
+      .orderBy("rank")
+  }
+
+  val q126Sql: String = {
+    val termList = graft.operators.TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val termRows = graft.operators.TextOps.Bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok
+       |   FROM documents) WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       | dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       | sc AS (SELECT doc_id,
+       |   CAST(SUM(CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT) * (tf * 1000 // (tf + 2))) AS BIGINT) AS score
+       |  FROM tf JOIN dfs USING (tok), n GROUP BY doc_id),
+       | lex AS (SELECT doc_id, lr FROM (SELECT doc_id,
+       |   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr FROM sc) WHERE lr <= $LegK),
+       | tk AS (SELECT doc_id, CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) AS h
+       |  FROM documents, LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+       |    '[^ \\t\\n\\r\\f]+')) AS tok) u),
+       | td AS (SELECT doc_id, h % $AlignDims AS dim,
+       |   SUM(CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END) AS tval
+       |  FROM tk GROUP BY doc_id, h % $AlignDims),
+       | qk AS (SELECT CAST(('0x' || substr(md5(v.tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (VALUES $termRows) v(tok)),
+       | qd AS (SELECT h % $AlignDims AS dim,
+       |   SUM(CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END) AS qval FROM qk GROUP BY h % $AlignDims),
+       | dots AS (SELECT td.doc_id, CAST(SUM(td.tval * qd.qval) AS BIGINT) AS dot
+       |  FROM td JOIN qd USING (dim) GROUP BY td.doc_id),
+       | den AS (SELECT doc_id, dr FROM (SELECT doc_id,
+       |   ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS dr FROM dots) WHERE dr <= $LegK),
+       | fused AS (SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+       |   COALESCE($RrfScale // ($RrfK + lr), 0) + COALESCE($RrfScale // ($RrfK + dr), 0) AS rrf_score,
+       |   CAST(COALESCE(lr, 0) AS BIGINT) AS lex_rank, CAST(COALESCE(dr, 0) AS BIGINT) AS dense_rank
+       |  FROM lex FULL JOIN den ON lex.doc_id = den.doc_id),
+       | top AS (SELECT doc_id, rrf_score, lex_rank, dense_rank,
+       |   ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       | lex_rank, dense_rank
+       |FROM top WHERE rank <= 10 ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q122_semantic_decon" -> (q122SemanticDecon _),
     "q120_crossmodal_retrieval" -> (q120CrossmodalRetrieval _),
     "q112_crossmodal_align" -> (q112CrossmodalAlign _),
@@ -1584,6 +1676,7 @@ object SimilarityOps {
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q126_hybrid_rrf" -> q126Sql,
     "q122_semantic_decon" -> q122Sql,
     "q120_crossmodal_retrieval" -> q120Sql,
     "q112_crossmodal_align" -> q112Sql,

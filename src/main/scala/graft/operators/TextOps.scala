@@ -1027,7 +1027,10 @@ object TextOps {
   // ===========================================================
   val Bm25Terms: Seq[String] = Seq("spark", "merge", "vector")
 
-  def q76Bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25-ish lexical score of every document matching ≥1 query term:
+    * (doc_id, score, n_terms). Shared by q76 (top-10 report) and q126
+    * (the lexical leg of hybrid RRF fusion). */
+  private[operators] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val tf = docs(spark, dir)
       .select(col("doc_id"),
@@ -1036,10 +1039,6 @@ object TextOps {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    // top-10 via orderBy().limit() → TakeOrderedAndProject (bounded heaps,
-    // driver merges 10); the matching-doc score table is corpus-sized in
-    // the worst case and must never funnel through one task's sort. The
-    // rank window runs post-limit, over exactly 10 rows.
     tf.join(broadcast(dfs), "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("contrib",
@@ -1047,6 +1046,14 @@ object TextOps {
           expr("tf * 1000 DIV (tf + 2)"))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  def q76Bm25(spark: SparkSession, dir: String): DataFrame = {
+    // top-10 via orderBy().limit() → TakeOrderedAndProject (bounded heaps,
+    // driver merges 10); the matching-doc score table is corpus-sized in
+    // the worst case and must never funnel through one task's sort. The
+    // rank window runs post-limit, over exactly 10 rows.
+    bm25Scores(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(10)
       .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
@@ -1804,13 +1811,14 @@ object TextOps {
   // ===========================================================
   val RunThr = 8 // >= 8 consecutive dup positions = a 12-token verbatim span
 
-  /** Per-doc longest corpus-duplicated NgramW-gram run over an arbitrary
-    * frame carrying `doc_id` and `text` (plus any carry columns listed in
-    * `carry`): (doc_id, carry..., longest). Docs under NgramW tokens and
-    * docs with no duplicated position produce NO row (longest 0 by
-    * absence). Shared by q125 and [[CurationPipeline]]'s memorization
-    * gate so the pipeline drops exactly what the audit reports. */
-  private[operators] def longestDupRuns(d: DataFrame, carry: Seq[String]): DataFrame = {
+  /** Maximal islands of consecutive corpus-duplicated NgramW-gram
+    * positions over an arbitrary frame carrying `doc_id` and `text` (plus
+    * any carry columns in `carry`): one row per island —
+    * (doc_id, carry..., start, run) where `start` is the 1-based first
+    * gram position and `run` the island length. Docs under NgramW tokens
+    * and docs with no duplicated position produce NO rows. Shared base of
+    * q125 (longest run per doc) and q128 (token-coverage accounting). */
+  private[operators] def dupRunSpans(d: DataFrame, carry: Seq[String]): DataFrame = {
     val base = d
       .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
       .withColumn("ntok", size(col("toks")))
@@ -1828,11 +1836,21 @@ object TextOps {
     val dup = positions.join(repeated, Seq("g"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("i")
     val runKeys = (Seq("doc_id") ++ carry ++ Seq("grp")).map(col)
-    val docKeys = (Seq("doc_id") ++ carry).map(col)
     dup
       .withColumn("grp", col("i") - row_number().over(w))
-      .groupBy(runKeys: _*).agg(count(lit(1)).as("run"))
-      .groupBy(docKeys: _*).agg(max("run").as("longest"))
+      .groupBy(runKeys: _*)
+      .agg(min("i").cast("long").as("start"), count(lit(1)).as("run"))
+      .drop("grp")
+  }
+
+  /** Per-doc longest corpus-duplicated NgramW-gram run:
+    * (doc_id, carry..., longest). Docs with no duplicated position produce
+    * NO row (longest 0 by absence). Shared by q125 and
+    * [[CurationPipeline]]'s memorization gate so the pipeline drops
+    * exactly the documents the audit reports. */
+  private[operators] def longestDupRuns(d: DataFrame, carry: Seq[String]): DataFrame = {
+    val docKeys = (Seq("doc_id") ++ carry).map(col)
+    dupRunSpans(d, carry).groupBy(docKeys: _*).agg(max("run").as("longest"))
   }
 
   def q125MemorizationSpans(spark: SparkSession, dir: String): DataFrame = {
@@ -1876,7 +1894,143 @@ object TextOps {
        | CAST(COALESCE(ps.max_run, 0) AS BIGINT) AS max_run
        |FROM nd LEFT JOIN ps USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q127 — distinct-n corpus diversity: per (source, n) for n = 1..3, the
+  // fraction of n-gram instances that are unique (distinct/total, exact
+  // integer permille) — the distinct-n diversity metric of Li et al. 2016
+  // and the self-repetition signal mixture tuning watches (a source whose
+  // distinct-3 collapses is template spam). One tokenize pass builds all
+  // three gram streams via per-doc lead() windows (no re-scan per n);
+  // grams reduce to md5 digests at the scan so only 16-byte keys shuffle.
+  //
+  // Scale path: the (source, n, digest) pre-aggregation is the canonical
+  // two-phase distinct — map-side partial counts, then a digest-keyed
+  // shuffle whose reducer rows are (gram, count), never positions; the
+  // final per-(source, n) rollup is 3×|sources| rows. Per-doc windows
+  // partition by doc_id (bounded ≤ doc length), no global sort anywhere.
+  // ===========================================================
+  def q127DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // a null lead means the gram would run off the doc end — and since
+    // concat_ws silently drops nulls (never yielding null itself), each
+    // gram carries an explicit validity flag from its LAST needed token
+    val valid = toks
+      .withColumn("l1", lead("tok", 1).over(w))
+      .withColumn("l2", lead("tok", 2).over(w))
+      .select(col("source"), explode(array(
+        struct(lit(1).as("n"), md5(col("tok").cast("binary")).as("g"), lit(true).as("ok")),
+        struct(lit(2).as("n"),
+          md5(concat_ws(" ", col("tok"), col("l1")).cast("binary")).as("g"),
+          col("l1").isNotNull.as("ok")),
+        struct(lit(3).as("n"),
+          md5(concat_ws(" ", col("tok"), col("l1"), col("l2")).cast("binary")).as("g"),
+          col("l2").isNotNull.as("ok")),
+      )).as("p"))
+      .filter(col("p.ok"))
+      .select(col("source"), col("p.n").as("n"), col("p.g").as("g"))
+    valid.groupBy("source", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("distinct_grams"), sum("c").as("total_grams"))
+      .withColumn("distinct_permille", expr("distinct_grams * 1000 DIV total_grams"))
+      .select("source", "n", "total_grams", "distinct_grams", "distinct_permille")
+      .orderBy("source", "n")
+  }
+
+  val q127Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |   regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS toks FROM documents),
+      | p AS (SELECT source, toks, u.i AS i
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+      | g AS (SELECT source, nn.n AS n,
+      |   md5(array_to_string(toks[CAST(i AS INTEGER):CAST(i + nn.n - 1 AS INTEGER)], ' ')) AS g
+      |  FROM p, (VALUES (1), (2), (3)) nn(n)
+      |  WHERE i + nn.n - 1 <= len(toks)),
+      | pc AS (SELECT source, n, g, COUNT(*) AS c FROM g GROUP BY source, n, g)
+      |SELECT source, n, CAST(SUM(c) AS BIGINT) AS total_grams,
+      | CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+      | CAST(COUNT(*) * 1000 // SUM(c) AS BIGINT) AS distinct_permille
+      |FROM pc GROUP BY source, n ORDER BY source, n""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q128 — substring-dedup removal accounting (the ExactSubstr pass of
+  // Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+  // Better", measured before destructive application): per source, how
+  // many tokens sit inside corpus-duplicated verbatim spans long enough
+  // to delete (dup-gram runs of ≥ RunThr positions = ≥ RunThr+NgramW-1
+  // straight duplicated tokens). A run of R positions starting at gram
+  // position s covers tokens [s, s+R+NgramW-2]; covered intervals of one
+  // doc can overlap (two qualifying runs separated by < NgramW-1 clean
+  // positions), so coverage is an exact interval union via a per-doc
+  // running-max window — never double-counted, never approximated.
+  //
+  // Scale path: rides the q125 dup-run machinery (digests at the scan,
+  // repeated-digest semi-join, per-doc islanding on dup rows only); the
+  // interval union windows over QUALIFYING runs per doc — a handful of
+  // rows each — and per-source totals are one map-side-combined rollup.
+  // ===========================================================
+  def q128SubstringRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dupRunSpans(docs(spark, dir), Seq("source"))
+      .filter(col("run") >= RunThr)
+      .withColumn("end", col("start") + col("run") + lit(NgramW - 2L))
+    val prev = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = spans
+      .withColumn("pmax", max("end").over(prev))
+      .withColumn("covered", greatest(lit(0L),
+        col("end") - greatest(col("start") - 1L, coalesce(col("pmax"), lit(0L)))))
+      .groupBy("doc_id", "source").agg(sum("covered").as("removed"))
+    val totals = docs(spark, dir)
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+          .cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens_total"))
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("docs_affected"), sum("removed").as("tokens_removed"))
+    totals.join(perSrc, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+      .withColumn("removal_permille", expr("tokens_removed * 1000 DIV tokens_total"))
+      .orderBy("source")
+  }
+
+  val q128Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
+       | b AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= $NgramW),
+       | gr AS (SELECT doc_id, source, u.i AS i,
+       |   md5(array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i + ${NgramW - 1} AS INTEGER)], ' ')) AS g
+       |  FROM b, LATERAL (SELECT unnest(range(1, len(toks) - ${NgramW - 2})) AS i) u),
+       | rep AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2),
+       | dup AS (SELECT doc_id, source, i FROM gr SEMI JOIN rep USING (g)),
+       | runs AS (SELECT doc_id, source, i,
+       |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM dup),
+       | rl AS (SELECT doc_id, source, MIN(i) AS s, COUNT(*) AS run
+       |  FROM runs GROUP BY doc_id, source, grp),
+       | q AS (SELECT doc_id, source, s, s + run + ${NgramW - 2} AS e
+       |  FROM rl WHERE run >= $RunThr),
+       | c AS (SELECT doc_id, source, GREATEST(0, e - GREATEST(s - 1,
+       |   COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS covered FROM q),
+       | per AS (SELECT doc_id, source, SUM(covered) AS removed FROM c GROUP BY doc_id, source),
+       | ps AS (SELECT source, COUNT(*) AS docs_affected, SUM(removed) AS tokens_removed
+       |  FROM per GROUP BY source),
+       | tot AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS tokens_total
+       |  FROM t GROUP BY source)
+       |SELECT tot.source, tot.n_docs, tot.tokens_total,
+       | CAST(COALESCE(ps.docs_affected, 0) AS BIGINT) AS docs_affected,
+       | CAST(COALESCE(ps.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       | CAST(COALESCE(ps.tokens_removed, 0) * 1000 // tot.tokens_total AS BIGINT) AS removal_permille
+       |FROM tot LEFT JOIN ps USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_distinct_ngrams" -> (q127DistinctNgrams _),
+    "q128_substring_removal" -> (q128SubstringRemoval _),
     "q125_memorization_spans" -> (q125MemorizationSpans _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
@@ -1915,6 +2069,8 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q127_distinct_ngrams" -> q127Sql,
+    "q128_substring_removal" -> q128Sql,
     "q125_memorization_spans" -> q125Sql,
     "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,

@@ -255,6 +255,7 @@ class PlanSpec extends AnyFunSuite {
     // not a merge accident.
     val bnljBounded = Set(
       "q37_tfidf", "q75_pmi_collocations", "q76_bm25", // 1-row corpus totals
+      "q126_hybrid_rrf", // 1-row corpus total inside the shared q76 scorer
       "q84_funnel", "q87_quality_audit", "q94_benford_audit", // 1-row scalars
       "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources

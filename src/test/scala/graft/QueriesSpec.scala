@@ -519,4 +519,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(selected > 0L, "some docs must score positive")
     assert(selected < total, "non-target-language docs must score negative")
   }
+
+  test("q128 interval union never double-counts overlapping qualifying spans") {
+    // Corpus engineered so doc 1 holds TWO qualifying dup runs whose token
+    // coverages overlap: doc 1 = w1..w30; doc 2 = w1..w13 makes doc 1's
+    // gram positions 1..9 duplicated (run 9, covering tokens 1..13);
+    // doc 3 = w11..w30 makes positions 11..26 duplicated (run 16, covering
+    // tokens 11..30); position 10's window w10..w14 exists only in doc 1.
+    // Naive per-run coverage sums to 13 + 20 = 33 for a 30-token doc; the
+    // exact union is 30. Doc 4 is clean filler for a non-trivial permille.
+    import java.nio.file.Files
+    def mk(ids: Range, p: String = "w") = ids.map(i => s"$p$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-q128").toString
+    import spark.implicits._
+    Seq(
+      (1L, mk(1 to 30), "en", "s", 0L),
+      (2L, mk(1 to 13), "en", "s", 0L),
+      (3L, mk(11 to 30), "en", "s", 0L),
+      (4L, mk(1 to 10, "u"), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = SparkEntry.queries("q128_substring_removal")(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head // source, n_docs, tokens_total, docs_affected, tokens_removed, removal_permille
+    assert(row.getLong(1) == 4L && row.getLong(2) == 73L)
+    assert(row.getLong(3) == 3L, s"docs 1-3 affected, doc 4 clean: $row")
+    assert(row.getLong(4) == 63L, s"union must be 30+13+20, not the naive 66: $row")
+    assert(row.getLong(5) == 63L * 1000 / 73L)
+  }
 }
