@@ -2028,9 +2028,152 @@ object TextOps {
        | CAST(COALESCE(ps.tokens_removed, 0) * 1000 // tot.tokens_total AS BIGINT) AS removal_permille
        |FROM tot LEFT JOIN ps USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q129 — learned quality filter trained INSIDE the engine: an integer
+  // batch perceptron over q32's quality features (token count, punct
+  // permille, mean-token-length permille + bias), labels from q32's own
+  // rule panel, trained on the q53 train split and scored on the held-out
+  // test split (confusion matrix + accuracy permille). The fasttext-style
+  // "train a filter model on heuristic labels" move of CCNet/LLaMA data
+  // prep, as a pure dataflow: every quantity is integer-exact, so the
+  // whole train→apply→evaluate loop replays bit-identically in SQL.
+  //
+  // Scale path: one round = ONE map-side-combined aggregation over the
+  // train split (4 long sums); weights are 4 driver-resident longs that
+  // ride into the next round's plan as literals (the centroid pattern —
+  // what you'd do at 100 TB too, the model is 32 bytes). Batch-mode
+  // updates (sum over ALL currently-misclassified rows) make training
+  // order-independent — no sequential online pass to fake in a
+  // distributed engine.
+  // ===========================================================
+  val PerceptronRounds = 16
+  val PerceptronBiasUnit = 32L // bias feature scale ≈ token-count scale
+
+  def q129QualityPerceptron(spark: SparkSession, dir: String): DataFrame = {
+    // Features are the SIGNED RULE MARGINS of q32's panel (centered, so
+    // the zero vector is the rule boundary, plus a bias at token scale):
+    //   x0 = 32, x1 = tokens − 20, x2 = 10·puncts − tokens,
+    //   x3 = chars − 12·tokens  (chars > 12·tokens ⟺ mean len > 12.0)
+    // Pure products/sums only — Spark DIV truncates toward zero while
+    // DuckDB // floors, so NO feature may divide a possibly-negative value.
+    val f = docs(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("chars", length(col("text")).cast("long"))
+      .withColumn("tokens",
+        size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("puncts",
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
+      .filter(col("tokens") > 0)
+      .withColumn("x1", col("tokens") - 20L)
+      .withColumn("x2", col("puncts") * 10L - col("tokens"))
+      .withColumn("x3", col("chars") - col("tokens") * 12L)
+      .withColumn("y",
+        when(col("tokens") < 20 || col("puncts") * 10 > col("tokens") ||
+          col("chars") > col("tokens") * 12, -1L).otherwise(1L))
+    // materialize the train features ONCE (y + three longs per doc, ~32
+    // bytes/row): the 16 update rounds then aggregate a cached long-only
+    // projection instead of re-running the tokenize regexes per round
+    val train = f.filter(col("h") < TrainBound)
+      .select("y", "x1", "x2", "x3").localCheckpoint()
+    // class-balanced updates: a misclassified positive steps by n_neg, a
+    // misclassified negative by n_pos — without this the 89/11 imbalance
+    // drowns the minority class and the model degenerates to all-positive
+    val cnt = train.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)), count(lit(1))).head()
+    val (nPos, nNeg, trainN) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
+    def margin(w: Array[Long]) =
+      lit(w(0) * PerceptronBiasUnit) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val s = when(col("y") === 1L, lit(nNeg)).otherwise(lit(nPos))
+    var w = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to PerceptronRounds) {
+      val upd = train
+        .filter(col("y") * margin(w) <= 0)
+        .agg(
+          coalesce(sum(col("y") * s * PerceptronBiasUnit), lit(0L)),
+          coalesce(sum(col("y") * s * col("x1")), lit(0L)),
+          coalesce(sum(col("y") * s * col("x2")), lit(0L)),
+          coalesce(sum(col("y") * s * col("x3")), lit(0L)))
+        .head()
+      w = Array(w(0) + upd.getLong(0), w(1) + upd.getLong(1),
+        w(2) + upd.getLong(2), w(3) + upd.getLong(3))
+    }
+    f.filter(col("h") >= ValBound)
+      .withColumn("pred", when(margin(w) > 0, 1L).otherwise(-1L))
+      .agg(
+        count(lit(1)).as("test_n"),
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("y") === 1L && col("pred") === -1L, 1L).otherwise(0L)).as("fn"))
+      .select(lit(w(0)).as("w_bias"), lit(w(1)).as("w_tokens"),
+        lit(w(2)).as("w_punct"), lit(w(3)).as("w_mtl"),
+        lit(trainN).as("train_n"), col("test_n"), col("tp"), col("fp"),
+        col("tn"), col("fn"),
+        expr("(tp + tn) * 1000 DIV test_n").as("accuracy_permille"))
+  }
+
+  val q129Sql: String = {
+    // unrolled rounds, q118-style: rN carries (b, wt, wp, wm); a round
+    // adds the class-balanced sum of y·s·x over currently-misclassified
+    // train rows (cnt provides the 1-row class counts)
+    val B = PerceptronBiasUnit
+    def round(prev: String, name: String): String = {
+      val m = s"$prev.b * $B + $prev.wt * x1 + $prev.wp * x2 + $prev.wm * x3"
+      val s = "CASE WHEN y = 1 THEN cnt.nn ELSE cnt.np END"
+      def upd(xi: String) =
+        s"CAST(COALESCE(SUM(CASE WHEN y * ($m) <= 0 THEN y * ($s) * $xi ELSE 0 END), 0) AS BIGINT)"
+      s"""$name AS (SELECT $prev.b + ${upd(B.toString)} AS b,
+         |  $prev.wt + ${upd("x1")} AS wt,
+         |  $prev.wp + ${upd("x2")} AS wp,
+         |  $prev.wm + ${upd("x3")} AS wm
+         | FROM tr, $prev, cnt
+         | GROUP BY $prev.b, $prev.wt, $prev.wp, $prev.wm, cnt.np, cnt.nn)""".stripMargin
+    }
+    val rounds = (1 to PerceptronRounds)
+      .map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n ")
+    val last = s"r$PerceptronRounds"
+    s"""WITH raw AS (SELECT
+       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |   CAST(length(text) AS BIGINT) AS chars,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens,
+       |   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS puncts
+       |  FROM documents),
+       | f AS (SELECT h, tokens - 20 AS x1, puncts * 10 - tokens AS x2,
+       |   chars - tokens * 12 AS x3,
+       |   CASE WHEN tokens < 20 OR puncts * 10 > tokens OR chars > tokens * 12
+       |    THEN -1 ELSE 1 END AS y
+       |  FROM raw WHERE tokens > 0),
+       | tr AS (SELECT * FROM f WHERE h < $TrainBound),
+       | cnt AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |   CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+       |   COUNT(*) AS train_n FROM tr),
+       | r0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS wt,
+       |   CAST(0 AS BIGINT) AS wp, CAST(0 AS BIGINT) AS wm),
+       | $rounds,
+       | te AS (SELECT f.*,
+       |   CASE WHEN $last.b * $B + $last.wt * x1 + $last.wp * x2 + $last.wm * x3 > 0
+       |    THEN 1 ELSE -1 END AS pred
+       |  FROM f, $last WHERE h >= $ValBound),
+       | ev AS (SELECT COUNT(*) AS test_n,
+       |   CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |   CAST(SUM(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |   CAST(SUM(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |   CAST(SUM(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM te)
+       |SELECT $last.b AS w_bias, $last.wt AS w_tokens, $last.wp AS w_punct,
+       | $last.wm AS w_mtl, cnt.train_n, ev.test_n, ev.tp, ev.fp, ev.tn, ev.fn,
+       | (ev.tp + ev.tn) * 1000 // ev.test_n AS accuracy_permille
+       |FROM $last, cnt, ev""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
+    "q129_quality_perceptron" -> (q129QualityPerceptron _),
     "q125_memorization_spans" -> (q125MemorizationSpans _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
@@ -2071,6 +2214,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,
+    "q129_quality_perceptron" -> q129Sql,
     "q125_memorization_spans" -> q125Sql,
     "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,
