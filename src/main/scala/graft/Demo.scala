@@ -33,9 +33,12 @@ object Demo {
     //    gate (annotate once, then gate like any per-row stage)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val annotated = operators.CurationPipeline.annotateMemorization(docs)
+    val model = operators.CurationPipeline.trainQualityFilter(docs)
+    println(s"-- trained quality-filter model (q129 perceptron): ${model.mkString(", ")} --")
     val cur = operators.CurationPipeline.run(annotated,
-      operators.CurationPipeline.standardStages() :+
-        operators.CurationPipeline.memorizedStage())
+      operators.CurationPipeline.standardStages() ++ Seq(
+        operators.CurationPipeline.memorizedStage(),
+        operators.CurationPipeline.learnedQualityStage(model)))
     println("-- curation funnel (first-failing attribution) --")
     cur.funnel.show(20, truncate = false)
 

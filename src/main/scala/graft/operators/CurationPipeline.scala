@@ -76,6 +76,30 @@ object CurationPipeline {
   def memorizedStage(runThr: Long = TextOps.RunThr.toLong): GateStage =
     GateStage("memorized", _ => col("longest_dup_run") < runThr)
 
+  /** Train the q129 integer perceptron on a corpus (typically a trusted
+    * slice; the q129 audit trains on the q53 hash split) and return its
+    * 4-long model for [[learnedQualityStage]]. */
+  def trainQualityFilter(docs: DataFrame): Array[Long] =
+    TextOps.trainQualityPerceptron(TextOps.qualityFeatures(docs))._1
+
+  /** Learned-quality gate: keep documents the trained perceptron
+    * classifies positive (margin > 0) — q129's model applied as a
+    * stateless per-row predicate, the production shape of a fasttext-
+    * style filter. Zero-token docs fail the gate (no features). */
+  def learnedQualityStage(w: Array[Long]): GateStage =
+    GateStage("learned_quality", _ => {
+      val tokens =
+        size(regexp_extract_all(col("text"), lit(TextOps.wsTokenRe), lit(0))).cast("long")
+      val puncts =
+        size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long")
+      val chars = length(col("text")).cast("long")
+      val margin = lit(w(0) * TextOps.PerceptronBiasUnit) +
+        lit(w(1)) * (tokens - 20L) +
+        lit(w(2)) * (puncts * 10L - tokens) +
+        lit(w(3)) * (chars - tokens * 12L)
+      tokens > 0 && margin > 0
+    })
+
   /** Evaluate all gates in one pass and attribute drops first-failing. */
   def run(docs: DataFrame, stages: Seq[GateStage] = standardStages()): Result = {
     require(stages.nonEmpty, "need at least one gate stage")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2049,18 +2049,14 @@ object TextOps {
   val PerceptronRounds = 16
   val PerceptronBiasUnit = 32L // bias feature scale ≈ token-count scale
 
-  def q129QualityPerceptron(spark: SparkSession, dir: String): DataFrame = {
-    // Features are the SIGNED RULE MARGINS of q32's panel (centered, so
-    // the zero vector is the rule boundary, plus a bias at token scale):
-    //   x0 = 32, x1 = tokens − 20, x2 = 10·puncts − tokens,
-    //   x3 = chars − 12·tokens  (chars > 12·tokens ⟺ mean len > 12.0)
-    // Pure products/sums only — Spark DIV truncates toward zero while
-    // DuckDB // floors, so NO feature may divide a possibly-negative value.
-    val f = docs(spark, dir)
-      .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
-      .withColumn("chars", length(col("text")).cast("long"))
+  /** q32's rule-margin features over a frame carrying `text`: columns
+    * x1 = tokens − 20, x2 = 10·puncts − tokens, x3 = chars − 12·tokens
+    * (chars > 12·tokens ⟺ mean token length > 12.0), plus the rule-panel
+    * label y ∈ {−1, +1}. Pure products/sums only — Spark DIV truncates
+    * toward zero while DuckDB `//` floors, so NO feature may divide a
+    * possibly-negative value. Rows with zero tokens are dropped. */
+  private[operators] def qualityFeatures(d: DataFrame): DataFrame =
+    d.withColumn("chars", length(col("text")).cast("long"))
       .withColumn("tokens",
         size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
       .withColumn("puncts",
@@ -2072,11 +2068,23 @@ object TextOps {
       .withColumn("y",
         when(col("tokens") < 20 || col("puncts") * 10 > col("tokens") ||
           col("chars") > col("tokens") * 12, -1L).otherwise(1L))
+      .drop("chars", "tokens", "puncts")
+
+  /** The trained model's decision margin over the x1/x2/x3 columns of
+    * [[qualityFeatures]]; classify keep ⟺ margin > 0. */
+  private[operators] def qualityMargin(w: Array[Long]): Column =
+    lit(w(0) * PerceptronBiasUnit) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** Train the integer batch perceptron on a frame of [[qualityFeatures]]
+    * rows: (weights, train_n). Shared by q129 and
+    * [[CurationPipeline.learnedQualityStage]], so the pipeline gates with
+    * exactly the model the audit reports. */
+  def trainQualityPerceptron(features: DataFrame): (Array[Long], Long) = {
     // materialize the train features ONCE (y + three longs per doc, ~32
     // bytes/row): the 16 update rounds then aggregate a cached long-only
     // projection instead of re-running the tokenize regexes per round
-    val train = f.filter(col("h") < TrainBound)
-      .select("y", "x1", "x2", "x3").localCheckpoint()
+    val train = features.select("y", "x1", "x2", "x3").localCheckpoint()
     // class-balanced updates: a misclassified positive steps by n_neg, a
     // misclassified negative by n_pos — without this the 89/11 imbalance
     // drowns the minority class and the model degenerates to all-positive
@@ -2084,14 +2092,11 @@ object TextOps {
       sum(when(col("y") === 1L, 1L).otherwise(0L)),
       sum(when(col("y") === -1L, 1L).otherwise(0L)), count(lit(1))).head()
     val (nPos, nNeg, trainN) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
-    def margin(w: Array[Long]) =
-      lit(w(0) * PerceptronBiasUnit) + lit(w(1)) * col("x1") +
-        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
     val s = when(col("y") === 1L, lit(nNeg)).otherwise(lit(nPos))
     var w = Array(0L, 0L, 0L, 0L)
     for (_ <- 1 to PerceptronRounds) {
       val upd = train
-        .filter(col("y") * margin(w) <= 0)
+        .filter(col("y") * qualityMargin(w) <= 0)
         .agg(
           coalesce(sum(col("y") * s * PerceptronBiasUnit), lit(0L)),
           coalesce(sum(col("y") * s * col("x1")), lit(0L)),
@@ -2101,8 +2106,18 @@ object TextOps {
       w = Array(w(0) + upd.getLong(0), w(1) + upd.getLong(1),
         w(2) + upd.getLong(2), w(3) + upd.getLong(3))
     }
+    train.unpersist()
+    (w, trainN)
+  }
+
+  def q129QualityPerceptron(spark: SparkSession, dir: String): DataFrame = {
+    val f = qualityFeatures(docs(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long")))
+    val (w, trainN) = trainQualityPerceptron(f.filter(col("h") < TrainBound))
     f.filter(col("h") >= ValBound)
-      .withColumn("pred", when(margin(w) > 0, 1L).otherwise(-1L))
+      .withColumn("pred", when(qualityMargin(w) > 0, 1L).otherwise(-1L))
       .agg(
         count(lit(1)).as("test_n"),
         sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),

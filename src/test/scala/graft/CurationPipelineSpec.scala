@@ -118,6 +118,28 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(attribution(3L).isEmpty && attribution(4L).isEmpty && attribution(5L).isEmpty)
   }
 
+  test("learned quality gate drops exactly what the trained model rejects") {
+    // 20-token+ docs are rule-positive, short docs rule-negative; train on
+    // a corpus where that's the only separator, then gate a fresh frame —
+    // the perceptron must have learned the token boundary well enough to
+    // split these far-from-boundary cases, and gate ≡ model by predicate.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = "a b c"
+    val trainDocs = (1L to 60L).map { i =>
+      (i, if (i % 5 == 0) short + s" s$i" else long + s" t$i", "en")
+    }.toDF("doc_id", "text", "lang")
+    val w = CurationPipeline.trainQualityFilter(trainDocs)
+    val gateDocs = Seq(
+      (101L, long, "en"),           // clearly positive
+      (102L, "tiny doc here", "en") // clearly negative (3 tokens)
+    ).toDF("doc_id", "text", "lang")
+    val res = CurationPipeline.run(gateDocs, Seq(CurationPipeline.learnedQualityStage(w)))
+    val attribution = res.annotated.select("doc_id", "drop_stage").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(attribution(101L).isEmpty, s"long doc must pass: w=${w.toSeq}")
+    assert(attribution(102L).contains("learned_quality"), s"short doc must drop: w=${w.toSeq}")
+  }
+
   test("custom stages compose and order decides attribution") {
     val docs = Seq((1L, "aa bb cc dd ee ff", "en")).toDF("doc_id", "text", "lang")
     val failBoth = Seq(
