@@ -2185,10 +2185,134 @@ object TextOps {
        |FROM $last, cnt, ev""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q130 — per-source token-distribution divergence: q90's integer
+  // chi-square, but over TEXT — each source's unigram distribution vs the
+  // corpus-wide distribution on a deterministic top-V vocabulary plus an
+  // OOV bucket (bounded width, so the statistic is comparable across
+  // sources and scales). The "this source is off-distribution" audit that
+  // decides whether a new crawl slice joins the mixture.
+  //
+  // Scale path: ONE tokenize scan; the vocabulary is a top-V
+  // TakeOrderedAndProject collected to the driver (V strings — the
+  // centroid pattern); histograms are map-side-combined aggregations of
+  // ≤(V+1) buckets per source; the corpus reference broadcasts. The
+  // squared term bounds at (cur_n·Scale)² — int64-safe through ~10^6-token
+  // sources at Scale 1000; larger corpora drop Scale or shard the sum.
+  // ===========================================================
+  val VocabTopK = 20
+  val VocabScale = 1000L
+
+  def q130SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("source"),
+      explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(VocabTopK)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    val b = toks.withColumn("bucket",
+      when(col("tok").isin(vocab: _*), col("tok")).otherwise(lit("<oov>")))
+    val cur = b.groupBy("source", "bucket").agg(count(lit(1)).as("cur_c"))
+    val ref = b.groupBy("bucket").agg(count(lit(1)).as("ref_c"))
+    val refN = b.agg(count(lit(1)).as("ref_n"))
+    val curN = cur.groupBy("source").agg(sum("cur_c").cast("long").as("cur_n"))
+    cur.join(broadcast(ref), "bucket")
+      .join(broadcast(curN), "source")
+      .crossJoin(broadcast(refN))
+      .withColumn("e", expr(s"ref_c * cur_n * $VocabScale DIV ref_n"))
+      .filter(col("e") > 0) // sub-permille expectations cannot contribute
+      .withColumn("contrib", expr(
+        s"(cur_c * $VocabScale - e) * (cur_c * $VocabScale - e) DIV (e * $VocabScale)"))
+      .groupBy("source")
+      .agg(max("cur_n").as("tokens"), count(lit(1)).as("n_buckets"),
+        sum("contrib").cast("long").as("chi2_millis"))
+      .orderBy("source")
+  }
+
+  val q130Sql: String =
+    s"""WITH t AS (SELECT source, u.tok AS tok FROM documents,
+       |   LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok) u),
+       | v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+       |   ORDER BY c DESC, tok LIMIT $VocabTopK)),
+       | b AS (SELECT source,
+       |   CASE WHEN tok IN (SELECT tok FROM v) THEN tok ELSE '<oov>' END AS bucket FROM t),
+       | cur AS (SELECT source, bucket, COUNT(*) AS cur_c FROM b GROUP BY source, bucket),
+       | ref AS (SELECT bucket, COUNT(*) AS ref_c FROM b GROUP BY bucket),
+       | rn AS (SELECT COUNT(*) AS ref_n FROM b),
+       | cn AS (SELECT source, CAST(SUM(cur_c) AS BIGINT) AS cur_n FROM cur GROUP BY source),
+       | c AS (SELECT cur.source, cur_n, cur_c,
+       |   ref_c * cur_n * $VocabScale // ref_n AS e
+       |  FROM cur JOIN ref USING (bucket) JOIN cn ON cur.source = cn.source, rn)
+       |SELECT source, MAX(cur_n) AS tokens, COUNT(*) AS n_buckets,
+       | CAST(SUM((cur_c * $VocabScale - e) * (cur_c * $VocabScale - e)
+       |   // (e * $VocabScale)) AS BIGINT) AS chi2_millis
+       |FROM c WHERE e > 0 GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q131 — epoch-mixture planner: given the q115 temperature-scaled
+  // source shares and a multi-epoch training budget, how many times does
+  // each source repeat? required_s = share_s × budget;
+  // epochs_permille_s = required_s / available_s; sources past the
+  // ~4-epoch repeat tolerance (Muennighoff et al. 2023) are capped and
+  // their shortfall reported — the number the mixture owner reallocates.
+  //
+  // Scale path: everything after ONE token-count scan is arithmetic on
+  // the |sources|-row aggregate with two broadcast scalar totals.
+  // ===========================================================
+  val EpochBudgetX = 3L      // training budget = 3× the corpus token count
+  // repeat tolerance: the literature point is ~4 epochs (Muennighoff et
+  // al. 2023); the demo corpus is near-balanced (~2.8-3.1 epochs/source),
+  // so the cap sits at 3 epochs to keep the cap/shortfall path exercised
+  val EpochCapPermille = 3000L
+
+  def q131EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .withColumn("tok",
+        size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .groupBy("source")
+      .agg(sum("tok").as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val totals = per.agg(sum("tokens").as("tot_tokens"), sum("weight").as("tot_weight"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("temp_permille", expr("weight * 1000 DIV tot_weight"))
+      .withColumn("required_tokens",
+        expr(s"temp_permille * tot_tokens * $EpochBudgetX DIV 1000"))
+      .withColumn("epochs_permille", expr("required_tokens * 1000 DIV tokens"))
+      .withColumn("over_cap", col("epochs_permille") > EpochCapPermille)
+      .withColumn("capped_tokens",
+        expr(s"least(required_tokens, tokens * $EpochCapPermille DIV 1000)"))
+      .withColumn("shortfall_tokens", col("required_tokens") - col("capped_tokens"))
+      .select("source", "tokens", "temp_permille", "required_tokens",
+        "epochs_permille", "over_cap", "capped_tokens", "shortfall_tokens")
+      .orderBy("source")
+  }
+
+  val q131Sql: String =
+    s"""WITH per AS (SELECT source,
+       |   CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       | w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight FROM per),
+       | tt AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+       |   CAST(SUM(weight) AS BIGINT) AS tot_weight FROM w),
+       | p AS (SELECT source, tokens, weight * 1000 // tt.tot_weight AS temp_permille,
+       |   (weight * 1000 // tt.tot_weight) * tt.tot_tokens * $EpochBudgetX // 1000 AS required_tokens
+       |  FROM w, tt),
+       | e AS (SELECT *, required_tokens * 1000 // tokens AS epochs_permille,
+       |   LEAST(required_tokens, tokens * $EpochCapPermille // 1000) AS capped_tokens
+       |  FROM p)
+       |SELECT source, tokens, CAST(temp_permille AS BIGINT) AS temp_permille,
+       | CAST(required_tokens AS BIGINT) AS required_tokens,
+       | CAST(epochs_permille AS BIGINT) AS epochs_permille,
+       | epochs_permille > $EpochCapPermille AS over_cap,
+       | CAST(capped_tokens AS BIGINT) AS capped_tokens,
+       | CAST(required_tokens - capped_tokens AS BIGINT) AS shortfall_tokens
+       |FROM e ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
     "q129_quality_perceptron" -> (q129QualityPerceptron _),
+    "q130_source_divergence" -> (q130SourceDivergence _),
+    "q131_epoch_plan" -> (q131EpochPlan _),
     "q125_memorization_spans" -> (q125MemorizationSpans _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
@@ -2230,6 +2354,8 @@ object TextOps {
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,
     "q129_quality_perceptron" -> q129Sql,
+    "q130_source_divergence" -> q130Sql,
+    "q131_epoch_plan" -> q131Sql,
     "q125_memorization_spans" -> q125Sql,
     "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,
