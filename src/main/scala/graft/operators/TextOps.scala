@@ -2307,12 +2307,132 @@ object TextOps {
        | CAST(required_tokens - capped_tokens AS BIGINT) AS shortfall_tokens
        |FROM e ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q132 — benchmark-side contamination attribution: q54 reports WHICH
+  // CORPUS DOCS are contaminated; this reports WHICH EVAL ITEMS leak —
+  // per benchmark doc (q54's doc_id % 97 stand-in suite), how many of its
+  // 3-grams appear in the training corpus and how many distinct corpus
+  // docs share one. The eval-integrity owner reads this list to decide
+  // which benchmark items to retire (their scores are memorization, not
+  // capability). Top-15 by corpus reach.
+  //
+  // Scale path: the benchmark gram table is eval-suite-sized →
+  // broadcast; the corpus gram stream joins it map-side (the q54 move
+  // with the doc id carried through), and both distinct counts aggregate
+  // the JOINED (bounded) pair stream, never corpus×bench.
+  // ===========================================================
+  val LeakTopK = 15
+
+  def q132BenchLeaks(spark: SparkSession, dir: String): DataFrame = {
+    def ngrams(df: DataFrame): DataFrame =
+      df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+        .withColumn("ng", explode(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(1, size(toks) - 2),
+            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .select(col("doc_id"), col("ng"))
+    val d = docs(spark, dir)
+    val benchG = ngrams(d.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("bench_doc_id"), col("ng")).distinct()
+    val pairs = ngrams(d.filter(col("doc_id") % 97 =!= 0))
+      .select(col("doc_id").as("c_doc"), col("ng"))
+      .join(broadcast(benchG), "ng")
+    val per = pairs.groupBy("bench_doc_id")
+      .agg(countDistinct("ng").as("n_leaked"),
+        countDistinct("c_doc").as("n_corpus_docs"))
+    benchG.groupBy("bench_doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(per, Seq("bench_doc_id"), "left_outer")
+      .select(col("bench_doc_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+      .withColumn("leak_permille", expr("n_leaked * 1000 DIV n_grams"))
+      .orderBy(col("n_corpus_docs").desc, col("bench_doc_id")).limit(LeakTopK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_corpus_docs").desc, col("bench_doc_id"))).cast("long"))
+      .select("rank", "bench_doc_id", "n_grams", "n_leaked", "leak_permille", "n_corpus_docs")
+      .orderBy("rank")
+  }
+
+  val q132Sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
+       | ng AS (SELECT doc_id,
+       |   unnest(CASE WHEN len(toks) >= 3
+       |     THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |     ELSE CAST([] AS VARCHAR[]) END) AS ng
+       |  FROM toks),
+       | bench AS (SELECT DISTINCT doc_id AS bench_doc_id, ng FROM ng WHERE doc_id % 97 = 0),
+       | pairs AS (SELECT b.bench_doc_id, n.ng, n.doc_id AS c_doc
+       |  FROM ng n JOIN bench b USING (ng) WHERE n.doc_id % 97 <> 0),
+       | per AS (SELECT bench_doc_id, COUNT(DISTINCT ng) AS n_leaked,
+       |   COUNT(DISTINCT c_doc) AS n_corpus_docs FROM pairs GROUP BY bench_doc_id),
+       | tot AS (SELECT bench_doc_id, COUNT(*) AS n_grams FROM bench GROUP BY bench_doc_id),
+       | j AS (SELECT tot.bench_doc_id, tot.n_grams,
+       |   CAST(COALESCE(per.n_leaked, 0) AS BIGINT) AS n_leaked,
+       |   CAST(COALESCE(per.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+       |  FROM tot LEFT JOIN per USING (bench_doc_id)),
+       | r AS (SELECT *, n_leaked * 1000 // n_grams AS leak_permille,
+       |   ROW_NUMBER() OVER (ORDER BY n_corpus_docs DESC, bench_doc_id) AS rank FROM j)
+       |SELECT CAST(rank AS BIGINT) AS rank, bench_doc_id, n_grams, n_leaked,
+       | CAST(leak_permille AS BIGINT) AS leak_permille, n_corpus_docs
+       |FROM r WHERE rank <= $LeakTopK ORDER BY rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q133 — vocabulary coverage curve (tokenizer sizing): for vocabulary
+  // budgets k = 1, 2, 4, ..., 32, what fraction of corpus token
+  // OCCURRENCES do the top-k types cover? The Zipf-mass curve that
+  // decides how large a word-level vocab (or BPE merge budget) must be
+  // before <unk> mass is acceptable.
+  //
+  // Scale path: the frequency table is VOCABULARY-sized (types, not
+  // occurrences); its global rank window sorts |V| rows — the one sort a
+  // coverage curve fundamentally needs — and the k-budget expansion cross
+  // joins |V| rows with a 6-row literal. The corpus itself is touched by
+  // exactly one tokenize+count scan.
+  // ===========================================================
+  val CoverageKs: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+
+  def q133VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = docs(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+    val totals = freq.agg(sum("c").as("total_tokens"), count(lit(1)).as("vocab_size"))
+    ranked.crossJoin(broadcast(CoverageKs.toDF("k")))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k").agg(sum("c").as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .withColumn("coverage_permille", expr("covered_tokens * 1000 DIV total_tokens"))
+      .select("k", "covered_tokens", "total_tokens", "vocab_size", "coverage_permille")
+      .orderBy("k")
+  }
+
+  val q133Sql: String = {
+    val kRows = CoverageKs.map(k => s"($k)").mkString(", ")
+    s"""WITH t AS (SELECT u.tok AS tok FROM documents,
+       |   LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+')) AS tok) u),
+       | freq AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+       | ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM freq),
+       | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens, COUNT(*) AS vocab_size FROM freq)
+       |SELECT ks.k, CAST(SUM(ranked.c) AS BIGINT) AS covered_tokens,
+       | tot.total_tokens, tot.vocab_size,
+       | CAST(SUM(ranked.c) * 1000 // tot.total_tokens AS BIGINT) AS coverage_permille
+       |FROM ranked, (VALUES $kRows) ks(k), tot
+       |WHERE ranked.rank <= ks.k
+       |GROUP BY ks.k, tot.total_tokens, tot.vocab_size ORDER BY ks.k""".stripMargin.replace("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
     "q129_quality_perceptron" -> (q129QualityPerceptron _),
     "q130_source_divergence" -> (q130SourceDivergence _),
     "q131_epoch_plan" -> (q131EpochPlan _),
+    "q132_bench_leaks" -> (q132BenchLeaks _),
+    "q133_vocab_coverage" -> (q133VocabCoverage _),
     "q125_memorization_spans" -> (q125MemorizationSpans _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
@@ -2356,6 +2476,8 @@ object TextOps {
     "q129_quality_perceptron" -> q129Sql,
     "q130_source_divergence" -> q130Sql,
     "q131_epoch_plan" -> q131Sql,
+    "q132_bench_leaks" -> q132Sql,
+    "q133_vocab_coverage" -> q133Sql,
     "q125_memorization_spans" -> q125Sql,
     "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,

@@ -260,6 +260,7 @@ class PlanSpec extends AnyFunSuite {
       "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
+      "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
