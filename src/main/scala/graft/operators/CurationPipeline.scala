@@ -58,6 +58,13 @@ object CurationPipeline {
       guess === "und" || guess === col("lang")
     }))
 
+  /** The per-row subset of [[standardStages]] — every predicate is
+    * window-free, so these run unchanged on a STREAM (exact-dup needs
+    * corpus state; its live form is `StreamDedup`'s watermark dedup /
+    * snapshot Bloom gate, applied before or after the funnel). */
+  def statelessStages(minTokens: Int = 5, minDistinctPermille: Long = 250L): Seq[GateStage] =
+    standardStages(minTokens, minDistinctPermille).filterNot(_.name == "exact_dup")
+
   /** Pre-annotator for [[memorizedStage]]: adds `longest_dup_run` — each
     * document's longest unbroken run of corpus-duplicated
     * [[TextOps.NgramW]]-gram positions (0 when none), computed by the SAME
@@ -100,8 +107,10 @@ object CurationPipeline {
       tokens > 0 && margin > 0
     })
 
-  /** Evaluate all gates in one pass and attribute drops first-failing. */
-  def run(docs: DataFrame, stages: Seq[GateStage] = standardStages()): Result = {
+  /** Gate columns + first-failing `drop_stage` over `docs` — the shared
+    * annotation step of the batch [[run]] and the live
+    * [[graft.streaming.CurationStream]]. */
+  def annotate(docs: DataFrame, stages: Seq[GateStage]): DataFrame = {
     require(stages.nonEmpty, "need at least one gate stage")
     require(stages.map(_.name).distinct.size == stages.size, "stage names must be unique")
     // a gate that cannot evaluate (null text/lang reaching a null-valued
@@ -114,7 +123,12 @@ object CurationPipeline {
     val attribution = stages.reverse.foldLeft(lit(null).cast("string")) { (tail, s) =>
       when(!col(s"keep_${s.name}"), lit(s.name)).otherwise(tail)
     }
-    val annotated = annotated0.withColumn("drop_stage", attribution)
+    annotated0.withColumn("drop_stage", attribution)
+  }
+
+  /** Evaluate all gates in one pass and attribute drops first-failing. */
+  def run(docs: DataFrame, stages: Seq[GateStage] = standardStages()): Result = {
+    val annotated = annotate(docs, stages)
     val kept = annotated.filter(col("drop_stage").isNull)
       .drop(stages.map(s => s"keep_${s.name}") :+ "drop_stage": _*)
     // the funnel reduces to ≤ stages+1 driver rows (the centroid pattern)
