@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1579,7 +1579,53 @@ object SimilarityOps {
        |FROM top WHERE rank <= 10 ORDER BY rank""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q134 — contamination-safe split audit: near-duplicate pairs that
+  // STRADDLE the q53 train/val/test hash split are silent eval leakage —
+  // the test copy scores what the model memorized from its train twin.
+  // For every verified near-dup pair (the q41 chain's Jaccard ≥ ½ gate),
+  // classify both endpoints under (a) the naive per-doc hash split and
+  // (b) a duplicate-consistent assignment keyed by the pair
+  // representative min(a, b) — the cluster-keyed split a leakage-free
+  // pipeline uses. Output: the 6 split-class counts under both schemes,
+  // side by side — every off-diagonal pair under (a) is a leak; (b) is
+  // zero off-diagonal BY CONSTRUCTION, which is the point.
+  //
+  // Scale path: everything downstream of the (already bounded) verified
+  // pair set is per-pair hashing + a ≤6-row aggregation; no new corpus
+  // touch at all.
+  // ===========================================================
+  def q134SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps.{TrainBound, ValBound}
+    def splitOf(c: Column): Column = {
+      val h = conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      when(h < TrainBound, "train").when(h < ValBound, "val").otherwise("test")
+    }
+    val dups = q41Scored(spark, dir)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select(col("a"), col("b"))
+      .withColumn("sa", splitOf(col("a")))
+      .withColumn("sb", splitOf(col("b")))
+      .withColumn("sr", splitOf(least(col("a"), col("b"))))
+      .localCheckpoint() // one pair-discovery pass feeds both groupings
+    val naive = dups
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs_naive"))
+    val repKeyed = dups
+      .groupBy(col("sr").as("split_lo"), col("sr").as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs_rep_keyed"))
+    naive.join(repKeyed, Seq("split_lo", "split_hi"), "full_outer")
+      .select(col("split_lo"), col("split_hi"),
+        coalesce(col("n_pairs_naive"), lit(0L)).as("n_pairs_naive"),
+        coalesce(col("n_pairs_rep_keyed"), lit(0L)).as("n_pairs_rep_keyed"))
+      .withColumn("is_leak_class", col("split_lo") =!= col("split_hi"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_split_leakage" -> (q134SplitLeakage _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q122_semantic_decon" -> (q122SemanticDecon _),
     "q120_crossmodal_retrieval" -> (q120CrossmodalRetrieval _),
@@ -1675,7 +1721,38 @@ object SimilarityOps {
        |FROM qual LEFT JOIN losers l ON qual.doc_id = l.doc_id
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  val q134Sql: String =
+    s"""$q41Ctes,
+       | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
+       | sp AS (SELECT a, b,
+       |   CASE WHEN ha < ${graft.operators.TextOps.TrainBound} THEN 'train'
+       |    WHEN ha < ${graft.operators.TextOps.ValBound} THEN 'val' ELSE 'test' END AS sa,
+       |   CASE WHEN hb < ${graft.operators.TextOps.TrainBound} THEN 'train'
+       |    WHEN hb < ${graft.operators.TextOps.ValBound} THEN 'val' ELSE 'test' END AS sb,
+       |   CASE WHEN hr < ${graft.operators.TextOps.TrainBound} THEN 'train'
+       |    WHEN hr < ${graft.operators.TextOps.ValBound} THEN 'val' ELSE 'test' END AS sr
+       |  FROM (SELECT a, b,
+       |    CAST(('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15)) AS BIGINT) AS ha,
+       |    CAST(('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS hb,
+       |    CAST(('0x' || substr(md5(CAST(LEAST(a, b) AS VARCHAR)), 1, 15)) AS BIGINT) AS hr
+       |   FROM dup)),
+       | naive AS (SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+       |   COUNT(*) AS n_pairs_naive FROM sp GROUP BY 1, 2),
+       | repk AS (SELECT sr AS split_lo, sr AS split_hi,
+       |   COUNT(*) AS n_pairs_rep_keyed FROM sp GROUP BY 1, 2)
+       |SELECT COALESCE(naive.split_lo, repk.split_lo) AS split_lo,
+       | COALESCE(naive.split_hi, repk.split_hi) AS split_hi,
+       | CAST(COALESCE(n_pairs_naive, 0) AS BIGINT) AS n_pairs_naive,
+       | CAST(COALESCE(n_pairs_rep_keyed, 0) AS BIGINT) AS n_pairs_rep_keyed,
+       | COALESCE(naive.split_lo, repk.split_lo) <> COALESCE(naive.split_hi, repk.split_hi)
+       |  AS is_leak_class
+       |FROM naive FULL JOIN repk
+       | ON naive.split_lo = repk.split_lo AND naive.split_hi = repk.split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin.replace("\n", " ")
+
+
   val oracles: Map[String, String] = Map(
+    "q134_split_leakage" -> q134Sql,
     "q126_hybrid_rrf" -> q126Sql,
     "q122_semantic_decon" -> q122Sql,
     "q120_crossmodal_retrieval" -> q120Sql,
