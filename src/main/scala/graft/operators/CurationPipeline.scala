@@ -43,7 +43,7 @@ object CurationPipeline {
       row_number().over(
         Window.partitionBy(md5(TextOps.norm.cast("binary"))).orderBy("doc_id")) === 1),
     GateStage("too_short", _ =>
-      size(regexp_extract_all(col("text"), lit(TextOps.wsTokenRe), lit(0))) >= minTokens),
+      graft.plans.WsTokenCount.ws_token_count(col("text")) >= minTokens),
     GateStage("repetitive", _ => {
       val toks = regexp_extract_all(lower(col("text")), lit(TextOps.wsTokenRe), lit(0))
       size(array_distinct(toks)).cast("long") * 1000 >=
@@ -95,8 +95,7 @@ object CurationPipeline {
     * style filter. Zero-token docs fail the gate (no features). */
   def learnedQualityStage(w: Array[Long]): GateStage =
     GateStage("learned_quality", _ => {
-      val tokens =
-        size(regexp_extract_all(col("text"), lit(TextOps.wsTokenRe), lit(0))).cast("long")
+      val tokens = graft.plans.WsTokenCount.ws_token_count(col("text"))
       val puncts =
         size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long")
       val chars = length(col("text")).cast("long")

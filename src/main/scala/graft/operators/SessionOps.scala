@@ -165,7 +165,7 @@ object SessionOps {
     val d = docs(spark, dir)
       .withColumn("ntext", TextOps.norm)
       .withColumn("tokens",
-        size(regexp_extract_all(col("text"), lit(TextOps.wsTokenRe), lit(0))).cast("long"))
+        graft.plans.WsTokenCount.ws_token_count(col("text")))
       .withColumn("fp", md5(col("ntext").cast("binary")))
       .withColumn("padded", concat(lit(" "), col("ntext"), lit(" ")))
       .withColumn("guess",

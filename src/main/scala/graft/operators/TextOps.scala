@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.plans.WsTokenCount.ws_token_count
 import org.apache.spark.sql.functions._
 
 /**
@@ -66,7 +67,7 @@ object TextOps {
   // ===========================================================
   def q31TokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tokens", ws_token_count(col("text")))
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("docs"),
@@ -89,7 +90,7 @@ object TextOps {
   def q32QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("chars", length(col("text")).cast("long"))
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tokens", ws_token_count(col("text")))
       .withColumn("puncts", size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
       .withColumn("mean_token_len",
         when(col("tokens") > 0, col("chars").cast("double") / col("tokens")).otherwise(0.0))
@@ -289,7 +290,7 @@ object TextOps {
 
   def q39BpeTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("ws_tokens", size(regexp_extract_all(col("text"), lit(wsTokenPattern), lit(0))).cast("long"))
+      .withColumn("ws_tokens", ws_token_count(col("text")))
       .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0))).cast("long"))
       .groupBy("lang", "source")
       .agg(
@@ -380,7 +381,7 @@ object TextOps {
         when(col("h") < TrainBound, "train")
           .when(col("h") < ValBound, "val")
           .otherwise("test"))
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tokens", ws_token_count(col("text")))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("docs"), sum("tokens").as("total_tokens"))
       .orderBy("lang", "split")
@@ -612,7 +613,7 @@ object TextOps {
   // ===========================================================
   def q62MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tokens", ws_token_count(col("text")))
       // rate per source: 100‰ + 45‰ per source index (a stand-in for the
       // mixture config table a real run would broadcast-join)
       .withColumn("rate_permille",
@@ -663,7 +664,7 @@ object TextOps {
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = docs(spark, dir)
-      .withColumn("tokens", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tokens", ws_token_count(col("text")))
       .withColumn("shard", expr(s"doc_id div $PackShard"))
       .withColumn("cum", sum("tokens").over(w))
       .withColumn("seq_id", expr(s"(cum - tokens) div $PackBudget"))
@@ -1351,7 +1352,7 @@ object TextOps {
   // ===========================================================
   def q115MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
     val per = docs(spark, dir)
-      .withColumn("tok", size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tok", ws_token_count(col("text")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
       .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
@@ -1855,7 +1856,7 @@ object TextOps {
 
   def q125MemorizationSpans(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir)
-      .withColumn("ntok", size(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))))
+      .withColumn("ntok", ws_token_count(col("text"))) // lower() is count-neutral
       .filter(col("ntok") >= NgramW)
     val longest = longestDupRuns(docs(spark, dir), Seq("source"))
     val perSrc = longest.groupBy("source")
@@ -1985,8 +1986,7 @@ object TextOps {
       .groupBy("doc_id", "source").agg(sum("covered").as("removed"))
     val totals = docs(spark, dir)
       .select(col("source"),
-        size(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
-          .cast("long").as("ntok"))
+        ws_token_count(col("text")).as("ntok")) // lower() is count-neutral
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens_total"))
     val perSrc = perDoc.groupBy("source")
@@ -2057,8 +2057,7 @@ object TextOps {
     * possibly-negative value. Rows with zero tokens are dropped. */
   private[operators] def qualityFeatures(d: DataFrame): DataFrame =
     d.withColumn("chars", length(col("text")).cast("long"))
-      .withColumn("tokens",
-        size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
+      .withColumn("tokens", ws_token_count(col("text")))
       .withColumn("puncts",
         size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
       .filter(col("tokens") > 0)

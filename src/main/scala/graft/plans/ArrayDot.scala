@@ -156,6 +156,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (children: Seq[Expression]) => WsTokenCount(children.head)))
     // per-key top-k: rewrite row_number-window + rank filter into the
     // two-phase (map-side-pruned) TopKPerKey operator
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
