@@ -2424,7 +2424,99 @@ object TextOps {
        |GROUP BY ks.k, tot.total_tokens, tot.vocab_size ORDER BY ks.k""".stripMargin.replace("\n", " ")
   }
 
+  // ===========================================================
+  // q135 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+  // algorithm): Karp-Rabin polynomial hashes over character k-grams of
+  // the normalized text, a w-window min-selection (leftmost minimum via
+  // the hash·2048+pos key trick — one plain window MIN in both engines),
+  // and near-dup mining on the selected fingerprints. Winnowing
+  // guarantees any shared substring of length ≥ k+w−1 produces a shared
+  // fingerprint — the LOCAL complement of q41's whole-document MinHash
+  // (robust to partial overlap/edits, which global signatures dilute).
+  // q34's whole-doc digest, q41's MinHash, and this complete the
+  // fingerprint family.
+  //
+  // Scale path: hashing is per-row lambda arithmetic at the scan; the
+  // window min partitions per doc (bounded); fingerprint buckets ride the
+  // q41 bucket-cap move (SmallestK, oversized stop-fingerprint buckets
+  // dropped whole) so pair fanout is ≤ cap² per fingerprint, never
+  // corpus². The final top-20 is TakeOrderedAndProject.
+  // ===========================================================
+  val WinK = 5 // k-gram width (chars of normalized text)
+  val WinW = 4 // winnowing window (guarantee threshold = k + w - 1 = 8)
+  val WinB = 257L
+  val WinM = 1000000007L // hash modulus; h*2048+pos stays < 2^41
+  val WinCap = 64
+  val WinTopN = 20
+
+  def q135WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("ntext", norm)
+      .withColumn("n", length(col("ntext")))
+      .filter(col("n") >= WinK + WinW - 1) // at least one full window
+      .withColumn("hs", expr(
+        s"transform(sequence(1, n - ${WinK - 1}), i -> " +
+          s"aggregate(transform(sequence(0, ${WinK - 1}), " +
+          s"j -> CAST(ascii(substring(ntext, i + j, 1)) AS BIGINT)), " +
+          s"0L, (acc, c) -> (acc * $WinB + c) % $WinM))"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+      // positions < 2048 by the n_chars bound, so the packed key decodes
+      // exactly and leftmost-minimum tie-breaking falls out of MIN
+      .withColumn("key", col("h") * 2048L + col("pos0") + 1L)
+    val winFrame = Window.partitionBy("doc_id").orderBy("pos0")
+      .rowsBetween(Window.currentRow, WinW - 1)
+    val fps = grams
+      .withColumn("sel", min("key").over(winFrame))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos0") <= col("nh") - WinW) // full windows only
+      .select(col("doc_id"), expr("sel DIV 2048").as("fph"))
+      .distinct()
+    val buckets = fps.groupBy("fph")
+      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), WinCap + 1).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= WinCap)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS a, element_at(ids, j) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_fps"))
+      .orderBy(col("shared_fps").desc, col("a"), col("b")).limit(WinTopN)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("shared_fps").desc, col("a"), col("b"))).cast("long"))
+      .select("rank", "a", "b", "shared_fps")
+      .orderBy("rank")
+  }
+
+  val q135Sql: String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS ntext FROM documents),
+       | dd AS (SELECT doc_id, ntext, length(ntext) AS n FROM d
+       |  WHERE length(ntext) >= ${WinK + WinW - 1}),
+       | hsl AS (SELECT doc_id, list_transform(range(1, n - ${WinK - 2}), i ->
+       |   list_reduce(list_transform(range(0, $WinK),
+       |     j -> CAST(ascii(substr(ntext, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+       |    (acc, c) -> (acc * $WinB + c) % $WinM)) AS hs FROM dd),
+       | p AS (SELECT doc_id, u.h AS h, u.pos AS pos, len(hs) AS nh FROM hsl,
+       |  LATERAL (SELECT unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS pos) u),
+       | sel AS (SELECT doc_id, pos, nh, MIN(h * 2048 + pos) OVER (
+       |   PARTITION BY doc_id ORDER BY pos
+       |   ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS s FROM p),
+       | fps AS (SELECT DISTINCT doc_id, s // 2048 AS fph FROM sel
+       |  WHERE pos <= nh - ${WinW - 1}),
+       | buckets AS (SELECT fph, list(doc_id ORDER BY doc_id) AS ids FROM fps
+       |  GROUP BY fph HAVING COUNT(*) BETWEEN 2 AND $WinCap),
+       | pairs AS (SELECT p.pr[1] AS a, p.pr[2] AS b FROM buckets,
+       |  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+       |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1),
+       |    j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
+       | pc AS (SELECT a, b, COUNT(*) AS shared_fps FROM pairs GROUP BY a, b),
+       | r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY shared_fps DESC, a, b) AS rank FROM pc)
+       |SELECT CAST(rank AS BIGINT) AS rank, a, b, CAST(shared_fps AS BIGINT) AS shared_fps
+       |FROM r WHERE rank <= $WinTopN ORDER BY rank""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
     "q129_quality_perceptron" -> (q129QualityPerceptron _),
@@ -2470,6 +2562,7 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,
     "q129_quality_perceptron" -> q129Sql,
