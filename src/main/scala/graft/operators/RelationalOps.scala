@@ -409,12 +409,18 @@ object RelationalOps {
     // "exists another clean supplier" predicate and the candidate rows —
     // the decorrelated Q21 with the order-side pass fused away
     val wOrder = Window.partitionBy("l_orderkey")
+    // per-suppkey pre-count keeps the heavy aggregation on the join KEY
+    // side; the final rollup groups by s_name (the oracle's Q21 grain) —
+    // distinct suppkeys may share a name in replicated/test corpora, and
+    // grouping by key where the oracle groups by name silently diverges
+    // the moment names collide
     ls.withColumn("n_clean", sum(lit(1L) - col("ret")).over(wOrder))
       .filter(col("ret") === 1L && col("n_clean") >= 1L)
       .groupBy("l_suppkey")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(count(lit(1)).as("numwait_k"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      .groupBy("s_name")
+      .agg(sum("numwait_k").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(15)
   }

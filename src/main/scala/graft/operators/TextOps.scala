@@ -2442,10 +2442,12 @@ object TextOps {
   // dropped whole) so pair fanout is ≤ cap² per fingerprint, never
   // corpus². The final top-20 is TakeOrderedAndProject.
   // ===========================================================
-  val WinK = 5 // k-gram width (chars of normalized text)
+  // constants live on the native expression — ONE source for the Spark
+  // plan, the SQL oracle, and the codegen'd rolling recurrence
+  val WinK: Int = graft.plans.RollingHashGrams.K // k-gram width (code points)
   val WinW = 4 // winnowing window (guarantee threshold = k + w - 1 = 8)
-  val WinB = 257L
-  val WinM = 1000000007L // hash modulus; h*2048+pos stays < 2^41
+  val WinB: Long = graft.plans.RollingHashGrams.B
+  val WinM: Long = graft.plans.RollingHashGrams.M // h*2048+pos stays < 2^41
   val WinCap = 64
   val WinTopN = 20
 
@@ -2454,11 +2456,9 @@ object TextOps {
       .withColumn("ntext", norm)
       .withColumn("n", length(col("ntext")))
       .filter(col("n") >= WinK + WinW - 1) // at least one full window
-      .withColumn("hs", expr(
-        s"transform(sequence(1, n - ${WinK - 1}), i -> " +
-          s"aggregate(transform(sequence(0, ${WinK - 1}), " +
-          s"j -> CAST(ascii(substring(ntext, i + j, 1)) AS BIGINT)), " +
-          s"0L, (acc, c) -> (acc * $WinB + c) % $WinM))"))
+      // native O(n) rolling recurrence — the composable lambda form costs
+      // ~75 s at sf0.1 (interpreted HOFs, per-(i,j) substring rescans)
+      .withColumn("hs", graft.plans.RollingHashGrams.rolling_hash_grams(col("ntext")))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
       // positions < 2048 by the n_chars bound, so the packed key decodes
       // exactly and leftmost-minimum tie-breaking falls out of MIN
