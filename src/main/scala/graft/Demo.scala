@@ -59,6 +59,10 @@ object Demo {
     println("-- exact-dedup audit (q30) --")
     SparkEntry.queries("q30_dedup_exact")(spark, sfDir).show(truncate = false)
 
+    // 6. hybrid retrieval over the kept corpus family (q126)
+    println("-- hybrid BM25+dense retrieval, RRF-fused top-10 (q126) --")
+    SparkEntry.queries("q126_hybrid_rrf")(spark, sfDir).show(truncate = false)
+
     val kept = cur.kept.count()
     println(s"kept corpus: $kept docs of ${docs.count()}")
     spark.stop()

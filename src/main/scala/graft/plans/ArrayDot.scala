@@ -160,6 +160,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("ws_token_count"),
       new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
       (children: Seq[Expression]) => WsTokenCount(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash_grams"),
+      new ExpressionInfo(classOf[RollingHashGrams].getName, "rolling_hash_grams"),
+      (children: Seq[Expression]) => RollingHashGrams(children.head)))
     // per-key top-k: rewrite row_number-window + rank filter into the
     // two-phase (map-side-pruned) TopKPerKey operator
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
