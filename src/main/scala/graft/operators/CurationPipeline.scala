@@ -73,7 +73,12 @@ object CurationPipeline {
     * a per-row predicate, hence the annotate-then-gate split: run this
     * once over the input frame, then include the stage. */
   def annotateMemorization(docs: DataFrame): DataFrame =
-    docs.join(TextOps.longestDupRuns(docs, Seq.empty), Seq("doc_id"), "left_outer")
+    // the dup-run table is per-doc-small but its lineage is the most
+    // expensive machinery in the pipeline (gram explode, digest shuffle,
+    // islanding windows) — materialize it once so every downstream action
+    // on the annotated/kept frames replays a local table, not the corpus
+    docs.join(TextOps.longestDupRuns(docs, Seq.empty).localCheckpoint(),
+        Seq("doc_id"), "left_outer")
       .withColumn("longest_dup_run", coalesce(col("longest"), lit(0L)))
       .drop("longest")
 
@@ -99,11 +104,9 @@ object CurationPipeline {
       val puncts =
         size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long")
       val chars = length(col("text")).cast("long")
-      val margin = lit(w(0) * TextOps.PerceptronBiasUnit) +
-        lit(w(1)) * (tokens - 20L) +
-        lit(w(2)) * (puncts * 10L - tokens) +
-        lit(w(3)) * (chars - tokens * 12L)
-      tokens > 0 && margin > 0
+      // the SHARED q129 formulas — the gate cannot drift from the audit
+      val (x1, x2, x3) = TextOps.qualityXs(chars, tokens, puncts)
+      tokens > 0 && TextOps.qualityMargin(w, x1, x2, x3) > 0
     })
 
   /** Gate columns + first-failing `drop_stage` over `docs` — the shared

@@ -1350,12 +1350,20 @@ object TextOps {
   // then all arithmetic runs on the |sources|-row aggregate — the
   // totals join is a broadcast of ONE row, nothing corpus-sized moves.
   // ===========================================================
-  def q115MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
-    val per = docs(spark, dir)
+  /** Per-source token counts with the α=0.5 temperature weight:
+    * (source, n_docs, tokens, weight) — the ONE definition of the mixture
+    * weight, shared by q115 (shares report) and q131 (epoch planner) so
+    * the planner can never compute shares from a different mixture than
+    * the weights query reports. */
+  private def sourceTokenWeights(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .withColumn("tok", ws_token_count(col("text")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
       .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+
+  def q115MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = sourceTokenWeights(spark, dir)
     val totals = per.agg(sum("tokens").as("tot_tokens"), sum("weight").as("tot_weight"))
     per.crossJoin(broadcast(totals))
       .withColumn("natural_permille", expr("tokens * 1000 DIV tot_tokens"))
@@ -2055,25 +2063,39 @@ object TextOps {
     * label y ∈ {−1, +1}. Pure products/sums only — Spark DIV truncates
     * toward zero while DuckDB `//` floors, so NO feature may divide a
     * possibly-negative value. Rows with zero tokens are dropped. */
-  private[operators] def qualityFeatures(d: DataFrame): DataFrame =
+  /** THE rule-margin formulas, parameterized on the three base measures —
+    * one definition feeding both the q129 audit (via [[qualityFeatures]])
+    * and the pipeline's learned gate, so they cannot drift. */
+  private[operators] def qualityXs(
+      chars: Column, tokens: Column, puncts: Column): (Column, Column, Column) =
+    (tokens - 20L, puncts * 10L - tokens, chars - tokens * 12L)
+
+  private[operators] def qualityLabel(
+      chars: Column, tokens: Column, puncts: Column): Column =
+    when(tokens < 20 || puncts * 10 > tokens || chars > tokens * 12, -1L)
+      .otherwise(1L)
+
+  private[operators] def qualityFeatures(d: DataFrame): DataFrame = {
+    val (x1, x2, x3) = qualityXs(col("chars"), col("tokens"), col("puncts"))
     d.withColumn("chars", length(col("text")).cast("long"))
       .withColumn("tokens", ws_token_count(col("text")))
       .withColumn("puncts",
         size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
       .filter(col("tokens") > 0)
-      .withColumn("x1", col("tokens") - 20L)
-      .withColumn("x2", col("puncts") * 10L - col("tokens"))
-      .withColumn("x3", col("chars") - col("tokens") * 12L)
-      .withColumn("y",
-        when(col("tokens") < 20 || col("puncts") * 10 > col("tokens") ||
-          col("chars") > col("tokens") * 12, -1L).otherwise(1L))
+      .withColumn("x1", x1).withColumn("x2", x2).withColumn("x3", x3)
+      .withColumn("y", qualityLabel(col("chars"), col("tokens"), col("puncts")))
       .drop("chars", "tokens", "puncts")
+  }
 
-  /** The trained model's decision margin over the x1/x2/x3 columns of
-    * [[qualityFeatures]]; classify keep ⟺ margin > 0. */
+  /** The trained model's decision margin over explicit feature columns;
+    * classify keep ⟺ margin > 0. */
+  private[operators] def qualityMargin(
+      w: Array[Long], x1: Column, x2: Column, x3: Column): Column =
+    lit(w(0) * PerceptronBiasUnit) + lit(w(1)) * x1 + lit(w(2)) * x2 + lit(w(3)) * x3
+
+  /** Margin over the x1/x2/x3 columns of [[qualityFeatures]]. */
   private[operators] def qualityMargin(w: Array[Long]): Column =
-    lit(w(0) * PerceptronBiasUnit) + lit(w(1)) * col("x1") +
-      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    qualityMargin(w, col("x1"), col("x2"), col("x3"))
 
   /** Train the integer batch perceptron on a frame of [[qualityFeatures]]
     * rows: (weights, train_n). Shared by q129 and
@@ -2090,6 +2112,7 @@ object TextOps {
     val cnt = train.agg(
       sum(when(col("y") === 1L, 1L).otherwise(0L)),
       sum(when(col("y") === -1L, 1L).otherwise(0L)), count(lit(1))).head()
+    require(cnt.getLong(2) > 0, "empty training set: no rows with tokens > 0")
     val (nPos, nNeg, trainN) = (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
     val s = when(col("y") === 1L, lit(nNeg)).otherwise(lit(nPos))
     var w = Array(0L, 0L, 0L, 0L)
@@ -2192,7 +2215,9 @@ object TextOps {
   // sources and scales). The "this source is off-distribution" audit that
   // decides whether a new crawl slice joins the mixture.
   //
-  // Scale path: ONE tokenize scan; the vocabulary is a top-V
+  // Scale path: one tokenize scan for the vocabulary + one for the
+  // histograms (materialized once; every reference table derives from
+  // the tiny per-source bucket counts); the vocabulary is a top-V
   // TakeOrderedAndProject collected to the driver (V strings — the
   // centroid pattern); histograms are map-side-combined aggregations of
   // ≤(V+1) buckets per source; the corpus reference broadcasts. The
@@ -2208,11 +2233,16 @@ object TextOps {
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(VocabTopK)
       .select("tok").collect().map(_.getString(0)).toSeq
-    val b = toks.withColumn("bucket",
-      when(col("tok").isin(vocab: _*), col("tok")).otherwise(lit("<oov>")))
-    val cur = b.groupBy("source", "bucket").agg(count(lit(1)).as("cur_c"))
-    val ref = b.groupBy("bucket").agg(count(lit(1)).as("ref_c"))
-    val refN = b.agg(count(lit(1)).as("ref_n"))
+    // ONE histogram scan after the vocab pass: ref/refN/curN all derive
+    // from the materialized ≤|sources|·(V+1)-row cur table instead of
+    // re-tokenizing the corpus per consumer (Catalyst does not dedupe the
+    // shared scan subtree across the joins below)
+    val cur = toks.withColumn("bucket",
+        when(col("tok").isin(vocab: _*), col("tok")).otherwise(lit("<oov>")))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cur_c"))
+      .localCheckpoint()
+    val ref = cur.groupBy("bucket").agg(sum("cur_c").cast("long").as("ref_c"))
+    val refN = cur.agg(sum("cur_c").cast("long").as("ref_n"))
     val curN = cur.groupBy("source").agg(sum("cur_c").cast("long").as("cur_n"))
     cur.join(broadcast(ref), "bucket")
       .join(broadcast(curN), "source")
@@ -2264,12 +2294,7 @@ object TextOps {
   val EpochCapPermille = 3000L
 
   def q131EpochPlan(spark: SparkSession, dir: String): DataFrame = {
-    val per = docs(spark, dir)
-      .withColumn("tok",
-        size(regexp_extract_all(col("text"), lit(wsTokenRe), lit(0))).cast("long"))
-      .groupBy("source")
-      .agg(sum("tok").as("tokens"))
-      .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val per = sourceTokenWeights(spark, dir).drop("n_docs")
     val totals = per.agg(sum("tokens").as("tot_tokens"), sum("weight").as("tot_weight"))
     per.crossJoin(broadcast(totals))
       .withColumn("temp_permille", expr("weight * 1000 DIV tot_weight"))
@@ -2397,6 +2422,7 @@ object TextOps {
     val freq = docs(spark, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // types-sized; ranked and totals both consume it
     val ranked = freq.withColumn("rank",
       row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
     val totals = freq.agg(sum("c").as("total_tokens"), count(lit(1)).as("vocab_size"))
@@ -2450,26 +2476,30 @@ object TextOps {
   val WinM: Long = graft.plans.RollingHashGrams.M // h*2048+pos stays < 2^41
   val WinCap = 64
   val WinTopN = 20
+  val WinPosCap = 2097152L // 2^21: key = h·cap + pos stays under 2^51
 
   def q135WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
       .withColumn("ntext", norm)
       .withColumn("n", length(col("ntext")))
       .filter(col("n") >= WinK + WinW - 1) // at least one full window
+      // the packed key below needs pos < 2^21; docs beyond 2M chars are
+      // dropped EXPLICITLY (both engines) rather than silently corrupted
+      .filter(col("n") <= WinPosCap)
       // native O(n) rolling recurrence — the composable lambda form costs
       // ~75 s at sf0.1 (interpreted HOFs, per-(i,j) substring rescans)
       .withColumn("hs", graft.plans.RollingHashGrams.rolling_hash_grams(col("ntext")))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
-      // positions < 2048 by the n_chars bound, so the packed key decodes
-      // exactly and leftmost-minimum tie-breaking falls out of MIN
-      .withColumn("key", col("h") * 2048L + col("pos0") + 1L)
+      // h < M < 2^30 and pos < 2^21 keep the packed key under 2^51, so it
+      // decodes exactly and leftmost-minimum tie-breaking falls out of MIN
+      .withColumn("key", col("h") * WinPosCap + col("pos0") + 1L)
     val winFrame = Window.partitionBy("doc_id").orderBy("pos0")
       .rowsBetween(Window.currentRow, WinW - 1)
     val fps = grams
       .withColumn("sel", min("key").over(winFrame))
       .withColumn("nh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos0") <= col("nh") - WinW) // full windows only
-      .select(col("doc_id"), expr("sel DIV 2048").as("fph"))
+      .select(col("doc_id"), expr(s"sel DIV $WinPosCap").as("fph"))
       .distinct()
     val buckets = fps.groupBy("fph")
       .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), WinCap + 1).as("ids"))
@@ -2492,17 +2522,17 @@ object TextOps {
   val q135Sql: String =
     s"""WITH d AS (SELECT doc_id, $normSql AS ntext FROM documents),
        | dd AS (SELECT doc_id, ntext, length(ntext) AS n FROM d
-       |  WHERE length(ntext) >= ${WinK + WinW - 1}),
+       |  WHERE length(ntext) >= ${WinK + WinW - 1} AND length(ntext) <= $WinPosCap),
        | hsl AS (SELECT doc_id, list_transform(range(1, n - ${WinK - 2}), i ->
        |   list_reduce(list_transform(range(0, $WinK),
        |     j -> CAST(ascii(substr(ntext, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
        |    (acc, c) -> (acc * $WinB + c) % $WinM)) AS hs FROM dd),
        | p AS (SELECT doc_id, u.h AS h, u.pos AS pos, len(hs) AS nh FROM hsl,
        |  LATERAL (SELECT unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS pos) u),
-       | sel AS (SELECT doc_id, pos, nh, MIN(h * 2048 + pos) OVER (
+       | sel AS (SELECT doc_id, pos, nh, MIN(h * $WinPosCap + pos) OVER (
        |   PARTITION BY doc_id ORDER BY pos
        |   ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS s FROM p),
-       | fps AS (SELECT DISTINCT doc_id, s // 2048 AS fph FROM sel
+       | fps AS (SELECT DISTINCT doc_id, s // $WinPosCap AS fph FROM sel
        |  WHERE pos <= nh - ${WinW - 1}),
        | buckets AS (SELECT fph, list(doc_id ORDER BY doc_id) AS ids FROM fps
        |  GROUP BY fph HAVING COUNT(*) BETWEEN 2 AND $WinCap),

@@ -34,6 +34,10 @@ object CurationStream {
   def windowedFunnel(df: DataFrame, eventTimeCol: String, windowLength: String,
                      watermarkDelay: String,
                      stages: Seq[GateStage]): DataFrame = {
+    val reserved = Set("window_start", "source", "n_docs", "kept", "kept_permille")
+    val clash = stages.map(_.name).filter(reserved)
+    require(clash.isEmpty,
+      s"stage names collide with funnel output columns: ${clash.mkString(", ")}")
     val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay) else df
     // pivot is unsupported on streams — the per-stage columns are plain
     // conditional sums (one aggregation, identical batch and streaming)
