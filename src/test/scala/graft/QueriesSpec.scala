@@ -520,6 +520,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(selected < total, "non-target-language docs must score negative")
   }
 
+  test("q134 invariants: pair totals conserved and rep-keyed classes never cross the split") {
+    val rows = SparkEntry.queries("q134_split_leakage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // same pair set under both assignments — only the class changes
+    assert(rows.map(_.getLong(2)).sum == rows.map(_.getLong(3)).sum, "pair totals must match")
+    rows.foreach { r =>
+      val (lo, hi, repKeyed, leak) =
+        (r.getString(0), r.getString(1), r.getLong(3), r.getBoolean(4))
+      assert(leak == (lo != hi))
+      if (leak) assert(repKeyed == 0L,
+        s"rep-keyed assignment must zero cross-split classes: $r")
+    }
+  }
+
+  test("q126 RRF scores decompose into the two legs' reciprocal ranks") {
+    val rows = SparkEntry.queries("q126_hybrid_rrf")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (rrf, lex, dense) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      def leg(rank: Long) = if (rank == 0L) 0L else 1000000L / (60L + rank)
+      assert(rrf == leg(lex) + leg(dense), s"fusion arithmetic broke: $r")
+      assert(lex > 0L || dense > 0L, "a fused doc must come from at least one leg")
+    }
+    // ranks strictly ordered by (rrf desc, doc_id)
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(1))).map(_.getLong(0))
+    assert(sorted.sameElements(rows.map(_.getLong(0)).sorted))
+  }
+
   test("q128 interval union never double-counts overlapping qualifying spans") {
     // Corpus engineered so doc 1 holds TWO qualifying dup runs whose token
     // coverages overlap: doc 1 = w1..w30; doc 2 = w1..w13 makes doc 1's
