@@ -558,7 +558,6 @@ object RelationalOps {
     // degree shuffle join with two node-sized aggregations AQE broadcasts.
     val degC = trade.groupBy("cust").agg(count(lit(1)).as("degc"))
     val degS = trade.groupBy("supp").agg(count(lit(1)).as("degs"))
-    val half = trade.join(degC, "cust").join(degS, "supp").localCheckpoint()
     // The node-rank table is orders of magnitude smaller than the edge
     // table (nodes ≪ edges in any dense graph), so broadcasting it per
     // round is usually right — but nodes still grow linearly with data,
@@ -566,24 +565,51 @@ object RelationalOps {
     // the hint is GATED on the driver-known node count (the q48/q41
     // adaptive pattern): the degree aggregations are node-sized and
     // scan the checkpointed pair set, so counting them here is cheap.
-    // Past the cap the SAME loop body runs as co-partitioned shuffle
-    // joins — a runtime decision, not a code edit.
+    // Past the cap the SAME loop body runs as shuffle joins — a runtime
+    // decision, not a code edit.
     val nodeCount = degC.count() + degS.count()
     val gateBroadcast = nodeCount <= broadcastNodeCap
+    val half = trade.join(degC, "cust").join(degS, "supp").localCheckpoint()
+    // Each round reads rank(cust) and rank(supp) for every edge. Doing
+    // that as one chained double join drags the EDGE-sized intermediate
+    // through a second exchange every round in shuffle mode. Instead the
+    // round splits into two independent legs — (edges ⋈ ranks on cust →
+    // contribute to supp) and (edges ⋈ ranks on supp → contribute to
+    // cust) — whose union feeds the inflow aggregation. The union is the
+    // same contribution multiset the doubled-edge form emitted, but each
+    // leg now joins on exactly one key, so the edge table can be
+    // PERSISTED PRE-PARTITIONED on that key: past the broadcast cap the
+    // loop's joins consume halfC/halfS's cached hashpartitioning (persist,
+    // not localCheckpoint — a checkpoint under AQE reports Unknown
+    // partitioning, while cached plans keep theirs: AQE may not change a
+    // cached plan's output partitioning by default) and only the
+    // node-sized rank table is exchanged per round — the edge table is
+    // shuffled ZERO times after setup. Under the cap a single
+    // un-partitioned checkpoint serves both legs (broadcast joins ignore
+    // child partitioning).
+    val (halfC, halfS) =
+      if (gateBroadcast) (half, half)
+      else {
+        import org.apache.spark.storage.StorageLevel
+        val c = half.repartition(col("cust")).persist(StorageLevel.MEMORY_AND_DISK)
+        val s = half.repartition(col("supp")).persist(StorageLevel.MEMORY_AND_DISK)
+        c.count(); s.count() // materialize before the rounds start
+        (c, s)
+      }
     var ranks = degC.select(col("cust").as("node"), lit(PrScale).as("rank"))
       .union(degS.select(col("supp").as("node"), lit(PrScale).as("rank")))
     for (_ <- 1 to PrIters) {
-      // under the cap, both endpoint joins probe the SAME broadcast
+      // under the cap, both legs probe the SAME broadcast
       // (ReuseExchange ships it once)
       val ckpt = ranks.localCheckpoint()
       val rb = if (gateBroadcast) broadcast(ckpt) else ckpt
-      ranks = half
+      val legC = halfC
         .join(rb.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
+        .select(col("supp").as("dst"), expr("rankc DIV degc").as("contrib"))
+      val legS = halfS
         .join(rb.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")
-        .select(explode(array(
-          struct(col("supp").as("dst"), expr("rankc DIV degc").as("contrib")),
-          struct(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib")))).as("e"))
-        .select(col("e.dst").as("dst"), col("e.contrib").as("contrib"))
+        .select(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib"))
+      ranks = legC.union(legS)
         .groupBy("dst")
         .agg(sum(col("contrib")).as("inflow"))
         .select(col("dst").as("node"),

@@ -1747,9 +1747,12 @@ object TextOps {
   //
   // Scale design: the bucket table is B rows — it and the class table
   // broadcast; totals are an aggregate OF the bucket table, not a second
-  // corpus pass. The corpus is tokenized twice (count pass + score pass);
-  // at 100 TB persist the tokenized frame or fold the class lookup into
-  // the same scan via a two-level aggregate. Both corpus aggregations are
+  // corpus pass. The corpus is tokenized ONCE: the exploded
+  // (source, lang, doc_id, bucket) projection — 4 narrow columns, the
+  // token string already reduced to its bucket id — materializes via
+  // localCheckpoint and feeds BOTH the bucket histogram and the per-doc
+  // scoring join (the q119 single-scan move; tokenize is the dominant
+  // cost and was previously paid twice). Both corpus aggregations are
   // map-side partial; the only shuffles move (bucket) and (source, doc_id)
   // keyed partials.
   // ===========================================================
@@ -1763,6 +1766,8 @@ object TextOps {
       .withColumn("b",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
           .cast("long") % DsirBuckets)
+      .drop("tok")
+      .localCheckpoint()
     // ONE aggregation yields raw and target counts per bucket together;
     // materialized (≤B rows) so `totals` aggregates the bucket TABLE instead
     // of Catalyst re-running the corpus tokenize scan for the second branch
@@ -2477,27 +2482,41 @@ object TextOps {
   val WinCap = 64
   val WinTopN = 20
   val WinPosCap = 2097152L // 2^21: key = h·cap + pos stays under 2^51
+  // Long documents are CHUNKED, not dropped: ≤2^21-char segments whose
+  // k+w-2-char overlap keeps every length-(k+w-1) window of the original
+  // fully inside some chunk — the winnowing guarantee ("any shared
+  // substring ≥ k+w-1 chars shares a fingerprint") survives segmentation,
+  // and at 100 TB the longest documents are prime near-dup candidates.
+  // Fingerprints union (distinct) per doc across its chunks.
+  val WinStep: Long = WinPosCap - (WinK + WinW - 2)
 
   def q135WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
       .withColumn("ntext", norm)
-      .withColumn("n", length(col("ntext")))
+      .withColumn("n", length(col("ntext")).cast("long"))
       .filter(col("n") >= WinK + WinW - 1) // at least one full window
-      // the packed key below needs pos < 2^21; docs beyond 2M chars are
-      // dropped EXPLICITLY (both engines) rather than silently corrupted
-      .filter(col("n") <= WinPosCap)
+      // chunk count = 1 + ceil(max(0, n - cap) / step); ci is int-safe
+      // (String length < 2^31 bounds ci·step + 1 under Int.MaxValue)
+      .withColumn("ci", explode(expr(
+        s"sequence(0, CAST((greatest(0L, n - ${WinPosCap}L) + ${WinStep - 1}L) DIV ${WinStep}L AS INT))")))
+      .withColumn("ctext", expr(s"substring(ntext, CAST(ci * $WinStep + 1 AS INT), $WinPosCap)"))
+      // a trailing chunk shorter than one window carries no window of its
+      // own — its chars sit inside the previous chunk's overlap tail
+      .filter(length(col("ctext")) >= WinK + WinW - 1)
       // native O(n) rolling recurrence — the composable lambda form costs
       // ~75 s at sf0.1 (interpreted HOFs, per-(i,j) substring rescans)
-      .withColumn("hs", graft.plans.RollingHashGrams.rolling_hash_grams(col("ntext")))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+      .withColumn("hs", graft.plans.RollingHashGrams.rolling_hash_grams(col("ctext")))
+      .select(col("doc_id"), col("ci"), posexplode(col("hs")).as(Seq("pos0", "h")))
       // h < M < 2^30 and pos < 2^21 keep the packed key under 2^51, so it
       // decodes exactly and leftmost-minimum tie-breaking falls out of MIN
       .withColumn("key", col("h") * WinPosCap + col("pos0") + 1L)
-    val winFrame = Window.partitionBy("doc_id").orderBy("pos0")
+    // window min per (doc, chunk): chunk-local positions stay under the
+    // 2^21 pos budget no matter how long the document is
+    val winFrame = Window.partitionBy("doc_id", "ci").orderBy("pos0")
       .rowsBetween(Window.currentRow, WinW - 1)
     val fps = grams
       .withColumn("sel", min("key").over(winFrame))
-      .withColumn("nh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("nh", count(lit(1)).over(Window.partitionBy("doc_id", "ci")))
       .filter(col("pos0") <= col("nh") - WinW) // full windows only
       .select(col("doc_id"), expr(s"sel DIV $WinPosCap").as("fph"))
       .distinct()
@@ -2521,16 +2540,22 @@ object TextOps {
 
   val q135Sql: String =
     s"""WITH d AS (SELECT doc_id, $normSql AS ntext FROM documents),
-       | dd AS (SELECT doc_id, ntext, length(ntext) AS n FROM d
-       |  WHERE length(ntext) >= ${WinK + WinW - 1} AND length(ntext) <= $WinPosCap),
-       | hsl AS (SELECT doc_id, list_transform(range(1, n - ${WinK - 2}), i ->
+       | d2 AS (SELECT doc_id, ntext, CAST(length(ntext) AS BIGINT) AS fn FROM d
+       |  WHERE length(ntext) >= ${WinK + WinW - 1}),
+       | ch AS (SELECT doc_id, u.ci AS ci,
+       |   substr(ntext, CAST(u.ci * $WinStep + 1 AS INTEGER), $WinPosCap) AS ctext
+       |  FROM d2, LATERAL (SELECT unnest(range(0,
+       |   (greatest(0, fn - $WinPosCap) + ${WinStep - 1}) // $WinStep + 1)) AS ci) u),
+       | dd AS (SELECT doc_id, ci, ctext AS ntext, length(ctext) AS n FROM ch
+       |  WHERE length(ctext) >= ${WinK + WinW - 1}),
+       | hsl AS (SELECT doc_id, ci, list_transform(range(1, n - ${WinK - 2}), i ->
        |   list_reduce(list_transform(range(0, $WinK),
        |     j -> CAST(ascii(substr(ntext, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
        |    (acc, c) -> (acc * $WinB + c) % $WinM)) AS hs FROM dd),
-       | p AS (SELECT doc_id, u.h AS h, u.pos AS pos, len(hs) AS nh FROM hsl,
+       | p AS (SELECT doc_id, ci, u.h AS h, u.pos AS pos, len(hs) AS nh FROM hsl,
        |  LATERAL (SELECT unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS pos) u),
        | sel AS (SELECT doc_id, pos, nh, MIN(h * $WinPosCap + pos) OVER (
-       |   PARTITION BY doc_id ORDER BY pos
+       |   PARTITION BY doc_id, ci ORDER BY pos
        |   ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS s FROM p),
        | fps AS (SELECT DISTINCT doc_id, s // $WinPosCap AS fph FROM sel
        |  WHERE pos <= nh - ${WinW - 1}),

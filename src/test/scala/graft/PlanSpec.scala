@@ -283,6 +283,93 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 over-cap rounds never re-shuffle the edge table (pre-partitioned checkpoints)") {
+    import graft.operators.RelationalOps
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // cap 0 forces the shuffle-join path: each round's two legs must consume
+    // the halfC/halfS checkpoints' persisted hashpartitioning — the only
+    // exchanges over an edge-scan subtree are the inflow aggregation on dst
+    // (and post-limit 20-row bookkeeping), NEVER hashpartitioning(cust/supp)
+    val shuffled = RelationalOps.q86PageRank(spark, dir, broadcastNodeCap = 0L)
+    // AQE wraps the physical plan; unwrap to traverse the real operators
+    val plan = shuffled.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def isEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.children.isEmpty && p.output.exists(a => a.name == "degc" || a.name == "degs")
+    // the cached copies surface their partitioning to the planner
+    val edgeScans = plan.collect { case r if isEdgeScan(r) => r }
+    assert(edgeScans.nonEmpty, "no edge checkpoint scans in the final-round plan:\n" + plan.toString.take(2000))
+    assert(edgeScans.exists(_.outputPartitioning.isInstanceOf[HashPartitioning]),
+      "edge checkpoints lost their hashpartitioning:\n" + edgeScans.map(_.outputPartitioning).mkString(", "))
+    val offenders = plan.collect {
+      case ex: ShuffleExchangeExec
+        if ex.collectLeaves().exists(isEdgeScan) &&
+          Seq("cust", "supp").exists(k => ex.outputPartitioning.toString.contains(k)) => ex
+    }
+    assert(offenders.isEmpty,
+      "an edge-sized subtree is re-exchanged on a join key:\n" + offenders.mkString("\n").take(2000))
+  }
+
+  test("q124 tokenizes the corpus once (single documents scan feeds histogram and scoring)") {
+    val df = SparkEntry.queries("q124_dsir_weights")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the exploded bucket projection is checkpointed: the final plan reads
+    // the RDD twice but the parquet tokenize scan ran ONCE at build time
+    val fileScans = "Scan parquet".r.findAllIn(p).size
+    assert(fileScans == 0,
+      s"q124 final plan re-reads documents.parquet ($fileScans file scans) — " +
+        "the tokenized projection is no longer materialized:\n" + p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), "expected the checkpointed token projection:\n" + p.take(1500))
+  }
+
+  test("round-8 heavy queries keep their scale shapes (q114/q117/q126/q132/q135)") {
+    // q114/q117: the gram/span aggregate materializes ONCE — the final
+    // plan consumes the checkpointed projection, never re-scanning (and
+    // re-exploding) documents.parquet per consumer
+    for (q <- Seq("q114_ngram_dup_profile", "q117_source_overlap")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q no longer materializes its gram aggregate:\n" + p.take(1500))
+      assert(!"Scan parquet .*documents".r.findFirstIn(p).isDefined,
+        s"$q re-scans documents per consumer:\n" + p.take(2500))
+    }
+    // q135 (un-checkpointed): the chunk/gram explode (Generate) runs
+    // partition-parallel directly over the scan — at least one explode has
+    // NO exchange anywhere below it (docs are never pre-shuffled to explode)
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    locally {
+      val plan0 = SparkEntry.queries("q135_winnow_pairs")(spark, dir).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val gens = plan0.collect { case g: GenerateExec => g }
+      assert(gens.nonEmpty, "q135 lost its Generate:\n" + plan0.toString.take(1200))
+      assert(gens.exists(g => g.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        "q135: every explode sits above a shuffle — the gram explode is no " +
+          "longer scan-adjacent:\n" + plan0.toString.take(2500))
+    }
+    // q126: both retrieval legs collapse to bounded top-k heaps before fusion
+    val p126 = plan("q126_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p126).size >= 2,
+      "q126 fusion legs are not heap-bounded:\n" + p126.take(2500))
+    // q132: the benchmark n-gram side broadcasts into the corpus probe
+    val p132 = plan("q132_bench_leaks")
+    assert(p132.contains("BroadcastHashJoin"),
+      "q132 bench side no longer broadcasts:\n" + p132.take(2500))
+    // q135: the pair explode sits ABOVE the capped bucket aggregate — fanout
+    // is bounded by cap² per fingerprint, never corpus-sized
+    val p135 = plan("q135_winnow_pairs")
+    val aggIdx = "(?i)smallestk".r.findFirstMatchIn(p135).map(_.start).getOrElse(-1)
+    assert(aggIdx >= 0, "q135 lost its SmallestK bucket cap:\n" + p135.take(1500))
+    assert(p135.take(aggIdx).contains("Generate"),
+      "q135 pair explode is not above the capped bucket aggregate:\n" + p135.take(2500))
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition
