@@ -219,6 +219,22 @@ object Bench {
       Thread.sleep(200)
     }
 
+    // whole-window + first/last-third rates from cumulative (rows, nanos)
+    // samples of a sustained leg: the thirds make throughput SAG visible
+    // (state growth, RocksDB compaction, GC drift) where a single
+    // whole-window mean would average it away
+    def sustainRates(samples: Seq[(Long, Long)]): (Double, Double, Double) = {
+      if (samples.isEmpty) return (0.0, 0.0, 0.0)
+      val (fed, nanos) = samples.last
+      val whole = if (nanos > 0) fed * 1e9 / nanos else 0.0
+      if (samples.size < 3) return (whole, whole, whole)
+      val a = samples(samples.size / 3)
+      val b = samples(2 * samples.size / 3)
+      val first = if (a._2 > 0) a._1 * 1e9 / a._2 else 0.0
+      val last = if (nanos > b._2) (fed - b._1) * 1e9 / (nanos - b._2) else 0.0
+      (whole, first, last)
+    }
+
     // streaming-mode throughput: replay the events table through a LIVE
     // StreamingQuery running the full engine (unwrap -> dispatch -> code ->
     // route -> ack watermark), the BASELINE.md protocol. Separate from the
@@ -227,8 +243,11 @@ object Bench {
     // are time-inverted, so max(rate) is the min(time) steady-state
     // estimator) and the MEDIAN is reported alongside so a wobbling leg is
     // distinguishable from a noisy best — the round-5 −10% MemoryStream
-    // question this protocol exists to answer.
-    val memLegThunk: Option[() => Double] = try {
+    // question this protocol exists to answer. The paired `sustain` form
+    // feeds ONE live query continuously for N seconds (the reference's
+    // 4,000 msgs/s is a SUSTAINED figure; seconds-long reps cannot show
+    // state-growth or GC sag).
+    val (memLegThunk, memSustainThunk): (Option[() => Double], Option[Int => (Double, Double, Double)]) = try {
       import graft.streaming._
       import graft.streaming.ForwardingEngine.KafkaRecord
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -270,11 +289,46 @@ object Bench {
         // silently did nothing and the rate would be a lie
         if (sec > 0 && routed.get() > 0) recs.size / sec else 0.0
       }
-      Some(() => onceStream())
+      // sustained: one live query, fed 200k-record chunks back-to-back for
+      // `seconds`. Offsets shift by a per-chunk stride so the ack tracker
+      // sees a strictly-advancing stream like a real topic — state cycles
+      // (receive, ack, purge) for the whole window instead of resetting
+      // with each rep's fresh checkpoint.
+      def sustainStream(seconds: Int): (Double, Double, Double) = {
+        val ms = MemoryStream[KafkaRecord](implicitly[Encoder[KafkaRecord]], spark.sqlContext)
+        val routed = new java.util.concurrent.atomic.AtomicLong
+        val store = new QueueStore {
+          def produce(o: Dataset[ForwardingEngine.Outcome]): Unit = {
+            routed.addAndGet(o.filter(_.destination.nonEmpty).count()); ()
+          }
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-sckpt").toString
+        val q = ForwardingEngine.run(
+          graft.operators.PipelineOps.pipelineSpec("events"),
+          graft.operators.PipelineOps.DeterministicDispatcherFactory,
+          "local", ms.toDS(), store, ckpt, "bench_stream_sustained")
+        val chunk = recs.take(200000)
+        val stride = recs.iterator.map(_.offset).max + 1L
+        val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val t0 = System.nanoTime()
+        var fed = 0L
+        var i = 0L
+        while ((System.nanoTime() - t0) / 1e9 < seconds) {
+          val shifted = chunk.map(r => r.copy(offset = r.offset + i * stride))
+          ms.addData(shifted)
+          q.processAllAvailable()
+          fed += shifted.size
+          i += 1
+          samples += ((fed, System.nanoTime() - t0))
+        }
+        q.stop()
+        if (routed.get() > 0) sustainRates(samples.toSeq) else (0.0, 0.0, 0.0)
+      }
+      (Some(() => onceStream()), Some((s: Int) => sustainStream(s)))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming leg failed to prepare: ${e.getMessage}")
-        None
+        (None, None)
     }
 
     // connector-mode throughput: the SAME live engine, but fed through the
@@ -282,7 +336,7 @@ object Bench {
     // ack-watermark group commits included) and routing produced records
     // through the DSv2 batch writer — the full production codepath shape,
     // where MemoryStream above isolates pure engine cost.
-    val queueLegThunk: Option[() => Double] = try {
+    val (queueLegThunk, queueSustainThunk): (Option[() => Double], Option[Int => (Double, Double, Double)]) = try {
       import graft.streaming._
       import org.apache.spark.sql.functions.{lit, map, pmod}
       val feed = ev.limit(1000000).select(
@@ -329,11 +383,51 @@ object Bench {
         q.stop()
         if (sec > 0 && routed.get() > 0) feed.length / sec else 0.0
       }
-      Some(() => onceQueue())
+      // sustained connector leg: one live query over the DSv2 source while
+      // the broker keeps receiving 200k-record chunks (offsets advance
+      // inside the broker) — offset planning, admission control, and the
+      // streaming machinery run continuously for the window
+      def sustainQueue(seconds: Int): (Double, Double, Double) = {
+        graft.sources.GraftBroker.reset()
+        topics.foreach(t => graft.sources.GraftBroker.createTopic(t, 8))
+        val routed = new java.util.concurrent.atomic.AtomicLong
+        val store = new QueueStore {
+          def produce(o: org.apache.spark.sql.Dataset[ForwardingEngine.Outcome]): Unit = {
+            routed.addAndGet(o.filter(_.destination.nonEmpty).count()); ()
+          }
+        }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-sqckpt").toString
+        val stream = ForwardingEngine.fromSourceFrame(
+          spark.readStream.format("graft-queue")
+            .option("topics", topics.mkString(","))
+            .option("groupid", "bench").option("startingoffsets", "earliest").load())
+        val q = ForwardingEngine.run(
+          graft.operators.PipelineOps.pipelineSpec("events"),
+          graft.operators.PipelineOps.DeterministicDispatcherFactory,
+          "local", stream, store, ckpt, "bench_queue_sustained")
+        val chunk = feed.take(200000)
+        val grouped = chunk.groupBy(r => (r.getAs[String]("topic"), r.getAs[Int]("partition")))
+          .map { case (k, rs) =>
+            (k, rs.map(r => (r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value")))) }
+        val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val t0 = System.nanoTime()
+        var fed = 0L
+        while ((System.nanoTime() - t0) / 1e9 < seconds) {
+          grouped.foreach { case ((t, p), rs) =>
+            graft.sources.GraftBroker.produceAll(t, p, rs) }
+          q.processAllAvailable()
+          fed += chunk.length
+          samples += ((fed, System.nanoTime() - t0))
+        }
+        q.stop()
+        graft.sources.GraftBroker.reset() // free the window's broker log
+        if (routed.get() > 0) sustainRates(samples.toSeq) else (0.0, 0.0, 0.0)
+      }
+      (Some(() => onceQueue()), Some((s: Int) => sustainQueue(s)))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] queue-connector streaming leg failed to prepare: ${e.getMessage}")
-        None
+        (None, None)
     }
 
     // INTERLEAVED reps (M,C,M,C,…): on a shared host whose capacity drifts
@@ -356,6 +450,32 @@ object Bench {
     }
     val streamReps = legPairs.map(_._1)
     val queueStreamReps = legPairs.map(_._2)
+
+    // sustained windows AFTER the rep pairs, same fresh-session footing:
+    // one continuous 60 s (SPARK_GRAFT_SUSTAIN_SEC) live query per leg.
+    // Reported next to the rep min/median — a sustained figure materially
+    // under rep-min means the short reps were flattering the engine
+    // (state growth / compaction / GC sag the reps reset away).
+    val sustainSec = sys.env.get("SPARK_GRAFT_SUSTAIN_SEC")
+      .flatMap(_.toIntOption).getOrElse(60)
+    def safeSustain(
+        leg: Option[Int => (Double, Double, Double)],
+        name: String): (Double, Double, Double) =
+      if (sustainSec <= 0) (0.0, 0.0, 0.0)
+      else leg.map { f =>
+        try f(sustainSec) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name sustained failed: ${e.getMessage}")
+            (0.0, 0.0, 0.0)
+        }
+      }.getOrElse((0.0, 0.0, 0.0))
+    coolDown()
+    val (susStream, susStreamFirst, susStreamLast) =
+      safeSustain(memSustainThunk, "memory-stream")
+    coolDown()
+    val (susQueue, susQueueFirst, susQueueLast) =
+      safeSustain(queueSustainThunk, "queue-connector")
+
     // the broker is a JVM-global object: leave it empty so the last
     // rep's replayed corpus doesn't occupy heap during the query suite
     graft.sources.GraftBroker.reset()
@@ -455,7 +575,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -491,6 +611,10 @@ object Bench {
       gateErrors += "stream_msgs_per_sec is 0 — MemoryStream leg produced nothing"
     if (queueStreamRate <= 0)
       gateErrors += "queue_stream_msgs_per_sec is 0 — connector leg produced nothing"
+    if (sustainSec > 0 && memSustainThunk.nonEmpty && susStream <= 0)
+      gateErrors += "sustained_stream_msgs_per_sec is 0 — sustained MemoryStream window produced nothing"
+    if (sustainSec > 0 && queueSustainThunk.nonEmpty && susQueue <= 0)
+      gateErrors += "sustained_queue_msgs_per_sec is 0 — sustained connector window produced nothing"
     if (gateErrors.nonEmpty) {
       gateErrors.foreach(e => System.err.println(s"[bench] SANITY GATE: $e"))
       spark.stop()
