@@ -527,6 +527,41 @@ object Bench {
         } finally if (server != null) server.close()
       }
 
+    // HTTP/2-framed wire leg: the same engine batch path as the socket
+    // leg, but every dispatch is a full RFC 9113 exchange — preface,
+    // HEADERS + DATA frames out, response HEADERS/DATA/TRAILERS back, with
+    // grpc-status decoded from the trailers. The reference's actual wire
+    // format minus only TLS and HPACK dynamic-table compression; the
+    // delta vs socket_forward isolates the framing cost.
+    val h2FwdRate: Double =
+      if (legsOnly || onlyQuery.nonEmpty) 0.0
+      else {
+        coolDown()
+        var server: graft.streaming.Http2ConsumerServer = null
+        try {
+          server = new graft.streaming.Http2ConsumerServer(_ =>
+            graft.streaming.DispatchResult(graft.model.GrpcStatus.OK, None, overdue = false))
+          val factory = graft.streaming.Http2DispatcherFactory(
+            "127.0.0.1", server.port, rpcTimeoutMs = 30000)
+          val spec = graft.operators.PipelineOps.pipelineSpec("events")
+          val recs = graft.operators.PipelineOps.eventRecords(spark, sfDir)
+          def once(ds: org.apache.spark.sql.Dataset[graft.streaming.ForwardingEngine.KafkaRecord]): Double = {
+            val t0 = System.nanoTime()
+            val n = graft.streaming.ForwardingEngine
+              .processBatch(spec, factory, "local", ds).count()
+            if (n > 0) n / ((System.nanoTime() - t0) / 1e9) else 0.0
+          }
+          once(recs.limit(20000)) // warm: codegen + server threads + pools
+          val rate = math.max(once(recs), once(recs))
+          server.close(); server = null
+          rate
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] http2-forward leg failed: ${e.getMessage}")
+            0.0
+        } finally if (server != null) server.close()
+      }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
@@ -575,7 +610,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -607,6 +642,8 @@ object Bench {
       gateErrors += "forward_msgs_per_sec is 0 — q50 engine leg did not run"
     if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && socketFwdRate <= 0)
       gateErrors += "socket_forward_msgs_per_sec is 0 — wire-dispatch leg produced nothing"
+    if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && h2FwdRate <= 0)
+      gateErrors += "http2_forward_msgs_per_sec is 0 — HTTP/2 wire leg produced nothing"
     if (streamRate <= 0)
       gateErrors += "stream_msgs_per_sec is 0 — MemoryStream leg produced nothing"
     if (queueStreamRate <= 0)

@@ -1,0 +1,192 @@
+package graft
+
+import graft.model._
+import graft.streaming._
+import graft.streaming.ForwardingEngine._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+object Http2World {
+  val seen = new ConcurrentHashMap[String, AtomicInteger]()
+  def sighting(payload: String): Int =
+    seen.computeIfAbsent(payload, _ => new AtomicInteger()).incrementAndGet()
+  def reset(): Unit = seen.clear()
+}
+
+/** The HTTP/2-framed dispatch path: the reference's wire contract — action
+  * override and grpc-status arriving as TRAILERS
+  * (GrpcDispatcher.java:362-404), kafka-* metadata as request headers,
+  * deadline/unavailable precedence per Codes.codeFor — exercised over real
+  * TCP with real RFC 9113 frames. */
+class Http2DispatcherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val topic = "h2-topic"
+  private val group = "h2-group"
+
+  private def spec1: JobSpec = JobSpec(
+    jobGroupId = s"${topic}__$group", cluster = "local-cluster",
+    topic = topic, consumerGroup = group,
+    rpc = RpcSpec("grpc://consumer", s"kafka.consumerproxy.$group/$topic",
+      maxRpcTimeouts = 2, dlqTopic = TopicNames.dlq(topic, group)),
+    retryEnabled = true,
+    retryTiers = Seq(RetryTier(TopicNames.retry(topic, group, 1), 1000L, 1)))
+
+  private def recs(msgs: Seq[(String, String)], t: String = topic): Dataset[KafkaRecord] =
+    spark.createDataset(msgs.zipWithIndex.map { case ((k, v), i) =>
+      KafkaRecord(k.getBytes("UTF-8"), v.getBytes("UTF-8"), t, 0, i.toLong,
+        1700000000000000000L + i, Map.empty)
+    })
+
+  test("happy path over HTTP/2 frames: every message commits, connections pooled") {
+    val server = new Http2ConsumerServer(_ =>
+      DispatchResult(GrpcStatus.OK, None, overdue = false))
+    try {
+      val f = Http2DispatcherFactory("127.0.0.1", server.port, rpcTimeoutMs = 5000)
+      val n = 200
+      val out = ForwardingEngine.processBatch(
+        spec1, f, "local-cluster", recs((1 to n).map(i => (s"k$i", s"m$i")))).collect()
+      assert(out.length == n)
+      assert(out.forall(_.code == "COMMIT"), out.map(_.code).distinct.mkString(","))
+      assert(server.acceptedConnections.get() < n,
+        s"dialed ${server.acceptedConnections.get()} connections for $n messages — pool not reusing")
+    } finally server.close()
+  }
+
+  test("action arrives as a TRAILER and overrides grpc-status per Codes.codeFor") {
+    // the handler's verdict rides back as trailers; precedence table:
+    //   (OK, Retry-trailer)                → RETRY  (action wins over OK)
+    //   (INVALID_ARGUMENT, Skip-trailer)   → SKIP   (action wins over DLQ status)
+    //   (NOT_FOUND, Stash-trailer)         → DLQ    (Stash = DLQ path)
+    //   (INVALID_ARGUMENT, no trailer)     → DLQ    (pure status mapping)
+    val server = new Http2ConsumerServer(req => new String(req.payload, "UTF-8") match {
+      case "retry-me" => DispatchResult(GrpcStatus.OK, Some(KafkaAction.Retry), overdue = false)
+      case "skip-me"  => DispatchResult(GrpcStatus.INVALID_ARGUMENT, Some(KafkaAction.Skip), overdue = false)
+      case "stash-me" => DispatchResult(GrpcStatus.NOT_FOUND, Some(KafkaAction.Stash), overdue = false)
+      case _          => DispatchResult(GrpcStatus.INVALID_ARGUMENT, None, overdue = false)
+    })
+    try {
+      val f = Http2DispatcherFactory("127.0.0.1", server.port, rpcTimeoutMs = 5000)
+      // unrouted outcomes (SKIP) carry no outValue; key by physical offset
+      // (recs assigns offset = input index)
+      val names = Seq("retry-me", "skip-me", "stash-me", "dlq-me")
+      val out = ForwardingEngine.processBatch(
+        spec1, f, "local-cluster",
+        recs(names.map(n => (s"k$n", n))))
+        .collect().map(o => names(o.physicalOffset.toInt) -> o).toMap
+      assert(out("retry-me").code == "RETRY")
+      assert(out("retry-me").destination == TopicNames.retry(topic, group, 1))
+      assert(out("skip-me").code == "SKIP" && out("skip-me").destination == "")
+      assert(out("stash-me").code == "STASH" || out("stash-me").code == "DLQ",
+        out("stash-me").code)
+      assert(out("stash-me").destination == TopicNames.dlq(topic, group))
+      assert(out("dlq-me").destination == TopicNames.dlq(topic, group))
+    } finally server.close()
+  }
+
+  test("wire deadline → DEADLINE_EXCEEDED trailer precedence: overdue BACKOFF, redelivery commits") {
+    Http2World.reset()
+    val server = new Http2ConsumerServer(req => {
+      val p = new String(req.payload, "UTF-8")
+      if (p == "slow" && Http2World.sighting(p) == 1) Thread.sleep(800)
+      DispatchResult(GrpcStatus.OK, None, overdue = false)
+    })
+    try {
+      val f = Http2DispatcherFactory("127.0.0.1", server.port, rpcTimeoutMs = 150)
+      val round1 = ForwardingEngine.processBatch(
+        spec1, f, "local-cluster",
+        recs(Seq(("k1", "fast1"), ("k2", "slow"), ("k3", "fast2")))).collect()
+      assert(round1.count(_.code == "COMMIT") == 2)
+      val stalled = round1.find(o => o.code != "COMMIT").get
+      assert(stalled.code == "RETRY", stalled.code)
+      assert(stalled.destination == TopicNames.retry(topic, group, 1))
+      assert(stalled.timeoutCount == 1L)
+      val replay = ForwardingEngine.processBatch(
+        spec1, f, "local-cluster",
+        spark.createDataset(Seq(KafkaRecord(
+          stalled.outKey, stalled.outValue, stalled.destination, 0, 0L,
+          1700000000000000000L, Map.empty)))).collect()
+      assert(replay.length == 1 && replay.head.code == "COMMIT")
+    } finally server.close()
+  }
+
+  test("refused connection: UNAVAILABLE (not overdue) → in-memory retry → INVALID") {
+    val probe = new java.net.ServerSocket(0)
+    val deadPort = probe.getLocalPort
+    probe.close()
+    val f = Http2DispatcherFactory("127.0.0.1", deadPort, rpcTimeoutMs = 2000)
+    val out = ForwardingEngine.processBatch(
+      spec1, f, "local-cluster", recs(Seq(("k1", "m1")))).collect()
+    assert(out.length == 1 && out.head.code == "INVALID" && out.head.destination == "")
+  }
+
+  test("framing round-trips arbitrary payloads (incl. >16KB multi-frame DATA) and headers") {
+    def digest(req: DispatchRequest): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      req.headers.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        md.update(k.getBytes("UTF-8")); md.update(v.getBytes("UTF-8")) }
+      md.update(req.payload)
+      md.digest().map("%02x".format(_)).mkString
+    }
+    // the digest rides back in grpc-message... which we repurpose as the
+    // statusCode channel; instead assert through kafka-action (free-form)
+    val server = new Http2ConsumerServer(req =>
+      DispatchResult(GrpcStatus.OK, Some(digest(req)), overdue = false))
+    try {
+      val d = new Http2Dispatcher("127.0.0.1", server.port, rpcTimeoutMs = 5000)
+      try {
+        val rng = new scala.util.Random(7)
+        for (i <- 0 until 40) {
+          // include payloads past MaxFrame to force DATA splitting, and
+          // header values past 127 bytes to force multi-byte HPACK ints
+          val payload = new Array[Byte](if (i == 0) 0 else rng.nextInt(40000))
+          rng.nextBytes(payload)
+          val headers = (0 until rng.nextInt(5)).map(j =>
+            s"kafka-h$j" -> ("v" * rng.nextInt(300))).toMap
+          val req = DispatchRequest(payload, headers)
+          val res = d.dispatch(req)
+          assert(res.statusCode == GrpcStatus.OK)
+          assert(res.action.contains(digest(req)), s"iteration $i framing mismatch")
+          assert(!res.overdue)
+        }
+      } finally d.close()
+    } finally server.close()
+  }
+
+  test("frame layer emits legal HTTP/2 bytes: preface, 9-byte headers, HPACK decode parity") {
+    // codec-level round trip without sockets: encode → decode across the
+    // representative surface (pseudo-headers first, long values, empties)
+    val hs = Seq(":method" -> "POST", ":path" -> "/kafka.consumerproxy.Consumer/Dispatch",
+      "content-type" -> "application/grpc", "kafka-topic" -> "t",
+      "long" -> ("x" * 5000), "empty" -> "")
+    assert(Http2.decodeHeaders(Http2.encodeHeaders(hs)) == hs)
+    // gRPC message framing round trip
+    val msg = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    assert(Http2.grpcUnframe(Http2.grpcFrame(msg)).toSeq == msg.toSeq)
+    // status code table is the canonical numbering both directions
+    assert(Http2.statusToCode(GrpcStatus.OK) == 0)
+    assert(Http2.statusToCode(GrpcStatus.DEADLINE_EXCEEDED) == 4)
+    assert(Http2.statusToCode(GrpcStatus.UNAVAILABLE) == 14)
+    assert(Http2.codeToStatus(4) == GrpcStatus.DEADLINE_EXCEEDED)
+    // frame header layout: length/type/flags/stream id as RFC 9113 §4.1
+    val bo = new java.io.ByteArrayOutputStream()
+    Http2.writeFrame(new java.io.DataOutputStream(bo), Http2.HEADERS,
+      Http2.END_HEADERS | Http2.END_STREAM, 7, Array[Byte](1, 2, 3))
+    val b = bo.toByteArray
+    assert(b.length == 9 + 3)
+    assert((b(0), b(1), b(2)) == (0.toByte, 0.toByte, 3.toByte)) // 24-bit length
+    assert(b(3) == Http2.HEADERS.toByte)
+    assert(b(4) == (Http2.END_HEADERS | Http2.END_STREAM).toByte)
+    assert(java.nio.ByteBuffer.wrap(b, 5, 4).getInt == 7) // R bit clear
+  }
+}
