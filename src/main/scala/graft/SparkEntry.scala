@@ -34,7 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    mixture weights, q116 BPE merge candidates, q117 cross-source
   *    span-overlap matrix, q118 iterated BPE training, q119 trained-
   *    tokenizer application (fertility/compression per source),
-  *    q121 corpus snapshot diff (membership churn + content resurrection)
+  *    q121 corpus snapshot diff (membership churn + content resurrection),
+  *    q136 soft dedup (duplicate down-weighting), q137 containment pairs
+  *    (asymmetric excerpt detection), q138 n-gram novelty decay (arrival-
+  *    batch diminishing returns), q139 filter-threshold calibration
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

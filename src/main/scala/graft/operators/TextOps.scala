@@ -2570,7 +2570,264 @@ object TextOps {
        |SELECT CAST(rank AS BIGINT) AS rank, a, b, CAST(shared_fps AS BIGINT) AS shared_fps
        |FROM r WHERE rank <= $WinTopN ORDER BY rank""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q136 — soft dedup via duplicate down-weighting (the SlimPajama/
+  // RefinedWeb alternative to dropping): every exact-duplicate cluster
+  // keeps ALL its copies but each copy carries weight 1000/copies
+  // permille, so a duplicate family contributes ~one document's worth of
+  // training mass regardless of copy count. Per source: raw vs effective
+  // token mass and the implied keep ratio — the number that decides
+  // whether a pipeline drops (q30), samples (q77), or down-weights.
+  //
+  // Scale path: cluster sizes come from ONE digest-keyed aggregation
+  // (map-side partial counts over 16-byte keys); the weight attach is a
+  // digest equi-join of two narrow projections — text never moves after
+  // the scan, and the per-doc arithmetic (tokens·1000 DIV copies) is
+  // exact integer in both engines. Final rollup is |sources| rows.
+  // ===========================================================
+  def q136SoftdedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"), col("doc_id"),
+      md5(norm.cast("binary")).as("h"),
+      ws_token_count(col("text")).cast("long").as("tokens"))
+    val sizes = d.groupBy("h").agg(count(lit(1)).as("copies"))
+    d.join(sizes, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum("tokens").as("total_tokens"),
+        sum(expr("tokens * 1000 DIV copies")).as("eff_tokens_millis"))
+      .withColumn("keep_permille",
+        expr("eff_tokens_millis DIV greatest(total_tokens, 1L)"))
+      .orderBy("source")
+  }
+
+  val q136Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, md5($normSql) AS h,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       | g AS (SELECT h, COUNT(*) AS copies FROM d GROUP BY h),
+       | j AS (SELECT d.source, d.tokens, g.copies FROM d JOIN g USING (h))
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       | CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       | CAST(SUM(tokens * 1000 // copies) AS BIGINT) AS eff_tokens_millis,
+       | CAST(SUM(tokens * 1000 // copies) // greatest(SUM(tokens), 1) AS BIGINT) AS keep_permille
+       |FROM j GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q137 — containment pairs (Broder's containment, not Jaccard): excerpt
+  // detection. A short document quoted inside a long one has tiny Jaccard
+  // (the union is dominated by the long doc) but containment
+  // shared/min(|A|,|B|) ≈ 1 — the asymmetric near-dup that every
+  // symmetric score (q35/q41) structurally misses, and exactly how
+  // quote-farms and scraped excerpts evade MinHash dedup.
+  //
+  // Scale path: word-3-gram shingles reduce to md5 digests at the scan
+  // and deduplicate per doc BEFORE bucketing; candidate pairs come from
+  // capped digest buckets (SmallestK, oversized stop-shingle buckets
+  // dropped whole — the q41/q135 move), so fanout is ≤ cap² per shingle,
+  // never corpus². Per-doc shingle counts join back onto the pair
+  // aggregate (pair-count-sized), and the top-15 is a bounded heap.
+  // ===========================================================
+  val CntBucketCap = 32
+  val CntMinShingles = 10L
+  val CntTopN = 15
+
+  def q137ContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> md5(CAST(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |      element_at(toks, i + 2)) AS BINARY)))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+      .distinct()
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val buckets = sh.groupBy("g")
+      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), CntBucketCap + 1).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= CntBucketCap)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS a, element_at(ids, j) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .join(perDoc.select(col("doc_id").as("a"), col("nsh").as("nsha")), "a")
+      .join(perDoc.select(col("doc_id").as("b"), col("nsh").as("nshb")), "b")
+      .filter(least(col("nsha"), col("nshb")) >= CntMinShingles)
+      .withColumn("containment_permille",
+        expr("shared * 1000 DIV least(nsha, nshb)"))
+      .orderBy(col("containment_permille").desc, col("shared").desc, col("a"), col("b"))
+      .limit(CntTopN)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("containment_permille").desc, col("shared").desc, col("a"), col("b"))).cast("long"))
+      .select("rank", "a", "b", "shared", "nsha", "nshb", "containment_permille")
+      .orderBy("rank")
+  }
+
+  val q137Sql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
+       | sh AS (SELECT DISTINCT doc_id, u.g AS g FROM toks,
+       |  LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1),
+       |      i -> md5(array_to_string(toks[i:i+2], ' ')))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS g) u),
+       | pd AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+       | buckets AS (SELECT g, list(doc_id ORDER BY doc_id) AS ids FROM sh
+       |  GROUP BY g HAVING COUNT(*) BETWEEN 2 AND $CntBucketCap),
+       | pairs AS (SELECT p.pr[1] AS a, p.pr[2] AS b FROM buckets,
+       |  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+       |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1),
+       |    j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
+       | pc AS (SELECT a, b, COUNT(*) AS shared FROM pairs GROUP BY a, b),
+       | jn AS (SELECT pc.a, pc.b, pc.shared, pa.nsh AS nsha, pb.nsh AS nshb
+       |  FROM pc JOIN pd pa ON pc.a = pa.doc_id JOIN pd pb ON pc.b = pb.doc_id
+       |  WHERE least(pa.nsh, pb.nsh) >= $CntMinShingles),
+       | r AS (SELECT *, shared * 1000 // least(nsha, nshb) AS containment_permille
+       |  FROM jn),
+       | rr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY containment_permille DESC,
+       |   shared DESC, a, b) AS rank FROM r)
+       |SELECT CAST(rank AS BIGINT) AS rank, a, b, CAST(shared AS BIGINT) AS shared,
+       | CAST(nsha AS BIGINT) AS nsha, CAST(nshb AS BIGINT) AS nshb,
+       | CAST(containment_permille AS BIGINT) AS containment_permille
+       |FROM rr WHERE rank <= $CntTopN ORDER BY rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q138 — n-gram novelty decay (data-growth diminishing returns): split
+  // the corpus into 10 arrival batches (doc_id order — the crawl
+  // timeline) and measure, per batch, what fraction of its distinct
+  // 3-gram types was never seen in ANY earlier batch. The curve that
+  // answers "does the next crawl increment still add content, or just
+  // repeats?" before committing tokens to it (scaling-law data audits).
+  //
+  // Scale path: grams reduce to digests at the scan; the (digest, batch)
+  // presence set is the canonical two-phase distinct (map-side partial);
+  // first-seen is ONE min-aggregation over it, and both per-batch rollups
+  // are 10-row outputs. The only wide shuffle moves 16-byte digests. The
+  // batch id derives from doc_id against a broadcast 1-row max — no
+  // global row_number sort anywhere.
+  // ===========================================================
+  val NoveltyBatches = 10
+
+  def q138NoveltyDecay(spark: SparkSession, dir: String): DataFrame = {
+    val denom = docs(spark, dir).agg((max("doc_id") + 1L).as("denom"))
+    val g = docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .crossJoin(broadcast(denom))
+      .withColumn("batch",
+        expr(s"least(doc_id * $NoveltyBatches DIV denom, ${NoveltyBatches - 1})"))
+      .select(col("batch"), explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> md5(CAST(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |      element_at(toks, i + 2)) AS BINARY)))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+    val presence = g.distinct()
+    val firstSeen = presence.groupBy("g").agg(min("batch").as("minb"))
+    val perBatch = presence.groupBy("batch").agg(count(lit(1)).as("types_present"))
+    val novel = firstSeen.groupBy("minb").agg(count(lit(1)).as("types_novel"))
+      .select(col("minb").as("batch"), col("types_novel"))
+    perBatch.join(novel, Seq("batch"), "left_outer")
+      .select(col("batch"), col("types_present"),
+        coalesce(col("types_novel"), lit(0L)).as("types_novel"))
+      .withColumn("novelty_permille", expr("types_novel * 1000 DIV types_present"))
+      .withColumn("cum_types", sum("types_novel")
+        .over(Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("batch")
+  }
+
+  val q138Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
+       | mx AS (SELECT MAX(doc_id) + 1 AS denom FROM documents),
+       | g AS (SELECT least(doc_id * $NoveltyBatches // mx.denom,
+       |    ${NoveltyBatches - 1}) AS batch, u.g AS g
+       |  FROM d, mx, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+       |   THEN list_transform(range(1, len(toks) - 1),
+       |     i -> md5(array_to_string(toks[i:i+2], ' ')))
+       |   ELSE CAST([] AS VARCHAR[]) END) AS g) u),
+       | presence AS (SELECT DISTINCT batch, g FROM g),
+       | fs AS (SELECT g, MIN(batch) AS minb FROM presence GROUP BY g),
+       | pb AS (SELECT batch, COUNT(*) AS types_present FROM presence GROUP BY batch),
+       | nv AS (SELECT minb AS batch, COUNT(*) AS types_novel FROM fs GROUP BY minb),
+       | j AS (SELECT pb.batch, pb.types_present,
+       |   COALESCE(nv.types_novel, 0) AS types_novel
+       |  FROM pb LEFT JOIN nv USING (batch))
+       |SELECT CAST(batch AS BIGINT) AS batch,
+       | CAST(types_present AS BIGINT) AS types_present,
+       | CAST(types_novel AS BIGINT) AS types_novel,
+       | CAST(types_novel * 1000 // types_present AS BIGINT) AS novelty_permille,
+       | CAST(SUM(types_novel) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING
+       |   AND CURRENT ROW) AS BIGINT) AS cum_types
+       |FROM j ORDER BY batch""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q139 — filter-threshold calibration: per source, the LARGEST integer
+  // score cutoff whose acceptance rate still meets the target (600‰) —
+  // how a production pipeline turns "keep the best ~60%" into a concrete
+  // per-source threshold for its quality filter (per-source because score
+  // distributions differ by domain; one global cutoff starves clean
+  // sources and floods noisy ones). Score here = token density in millis
+  // (tokens·1000 DIV chars — degenerate run-on text scores low); the
+  // calibration mechanics are score-agnostic.
+  //
+  // Scale path: the corpus collapses to a (source, score) histogram in
+  // one map-side-partial aggregation; the descending cumulative window
+  // and the threshold selection run over that histogram (|sources| ×
+  // |distinct scores| rows — thousands, not billions). No global sort of
+  // documents anywhere.
+  // ===========================================================
+  val CalibTargetPermille = 600L
+
+  def q139ThresholdCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("tk", ws_token_count(col("text")).cast("long"))
+      .select(col("source"),
+        expr("tk * 1000 DIV greatest(n_chars, 1L)").as("score"))
+    val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val tot = scored.groupBy("source").agg(count(lit(1)).as("total_docs"))
+    val cum = hist.join(tot, "source")
+      .withColumn("accepted", sum("c").over(
+        Window.partitionBy("source").orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("accepted") * 1000 >= lit(CalibTargetPermille) * col("total_docs"))
+    cum.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("score").as("threshold"),
+        col("accepted").as("accepted_docs"), col("total_docs"))
+      .withColumn("acceptance_permille", expr("accepted_docs * 1000 DIV total_docs"))
+      .orderBy("source")
+  }
+
+  val q139Sql: String =
+    s"""WITH s AS (SELECT source,
+       |   len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) * 1000
+       |     // greatest(n_chars, 1) AS score FROM documents),
+       | hist AS (SELECT source, score, COUNT(*) AS c FROM s GROUP BY source, score),
+       | tot AS (SELECT source, COUNT(*) AS total_docs FROM s GROUP BY source),
+       | cum AS (SELECT h.source, h.score, tot.total_docs,
+       |   SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.score DESC
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accepted
+       |  FROM hist h JOIN tot USING (source)),
+       | el AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY score DESC) AS rn
+       |  FROM cum WHERE accepted * 1000 >= $CalibTargetPermille * total_docs)
+       |SELECT source, CAST(score AS BIGINT) AS threshold,
+       | CAST(accepted AS BIGINT) AS accepted_docs,
+       | CAST(total_docs AS BIGINT) AS total_docs,
+       | CAST(accepted * 1000 // total_docs AS BIGINT) AS acceptance_permille
+       |FROM el WHERE rn = 1 ORDER BY source""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_softdedup_weights" -> (q136SoftdedupWeights _),
+    "q137_containment_pairs" -> (q137ContainmentPairs _),
+    "q138_novelty_decay" -> (q138NoveltyDecay _),
+    "q139_threshold_calibration" -> (q139ThresholdCalibration _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -2617,6 +2874,10 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q136_softdedup_weights" -> q136Sql,
+    "q137_containment_pairs" -> q137Sql,
+    "q138_novelty_decay" -> q138Sql,
+    "q139_threshold_calibration" -> q139Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

@@ -264,7 +264,8 @@ class PlanSpec extends AnyFunSuite {
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
-      "q124_dsir_weights") // 1-row totals over the <=B-bucket table
+      "q124_dsir_weights", // 1-row totals over the <=B-bucket table
+      "q138_novelty_decay") // 1-row max-doc-id scalar for the batch id
     import scala.jdk.CollectionConverters._
     val docs = java.nio.file.Paths.get("docs")
     val latest = java.nio.file.Files.list(docs).iterator().asScala
