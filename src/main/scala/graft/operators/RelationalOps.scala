@@ -570,46 +570,55 @@ object RelationalOps {
     val nodeCount = degC.count() + degS.count()
     val gateBroadcast = nodeCount <= broadcastNodeCap
     val half = trade.join(degC, "cust").join(degS, "supp").localCheckpoint()
-    // Each round reads rank(cust) and rank(supp) for every edge. Doing
-    // that as one chained double join drags the EDGE-sized intermediate
-    // through a second exchange every round in shuffle mode. Instead the
-    // round splits into two independent legs — (edges ⋈ ranks on cust →
-    // contribute to supp) and (edges ⋈ ranks on supp → contribute to
-    // cust) — whose union feeds the inflow aggregation. The union is the
-    // same contribution multiset the doubled-edge form emitted, but each
-    // leg now joins on exactly one key, so the edge table can be
-    // PERSISTED PRE-PARTITIONED on that key: past the broadcast cap the
-    // loop's joins consume halfC/halfS's cached hashpartitioning (persist,
-    // not localCheckpoint — a checkpoint under AQE reports Unknown
-    // partitioning, while cached plans keep theirs: AQE may not change a
-    // cached plan's output partitioning by default) and only the
-    // node-sized rank table is exchanged per round — the edge table is
-    // shuffled ZERO times after setup. Under the cap a single
-    // un-partitioned checkpoint serves both legs (broadcast joins ignore
-    // child partitioning).
-    val (halfC, halfS) =
-      if (gateBroadcast) (half, half)
-      else {
-        import org.apache.spark.storage.StorageLevel
-        val c = half.repartition(col("cust")).persist(StorageLevel.MEMORY_AND_DISK)
-        val s = half.repartition(col("supp")).persist(StorageLevel.MEMORY_AND_DISK)
-        c.count(); s.count() // materialize before the rounds start
-        (c, s)
-      }
+    // Each round reads rank(cust) and rank(supp) for every edge — HOW it
+    // reads them is gated on the same node count as the broadcast hint:
+    //  - UNDER the cap both probes are broadcast hash joins, so the round
+    //    makes ONE pass over the edge checkpoint and emits each edge's two
+    //    contributions map-side via a 2-struct explode (zero edge
+    //    exchanges, one edge scan).
+    //  - PAST the cap a chained double join would drag the EDGE-sized
+    //    intermediate through a second exchange every round. Instead the
+    //    round splits into two single-key legs — (edges ⋈ ranks on cust →
+    //    contribute to supp) and (edges ⋈ ranks on supp → contribute to
+    //    cust) — whose union feeds the inflow aggregation: the same
+    //    contribution multiset, but each leg joins on exactly ONE key, so
+    //    the edge table is PERSISTED PRE-PARTITIONED per key (persist, not
+    //    localCheckpoint — a checkpoint under AQE reports Unknown
+    //    partitioning, while AQE may not change a cached plan's output
+    //    partitioning by default) and only the node-sized rank table is
+    //    exchanged per round; edges shuffle ZERO times after setup.
+    lazy val (halfC, halfS) = {
+      import org.apache.spark.storage.StorageLevel
+      val c = half.repartition(col("cust")).persist(StorageLevel.MEMORY_AND_DISK)
+      val s = half.repartition(col("supp")).persist(StorageLevel.MEMORY_AND_DISK)
+      c.count(); s.count() // materialize before the rounds start
+      (c, s)
+    }
     var ranks = degC.select(col("cust").as("node"), lit(PrScale).as("rank"))
       .union(degS.select(col("supp").as("node"), lit(PrScale).as("rank")))
     for (_ <- 1 to PrIters) {
-      // under the cap, both legs probe the SAME broadcast
-      // (ReuseExchange ships it once)
       val ckpt = ranks.localCheckpoint()
-      val rb = if (gateBroadcast) broadcast(ckpt) else ckpt
-      val legC = halfC
-        .join(rb.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
-        .select(col("supp").as("dst"), expr("rankc DIV degc").as("contrib"))
-      val legS = halfS
-        .join(rb.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")
-        .select(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib"))
-      ranks = legC.union(legS)
+      val contribs =
+        if (gateBroadcast) {
+          // both probes share the SAME broadcast (ReuseExchange ships it
+          // once); one scan of half per round
+          val rb = broadcast(ckpt)
+          half
+            .join(rb.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
+            .join(rb.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")
+            .select(explode(array(
+              struct(col("supp").as("dst"), expr("rankc DIV degc").as("contrib")),
+              struct(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib")))).as("e"))
+            .select(col("e.dst").as("dst"), col("e.contrib").as("contrib"))
+        } else {
+          halfC
+            .join(ckpt.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
+            .select(col("supp").as("dst"), expr("rankc DIV degc").as("contrib"))
+            .union(halfS
+              .join(ckpt.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")
+              .select(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib")))
+        }
+      ranks = contribs
         .groupBy("dst")
         .agg(sum(col("contrib")).as("inflow"))
         .select(col("dst").as("node"),
