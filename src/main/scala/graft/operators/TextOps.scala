@@ -2499,7 +2499,12 @@ object TextOps {
       // (String length < 2^31 bounds ci·step + 1 under Int.MaxValue)
       .withColumn("ci", explode(expr(
         s"sequence(0, CAST((greatest(0L, n - ${WinPosCap}L) + ${WinStep - 1}L) DIV ${WinStep}L AS INT))")))
-      .withColumn("ctext", expr(s"substring(ntext, CAST(ci * $WinStep + 1 AS INT), $WinPosCap)"))
+      // single-chunk docs (n <= cap, i.e. ~all of them) pass ntext through
+      // untouched — substring() COPIES its slice, and an unconditional
+      // substring would re-copy the whole corpus once per scan
+      .withColumn("ctext", expr(
+        s"CASE WHEN n <= ${WinPosCap}L THEN ntext" +
+          s" ELSE substring(ntext, CAST(ci * $WinStep + 1 AS INT), $WinPosCap) END"))
       // a trailing chunk shorter than one window carries no window of its
       // own — its chars sit inside the previous chunk's overlap tail
       .filter(length(col("ctext")) >= WinK + WinW - 1)
@@ -2543,7 +2548,8 @@ object TextOps {
        | d2 AS (SELECT doc_id, ntext, CAST(length(ntext) AS BIGINT) AS fn FROM d
        |  WHERE length(ntext) >= ${WinK + WinW - 1}),
        | ch AS (SELECT doc_id, u.ci AS ci,
-       |   substr(ntext, CAST(u.ci * $WinStep + 1 AS INTEGER), $WinPosCap) AS ctext
+       |   CASE WHEN fn <= $WinPosCap THEN ntext
+       |    ELSE substr(ntext, CAST(u.ci * $WinStep + 1 AS INTEGER), $WinPosCap) END AS ctext
        |  FROM d2, LATERAL (SELECT unnest(range(0,
        |   (greatest(0, fn - $WinPosCap) + ${WinStep - 1}) // $WinStep + 1)) AS ci) u),
        | dd AS (SELECT doc_id, ci, ctext AS ntext, length(ctext) AS n FROM ch
