@@ -123,7 +123,7 @@ object Http2 {
         throw new IOException(f"unsupported HPACK representation 0x$first%02x")
       i += 1
       val (klen, i1) = readHpackInt(p, i - 1, 4) // 4-bit prefix of the 0x00 byte is 0
-      require(klen == 0, "literal new-name index must be 0")
+      if (klen != 0) throw new IOException("literal new-name index must be 0")
       val (nlen, i2) = readHpackInt(p, i1, 7)
       if ((p(i1) & 0x80) != 0) throw new IOException("huffman strings not in subset")
       val name = new String(p, i2, nlen, UTF_8)
@@ -346,10 +346,14 @@ final class Http2ConsumerServer(handler: DispatchRequest => DispatchResult) {
             bodies.getOrElseUpdate(f.streamId, new ByteArrayOutputStream())
               .write(f.payload)
             // replenish both flow-control windows so a long-lived
-            // connection never exhausts the 65535-byte defaults
-            val wu = java.nio.ByteBuffer.allocate(4).putInt(f.payload.length).array()
-            writeFrame(out, WINDOW_UPDATE, 0, 0, wu)
-            writeFrame(out, WINDOW_UPDATE, 0, f.streamId, wu)
+            // connection never exhausts the 65535-byte defaults (a
+            // zero-length DATA frame consumes no window and a 0-increment
+            // WINDOW_UPDATE would itself be a PROTOCOL_ERROR)
+            if (f.payload.length > 0) {
+              val wu = java.nio.ByteBuffer.allocate(4).putInt(f.payload.length).array()
+              writeFrame(out, WINDOW_UPDATE, 0, 0, wu)
+              writeFrame(out, WINDOW_UPDATE, 0, f.streamId, wu)
+            }
             if ((f.flags & END_STREAM) != 0) respond(out, f.streamId, hdrs, bodies)
           case _ => ()
         }
