@@ -106,6 +106,37 @@ class NoveltyStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Bloom history survives a checkpoint restart") {
+    // the monitor's whole value is cross-trigger memory; a restart that
+    // forgot the filter would re-report everything as novel
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-novelty-ckpt").toString
+    val input = MemoryStream[(String, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, String)]], spark.sqlContext)
+    val text = (0 until 30).map(i => s"restart$i").mkString(" ")
+    // the memory sink cannot recover a checkpoint; collect through
+    // foreachBatch (which can) into a JVM-shared buffer
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = NoveltyStream.monitor(
+        input.toDF().toDF("source", "text"), NumBits, NumProbes)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[NoveltyStream.NoveltyRow], _: Long) =>
+        b.collect().foreach(r => got.add((r.trigger, r.types_novel, r.cum_novel))); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { input.addData(Seq(("s", text))); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Seq(("s", text))) // full repeat, across the restart
+      q2.processAllAvailable()
+      val rows = got.toArray(Array.empty[(Long, Long, Long)]).sortBy(_._1)
+      assert(rows.length == 2, rows.mkString(","))
+      assert(rows(0)._2 == 28L, s"pre-restart trigger: ${rows(0)}")
+      assert(rows(1) == ((2L, 0L, 28L)),
+        s"restart forgot the Bloom history: ${rows(1)}")
+    } finally q2.stop()
+  }
+
   test("fill_permille reports saturation; novelty is a lower bound under it") {
     // a TINY filter saturates fast: novelty must degrade toward zero (the
     // documented one-sided error) while fill_permille exposes why
