@@ -227,7 +227,10 @@ object Bench {
       if (samples.isEmpty) return (0.0, 0.0, 0.0)
       val (fed, nanos) = samples.last
       val whole = if (nanos > 0) fed * 1e9 / nanos else 0.0
-      if (samples.size < 3) return (whole, whole, whole)
+      // < 4 samples: 2*size/3 indexes the LAST sample and the last-third
+      // rate degenerates to 0.0 — publish the whole-window rate instead of
+      // a fake collapse signal
+      if (samples.size < 4) return (whole, whole, whole)
       val a = samples(samples.size / 3)
       val b = samples(2 * samples.size / 3)
       val first = if (a._2 > 0) a._1 * 1e9 / a._2 else 0.0
@@ -492,22 +495,30 @@ object Bench {
     val fwdRate = if (q50Sec > 0) eventsRows / q50Sec else 0.0
     val fwdBytes = if (q50Sec > 0) eventsBytes / q50Sec else 0.0
 
-    // wire-dispatch leg: the SAME engine batch path as q50, but every
-    // dispatch crosses a real loopback TCP connection through the pooled
-    // SocketDispatcher with per-message deadlines. The reference's
-    // 4,000 msgs/s scale unit is defined against real gRPC I/O, so this is
-    // the honest baseline comparison; the in-process forward rate above
-    // isolates pure engine cost (their ratio is the wire overhead).
-    val socketFwdRate: Double =
+    // Wire-dispatch legs: the SAME engine batch path as q50, but every
+    // dispatch crosses a real loopback TCP connection through a pooled
+    // dispatcher with per-message deadlines. The reference's 4,000 msgs/s
+    // scale unit is defined against real gRPC I/O, so these are the honest
+    // baseline comparisons; the in-process forward rate above isolates
+    // pure engine cost. One protocol per call:
+    //  - socket: length-prefixed frames (wire I/O floor)
+    //  - http2:  full RFC 9113 exchange (preface, HEADERS+DATA out,
+    //    HEADERS/DATA/TRAILERS back, grpc-status from the trailers) — the
+    //    reference's actual wire format minus TLS and HPACK dynamic
+    //    tables; the delta vs socket isolates the framing cost.
+    def wireForwardLeg(
+        name: String,
+        mkServer: (graft.streaming.DispatchRequest => graft.streaming.DispatchResult) => (Int, () => Unit),
+        mkFactory: Int => graft.streaming.DispatcherFactory): Double =
       if (legsOnly || onlyQuery.nonEmpty) 0.0
       else {
         coolDown()
-        var server: graft.streaming.SocketConsumerServer = null
+        var closeServer: () => Unit = () => ()
         try {
-          server = new graft.streaming.SocketConsumerServer(_ =>
+          val (port, closer) = mkServer(_ =>
             graft.streaming.DispatchResult(graft.model.GrpcStatus.OK, None, overdue = false))
-          val factory = graft.streaming.SocketDispatcherFactory(
-            "127.0.0.1", server.port, rpcTimeoutMs = 30000)
+          closeServer = closer
+          val factory = mkFactory(port)
           val spec = graft.operators.PipelineOps.pipelineSpec("events")
           val recs = graft.operators.PipelineOps.eventRecords(spark, sfDir)
           def once(ds: org.apache.spark.sql.Dataset[graft.streaming.ForwardingEngine.KafkaRecord]): Double = {
@@ -517,50 +528,19 @@ object Bench {
             if (n > 0) n / ((System.nanoTime() - t0) / 1e9) else 0.0
           }
           once(recs.limit(20000)) // warm: codegen + server threads + pools
-          val rate = math.max(once(recs), once(recs))
-          server.close(); server = null
-          rate
+          math.max(once(recs), once(recs))
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] socket-forward leg failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name leg failed: ${e.getMessage}")
             0.0
-        } finally if (server != null) server.close()
+        } finally closeServer()
       }
-
-    // HTTP/2-framed wire leg: the same engine batch path as the socket
-    // leg, but every dispatch is a full RFC 9113 exchange — preface,
-    // HEADERS + DATA frames out, response HEADERS/DATA/TRAILERS back, with
-    // grpc-status decoded from the trailers. The reference's actual wire
-    // format minus only TLS and HPACK dynamic-table compression; the
-    // delta vs socket_forward isolates the framing cost.
-    val h2FwdRate: Double =
-      if (legsOnly || onlyQuery.nonEmpty) 0.0
-      else {
-        coolDown()
-        var server: graft.streaming.Http2ConsumerServer = null
-        try {
-          server = new graft.streaming.Http2ConsumerServer(_ =>
-            graft.streaming.DispatchResult(graft.model.GrpcStatus.OK, None, overdue = false))
-          val factory = graft.streaming.Http2DispatcherFactory(
-            "127.0.0.1", server.port, rpcTimeoutMs = 30000)
-          val spec = graft.operators.PipelineOps.pipelineSpec("events")
-          val recs = graft.operators.PipelineOps.eventRecords(spark, sfDir)
-          def once(ds: org.apache.spark.sql.Dataset[graft.streaming.ForwardingEngine.KafkaRecord]): Double = {
-            val t0 = System.nanoTime()
-            val n = graft.streaming.ForwardingEngine
-              .processBatch(spec, factory, "local", ds).count()
-            if (n > 0) n / ((System.nanoTime() - t0) / 1e9) else 0.0
-          }
-          once(recs.limit(20000)) // warm: codegen + server threads + pools
-          val rate = math.max(once(recs), once(recs))
-          server.close(); server = null
-          rate
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] http2-forward leg failed: ${e.getMessage}")
-            0.0
-        } finally if (server != null) server.close()
-      }
+    val socketFwdRate: Double = wireForwardLeg("socket-forward",
+      h => { val s = new graft.streaming.SocketConsumerServer(h); (s.port, () => s.close()) },
+      p => graft.streaming.SocketDispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
+    val h2FwdRate: Double = wireForwardLeg("http2-forward",
+      h => { val s = new graft.streaming.Http2ConsumerServer(h); (s.port, () => s.close()) },
+      p => graft.streaming.Http2DispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

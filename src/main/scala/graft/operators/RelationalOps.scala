@@ -533,8 +533,12 @@ object RelationalOps {
 
   /** Cap-parameterized core — PlanSpec drives `broadcastNodeCap = 0` to
     * assert the over-cap shuffle-join variant produces the identical
-    * result and plan shape without broadcast hints. */
-  def q86PageRank(spark: SparkSession, dir: String, broadcastNodeCap: Long): DataFrame = {
+    * result and plan shape without broadcast hints, and
+    * `releaseCaches = false` to keep the final round's plan inspectable
+    * (the release path checkpoints the node-sized result, which hides the
+    * round shape behind a LogicalRDD). */
+  def q86PageRank(spark: SparkSession, dir: String, broadcastNodeCap: Long,
+      releaseCaches: Boolean = true): DataFrame = {
     // lineitem ⋈ orders is fact-to-fact: the 2-column orders projection is
     // tiny at test SFs but grows linearly with the data, so a hardcoded
     // broadcast() hint would OOM the driver at 100×. No hint: AQE promotes
@@ -629,6 +633,15 @@ object RelationalOps {
     // row_number window here would instead drag the whole node-sized rank
     // table through ONE task's sort. The rank window below runs AFTER the
     // limit, over exactly 20 rows.
+    // shuffle mode holds 2×|E| of cache (the pre-partitioned copies) on
+    // top of half's 1×|E| checkpoint; checkpoint the final node-sized
+    // ranks so both edge caches release before this query returns instead
+    // of squatting on executor storage for the rest of the session
+    if (!gateBroadcast && releaseCaches) {
+      ranks = ranks.localCheckpoint()
+      halfC.unpersist(blocking = false)
+      halfS.unpersist(blocking = false)
+    }
     val top20 = ranks
       .withColumn("kind", when(col("node") >= SuppOffset, "supplier").otherwise("customer"))
       .orderBy(col("rank").desc, col("node"))

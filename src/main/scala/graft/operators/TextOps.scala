@@ -2592,9 +2592,13 @@ object TextOps {
   // exact integer in both engines. Final rollup is |sources| rows.
   // ===========================================================
   def q136SoftdedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    // the normalize+md5+tokenize projection feeds BOTH the cluster-size
+    // aggregation and the weight-attach join; materialize it once (the
+    // q124 move — 4 narrow columns, text never re-read)
     val d = docs(spark, dir).select(col("source"), col("doc_id"),
       md5(norm.cast("binary")).as("h"),
       ws_token_count(col("text")).cast("long").as("tokens"))
+      .localCheckpoint()
     val sizes = d.groupBy("h").agg(count(lit(1)).as("copies"))
     d.join(sizes, "h")
       .groupBy("source")
@@ -2795,7 +2799,9 @@ object TextOps {
       .select(col("source"),
         expr("tk * 1000 DIV greatest(n_chars, 1L)").as("score"))
     val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
-    val tot = scored.groupBy("source").agg(count(lit(1)).as("total_docs"))
+    // totals DERIVE from the histogram (sum of its counts) — aggregating
+    // `scored` again would re-run the tokenize scan for a second pass
+    val tot = hist.groupBy("source").agg(sum("c").as("total_docs"))
     val cum = hist.join(tot, "source")
       .withColumn("accepted", sum("c").over(
         Window.partitionBy("source").orderBy(col("score").desc)

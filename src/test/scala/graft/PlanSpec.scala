@@ -293,7 +293,8 @@ class PlanSpec extends AnyFunSuite {
     // the halfC/halfS checkpoints' persisted hashpartitioning — the only
     // exchanges over an edge-scan subtree are the inflow aggregation on dst
     // (and post-limit 20-row bookkeeping), NEVER hashpartitioning(cust/supp)
-    val shuffled = RelationalOps.q86PageRank(spark, dir, broadcastNodeCap = 0L)
+    val shuffled = RelationalOps.q86PageRank(spark, dir, broadcastNodeCap = 0L,
+      releaseCaches = false)
     // AQE wraps the physical plan; unwrap to traverse the real operators
     val plan = shuffled.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
