@@ -454,31 +454,6 @@ object Bench {
     val streamReps = legPairs.map(_._1)
     val queueStreamReps = legPairs.map(_._2)
 
-    // sustained windows AFTER the rep pairs, same fresh-session footing:
-    // one continuous 60 s (SPARK_GRAFT_SUSTAIN_SEC) live query per leg.
-    // Reported next to the rep min/median — a sustained figure materially
-    // under rep-min means the short reps were flattering the engine
-    // (state growth / compaction / GC sag the reps reset away).
-    val sustainSec = sys.env.get("SPARK_GRAFT_SUSTAIN_SEC")
-      .flatMap(_.toIntOption).getOrElse(60)
-    def safeSustain(
-        leg: Option[Int => (Double, Double, Double)],
-        name: String): (Double, Double, Double) =
-      if (sustainSec <= 0) (0.0, 0.0, 0.0)
-      else leg.map { f =>
-        try f(sustainSec) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name sustained failed: ${e.getMessage}")
-            (0.0, 0.0, 0.0)
-        }
-      }.getOrElse((0.0, 0.0, 0.0))
-    coolDown()
-    val (susStream, susStreamFirst, susStreamLast) =
-      safeSustain(memSustainThunk, "memory-stream")
-    coolDown()
-    val (susQueue, susQueueFirst, susQueueLast) =
-      safeSustain(queueSustainThunk, "queue-connector")
-
     // the broker is a JVM-global object: leave it empty so the last
     // rep's replayed corpus doesn't occupy heap during the query suite
     graft.sources.GraftBroker.reset()
@@ -541,6 +516,35 @@ object Bench {
     val h2FwdRate: Double = wireForwardLeg("http2-forward",
       h => { val s = new graft.streaming.Http2ConsumerServer(h); (s.port, () => s.close()) },
       p => graft.streaming.Http2DispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
+
+    // sustained windows LAST: one continuous 60 s (SPARK_GRAFT_SUSTAIN_SEC)
+    // live query per leg. Reported next to the rep min/median — a sustained
+    // figure materially under rep-min means the short reps were flattering
+    // the engine (state growth / compaction / GC sag the reps reset away).
+    // Ordering matters: two minutes of streaming leaves enough heap/state
+    // residue that the first ~20 suite queries measured 2-3x slow when
+    // these windows ran before the suite; a 60 s window amortizes residue
+    // a half-second query cannot, so the least-sensitive phase runs last.
+    val sustainSec = sys.env.get("SPARK_GRAFT_SUSTAIN_SEC")
+      .flatMap(_.toIntOption).getOrElse(60)
+    def safeSustain(
+        leg: Option[Int => (Double, Double, Double)],
+        name: String): (Double, Double, Double) =
+      if (sustainSec <= 0) (0.0, 0.0, 0.0)
+      else leg.map { f =>
+        try f(sustainSec) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name sustained failed: ${e.getMessage}")
+            (0.0, 0.0, 0.0)
+        }
+      }.getOrElse((0.0, 0.0, 0.0))
+    coolDown()
+    val (susStream, susStreamFirst, susStreamLast) =
+      safeSustain(memSustainThunk, "memory-stream")
+    coolDown()
+    val (susQueue, susQueueFirst, susQueueLast) =
+      safeSustain(queueSustainThunk, "queue-connector")
+    graft.sources.GraftBroker.reset()
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
