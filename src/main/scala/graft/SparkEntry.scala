@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - SessionOps: q16-q17 sessions/enrichment, q19 as-of join,
   *    q36 top-tokens, q38 curation pipeline, q46 IVF ANN, q52 range join,
   *    q61 event-time interval join (batch form of streaming/StreamJoin),
-  *    q84 funnel analysis, q91 cohort retention, q92 transition matrix
+  *    q84 funnel analysis, q91 cohort retention, q92 transition matrix,
+  *    q141 session-document assembly (logs → ordered LM corpus docs)
   *  - RelationalOps: q20-q24 relational analytics, q25 rollup subtotals,
   *    q26 blocked fuzzy self-join, q27 JSON extraction, q28 pivot,
   *    q29 grouping sets, q73 decorrelated EXISTS, q78 MERGE upsert,
@@ -47,7 +48,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    canonical selection over verified near-dup pairs,
   *    q112 cross-modal alignment filter (CLIP-score-gate shape),
   *    q113 incremental IVF index maintenance, q120 cross-modal
-  *    retrieval evaluation (true-pair rank / hit@k / MRR)
+  *    retrieval evaluation (true-pair rank / hit@k / MRR),
+  *    q140 label-purity audit (fixed-point label-noise detection)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

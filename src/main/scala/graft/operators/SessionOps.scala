@@ -581,7 +581,60 @@ object SessionOps {
       |   AS BIGINT) END AS chi2_millis
       |FROM t""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q141 — session-document assembly (the "logs → LM corpus" op): turn
+  // per-user event streams into ORDERED training documents. Sessions
+  // split at q16's 30-minute gap; each session's text is its event_type
+  // tokens joined in (ts, event_id) order; the output carries the event
+  // count, char count, and content DIGEST — the dedup key downstream
+  // exact dedup (q30's digest grouping) composes on directly, so
+  // repeated bot sessions collapse before they reach training.
+  //
+  // Scale path: the session window partitions per user (bounded by a
+  // user's events — the q16 contract) and assembly is one
+  // (user, session) aggregation whose per-group memory is bounded by
+  // session length (the sequence-packing contract); sort_array over
+  // (ts, event_id, type) structs makes the concat order total and
+  // engine-independent, and the md5 digest reduces every document to
+  // 16 bytes before anything downstream consumes it.
+  // ===========================================================
+  def q141SessionDocs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > GapNs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        expr("array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " s -> s.event_type), ' ')").as("doc"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        length(col("doc")).cast("long").as("doc_chars"),
+        md5(col("doc").cast("binary")).as("doc_digest"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q141Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events),
+       | lagd AS (SELECT user_id, ts, event_id, event_type,
+       |   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+       | marks AS (SELECT user_id, ts, event_id, event_type,
+       |   SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > $GapNs THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM lagd),
+       | docs AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |   string_agg(event_type, ' ' ORDER BY ts, event_id) AS doc
+       |  FROM marks GROUP BY user_id, session_idx)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, n_events,
+       | CAST(length(doc) AS BIGINT) AS doc_chars, md5(doc) AS doc_digest
+       |FROM docs ORDER BY user_id, session_idx""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_session_docs" -> (q141SessionDocs _),
     "q103_calibration" -> (q103Calibration _),
     "q104_ab_test" -> (q104AbTest _),
     "q91_cohort_retention" -> (q91CohortRetention _),
@@ -597,6 +650,7 @@ object SessionOps {
     "q46_ann_ivf" -> (q46AnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q141_session_docs" -> q141Sql,
     "q103_calibration" -> q103Sql,
     "q104_ab_test" -> q104Sql,
     "q91_cohort_retention" -> q91Sql,

@@ -1624,7 +1624,98 @@ object SimilarityOps {
       .orderBy("split_lo", "split_hi")
   }
 
+  // ===========================================================
+  // q140 — label-purity audit (label-noise detection, the confident-
+  // learning curation pass): per label, how many vectors sit CLOSER to
+  // another label's centroid than to their own — mislabeled or boundary
+  // examples that poison contrastive/classification training — plus the
+  // most-confused rival label. Arithmetic rides q57's fixed-point
+  // contract (floor(x·2^20) quantization — a power-of-two scale only
+  // shifts the exponent, so the multiply is exact; integer squared
+  // distances; centroid coordinate = floor(sum/count) in one IEEE
+  // divide), so the oracle hash-matches bit-for-bit.
+  //
+  // Scale path: label centroids are a (labels × dims)-row aggregate
+  // (map-side partial sums) that BROADCASTS; every vector meets all L
+  // centroids through a map-side broadcast join on the exploded dims,
+  // reducing via ONE (vec_id, label2)-keyed partial-sum shuffle — L·|V|
+  // narrow rows, never vectors². Rollups are L and L² rows. The
+  // quantized dim table materializes once for its two consumers
+  // (centroid aggregation + distance join).
+  // ===========================================================
+  def q140LabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val dims = emb(spark, dir)
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        posexplode(expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))"))
+          .as(Seq("d", "x")))
+      .localCheckpoint()
+    val cents = dims.groupBy(col("label").as("label2"), col("d"))
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
+    val d2 = dims.join(broadcast(cents), Seq("d"))
+      .groupBy("vec_id", "label", "label2")
+      .agg(sum(expr("(x - c) * (x - c)")).as("d2"))
+    val per = d2.groupBy("vec_id", "label")
+      .agg(
+        sum(when(col("label2") === col("label"), col("d2"))).as("own_d2"),
+        // struct min: nearest rival by (distance, label) — deterministic
+        min(when(col("label2") =!= col("label"),
+          struct(col("d2"), col("label2")))).as("rival"))
+      .select(col("vec_id"), col("label"), col("own_d2"),
+        col("rival.d2").as("rival_d2"), col("rival.label2").as("rival_label"))
+      .withColumn("confused", col("rival_d2") < col("own_d2"))
+      .localCheckpoint() // vec-sized; rollup and rival-mode both consume it
+    val roll = per.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("confused"), 1L).otherwise(0L)).as("n_confused"))
+    val rivals = per.filter(col("confused"))
+      .groupBy("label", "rival_label").agg(count(lit(1)).as("rc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("rc").desc, col("rival_label"))))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("rival_label").as("top_rival"), col("rc").as("top_rival_n"))
+    roll.join(rivals, Seq("label"), "left_outer")
+      .select(col("label"), col("n_vecs"), col("n_confused"),
+        expr("n_confused * 1000 DIV n_vecs").as("confused_permille"),
+        coalesce(col("top_rival"), lit(-1)).as("top_rival"),
+        coalesce(col("top_rival_n"), lit(0L)).as("top_rival_n"))
+      .orderBy("label")
+  }
+
+  val q140Sql: String =
+    s"""WITH q AS (SELECT vec_id, label, list_transform(embedding,
+       |   x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv FROM embeddings),
+       | dims AS (SELECT vec_id, label, u.d AS d, u.x AS x FROM q,
+       |  LATERAL (SELECT unnest(qv) AS x, unnest(range(1, len(qv) + 1)) AS d) u),
+       | cents AS (SELECT label AS label2, d,
+       |   CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM dims GROUP BY label, d),
+       | d2 AS (SELECT dims.vec_id, dims.label, cents.label2,
+       |   SUM((x - c) * (x - c)) AS d2
+       |  FROM dims JOIN cents USING (d) GROUP BY 1, 2, 3),
+       | own AS (SELECT vec_id, label, d2 AS own_d2 FROM d2 WHERE label2 = label),
+       | riv AS (SELECT vec_id, label2 AS rival_label, d2 AS rival_d2,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label2) AS rn
+       |  FROM d2 WHERE label2 <> label),
+       | per AS (SELECT own.vec_id, own.label, own.own_d2,
+       |   riv.rival_label, riv.rival_d2, riv.rival_d2 < own.own_d2 AS confused
+       |  FROM own JOIN riv ON own.vec_id = riv.vec_id AND riv.rn = 1),
+       | roll AS (SELECT label, COUNT(*) AS n_vecs,
+       |   SUM(CASE WHEN confused THEN 1 ELSE 0 END) AS n_confused
+       |  FROM per GROUP BY label),
+       | rv AS (SELECT label, rival_label, COUNT(*) AS rc FROM per
+       |  WHERE confused GROUP BY 1, 2),
+       | rv1 AS (SELECT label, rival_label, rc, ROW_NUMBER() OVER (
+       |   PARTITION BY label ORDER BY rc DESC, rival_label) AS rn FROM rv)
+       |SELECT roll.label, roll.n_vecs, CAST(roll.n_confused AS BIGINT) AS n_confused,
+       | CAST(n_confused * 1000 // n_vecs AS BIGINT) AS confused_permille,
+       | CAST(COALESCE(rv1.rival_label, -1) AS INTEGER) AS top_rival,
+       | CAST(COALESCE(rv1.rc, 0) AS BIGINT) AS top_rival_n
+       |FROM roll LEFT JOIN rv1 ON roll.label = rv1.label AND rv1.rn = 1
+       |ORDER BY roll.label""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_label_purity" -> (q140LabelPurity _),
     "q134_split_leakage" -> (q134SplitLeakage _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q122_semantic_decon" -> (q122SemanticDecon _),
@@ -1752,6 +1843,7 @@ object SimilarityOps {
 
 
   val oracles: Map[String, String] = Map(
+    "q140_label_purity" -> q140Sql,
     "q134_split_leakage" -> q134Sql,
     "q126_hybrid_rrf" -> q126Sql,
     "q122_semantic_decon" -> q122Sql,
