@@ -1643,13 +1643,17 @@ object SimilarityOps {
   // quantized dim table materializes once for its two consumers
   // (centroid aggregation + distance join).
   // ===========================================================
-  def q140LabelPurity(spark: SparkSession, dir: String): DataFrame = {
-    val dims = emb(spark, dir)
+  def q140LabelPurity(spark: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
+    // materialize=false keeps the full lineage in one plan so PlanSpec can
+    // assert the centroid broadcast; production path checkpoints both
+    // shared projections so each materializes exactly once
+    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val dims = ckpt(emb(spark, dir)
       .select(col("vec_id"), col("label").cast("int").as("label"),
         posexplode(expr(
           s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))"))
-          .as(Seq("d", "x")))
-      .localCheckpoint()
+          .as(Seq("d", "x"))))
     val cents = dims.groupBy(col("label").as("label2"), col("d"))
       .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
     val d2 = dims.join(broadcast(cents), Seq("d"))
@@ -1664,11 +1668,11 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("own_d2"),
         col("rival.d2").as("rival_d2"), col("rival.label2").as("rival_label"))
       .withColumn("confused", col("rival_d2") < col("own_d2"))
-      .localCheckpoint() // vec-sized; rollup and rival-mode both consume it
-    val roll = per.groupBy("label")
+    val perM = ckpt(per) // vec-sized; rollup and rival-mode both consume it
+    val roll = perM.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("confused"), 1L).otherwise(0L)).as("n_confused"))
-    val rivals = per.filter(col("confused"))
+    val rivals = perM.filter(col("confused"))
       .groupBy("label", "rival_label").agg(count(lit(1)).as("rc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("label").orderBy(col("rc").desc, col("rival_label"))))
@@ -1715,7 +1719,7 @@ object SimilarityOps {
        |ORDER BY roll.label""".stripMargin.replace("\n", " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q140_label_purity" -> (q140LabelPurity _),
+    "q140_label_purity" -> ((s: SparkSession, d: String) => q140LabelPurity(s, d)),
     "q134_split_leakage" -> (q134SplitLeakage _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q122_semantic_decon" -> (q122SemanticDecon _),

@@ -372,6 +372,36 @@ class PlanSpec extends AnyFunSuite {
       "q135 pair explode is not above the capped bucket aggregate:\n" + p135.take(2500))
   }
 
+  test("round-9 tail queries keep their scale shapes (q140/q141)") {
+    // q140: the quantized dim projection materializes ONCE (embeddings
+    // scanned at build time, both consumers read the checkpoint) and the
+    // L-row centroid table BROADCASTS into the dim probe — the distance
+    // computation must never plan a sort-merge join of two |V|·d tables
+    val p140 = plan("q140_label_purity")
+    assert("Scan parquet".r.findAllIn(p140).isEmpty,
+      "q140 re-scans embeddings per consumer — the quantized dim " +
+        "projection is no longer materialized:\n" + p140.take(2000))
+    assert(p140.contains("Scan ExistingRDD"),
+      "expected the checkpointed dim projection:\n" + p140.take(1500))
+    // the distance join itself runs at checkpoint-build time; inspect the
+    // full un-materialized lineage for the centroid broadcast
+    val p140full = graft.operators.SimilarityOps
+      .q140LabelPurity(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p140full.contains("BroadcastHashJoin"),
+      "q140 centroids no longer broadcast into the dim probe:\n" + p140full.take(2500))
+    // q141: one events scan; the session window's hashpartitioning(user_id)
+    // must be REUSED by the (user_id, session_idx) aggregation — the only
+    // exchanges are that window shuffle and the final output sort
+    val p141 = plan("q141_session_docs")
+    assert("Scan parquet".r.findAllIn(p141).size == 1,
+      "q141 should read events exactly once:\n" + p141.take(2000))
+    val ex141 = "Exchange (hash|range)partitioning".r.findAllIn(p141).size
+    assert(ex141 <= 2,
+      s"q141 grew extra exchanges ($ex141) — the session aggregation no " +
+        "longer reuses the window's user_id partitioning:\n" + p141.take(2500))
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition
