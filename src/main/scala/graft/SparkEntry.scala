@@ -38,7 +38,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q121 corpus snapshot diff (membership churn + content resurrection),
   *    q136 soft dedup (duplicate down-weighting), q137 containment pairs
   *    (asymmetric excerpt detection), q138 n-gram novelty decay (arrival-
-  *    batch diminishing returns), q139 filter-threshold calibration
+  *    batch diminishing returns), q139 filter-threshold calibration,
+  *    q142 cross-source copy attribution (directed who-copies-whom),
+  *    q143 dedup yield curve (multiplicity histogram + savings),
+  *    q145 range-partition boundary planning + balance audit
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
@@ -49,7 +52,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q112 cross-modal alignment filter (CLIP-score-gate shape),
   *    q113 incremental IVF index maintenance, q120 cross-modal
   *    retrieval evaluation (true-pair rank / hit@k / MRR),
-  *    q140 label-purity audit (fixed-point label-noise detection)
+  *    q140 label-purity audit (fixed-point label-noise detection),
+  *    q144 split repair (the move plan fixing q134's audited leakage)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

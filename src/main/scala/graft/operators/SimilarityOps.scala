@@ -1718,7 +1718,48 @@ object SimilarityOps {
        |FROM roll LEFT JOIN rv1 ON roll.label = rv1.label AND rv1.rn = 1
        |ORDER BY roll.label""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q144 — split REPAIR (the actionable half of q134's audit): q134
+  // measures how many verified near-dup pairs straddle the naive
+  // per-doc hash split; q144 produces the MOVE PLAN that fixes it. Every
+  // doc in a verified pair re-keys to its representative — rep(doc) =
+  // min(doc, min verified partner), the same one-hop min-label contract
+  // q134's rep-keyed scheme uses — and adopts the rep's split. Output:
+  // per (from_split, to_split), docs moved and char mass moved, plus the
+  // stay-put diagonal; the re-shuffling cost of making the eval split
+  // contamination-safe, before committing to it.
+  //
+  // Scale path: the member table is pair-derived (bounded by q41's capped
+  // bucket fanout, never corpus-sized) and reduces by ONE min-aggregation
+  // per doc; the char-mass attach is an equi-join of that small frame
+  // against a two-column documents projection; the rollup is ≤ 9 rows.
+  // ===========================================================
+  def q144SplitRepair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps.{TrainBound, ValBound}
+    def splitOf(c: Column): Column = {
+      val h = conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+      when(h < TrainBound, "train").when(h < ValBound, "val").otherwise("test")
+    }
+    val dups = q41Scored(spark, dir)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select(col("a"), col("b"))
+    val members = dups.select(col("a").as("doc"), col("b").as("peer"))
+      .union(dups.select(col("b").as("doc"), col("a").as("peer")))
+      .groupBy("doc")
+      .agg(min(least(col("peer"), col("doc"))).as("rep"))
+    members
+      .withColumn("from_split", splitOf(col("doc")))
+      .withColumn("to_split", splitOf(col("rep")))
+      .join(docs(spark, dir).select(col("doc_id").as("doc"), col("n_chars")), "doc")
+      .groupBy("from_split", "to_split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_moved"))
+      .withColumn("is_move", col("from_split") =!= col("to_split"))
+      .orderBy("from_split", "to_split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_split_repair" -> (q144SplitRepair _),
     "q140_label_purity" -> ((s: SparkSession, d: String) => q140LabelPurity(s, d)),
     "q134_split_leakage" -> (q134SplitLeakage _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
@@ -1845,8 +1886,32 @@ object SimilarityOps {
        | ON naive.split_lo = repk.split_lo AND naive.split_hi = repk.split_hi
        |ORDER BY split_lo, split_hi""".stripMargin.replace("\n", " ")
 
+  // declared after q41Ctes (object vals initialize in order)
+  val q144Sql: String =
+    s"""$q41Ctes,
+       | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
+       | mem AS (SELECT doc, MIN(LEAST(peer, doc)) AS rep FROM (
+       |   SELECT a AS doc, b AS peer FROM dup
+       |   UNION ALL SELECT b AS doc, a AS peer FROM dup) GROUP BY doc),
+       | sp AS (SELECT doc, rep,
+       |   CASE WHEN hd < ${graft.operators.TextOps.TrainBound} THEN 'train'
+       |    WHEN hd < ${graft.operators.TextOps.ValBound} THEN 'val' ELSE 'test' END AS from_split,
+       |   CASE WHEN hr < ${graft.operators.TextOps.TrainBound} THEN 'train'
+       |    WHEN hr < ${graft.operators.TextOps.ValBound} THEN 'val' ELSE 'test' END AS to_split
+       |  FROM (SELECT doc, rep,
+       |    CAST(('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 15)) AS BIGINT) AS hd,
+       |    CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) AS hr
+       |   FROM mem)),
+       | j AS (SELECT sp.from_split, sp.to_split, d.n_chars
+       |  FROM sp JOIN documents d ON sp.doc = d.doc_id)
+       |SELECT from_split, to_split, COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS BIGINT) AS chars_moved,
+       | from_split <> to_split AS is_move
+       |FROM j GROUP BY from_split, to_split
+       |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q144_split_repair" -> q144Sql,
     "q140_label_purity" -> q140Sql,
     "q134_split_leakage" -> q134Sql,
     "q126_hybrid_rrf" -> q126Sql,

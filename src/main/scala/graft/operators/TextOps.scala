@@ -2835,7 +2835,188 @@ object TextOps {
        | CAST(accepted * 1000 // total_docs AS BIGINT) AS acceptance_permille
        |FROM el WHERE rn = 1 ORDER BY source""".stripMargin.replace("\n", " ")
 
+  // ===========================================================
+  // q142 — cross-source copy attribution (who copies whom): for every
+  // exact-duplicate cluster, the earliest copy (min doc_id — the crawl
+  // timeline order q138 uses) is the ORIGIN; every later copy attributes
+  // as a directed (origin_source → copy_source) edge. The matrix answers
+  // the provenance question symmetric overlap (q117) can't: is source B
+  // scraping source A, or the reverse? Self-edges are internal
+  // re-publication. The input to per-source crawl budgeting and to
+  // "drop the mirror, keep the origin" policies.
+  //
+  // Scale path: origins come from ONE digest-keyed struct-min aggregation
+  // (map-side partial over 16-byte keys); the attribution join is
+  // digest-keyed equi (both sides narrow projections of the same
+  // checkpointed scan — text never moves); the rollup is ≤ sources² rows.
+  // ===========================================================
+  def q142CopyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        md5(norm.cast("binary")).as("h"))
+      .localCheckpoint() // feeds the origin aggregation AND the join probe
+    val origins = d.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("source"))).as("o"))
+      .select(col("h"), col("o.doc_id").as("origin_doc"),
+        col("o.source").as("origin_source"))
+    d.join(origins, "h")
+      .filter(col("doc_id") =!= col("origin_doc"))
+      .groupBy(col("origin_source"), col("source").as("copy_source"))
+      .agg(count(lit(1)).as("n_copied_docs"),
+        countDistinct("h").as("n_digests"),
+        sum("n_chars").as("copied_chars"))
+      .orderBy("origin_source", "copy_source")
+  }
+
+  val q142Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, n_chars, md5($normSql) AS h FROM documents),
+       | o AS (SELECT h, arg_min(doc_id, doc_id) AS origin_doc,
+       |   arg_min(source, doc_id) AS origin_source FROM d GROUP BY h),
+       | j AS (SELECT o.origin_source, d.source AS copy_source, d.h, d.n_chars
+       |  FROM d JOIN o USING (h) WHERE d.doc_id <> o.origin_doc)
+       |SELECT origin_source, copy_source, COUNT(*) AS n_copied_docs,
+       | COUNT(DISTINCT h) AS n_digests, CAST(SUM(n_chars) AS BIGINT) AS copied_chars
+       |FROM j GROUP BY origin_source, copy_source
+       |ORDER BY origin_source, copy_source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q143 — dedup yield curve (duplicate-cluster size profile): the
+  // multiplicity histogram behind every dedup policy decision. Per
+  // cluster-size bucket (1..9, 10 = "10+"): clusters, docs, token mass,
+  // and the tokens REMOVABLE by keep-first dedup — plus the descending
+  // cumulative, i.e. the savings from dropping only clusters of at least
+  // that size. q30 reports the total and q136 the per-source mass; the
+  // SHAPE (pairs vs mega-clusters) is what decides thresholded dedup —
+  // a corpus whose dup mass sits in 2-copy clusters needs a different
+  // policy than one dominated by thousand-copy boilerplate.
+  //
+  // Scale path: one digest aggregation for (copies, keeper), one
+  // digest-keyed join back over the checkpointed narrow projection, and
+  // a 10-row rollup; the cumulative window runs over those 10 rows.
+  // ===========================================================
+  val DupBucketCap = 10L
+
+  def q143DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("h"),
+        ws_token_count(col("text")).cast("long").as("tokens"))
+      .localCheckpoint() // cluster aggregation + attribution join
+    val g = d.groupBy("h")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+    d.join(g, "h")
+      .withColumn("bucket", least(col("copies"), lit(DupBucketCap)))
+      .groupBy("bucket")
+      .agg(countDistinct("h").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("total_tokens"),
+        sum(when(col("doc_id") =!= col("keeper"), col("tokens")).otherwise(0L))
+          .as("removable_tokens"))
+      .withColumn("removable_permille",
+        expr("removable_tokens * 1000 DIV greatest(total_tokens, 1L)"))
+      .withColumn("cum_removable_tokens", sum("removable_tokens").over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("bucket")
+  }
+
+  val q143Sql: String =
+    s"""WITH d AS (SELECT doc_id, md5($normSql) AS h,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       | g AS (SELECT h, COUNT(*) AS copies, MIN(doc_id) AS keeper FROM d GROUP BY h),
+       | j AS (SELECT d.doc_id, d.h, d.tokens, g.copies, g.keeper FROM d JOIN g USING (h)),
+       | b AS (SELECT least(copies, $DupBucketCap) AS bucket,
+       |   COUNT(DISTINCT h) AS n_clusters, COUNT(*) AS n_docs,
+       |   SUM(tokens) AS total_tokens,
+       |   SUM(CASE WHEN doc_id <> keeper THEN tokens ELSE 0 END) AS removable_tokens
+       |  FROM j GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_clusters, n_docs,
+       | CAST(total_tokens AS BIGINT) AS total_tokens,
+       | CAST(removable_tokens AS BIGINT) AS removable_tokens,
+       | CAST(removable_tokens * 1000 // greatest(total_tokens, 1) AS BIGINT)
+       |   AS removable_permille,
+       | CAST(SUM(removable_tokens) OVER (ORDER BY bucket DESC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |   AS cum_removable_tokens
+       |FROM b ORDER BY bucket""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q145 — range-partition boundary planning + balance audit: the layout
+  // decision behind every global sort / range-bucketed write at 100 TB
+  // (Spark's RangePartitioner, Delta OPTIMIZE ordering, Iceberg sort
+  // orders). A deterministic 5% hash sample of doc lengths yields R-1
+  // boundary values (exact sample quantiles, computed on a value-domain
+  // histogram — never a global sort); every document then assigns to its
+  // range partition and the audit reports the REALIZED balance — the
+  // number that says whether the sampled boundaries would actually level
+  // a 1000-executor sort, before paying for it.
+  //
+  // Scale path: the sample histogram is |distinct lengths| rows (the
+  // q108 value-domain move) and its windows run over that histogram;
+  // boundary selection is a ≤(R-1)-row broadcast theta-join against it;
+  // assignment is a 1-row array broadcast attach (map-side, no shuffle);
+  // the rollup is ≤R rows and the share window runs over those.
+  // ===========================================================
+  val RngParts = 8L
+  val RngSampleMod = 100L
+  val RngSamplePct = 5L
+
+  def q145RangeBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      .localCheckpoint() // sample histogram + full assignment
+    val sample = d.filter(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % RngSampleMod < RngSamplePct)
+    val hist = sample.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum("c").over(
+      Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nrow = hist.agg(sum("c").cast("long").as("n"))
+    val targets = spark.range(1, RngParts).toDF("i")
+      .crossJoin(broadcast(nrow))
+      .withColumn("target", expr(s"(i * n + ${RngParts - 1}) DIV $RngParts"))
+    val bounds = cum.join(broadcast(targets), col("cum") >= col("target"))
+      .groupBy("i").agg(min("n_chars").as("bound"))
+    val barr = bounds.agg(sort_array(collect_list("bound")).as("bs"))
+    d.crossJoin(broadcast(barr))
+      .withColumn("part", expr("size(filter(bs, x -> n_chars >= x))").cast("long"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+      .withColumn("total", sum("n_docs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("balance_permille",
+        expr(s"n_docs * $RngParts * 1000 DIV total")) // 1000 = perfectly level
+      .drop("total")
+      .orderBy("part")
+  }
+
+  val q145Sql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+       | s AS (SELECT n_chars FROM d
+       |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |   % $RngSampleMod < $RngSamplePct),
+       | hist AS (SELECT n_chars, COUNT(*) AS c FROM s GROUP BY n_chars),
+       | cum AS (SELECT n_chars, SUM(c) OVER (ORDER BY n_chars
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+       | n AS (SELECT COUNT(*) AS n FROM s),
+       | t AS (SELECT r.i AS i, (r.i * n.n + ${RngParts - 1}) // $RngParts AS target
+       |  FROM range(1, $RngParts) r(i), n),
+       | b AS (SELECT i, MIN(n_chars) AS bound FROM t JOIN cum ON cum.cum >= t.target
+       |  GROUP BY i),
+       | barr AS (SELECT list(bound ORDER BY bound) AS bs FROM b),
+       | parts AS (SELECT CAST(len(list_filter(barr.bs, x -> d.n_chars >= x)) AS BIGINT)
+       |   AS part, d.n_chars FROM d, barr),
+       | agg AS (SELECT part, COUNT(*) AS n_docs, MIN(n_chars) AS lo_chars,
+       |   MAX(n_chars) AS hi_chars FROM parts GROUP BY part)
+       |SELECT part, n_docs, lo_chars, hi_chars,
+       | CAST(n_docs * $RngParts * 1000 // SUM(n_docs) OVER () AS BIGINT)
+       |  AS balance_permille
+       |FROM agg ORDER BY part""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_copy_attribution" -> (q142CopyAttribution _),
+    "q143_dedup_yield" -> (q143DedupYield _),
+    "q145_range_boundaries" -> (q145RangeBoundaries _),
     "q136_softdedup_weights" -> (q136SoftdedupWeights _),
     "q137_containment_pairs" -> (q137ContainmentPairs _),
     "q138_novelty_decay" -> (q138NoveltyDecay _),
@@ -2886,6 +3067,9 @@ object TextOps {
     "q71_vocab_oov" -> (q71VocabOov _))
 
   val oracles: Map[String, String] = Map(
+    "q142_copy_attribution" -> q142Sql,
+    "q143_dedup_yield" -> q143Sql,
+    "q145_range_boundaries" -> q145Sql,
     "q136_softdedup_weights" -> q136Sql,
     "q137_containment_pairs" -> q137Sql,
     "q138_novelty_decay" -> q138Sql,

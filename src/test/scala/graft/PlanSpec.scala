@@ -265,7 +265,8 @@ class PlanSpec extends AnyFunSuite {
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
       "q124_dsir_weights", // 1-row totals over the <=B-bucket table
-      "q138_novelty_decay") // 1-row max-doc-id scalar for the batch id
+      "q138_novelty_decay", // 1-row max-doc-id scalar for the batch id
+      "q145_range_boundaries") // <=R-1-row target/boundary broadcasts + 1-row sample total
     import scala.jdk.CollectionConverters._
     val docs = java.nio.file.Paths.get("docs")
     val latest = java.nio.file.Files.list(docs).iterator().asScala

@@ -111,7 +111,10 @@ class QueriesSpec extends AnyFunSuite {
     test(s"$name runs at sf0.001 and returns rows") {
       val df = fn(spark, dir)
       val n = df.count()
-      if (name == "q41_minhash_lsh") assert(n >= 0) // LSH candidates may be absent at tiny SF
+      // LSH candidates / exact-dup clusters may be absent at tiny SF —
+      // q41's pairs and q142's copy edges are legitimately empty there
+      // (q142's semantics are pinned on planted data by CopyAttributionSpec)
+      if (Set("q41_minhash_lsh", "q142_copy_attribution").contains(name)) assert(n >= 0)
       else assert(n > 0, s"$name returned no rows")
     }
   }
