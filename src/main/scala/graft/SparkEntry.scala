@@ -53,7 +53,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q113 incremental IVF index maintenance, q120 cross-modal
   *    retrieval evaluation (true-pair rank / hit@k / MRR),
   *    q140 label-purity audit (fixed-point label-noise detection),
-  *    q144 split repair (the move plan fixing q134's audited leakage)
+  *    q144 split repair (the move plan fixing q134's audited leakage),
+  *    q146 PQ quantization-distortion audit (per-label reconstruction
+  *    error of q59's trained codebooks)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

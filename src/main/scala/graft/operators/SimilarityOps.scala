@@ -642,7 +642,14 @@ object SimilarityOps {
   val PqK = 16
   val PqIters = 2
 
-  def q59PqAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** PQ training shared by q59 (ADC search) and q146 (distortion audit):
+    * subspace split, driver-resident codebooks (M×K×(dim/M) longs),
+    * PqIters Lloyd rounds with map-only assignment against literal
+    * centroid arrays. Returns the per-(vec, subspace) frame `es` (already
+    * checkpointed), the trained books, and the final assignment
+    * (vec_id, m, sqv, cid, d2). */
+  private def pqTrain(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame) = {
     val e = emb(spark, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
     // one row per (vector, subspace); S = dim/M derived from the data
@@ -692,9 +699,14 @@ object SimilarityOps {
       }.sortBy(_._1)
     }
 
+    (es, books, assigned(books))
+  }
+
+  def q59PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (es, books, afin) = pqTrain(spark, dir)
     // encode: the PQ codes ARE the final assignment's (vec_id, m, cid) —
     // referenced once downstream, so no checkpoint needed
-    val codes = assigned(books).select("vec_id", "m", "cid")
+    val codes = afin.select("vec_id", "m", "cid")
     // ADC distance tables for the query set: (qid, m, cid) -> subdistance,
     // against the trained (driver-resident) codebooks
     val centFinal = spark.createDataFrame(
@@ -763,6 +775,41 @@ object SimilarityOps {
        |  FROM adc WHERE vec_id <> qid)
        |SELECT qid, rank, vec_id, adq FROM r WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+  }
+
+  // same trained quantizer as q59Sql, audited instead of searched
+  val q146Sql: String = {
+    val rounds = (1 to PqIters).map { i =>
+      pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
+        pqUpdateCte(s"pa$i", s"pc$i")
+    }.mkString(",")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       | FROM embeddings),
+       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
+       |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
+       |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
+       | pc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sqv AS cq FROM es WHERE vec_id < $PqK),
+       |$rounds,
+       |${pqAssignCte(s"pc$PqIters", "codes")},
+       | pv AS (SELECT vec_id, SUM(d2) AS tot_d2 FROM codes GROUP BY vec_id),
+       | en AS (SELECT vec_id, SUM(list_reduce(list_transform(sqv, x -> x * x),
+       |    (s, x) -> s + x)) AS energy FROM es GROUP BY vec_id),
+       | lb AS (SELECT vec_id, CAST(label AS INTEGER) AS label FROM embeddings),
+       | per AS (SELECT pv.vec_id, lb.label, pv.tot_d2, en.energy,
+       |   pv.tot_d2 * 1000000 // greatest(en.energy, 1) AS ppm
+       |  FROM pv JOIN en USING (vec_id) JOIN lb USING (vec_id)),
+       | wr AS (SELECT label, vec_id, ppm, ROW_NUMBER() OVER (
+       |   PARTITION BY label ORDER BY ppm DESC, vec_id DESC) AS rn FROM per),
+       | roll AS (SELECT label, COUNT(*) AS n_vecs, SUM(tot_d2) AS sum_d2,
+       |   SUM(energy) AS sum_energy FROM per GROUP BY label)
+       |SELECT roll.label, roll.n_vecs, CAST(roll.sum_d2 AS BIGINT) AS sum_d2,
+       | CAST(roll.sum_d2 * 1000000 // greatest(roll.sum_energy, 1) AS BIGINT)
+       |  AS distortion_ppm,
+       | wr.vec_id AS worst_vec, CAST(wr.ppm AS BIGINT) AS worst_ppm
+       |FROM roll JOIN wr ON roll.label = wr.label AND wr.rn = 1
+       |ORDER BY roll.label""".stripMargin.replace("\n", " ")
   }
 
   // one Lloyd round in SQL: assignment (window top-1 per vector) +
@@ -1758,7 +1805,50 @@ object SimilarityOps {
       .orderBy("from_split", "to_split")
   }
 
+  // ===========================================================
+  // q146 — PQ quantization-distortion audit (the "how lossy is the
+  // compressed index" number): per label, the reconstruction error of
+  // q59's trained product quantizer — Σ subspace d2 against vector
+  // energy, in exact parts-per-million — plus the worst-reconstructed
+  // vector. The go/no-go input before serving ANN from PQ codes instead
+  // of raw vectors: a label whose distortion is 10× the rest will see
+  // its recall collapse first. Same training, same arithmetic, same
+  // driver-resident codebooks as q59 (shared pqTrain), so the audit
+  // measures exactly the index q59 serves.
+  //
+  // Scale path: training is q59's (map-only assignment against literal
+  // codebooks; one M·K·(dim/M)-row aggregation per round); the audit
+  // itself is ONE (vec)-keyed aggregation over the final assignment
+  // (d2 and energy summed together), a vec-sized label join, and an
+  // L-row rollup with its worst-vector window over L partitions.
+  // ===========================================================
+  def q146PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, afin) = pqTrain(spark, dir)
+    val lb = emb(spark, dir).select(col("vec_id"), col("label").cast("int").as("label"))
+    val per = afin.groupBy("vec_id")
+      .agg(sum("d2").as("tot_d2"),
+        sum(graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv"))).as("energy"))
+      .join(lb, "vec_id")
+      // DECIMAL(38,0) intermediates (HUGEINT in the oracle): tot_d2 is
+      // ~2^48 at sf0.1, so the ×10^6 scale-up overflows int64
+      .withColumn("ppm", expr(
+        "CAST(CAST(tot_d2 AS DECIMAL(38,0)) * 1000000 DIV greatest(energy, 1L) AS BIGINT)"))
+    per.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("tot_d2").cast("decimal(38,0)")).as("sum_d2_dec"),
+        sum(col("energy").cast("decimal(38,0)")).as("sum_energy_dec"),
+        // struct max: worst reconstruction, ties to the highest vec_id
+        max(struct(col("ppm"), col("vec_id"))).as("worst"))
+      .select(col("label"), col("n_vecs"),
+        col("sum_d2_dec").cast("long").as("sum_d2"),
+        expr("CAST(sum_d2_dec * 1000000 DIV greatest(sum_energy_dec, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("distortion_ppm"),
+        col("worst.vec_id").as("worst_vec"), col("worst.ppm").as("worst_ppm"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_pq_distortion" -> (q146PqDistortion _),
     "q144_split_repair" -> (q144SplitRepair _),
     "q140_label_purity" -> ((s: SparkSession, d: String) => q140LabelPurity(s, d)),
     "q134_split_leakage" -> (q134SplitLeakage _),
@@ -1911,6 +2001,7 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q146_pq_distortion" -> q146Sql,
     "q144_split_repair" -> q144Sql,
     "q140_label_purity" -> q140Sql,
     "q134_split_leakage" -> q134Sql,

@@ -403,6 +403,23 @@ class PlanSpec extends AnyFunSuite {
         "longer reuses the window's user_id partitioning:\n" + p141.take(2500))
   }
 
+  test("q146 audits the checkpointed PQ assignment with a broadcast label join") {
+    // the audit must read q59's final assignment from the training
+    // checkpoint (no embeddings re-scan for the distance side), join the
+    // vec-sized label table by BROADCAST, and roll up to L rows — one
+    // parquet scan total (the labels), never a second shuffle join of
+    // two vector-sized tables
+    val p = plan("q146_pq_distortion")
+    assert(p.contains("Scan ExistingRDD"),
+      "q146 no longer reads the checkpointed PQ assignment:\n" + p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "q146 should scan parquet exactly once (the label projection):\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q146 label join no longer broadcasts:\n" + p.take(2500))
+    assert(!p.contains("SortMergeJoin"),
+      "q146 plans a shuffle join of vector-sized tables:\n" + p.take(2500))
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition
