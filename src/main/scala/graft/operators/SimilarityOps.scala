@@ -812,6 +812,50 @@ object SimilarityOps {
        |ORDER BY roll.label""".stripMargin.replace("\n", " ")
   }
 
+  // same trained quantizer as q59Sql; exact subspace-space ground truth
+  // vs the ADC top-k, fused to per-query recall. Lazy: RecallK is
+  // declared further down the object; an eager val would read 0 here.
+  lazy val q147Sql: String = {
+    val rounds = (1 to PqIters).map { i =>
+      pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
+        pqUpdateCte(s"pa$i", s"pc$i")
+    }.mkString(",")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       | FROM embeddings),
+       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
+       |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
+       |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
+       | pc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sqv AS cq FROM es WHERE vec_id < $PqK),
+       |$rounds,
+       |${pqAssignCte(s"pc$PqIters", "codes")},
+       | exq AS (SELECT vec_id AS qid, m, sqv AS qsqv FROM es WHERE vec_id < 10),
+       | ex_d AS (SELECT exq.qid, es.vec_id,
+       |   SUM(list_reduce(list_transform(range(1, len(es.sqv) + 1),
+       |     i -> (es.sqv[i] - exq.qsqv[i]) * (es.sqv[i] - exq.qsqv[i])), (s, x) -> s + x)) AS dq
+       |  FROM es JOIN exq ON es.m = exq.m WHERE es.vec_id <> exq.qid
+       |  GROUP BY exq.qid, es.vec_id),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | dtq AS (SELECT es.vec_id AS qid, es.m, c.cid,
+       |   list_reduce(list_transform(range(1, len(es.sqv) + 1),
+       |     i -> (es.sqv[i] - c.cq[i]) * (es.sqv[i] - c.cq[i])), (s, x) -> s + x) AS ld2
+       |  FROM es JOIN pc$PqIters c ON es.m = c.m WHERE es.vec_id < 10),
+       | adc_d AS (SELECT dtq.qid, codes.vec_id, SUM(dtq.ld2) AS dq
+       |  FROM codes JOIN dtq ON codes.m = dtq.m AND codes.cid = dtq.cid
+       |  GROUP BY dtq.qid, codes.vec_id),
+       | adc AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn
+       |  FROM adc_d WHERE vec_id <> qid) WHERE rn <= $RecallK)
+       |SELECT ex.qid,
+       | CAST(SUM(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       | 1000 * CAST(SUM(CASE WHEN adc.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) // $RecallK AS recall_permille
+       |FROM ex LEFT JOIN adc ON ex.qid = adc.qid AND ex.vec_id = adc.vec_id
+       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin.replace("\n", " ")
+  }
+
   // one Lloyd round in SQL: assignment (window top-1 per vector) +
   // per-(cluster, dim) integer mean
   private def kmAssignCte(cent: String, out: String) =
@@ -1058,6 +1102,48 @@ object SimilarityOps {
        | 1000 * CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) // $RecallK AS recall_permille
        |FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin.replace("\n", " ")
+
+  // same trained quantizer; per (probe breadth, query): scanned
+  // candidates + recall vs the exact top-k. Lazy: RecallK is declared
+  // below this point in the object.
+  lazy val q148Sql: String =
+    s"""$kmeansCtes,
+       | q AS (SELECT vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | qc_d AS (SELECT q.qid, c.cid AS pcid,
+       |   list_reduce(list_transform(range(1, len(c.cq) + 1),
+       |     i -> (c.cq[i] - q.qqv[i]) * (c.cq[i] - q.qqv[i])), (s, x) -> s + x) AS dc
+       |  FROM q, c$KmeansIters c),
+       | qc AS (SELECT qid, pcid,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
+       | pp AS (SELECT unnest([1, 2, 4]) AS p),
+       | probes AS (SELECT pp.p, qc.qid, qc.pcid FROM qc, pp WHERE qc.crank <= pp.p),
+       | sizes AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
+       | counts AS (SELECT p, qid, CAST(SUM(sz) - 1 AS BIGINT) AS n_candidates
+       |  FROM probes JOIN sizes ON probes.pcid = sizes.cid GROUP BY p, qid),
+       | cand_d AS (SELECT probes.p, probes.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af JOIN probes ON af.cid = probes.pcid
+       |  JOIN q ON probes.qid = q.qid WHERE af.vec_id <> probes.qid),
+       | iv AS (SELECT p, qid, vec_id FROM (SELECT p, qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY p, qid ORDER BY dq, vec_id) AS rn FROM cand_d)
+       |  WHERE rn <= $RecallK),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | exp AS (SELECT pp.p, ex.qid, ex.vec_id FROM ex, pp),
+       | hits AS (SELECT exp.p, exp.qid,
+       |   CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM exp LEFT JOIN iv ON exp.p = iv.p AND exp.qid = iv.qid AND exp.vec_id = iv.vec_id
+       |  GROUP BY exp.p, exp.qid)
+       |SELECT hits.p AS probe_cells, hits.qid, counts.n_candidates, hits.n_hits,
+       | 1000 * hits.n_hits // $RecallK AS recall_permille
+       |FROM hits JOIN counts ON hits.p = counts.p AND hits.qid = counts.qid
+       |ORDER BY probe_cells, qid""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q97 — MRR@k for the trained-IVF index: where does each query's TRUE
@@ -1847,7 +1933,155 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  // ===========================================================
+  // q147 — PQ end-to-end recall@k: did the compression LOSE the true
+  // neighbors? q146 measures how lossy the codes are (distortion ppm);
+  // this measures what that loss costs the search: per query, how many
+  // of the exact top-k neighbors the ADC scan over PQ codes still
+  // returns. The distortion number is the proxy, this is the verdict —
+  // together they are the full serve-from-codes go/no-go. Same trained
+  // quantizer, same query set (vec_id < 10), same tie-breaking as q59,
+  // and the same k as q72's IVF recall so the two index designs read
+  // side by side. Both legs rank in the concatenated-subspace space
+  // (squared L2 decomposes across the disjoint subspaces), so PQ is
+  // charged exactly for quantization error, not for any dims the
+  // subspace split clips.
+  //
+  // Scale path: the exact leg is q72's shape — the 10·M-row query
+  // subvectors broadcast into ONE map-side pass over the (vec, m) frame,
+  // partial-aggregated to (qid, vec) before the top-k windows (10
+  // partitions of corpus-sized rank lists, same as q72). The ADC leg is
+  // q59's: codes equi-join the broadcast (qid, m, cid) distance tables —
+  // M·K rows per query, never the corpus. Nothing here joins two
+  // corpus-sized sides.
+  // ===========================================================
+  def q147PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (es, books, afin) = pqTrain(spark, dir)
+    val codes = afin.select("vec_id", "m", "cid")
+    val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    def topK(perPair: DataFrame): DataFrame = perPair
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    // exact ground truth: true subspace distances summed over m —
+    // query subvectors broadcast, one map-side pass over es
+    val exq = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sqv").as("qsqv"),
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")).as("nq"))
+    val exact = topK(es
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")))
+      .join(broadcast(exq), Seq("m"))
+      .withColumn("ld2", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("qsqv")))
+      .groupBy("qid", "vec_id").agg(sum("ld2").as("dq")))
+
+    // ADC leg: q59's search verbatim — per-query (m, cid) distance
+    // tables against the trained codebooks, codes equi-join them
+    val centFinal = spark.createDataFrame(
+      books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
+      .toDF("m", "cid", "cq")
+    val dt = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
+      .join(broadcast(centFinal.withColumn("ncq",
+        graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))), Seq("m"))
+      .withColumn("ld2",
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
+      .select(col("qid"), col("m"), col("cid"), col("ld2"))
+    val adc = topK(codes.join(broadcast(dt), Seq("m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("ld2").as("dq")))
+
+    exact.join(adc.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .orderBy("qid")
+  }
+
+  // ===========================================================
+  // q148 — IVF probe-breadth sweep: the recall-vs-scan-cost tuning
+  // curve. q72 grades the IVF index at exactly ONE probe (the query's
+  // own cell); production ANN serves at nprobe > 1, trading scanned
+  // candidates for recall. Per probe breadth p ∈ {1, 2, 4} (of the K=8
+  // trained cells) and per query: how many vectors the probe set scans
+  // and how many of the exact top-k it recovers — the curve that picks
+  // nprobe for a latency budget.
+  //
+  // Scale path: cell ranking is the 10-query frame EXPLODED against the
+  // K-row literal centroid table (a Generate, no join); the probe table
+  // is ≤ 10·(1+2+4) rows and BROADCASTS into one equi-join against the
+  // index — scan cost grows with p by construction, never corpus². Scan
+  // counts come analytically from the K-row cell-size table (no second
+  // candidate pass). Exact ground truth is q72's broadcast shape,
+  // computed once and shared across all p.
+  // ===========================================================
+  def q148IvfProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+
+    // K×dim centroids are driver-resident by construction (kmeansTrain);
+    // rank cells per query via explode of the literal table
+    val cents: Seq[(Int, Seq[Long])] = centFinal.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val wc = Window.partitionBy("qid").orderBy("dc", "pcid")
+    val ranked = queries
+      .select(col("qid"), col("qqv"), col("nq"), explode(typedlit(cents)).as("cent"))
+      .select(col("qid"), col("qqv"), col("nq"),
+        col("cent._1").as("pcid"), col("cent._2").as("ccq"))
+      .withColumn("dc", col("nq") +
+        graft.plans.ArrayDot.array_dot(col("ccq"), col("ccq")) -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qqv"), col("ccq")))
+      .withColumn("crank", row_number().over(wc))
+    val probes = ranked
+      .select(col("qid"), col("qqv"), col("nq"), col("pcid"), col("crank"),
+        explode(typedlit(Seq(1, 2, 4))).as("p"))
+      .filter(col("crank") <= col("p"))
+      .select("p", "qid", "qqv", "nq", "pcid")
+
+    // scanned-candidate counts, analytically: Σ probed cell sizes − 1
+    // (the query itself sits in its own cell, which is always crank 1 —
+    // same distances, same (d2, cid) tie rule as the assignment)
+    val sizes = index.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val counts = probes.join(broadcast(sizes), col("pcid") === col("cid"))
+      .groupBy("p", "qid").agg((sum("sz") - lit(1L)).as("n_candidates"))
+
+    val wpq = Window.partitionBy("p", "qid").orderBy("dq", "vec_id")
+    val ivf = index.join(broadcast(probes), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wpq))
+      .filter(col("rank") <= RecallK)
+      .select("p", "qid", "vec_id")
+
+    val wq = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val exact = index.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+      .withColumn("p", explode(typedlit(Seq(1, 2, 4))))
+
+    exact.join(ivf.withColumn("hit", lit(1L)), Seq("p", "qid", "vec_id"), "left_outer")
+      .groupBy("p", "qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(counts, Seq("p", "qid"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .select(col("p").as("probe_cells"), col("qid"), col("n_candidates"),
+        col("n_hits"), col("recall_permille"))
+      .orderBy("probe_cells", "qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_ivf_probe_sweep" -> (q148IvfProbeSweep _),
+    "q147_pq_recall" -> (q147PqRecall _),
     "q146_pq_distortion" -> (q146PqDistortion _),
     "q144_split_repair" -> (q144SplitRepair _),
     "q140_label_purity" -> ((s: SparkSession, d: String) => q140LabelPurity(s, d)),
@@ -2001,6 +2235,8 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q148_ivf_probe_sweep" -> q148Sql,
+    "q147_pq_recall" -> q147Sql,
     "q146_pq_distortion" -> q146Sql,
     "q144_split_repair" -> q144Sql,
     "q140_label_purity" -> q140Sql,

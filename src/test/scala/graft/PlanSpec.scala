@@ -420,6 +420,21 @@ class PlanSpec extends AnyFunSuite {
       "q146 plans a shuffle join of vector-sized tables:\n" + p.take(2500))
   }
 
+  test("q147 legs are heap-bounded top-k over broadcast probes of the PQ checkpoint") {
+    // both the exact ground-truth leg and the ADC leg must: read the
+    // training checkpoint (no embeddings re-scan), broadcast their
+    // query-sized probe side, and cap per-query rank lists via the
+    // TopKPerKey rewrite (map-side bounded heaps) — never a full
+    // per-query window sort of corpus-sized distance lists
+    val p = plan("q147_pq_recall")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "q147 re-scans embeddings — the legs no longer read the PQ checkpoint:\n" + p.take(2000))
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size == 2,
+      "q147 legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      "q147 probe sides no longer broadcast:\n" + p.take(2500))
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition
