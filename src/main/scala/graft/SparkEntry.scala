@@ -56,7 +56,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q144 split repair (the move plan fixing q134's audited leakage),
   *    q146 PQ quantization-distortion audit (per-label reconstruction
   *    error of q59's trained codebooks), q147 PQ end-to-end recall@k
-  *    (exact top-k vs the ADC scan over the codes)
+  *    (exact top-k vs the ADC scan over the codes), q148 IVF probe sweep
+  *    (recall + scan cost per nprobe ∈ {1,2,4} — the tuning curve the
+  *    q58-family serving path consumes via its nprobe parameter)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

@@ -51,6 +51,33 @@ final class MonitorHub(
 
   def kinds: Seq[String] = store.live.keys.map(_._1).toSeq.distinct.sorted
 
+  // per-monitor state-size providers, registered via trackState
+  private val stateOf =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
+
+  /** Register a monitor's live StreamingQuery so /status/monitors reports
+    * its total state rows (StreamingQueryProgress.stateOperators
+    * .numRowsTotal summed; -1 until the first progress lands). At 100×
+    * scale this is the signal the operator watches for unbounded state
+    * growth — the same figure StateSoakSpec bounds in CI, now live per
+    * monitor rather than only inline in NoveltyStream's fill_permille. */
+  def trackState(kind: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    stateOf.put(kind, () =>
+      Option(query.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L))
+
+  /** {"drift":42,"hotkeys":7} over the tracked monitors (kind-sorted). */
+  def stateJson: String = {
+    import scala.jdk.CollectionConverters._
+    stateOf.asScala.toSeq.sortBy(_._1)
+      .map { case (k, f) =>
+        val n = try f() catch { case _: Throwable => -1L }
+        s""""${StatusServer.escJson(k)}":$n"""
+      }
+      .mkString("{", ",", "}")
+  }
+
   /** JSON array of one kind's live windows, (topic, window) ordered. */
   def json(kind: String): String =
     store.live.toSeq
@@ -59,7 +86,10 @@ final class MonitorHub(
       .map(_._3)
       .mkString("[", ",", "]")
 
-  /** All kinds: {"drift":[...],"hotkeys":[...]} */
+  /** All kinds plus per-monitor state telemetry:
+    * {"drift":[...],"hotkeys":[...],"state_rows":{"drift":42}}
+    * ("state_rows" is reserved — don't name a monitor kind that). */
   def allJson: String =
-    kinds.map(k => s""""${StatusServer.escJson(k)}":${json(k)}""").mkString("{", ",", "}")
+    (kinds.map(k => s""""${StatusServer.escJson(k)}":${json(k)}""") :+
+      s""""state_rows":$stateJson""").mkString("{", ",", "}")
 }

@@ -600,19 +600,54 @@ object SimilarityOps {
   // ===========================================================
   // q58 — trained-IVF ANN: the IVF index q57's quantizer was trained FOR.
   // Every vector lands in its nearest-centroid bucket (the inverted
-  // lists); each query (vec_id < 10) probes ONLY its own bucket and ranks
-  // by exact integer distance. Probing one list turns ANN from a corpus
-  // cross-join into a bucket-equi-join — the standard IVF recall/cost
-  // trade (nprobe=1 here). All-integer arithmetic ⇒ exact oracle parity.
+  // lists); each query (vec_id < 10) probes its `nprobe` nearest cells
+  // and ranks by exact integer distance. Probing bounded lists turns ANN
+  // from a corpus cross-join into a bucket-equi-join — the standard IVF
+  // recall/cost trade. nprobe defaults to 1 (the query's own cell); the
+  // q148 sweep measures the recall-vs-scan curve that picks a wider
+  // setting for a latency budget. All-integer arithmetic ⇒ exact oracle
+  // parity.
   // ===========================================================
-  def q58AnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val (_, assigned) = kmeansTrain(spark, dir)
+
+  /** Probe-set builder shared by the trained-IVF serving path (q58, q106)
+    * and its evaluations (q72, q148): per query, the `maxProbe` nearest
+    * trained cells ranked by exact integer centroid distance with (dc,
+    * cid) ties. Rank 1 is always the query's own assignment cell —
+    * NearestCentroid's argmin uses the identical tie rule — so
+    * maxProbe=1 reduces to the classic own-bucket probe.
+    *
+    * Scale path: the K×dim centroid table is driver-resident by
+    * construction (kmeansTrain), so cell ranking is a map-only explode
+    * of the literal table against the bounded query frame — no join, no
+    * extra shuffle — and the (queries × maxProbe)-row output is sized to
+    * BROADCAST into the index equi-join on `pcid`. Query columns (qid,
+    * qqv, nq + any extras) pass through; adds (pcid, crank). */
+  private def ivfProbes(queries: DataFrame, cents: Seq[(Int, Seq[Long])],
+      maxProbe: Int): DataFrame = {
+    val wc = Window.partitionBy("qid").orderBy("dc", "pcid")
+    queries
+      .withColumn("cent", explode(typedlit(cents)))
+      .withColumn("pcid", col("cent._1"))
+      .withColumn("dc", col("nq") +
+        graft.plans.ArrayDot.array_dot(col("cent._2"), col("cent._2")) -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qqv"), col("cent._2")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= maxProbe)
+      .drop("cent", "dc")
+  }
+
+  private def driverCents(centFinal: DataFrame): Seq[(Int, Seq[Long])] =
+    centFinal.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+
+  def q58AnnIvfTrained(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
     val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
       .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
     val queries = index.filter(col("vec_id") < 10)
-      .select(col("cid"), col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+    val probes = ivfProbes(queries, driverCents(centFinal), nprobe)
     val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
-    index.join(broadcast(queries), Seq("cid"))
+    index.join(broadcast(probes), col("cid") === col("pcid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dq", col("nv") + col("nq") -
         lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
@@ -1043,46 +1078,77 @@ object SimilarityOps {
        |ORDER BY cluster, rank""".stripMargin.replace("\n", " ")
 
   // ===========================================================
-  // q72 — ANN recall evaluation: measures what the IVF index (q58,
-  // nprobe=1) actually costs in recall, per query, against the exact
-  // top-RecallK computed by brute force over the same integer distances.
-  // An index you can't evaluate is an index you can't trust — at 100 TB
-  // the evaluation itself must be a dataflow: ground truth is a (bounded
-  // query set × corpus) broadcast join pruned by the TopKPerKey rewrite,
-  // the IVF side probes one bucket, and both top-k lists meet in one
-  // equi-join on (qid, vec_id). Integer distances make the ground truth —
-  // and therefore the recall figure — bit-exact across engines.
+  // q72 — ANN recall evaluation of the PRODUCTIZED serving path: per
+  // nprobe ∈ {1, 2} and per query, what the trained-IVF index (q58's
+  // exact dataflow, probe sets from the shared ivfProbes builder) costs
+  // in recall against the exact top-RecallK computed by brute force over
+  // the same integer distances. An index you can't evaluate is an index
+  // you can't trust — at 100 TB the evaluation itself must be a
+  // dataflow: ground truth is a (bounded query set × corpus) broadcast
+  // join pruned by the TopKPerKey rewrite, the IVF side is one
+  // broadcast-probe equi-join covering both breadths, and the top-k
+  // lists meet in one equi-join on (nprobe, qid, vec_id). Integer
+  // distances make the recall figure bit-exact across engines. q148
+  // extends the same skeleton with scan costs over {1, 2, 4}.
   // ===========================================================
   val RecallK = 3
+  val RecallNprobes = Seq(1, 2)
 
-  def q72AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val (_, assigned) = kmeansTrain(spark, dir)
+  def q72AnnRecall(spark: SparkSession, dir: String,
+      nprobes: Seq[Int] = RecallNprobes): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
     val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
       .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
     val queries = index.filter(col("vec_id") < 10)
-      .select(col("cid").as("qcid"), col("vec_id").as("qid"),
-        col("qv").as("qqv"), col("nv").as("nq"))
-    val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
-    def topK(joined: DataFrame): DataFrame =
-      joined
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dq", col("nv") + col("nq") -
-          lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= RecallK)
-        .select("qid", "vec_id")
-    val exact = topK(index.crossJoin(broadcast(queries)))
-    val ivf = topK(index.join(broadcast(queries), col("cid") === col("qcid")))
-    exact.join(ivf.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
-      .groupBy("qid")
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+    val probes = ivfProbes(queries, driverCents(centFinal), nprobes.max)
+      .withColumn("p", explode(typedlit(nprobes)))
+      .filter(col("crank") <= col("p"))
+      .select("p", "qid", "qqv", "nq", "pcid")
+    val wpq = Window.partitionBy("p", "qid").orderBy("dq", "vec_id")
+    val ivf = index.join(broadcast(probes), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wpq))
+      .filter(col("rank") <= RecallK)
+      .select("p", "qid", "vec_id")
+    val wq = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val exact = index.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+      .withColumn("p", explode(typedlit(nprobes)))
+    exact.join(ivf.withColumn("hit", lit(1L)), Seq("p", "qid", "vec_id"), "left_outer")
+      .groupBy("p", "qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
-      .orderBy("qid")
+      .select(col("p").as("nprobe"), col("qid"), col("n_hits"), col("recall_permille"))
+      .orderBy("nprobe", "qid")
   }
 
-  val q72Sql: String =
+  lazy val q72Sql: String =
     s"""$kmeansCtes,
-       | q AS (SELECT cid AS qcid, vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | q AS (SELECT vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | qc_d AS (SELECT q.qid, c.cid AS pcid,
+       |   list_reduce(list_transform(range(1, len(c.cq) + 1),
+       |     i -> (c.cq[i] - q.qqv[i]) * (c.cq[i] - q.qqv[i])), (s, x) -> s + x) AS dc
+       |  FROM q, c$KmeansIters c),
+       | qc AS (SELECT qid, pcid,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
+       | pp AS (SELECT unnest([${RecallNprobes.mkString(", ")}]) AS p),
+       | probes AS (SELECT pp.p, qc.qid, qc.pcid FROM qc, pp WHERE qc.crank <= pp.p),
+       | iv_d AS (SELECT probes.p, probes.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af JOIN probes ON af.cid = probes.pcid
+       |  JOIN q ON probes.qid = q.qid WHERE af.vec_id <> probes.qid),
+       | iv AS (SELECT p, qid, vec_id FROM (SELECT p, qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY p, qid ORDER BY dq, vec_id) AS rn FROM iv_d)
+       |  WHERE rn <= $RecallK),
        | ex_d AS (SELECT q.qid, af.vec_id,
        |   list_reduce(list_transform(range(1, len(af.qv) + 1),
        |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
@@ -1090,18 +1156,12 @@ object SimilarityOps {
        | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
        |  WHERE rn <= $RecallK),
-       | iv_d AS (SELECT q.qid, af.vec_id,
-       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
-       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
-       |  FROM af JOIN q ON af.cid = q.qcid WHERE af.vec_id <> q.qid),
-       | iv AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
-       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM iv_d)
-       |  WHERE rn <= $RecallK)
-       |SELECT ex.qid,
+       | exp AS (SELECT pp.p, ex.qid, ex.vec_id FROM ex, pp)
+       |SELECT exp.p AS nprobe, exp.qid,
        | CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        | 1000 * CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) // $RecallK AS recall_permille
-       |FROM ex LEFT JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
-       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin.replace("\n", " ")
+       |FROM exp LEFT JOIN iv ON exp.p = iv.p AND exp.qid = iv.qid AND exp.vec_id = iv.vec_id
+       |GROUP BY exp.p, exp.qid ORDER BY nprobe, exp.qid""".stripMargin.replace("\n", " ")
 
   // same trained quantizer; per (probe breadth, query): scanned
   // candidates + recall vs the exact top-k. Lazy: RecallK is declared
@@ -1143,7 +1203,7 @@ object SimilarityOps {
        |SELECT hits.p AS probe_cells, hits.qid, counts.n_candidates, hits.n_hits,
        | 1000 * hits.n_hits // $RecallK AS recall_permille
        |FROM hits JOIN counts ON hits.p = counts.p AND hits.qid = counts.qid
-       |ORDER BY probe_cells, qid""".stripMargin.replace("\n", " ")
+       |ORDER BY probe_cells, hits.qid""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q97 — MRR@k for the trained-IVF index: where does each query's TRUE
@@ -1208,26 +1268,27 @@ object SimilarityOps {
   // q106 — hard-negative mining for contrastive training data: for each
   // query vector, the closest vectors with a DIFFERENT label — semantically
   // near but class-distinct, the pairs a contrastive/embedding trainer
-  // wants as negatives. Runs on the trained IVF index (probe the query's
-  // own cell only), so mining is a bucket equi-join, never a corpus
-  // cross-join; the label filter rides the probe. At 100 TB cells shard
-  // across executors and each query touches one cell's rows (nprobe=1 —
-  // widen nprobe for recall exactly as in q58). All-integer distances ⇒
-  // exact oracle parity.
+  // wants as negatives. Runs on the trained IVF index through the shared
+  // ivfProbes serving path (nprobe nearest cells, default 1), so mining
+  // is a bucket equi-join, never a corpus cross-join; the label filter
+  // rides the probe. At 100 TB cells shard across executors and each
+  // query touches Σ probed cells' rows — q148's sweep picks the nprobe
+  // worth paying for. All-integer distances ⇒ exact oracle parity.
   // ===========================================================
   val HardNegK = 3
 
-  def q106HardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val (_, assigned) = kmeansTrain(spark, dir)
+  def q106HardNegatives(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
     val labels = emb(spark, dir).select(col("vec_id"), col("label"))
     val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
       .join(labels, Seq("vec_id"))
       .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
     val queries = index.filter(col("vec_id") < 10)
-      .select(col("cid"), col("vec_id").as("qid"), col("qv").as("qqv"),
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"),
         col("label").as("qlabel"), col("nv").as("nq"))
+    val probes = ivfProbes(queries, driverCents(centFinal), nprobe)
     val w = Window.partitionBy("qid").orderBy("dq", "vec_id")
-    index.join(broadcast(queries), Seq("cid"))
+    index.join(broadcast(probes), col("cid") === col("pcid"))
       .filter(col("label") =!= col("qlabel"))
       .withColumn("dq", col("nv") + col("nq") -
         lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
@@ -1836,7 +1897,7 @@ object SimilarityOps {
        |  FROM d2 WHERE label2 <> label),
        | per AS (SELECT own.vec_id, own.label, own.own_d2,
        |   riv.rival_label, riv.rival_d2, riv.rival_d2 < own.own_d2 AS confused
-       |  FROM own JOIN riv ON own.vec_id = riv.vec_id AND riv.rn = 1),
+       |  FROM own LEFT JOIN riv ON own.vec_id = riv.vec_id AND riv.rn = 1),
        | roll AS (SELECT label, COUNT(*) AS n_vecs,
        |   SUM(CASE WHEN confused THEN 1 ELSE 0 END) AS n_confused
        |  FROM per GROUP BY label),
@@ -2002,12 +2063,11 @@ object SimilarityOps {
 
   // ===========================================================
   // q148 — IVF probe-breadth sweep: the recall-vs-scan-cost tuning
-  // curve. q72 grades the IVF index at exactly ONE probe (the query's
-  // own cell); production ANN serves at nprobe > 1, trading scanned
-  // candidates for recall. Per probe breadth p ∈ {1, 2, 4} (of the K=8
-  // trained cells) and per query: how many vectors the probe set scans
-  // and how many of the exact top-k it recovers — the curve that picks
-  // nprobe for a latency budget.
+  // curve. q72 grades the serving path's recall at nprobe ∈ {1, 2}; this
+  // sweep adds the COST axis — per probe breadth p ∈ {1, 2, 4} (of the
+  // K=8 trained cells) and per query: how many vectors the probe set
+  // scans and how many of the exact top-k it recovers — the curve that
+  // picks the nprobe q58/q106 serve at for a latency budget.
   //
   // Scale path: cell ranking is the 10-query frame EXPLODED against the
   // K-row literal centroid table (a Generate, no join); the probe table
@@ -2024,22 +2084,10 @@ object SimilarityOps {
     val queries = index.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
 
-    // K×dim centroids are driver-resident by construction (kmeansTrain);
-    // rank cells per query via explode of the literal table
-    val cents: Seq[(Int, Seq[Long])] = centFinal.collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
-    val wc = Window.partitionBy("qid").orderBy("dc", "pcid")
-    val ranked = queries
-      .select(col("qid"), col("qqv"), col("nq"), explode(typedlit(cents)).as("cent"))
-      .select(col("qid"), col("qqv"), col("nq"),
-        col("cent._1").as("pcid"), col("cent._2").as("ccq"))
-      .withColumn("dc", col("nq") +
-        graft.plans.ArrayDot.array_dot(col("ccq"), col("ccq")) -
-        lit(2L) * graft.plans.ArrayDot.array_dot(col("qqv"), col("ccq")))
-      .withColumn("crank", row_number().over(wc))
-    val probes = ranked
-      .select(col("qid"), col("qqv"), col("nq"), col("pcid"), col("crank"),
-        explode(typedlit(Seq(1, 2, 4))).as("p"))
+    // cell ranking via the shared serving-path probe builder (K×dim
+    // centroids are driver-resident by construction)
+    val probes = ivfProbes(queries, driverCents(centFinal), 4)
+      .withColumn("p", explode(typedlit(Seq(1, 2, 4))))
       .filter(col("crank") <= col("p"))
       .select("p", "qid", "qqv", "nq", "pcid")
 
@@ -2099,12 +2147,12 @@ object SimilarityOps {
     "q47_embed_neardup" -> (q47EmbedNeardup _),
     "q48_dup_clusters" -> (q48DupClusters _),
     "q57_kmeans" -> (q57Kmeans _),
-    "q58_ann_ivf_trained" -> (q58AnnIvfTrained _),
+    "q58_ann_ivf_trained" -> ((s: SparkSession, d: String) => q58AnnIvfTrained(s, d)),
     "q59_pq_ann" -> (q59PqAnn _),
     "q68_semdedup" -> (q68SemDedup _),
     "q69_cluster_outliers" -> (q69ClusterOutliers _),
-    "q72_ann_recall" -> (q72AnnRecall _),
-    "q106_hard_negatives" -> (q106HardNegatives _),
+    "q72_ann_recall" -> ((s: SparkSession, d: String) => q72AnnRecall(s, d)),
+    "q106_hard_negatives" -> ((s: SparkSession, d: String) => q106HardNegatives(s, d)),
     "q107_coverage_sample" -> (q107CoverageSample _),
     "q109_canonical_selection" -> (q109CanonicalSelection _))
 

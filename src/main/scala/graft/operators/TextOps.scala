@@ -2636,8 +2636,12 @@ object TextOps {
   // and deduplicate per doc BEFORE bucketing; candidate pairs come from
   // capped digest buckets (SmallestK, oversized stop-shingle buckets
   // dropped whole — the q41/q135 move), so fanout is ≤ cap² per shingle,
-  // never corpus². Per-doc shingle counts join back onto the pair
-  // aggregate (pair-count-sized), and the top-15 is a bounded heap.
+  // never corpus². The shingle table materializes ONCE (its three
+  // consumers — buckets, and the a/b legs of the per-doc-count join —
+  // were each re-running the tokenize+explode+distinct from parquet,
+  // the r9 10× slope's main term); per-doc shingle counts checkpoint
+  // too (doc-count rows) so the two pair-attach joins re-scan a reduced
+  // frame, not the shingle set. The top-15 is a bounded heap.
   // ===========================================================
   val CntBucketCap = 32
   val CntMinShingles = 10L
@@ -2653,7 +2657,9 @@ object TextOps {
           |      element_at(toks, i + 2)) AS BINARY)))
           | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
       .distinct()
+      .localCheckpoint() // one tokenize scan feeds buckets AND both count legs
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      .localCheckpoint() // doc-count rows; consumed by the a AND b joins
     val buckets = sh.groupBy("g")
       .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), CntBucketCap + 1).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= CntBucketCap)
@@ -2715,11 +2721,14 @@ object TextOps {
   // repeats?" before committing tokens to it (scaling-law data audits).
   //
   // Scale path: grams reduce to digests at the scan; the (digest, batch)
-  // presence set is the canonical two-phase distinct (map-side partial);
-  // first-seen is ONE min-aggregation over it, and both per-batch rollups
-  // are 10-row outputs. The only wide shuffle moves 16-byte digests. The
-  // batch id derives from doc_id against a broadcast 1-row max — no
-  // global row_number sort anywhere.
+  // presence set is the canonical two-phase distinct (map-side partial)
+  // and materializes ONCE (its two consumers — first-seen and the
+  // per-batch type counts — were each re-running the tokenize+explode+
+  // distinct from parquet, half the r9 10× slope); first-seen is ONE
+  // min-aggregation over it, and both per-batch rollups are 10-row
+  // outputs. The only wide shuffle moves 16-byte digests. The batch id
+  // derives from doc_id against a broadcast 1-row max — no global
+  // row_number sort anywhere.
   // ===========================================================
   val NoveltyBatches = 10
 
@@ -2737,6 +2746,7 @@ object TextOps {
           |      element_at(toks, i + 2)) AS BINARY)))
           | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
     val presence = g.distinct()
+      .localCheckpoint() // one tokenize scan feeds first-seen AND per-batch
     val firstSeen = presence.groupBy("g").agg(min("batch").as("minb"))
     val perBatch = presence.groupBy("batch").agg(count(lit(1)).as("types_present"))
     val novel = firstSeen.groupBy("minb").agg(count(lit(1)).as("types_novel"))

@@ -23,6 +23,16 @@ import java.util.concurrent.atomic.AtomicBoolean
  * Flow control: the server replenishes both windows with WINDOW_UPDATE
  * after every DATA frame, and DATA larger than the 16384-byte default
  * max frame size is split.
+ *
+ * Client subset limits (by design, alongside the HPACK subset above): the
+ * client never SENDS WINDOW_UPDATE — each request/response exchange
+ * consumes well under the 65535-byte initial windows and completes before
+ * reuse, so the window never runs dry against the bundled server — and
+ * neither side emits or reassembles CONTINUATION frames (header blocks
+ * here are far below the max frame size). A conformant third-party peer
+ * that streams >64 KiB of response DATA or splits header blocks would
+ * stall against this client; the dispatcher interoperates fully only with
+ * [[Http2ConsumerServer]].
  */
 object Http2 {
 
@@ -313,6 +323,11 @@ final class Http2ConsumerServer(handler: DispatchRequest => DispatchResult) {
   def port: Int = server.getLocalPort
   private val running = new AtomicBoolean(true)
   val acceptedConnections = new java.util.concurrent.atomic.AtomicInteger(0)
+  // pooled-idle client connections sit blocked in readFrame with no read
+  // timeout; close() must be able to unblock those serve threads, so every
+  // accepted socket is tracked until its serve loop exits
+  private val liveSockets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   private def serve(sock: Socket): Unit = {
     try {
@@ -359,7 +374,10 @@ final class Http2ConsumerServer(handler: DispatchRequest => DispatchResult) {
         }
       }
     } catch { case _: IOException => () } // client hung up / timed out
-    finally { try sock.close() catch { case _: IOException => () } }
+    finally {
+      liveSockets.remove(sock)
+      try sock.close() catch { case _: IOException => () }
+    }
   }
 
   private def respond(
@@ -387,6 +405,7 @@ final class Http2ConsumerServer(handler: DispatchRequest => DispatchResult) {
     try while (running.get()) {
       val sock = server.accept()
       acceptedConnections.incrementAndGet()
+      liveSockets.add(sock)
       val t = new Thread(() => serve(sock), s"graft-h2-serve-${sock.getPort}")
       t.setDaemon(true)
       t.start()
@@ -398,5 +417,8 @@ final class Http2ConsumerServer(handler: DispatchRequest => DispatchResult) {
   def close(): Unit = {
     running.set(false)
     try server.close() catch { case _: IOException => () }
+    // unblock serve threads parked in readFrame on pooled-idle connections
+    liveSockets.forEach(s => try s.close() catch { case _: IOException => () })
+    liveSockets.clear()
   }
 }

@@ -38,6 +38,7 @@ class MonitorHubSpec extends AnyFunSuite {
       .writeStream.outputMode("complete")
       .foreachBatch(hub.sink("drift") _)
       .start()
+    hub.trackState("drift", q)
     val srv = new StatusServer(new JobManager(null), monitors = Some(hub))
     val port = srv.start()
     try {
@@ -70,6 +71,12 @@ class MonitorHubSpec extends AnyFunSuite {
       assert(all.contains("\"drift\":[") && all.contains("\"hotkeys\":["))
       assert(all.contains("\"candidates\":[7,9]"))
       assert(hub.kinds == Seq("drift", "hotkeys"))
+      // per-monitor state telemetry: the tracked drift query's windowed
+      // aggregation holds live state rows, served on the same surface
+      val m = "\"state_rows\":\\{\"drift\":(-?\\d+)\\}".r.findFirstMatchIn(all)
+      assert(m.isDefined, s"state_rows missing from /status/monitors: $all")
+      assert(m.get.group(1).toLong > 0L,
+        s"tracked monitor reports no state rows: ${m.get.group(1)}")
     } finally { q.stop(); srv.stop() }
   }
 

@@ -10,14 +10,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * top-n via TakeOrderedAndProject. */
 class PlanSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-wh").toString)
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // the production sessions (RunOne/Bench/Verify/Explain) all register
+      // the Graft extensions; plan locks must test THOSE plans, not the
+      // un-rewritten ones a vanilla session would produce
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // the test JVM shares one session across suites: if another suite built
+    // it first, the static `spark.sql.extensions` conf above was ignored —
+    // inject the plan-shaping pieces post-hoc (idempotent: the rewrite
+    // doesn't match an already-rewritten plan, and a duplicate strategy
+    // returns the same physical plan)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.RewriteWindowTopK)) {
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.RewriteWindowTopK
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
+    s
+  }
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -262,6 +280,7 @@ class PlanSpec extends AnyFunSuite {
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
+      "q148_ivf_probe_sweep", // <=10-vector query set (exact ground-truth leg)
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
       "q124_dsir_weights", // 1-row totals over the <=B-bucket table
@@ -433,6 +452,54 @@ class PlanSpec extends AnyFunSuite {
       "q147 legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
     assert(p.contains("BroadcastHashJoin"),
       "q147 probe sides no longer broadcast:\n" + p.take(2500))
+  }
+
+  test("q137 tokenizes once and explodes pairs only above the capped bucket aggregate") {
+    // the shingle table must materialize ONCE (r9's plan re-ran the
+    // tokenize+explode+distinct from parquet for each of its three
+    // consumers — the steepest 10× slope of that round), and the pair
+    // explode must sit ABOVE the SmallestK bucket cap so fanout is
+    // ≤ cap² per shingle, never corpus-sized
+    val p = plan("q137_containment_pairs")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "q137 re-scans documents.parquet — the shingle table is no longer " +
+        "materialized:\n" + p.take(2000))
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the checkpointed shingle table:\n" + p.take(1500))
+    val aggIdx = "(?i)smallestk".r.findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(aggIdx >= 0, "q137 lost its SmallestK bucket cap:\n" + p.take(1500))
+    assert(p.take(aggIdx).contains("Generate"),
+      "q137 pair explode is not above the capped bucket aggregate:\n" + p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "q137 top-n is not heap-based:\n" + p.take(2000))
+    // q138 had the same disease (both the first-seen and per-batch legs
+    // re-ran the gram explode from parquet): its (digest, batch) presence
+    // set must materialize once too
+    val p138 = plan("q138_novelty_decay")
+    assert("Scan parquet".r.findAllIn(p138).isEmpty,
+      "q138 re-scans documents.parquet — the presence set is no longer " +
+        "materialized:\n" + p138.take(2000))
+    assert(p138.contains("Scan ExistingRDD"),
+      "expected the checkpointed presence set:\n" + p138.take(1500))
+  }
+
+  test("q148 probe sweep broadcasts the probe table; scan counts come from the cell-size table") {
+    // the sweep's scan cost must grow with Σ probed cell sizes, never
+    // corpus²: the ≤70-row probe table (10 queries × Σ{1,2,4} breadths)
+    // BROADCASTS into one equi-join against the index, the K-row
+    // cell-size table broadcasts into the count rollup, and the only
+    // permitted nested-loop join is the exact ground-truth leg's bounded
+    // ≤10-query crossJoin (whitelisted suite-wide)
+    val p = plan("q148_ivf_probe_sweep")
+    assert(!p.contains("CartesianProduct"), "q148 plans a corpus² join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q148 probe table no longer broadcasts into the index:\n" + p.take(2500))
+    // the IVF candidate scan is an equi-join on the probed cell id
+    assert(p.contains("pcid"), "probe-cell equi-join key missing:\n" + p.take(1500))
+    // at most one BNLJ: the bounded exact-leg crossJoin — a second one
+    // means the probe or count side regressed to a nested loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q148 grew $bnlj nested-loop joins:\n" + p.take(2500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

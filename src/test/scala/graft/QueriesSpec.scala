@@ -169,13 +169,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q72 recall is within [0, 1000] permille over the full query set") {
+  test("q72 recall is bounded per nprobe row and never drops when the probe set widens") {
     val rows = SparkEntry.queries("q72_ann_recall")(spark, dir).collect()
-    assert(rows.nonEmpty)
+    // one row per (nprobe ∈ RecallNprobes, query)
+    val byQ = rows.groupBy(_.getLong(1))
+    assert(byQ.size == 10 &&
+      byQ.values.forall(_.length == graft.operators.SimilarityOps.RecallNprobes.size))
     rows.foreach { r =>
-      val (hits, permille) = (r.getLong(1), r.getLong(2))
+      val (hits, permille) = (r.getLong(2), r.getLong(3))
       assert(hits >= 0L && hits <= graft.operators.SimilarityOps.RecallK)
       assert(permille >= 0L && permille <= 1000L)
+    }
+    byQ.foreach { case (qid, rs) =>
+      val ord = rs.sortBy(_.getInt(0)).map(_.getLong(2))
+      assert(ord.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"q$qid: recall dropped with a wider probe set: ${rs.mkString(", ")}")
     }
   }
 
@@ -549,6 +557,64 @@ class QueriesSpec extends AnyFunSuite {
     // ranks strictly ordered by (rrf desc, doc_id)
     val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(1))).map(_.getLong(0))
     assert(sorted.sameElements(rows.map(_.getLong(0)).sorted))
+  }
+
+  test("q141 session docs feed q30-shaped exact dedup (the logs → training-text bridge)") {
+    // q141 emits content digests expressly so exact dedup composes on
+    // them; prove the bridge end-to-end on planted data rather than by
+    // adjacency: three users run the IDENTICAL bot session, one user a
+    // distinct session, and one user a second session past the 30-min gap
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-q141q30").toString
+    val min = 60L * 1000 * 1000 * 1000 // event ts is epoch nanos
+    def ev(u: Long, i: Long, t: Long, typ: String) = (u, t, i, typ, 0.0)
+    val rows = (1L to 3L).flatMap { u =>
+      Seq(ev(u, u * 10 + 1, u * min, "click"),
+        ev(u, u * 10 + 2, u * min + min, "view"),
+        ev(u, u * 10 + 3, u * min + 2 * min, "click"))
+    } ++ Seq(
+      ev(4L, 41L, min, "purchase"),
+      ev(1L, 19L, 100L * min, "view")) // >30 min after user 1's first session
+    rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    val docs = SparkEntry.queries("q141_session_docs")(spark, d)
+    // q30's digest grouping consumes q141's doc_digest DIRECTLY — same
+    // hash-groupBy, no text ever re-materialized
+    val dedup = docs.groupBy("doc_digest")
+      .agg(count(lit(1)).as("copies"))
+      .agg(count(lit(1)).as("distinct_texts"),
+        sum("copies").cast("long").as("total_docs"),
+        sum(when(col("copies") > 1, col("copies") - 1).otherwise(0L))
+          .cast("long").as("removable_dups"))
+      .head()
+    // 5 session docs; the 3 bot sessions collapse to one digest
+    assert(dedup.getLong(0) == 3L, s"distinct texts: $dedup")
+    assert(dedup.getLong(1) == 5L, s"total docs: $dedup")
+    assert(dedup.getLong(2) == 2L, s"removable dups: $dedup")
+  }
+
+  test("q148 sweep is monotone: wider probes never scan less or recall less") {
+    val rows = SparkEntry.queries("q148_ivf_probe_sweep")(spark, dir).collect()
+    // 10 queries × 3 probe breadths, every (p, qid) cell present
+    assert(rows.length == 30, s"expected 30 sweep rows, got ${rows.length}")
+    val byQ = rows.groupBy(_.getLong(1))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 3))
+    byQ.foreach { case (qid, rs) =>
+      val ord = rs.sortBy(_.getInt(0)) // probe_cells ∈ {1, 2, 4}
+      assert(ord.map(_.getInt(0)).sameElements(Array(1, 2, 4)))
+      // scanned candidates strictly grow with breadth (cells are non-empty
+      // after training) and recall never drops when the probe set widens
+      assert(ord.map(_.getLong(2)).sliding(2).forall(p => p(0) < p(1)),
+        s"q$qid: candidate counts not increasing: ${ord.mkString(", ")}")
+      assert(ord.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)),
+        s"q$qid: recall dropped with a wider probe set: ${ord.mkString(", ")}")
+      ord.foreach { r =>
+        assert(r.getLong(3) <= graft.operators.SimilarityOps.RecallK)
+        assert(r.getLong(4) == 1000L * r.getLong(3) / graft.operators.SimilarityOps.RecallK)
+      }
+    }
   }
 
   test("q128 interval union never double-counts overlapping qualifying spans") {
