@@ -58,7 +58,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    error of q59's trained codebooks), q147 PQ end-to-end recall@k
   *    (exact top-k vs the ADC scan over the codes), q148 IVF probe sweep
   *    (recall + scan cost per nprobe ∈ {1,2,4} — the tuning curve the
-  *    q58-family serving path consumes via its nprobe parameter)
+  *    q58-family serving path consumes via its nprobe parameter),
+  *    q149 probe-plan selection (per query, the smallest nprobe whose
+  *    recall meets the 800‰ target from q148's curve — the sweep
+  *    turned into the serving configuration)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

@@ -1165,8 +1165,9 @@ object SimilarityOps {
 
   // same trained quantizer; per (probe breadth, query): scanned
   // candidates + recall vs the exact top-k. Lazy: RecallK is declared
-  // below this point in the object.
-  lazy val q148Sql: String =
+  // below this point in the object. The CTE chain through `hits` is
+  // shared with q149 (which picks a serving plan from the same sweep).
+  private lazy val probeSweepCtes: String =
     s"""$kmeansCtes,
        | q AS (SELECT vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
        | qc_d AS (SELECT q.qid, c.cid AS pcid,
@@ -1199,11 +1200,28 @@ object SimilarityOps {
        | hits AS (SELECT exp.p, exp.qid,
        |   CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
        |  FROM exp LEFT JOIN iv ON exp.p = iv.p AND exp.qid = iv.qid AND exp.vec_id = iv.vec_id
-       |  GROUP BY exp.p, exp.qid)
+       |  GROUP BY exp.p, exp.qid)""".stripMargin.replace("\n", " ")
+
+  lazy val q148Sql: String =
+    s"""$probeSweepCtes
        |SELECT hits.p AS probe_cells, hits.qid, counts.n_candidates, hits.n_hits,
        | 1000 * hits.n_hits // $RecallK AS recall_permille
        |FROM hits JOIN counts ON hits.p = counts.p AND hits.qid = counts.qid
        |ORDER BY probe_cells, hits.qid""".stripMargin.replace("\n", " ")
+
+  lazy val q149Sql: String =
+    s"""$probeSweepCtes,
+       | sweep AS (SELECT hits.p, hits.qid, counts.n_candidates, hits.n_hits,
+       |   1000 * hits.n_hits // $RecallK AS recall_permille
+       |  FROM hits JOIN counts ON hits.p = counts.p AND hits.qid = counts.qid),
+       | pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |   CASE WHEN recall_permille >= $ServeRecallTarget THEN 0 ELSE 1 END,
+       |   CASE WHEN recall_permille >= $ServeRecallTarget THEN p ELSE -p END) AS rn
+       |  FROM sweep)
+       |SELECT qid, p AS nprobe, n_candidates, n_hits, recall_permille,
+       | CAST(CASE WHEN recall_permille >= $ServeRecallTarget THEN 1 ELSE 0 END
+       |   AS BIGINT) AS met_target
+       |FROM pick WHERE rn = 1 ORDER BY qid""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q97 — MRR@k for the trained-IVF index: where does each query's TRUE
@@ -2127,7 +2145,39 @@ object SimilarityOps {
       .orderBy("probe_cells", "qid")
   }
 
+  // ===========================================================
+  // q149 — probe-plan selection: CONSUME q148's tuning curve. Per query,
+  // the serving nprobe the curve justifies: the SMALLEST probe breadth
+  // whose recall meets the target (800‰) — pay no scan cost the recall
+  // budget doesn't require — falling back to the WIDEST breadth when no
+  // setting reaches it (recall-starved queries get everything the sweep
+  // offers, flagged met_target=0 for the operator). This is the piece
+  // that turns the q148 evaluation into configuration: its output is
+  // exactly the per-query-class nprobe argument q58/q106 accept.
+  //
+  // Scale path: everything heavy is q148's dataflow (bounded probe
+  // broadcasts, analytic scan counts); the selection itself is a
+  // 3-rows-per-query window the TopKPerKey rewrite turns into bounded
+  // heaps. Output is one row per query.
+  // ===========================================================
+  val ServeRecallTarget = 800L
+
+  def q149ProbePlan(spark: SparkSession, dir: String): DataFrame = {
+    val sweep = q148IvfProbeSweep(spark, dir)
+    val eligible = col("recall_permille") >= ServeRecallTarget
+    val w = Window.partitionBy("qid").orderBy(
+      when(eligible, 0).otherwise(1).asc,
+      when(eligible, col("probe_cells")).otherwise(-col("probe_cells")).asc)
+    sweep.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("probe_cells").as("nprobe"),
+        col("n_candidates"), col("n_hits"), col("recall_permille"),
+        eligible.cast("long").as("met_target"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_probe_plan" -> (q149ProbePlan _),
     "q148_ivf_probe_sweep" -> (q148IvfProbeSweep _),
     "q147_pq_recall" -> (q147PqRecall _),
     "q146_pq_distortion" -> (q146PqDistortion _),
@@ -2283,6 +2333,7 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q149_probe_plan" -> q149Sql,
     "q148_ivf_probe_sweep" -> q148Sql,
     "q147_pq_recall" -> q147Sql,
     "q146_pq_distortion" -> q146Sql,

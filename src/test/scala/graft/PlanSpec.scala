@@ -280,7 +280,7 @@ class PlanSpec extends AnyFunSuite {
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
-      "q148_ivf_probe_sweep", // <=10-vector query set (exact ground-truth leg)
+      "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
       "q124_dsir_weights", // 1-row totals over the <=B-bucket table

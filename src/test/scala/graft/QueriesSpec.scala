@@ -617,6 +617,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 picks the cheapest probe plan that meets the recall target") {
+    val target = graft.operators.SimilarityOps.ServeRecallTarget
+    val sweep = SparkEntry.queries("q148_ivf_probe_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getInt(0), r.getLong(2), r.getLong(4)))
+      .groupBy(_._1) // qid -> [(qid, p, candidates, recall)]
+    val plans = SparkEntry.queries("q149_probe_plan")(spark, dir).collect()
+    assert(plans.length == 10)
+    plans.foreach { r =>
+      val (qid, np, recall, met) = (r.getLong(0), r.getInt(1), r.getLong(4), r.getLong(5))
+      val grid = sweep(qid)
+      val eligible = grid.filter(_._4 >= target)
+      if (eligible.nonEmpty) {
+        // smallest eligible breadth, flagged met_target
+        assert(np == eligible.map(_._2).min, s"q$qid picked $np, grid=${grid.mkString(",")}")
+        assert(met == 1L && recall >= target)
+      } else {
+        // recall-starved: widest breadth, flagged
+        assert(np == grid.map(_._2).max, s"q$qid picked $np, grid=${grid.mkString(",")}")
+        assert(met == 0L && recall < target)
+      }
+    }
+  }
+
   test("q128 interval union never double-counts overlapping qualifying spans") {
     // Corpus engineered so doc 1 holds TWO qualifying dup runs whose token
     // coverages overlap: doc 1 = w1..w30; doc 2 = w1..w13 makes doc 1's
