@@ -704,7 +704,10 @@ object RelationalOps {
       .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).cast("long")
         .as("dup_pk"), count(lit(1)).as("n_pk"))
     val rows = audited.crossJoin(dupKeys)
-    // one row per constraint: name, rows checked, violations, pass
+    // one row per constraint: name, rows checked, violations, pass —
+    // pivoted with ONE stack() over the single joined aggregate row (a
+    // unionByName of per-constraint selects re-evaluated the aggregates
+    // per branch: 6 extra corpus scans at 100 TB for a 6-row output)
     val constraints = Seq(
       ("orderkey_not_null", "n", "null_orderkey"),
       ("quantity_in_(0,50]", "n", "qty_range"),
@@ -712,11 +715,14 @@ object RelationalOps {
       ("returnflag_in_domain", "n", "flag_domain"),
       ("extendedprice_positive", "n", "price_positive"),
       ("pk_unique(orderkey,linenumber)", "n_pk", "dup_pk"))
-    constraints.map { case (name, checked, viol) =>
-      rows.select(lit(name).as("constraint"), col(checked).cast("long").as("checked"),
-        col(viol).cast("long").as("violations"),
-        (col(viol) === 0L).as("pass"))
-    }.reduce(_.unionByName(_)).orderBy("constraint")
+    val stackArgs = constraints.map { case (name, checked, viol) =>
+      s"'$name', CAST($checked AS BIGINT), CAST($viol AS BIGINT)"
+    }.mkString(", ")
+    rows
+      .select(expr(s"stack(${constraints.size}, $stackArgs) " +
+        "AS (constraint, checked, violations)"))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("constraint")
   }
 
   val q87Sql: String =
@@ -909,11 +915,17 @@ object RelationalOps {
         .filter(col("cum") * 2 >= col("tot") + 1)
         .groupBy("flag").agg(min(valCol).as("med_" + valCol))
     }
+    // both histograms are (flags × distinct values)-row frames; checkpoint
+    // them so their multiple consumers (median, deviation, final rollup)
+    // don't each re-scan + re-aggregate lineitem — the un-materialized
+    // lineage cost 5 corpus scans for a 3-row output
     val qHist = li.groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val qMed = lowMedian(qHist, "qty")
     val devHist = qHist.join(qMed, "flag")
       .withColumn("dev", abs(col("qty") - col("med_qty")))
       .groupBy("flag", "dev").agg(sum("cnt").cast("long").as("cnt"))
+      .localCheckpoint()
     val mad = lowMedian(devHist, "dev")
     devHist.join(mad, "flag").join(qMed, "flag")
       .groupBy(col("flag"), col("med_qty").as("median_qty"), col("med_dev").as("mad"))

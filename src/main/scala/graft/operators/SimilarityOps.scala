@@ -1956,6 +1956,9 @@ object SimilarityOps {
     val dups = q41Scored(spark, dir)
       .filter(col("inter") * lit(2L) >= col("uni"))
       .select(col("a"), col("b"))
+      .localCheckpoint() // pair-sized; both union legs read it — without
+      // this the jaccard-verify joins (and their candidate-doc shingle
+      // projection over documents.parquet) replay once per leg
     val members = dups.select(col("a").as("doc"), col("b").as("peer"))
       .union(dups.select(col("b").as("doc"), col("a").as("peer")))
       .groupBy("doc")

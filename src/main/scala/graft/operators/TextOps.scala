@@ -784,8 +784,11 @@ object TextOps {
           conv(substring(md5(col("ng").cast("binary")), 1, 15), 16, 10)
             .cast("long").as("h"))
     val d = docs(spark, dir)
+    // bench-slice digest set: THREE consumers (the bloom aggregate, the
+    // exact-verify broadcast, and the scalar-subquery view) — materialize
+    // once instead of re-tokenizing the bench slice per consumer
     val benchHashes = ngramHashes(d.filter(col("doc_id") % 97 === 0))
-      .select("h").distinct()
+      .select("h").distinct().localCheckpoint()
     // the bits reach the corpus scan as a SCALAR SUBQUERY, not a join:
     // a single-row cross join would be subject to join reordering (Spark's
     // PushDownLeftSemiAntiJoin even crosses aggregation boundaries), which
