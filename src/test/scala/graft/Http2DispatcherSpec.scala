@@ -163,6 +163,35 @@ class Http2DispatcherSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("server close() unblocks pooled-idle serve threads (no lingering sockets)") {
+    // a pooled client connection sits idle between dispatches with its
+    // serve thread blocked in readFrame; close() must close tracked
+    // accepted sockets so those threads exit instead of lingering forever
+    def serveThreads(): Set[Thread] = {
+      val all = new Array[Thread](Thread.activeCount() + 16)
+      Thread.enumerate(all)
+      all.filter(t => t != null && t.getName.startsWith("graft-h2-serve-")).toSet
+    }
+    val before = serveThreads()
+    val server = new Http2ConsumerServer(_ =>
+      DispatchResult(GrpcStatus.OK, None, overdue = false))
+    val d = new Http2Dispatcher("127.0.0.1", server.port, rpcTimeoutMs = 5000)
+    try {
+      assert(d.dispatch(DispatchRequest("x".getBytes("UTF-8"), Map.empty))
+        .statusCode == GrpcStatus.OK)
+      // connection now pooled-idle; its serve thread is parked in readFrame
+      val during = serveThreads() -- before
+      assert(during.nonEmpty, "expected a live serve thread for the pooled connection")
+      server.close()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (serveThreads().intersect(during).exists(_.isAlive) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(!during.exists(_.isAlive),
+        "serve threads still alive 5s after close(): " +
+          during.filter(_.isAlive).map(_.getName).mkString(", "))
+    } finally { d.close(); server.close() }
+  }
+
   test("frame layer emits legal HTTP/2 bytes: preface, 9-byte headers, HPACK decode parity") {
     // codec-level round trip without sockets: encode → decode across the
     // representative surface (pseudo-headers first, long values, empties)
