@@ -483,6 +483,22 @@ class PlanSpec extends AnyFunSuite {
       "expected the checkpointed presence set:\n" + p138.take(1500))
   }
 
+  test("q72 serving-path eval: probes broadcast, both top-k legs are bounded heaps") {
+    // the rebuilt q72 (recall per nprobe through the productized
+    // ivfProbes path) must keep the q148 shape: the probe table and the
+    // bounded query set BROADCAST (one nested-loop join only — the
+    // whitelisted exact ground-truth leg), and both per-key rank filters
+    // rewrite to the two-phase bounded-heap operator so nothing
+    // corpus-sized is window-sorted per query
+    val p = plan("q72_ann_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      "q72 probe table no longer broadcasts into the index:\n" + p.take(2500))
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size == 2,
+      "q72 legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "q72 grew a second nested-loop join:\n" + p.take(2500))
+  }
+
   test("q148 probe sweep broadcasts the probe table; scan counts come from the cell-size table") {
     // the sweep's scan cost must grow with Σ probed cell sizes, never
     // corpus²: the ≤70-row probe table (10 queries × Σ{1,2,4} breadths)
