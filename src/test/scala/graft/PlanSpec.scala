@@ -493,7 +493,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q72_ann_recall")
     assert(p.contains("BroadcastHashJoin"),
       "q72 probe table no longer broadcasts into the index:\n" + p.take(2500))
-    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size == 2,
+    // THREE bounded heaps: the ivfProbes crank ranking (its literal
+    // maxProbe cap also rewrites), the per-(nprobe, qid) IVF leg, and
+    // the per-qid exact leg
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size == 3,
       "q72 legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       "q72 grew a second nested-loop join:\n" + p.take(2500))
