@@ -522,9 +522,11 @@ object Bench {
         })
       def close(): Unit = closeServer()
       // best rate = min-time steady-state estimate; median flags wobble
+      // (both over SUCCESSFUL reps — a failed rep records 0.0 in `reps`
+      // for the JSON but must not drag the median)
       def best: Double = if (reps.isEmpty) 0.0 else reps.max
       def median: Double = {
-        val ok = reps.sorted
+        val ok = reps.filter(_ > 0).sorted
         if (ok.isEmpty) 0.0 else ok(ok.size / 2)
       }
     }
