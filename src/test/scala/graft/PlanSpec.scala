@@ -493,10 +493,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q72_ann_recall")
     assert(p.contains("BroadcastHashJoin"),
       "q72 probe table no longer broadcasts into the index:\n" + p.take(2500))
-    // THREE bounded heaps: the ivfProbes crank ranking (its literal
-    // maxProbe cap also rewrites), the per-(nprobe, qid) IVF leg, and
-    // the per-qid exact leg
-    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size == 3,
+    // at least TWO bounded heaps — the per-(nprobe, qid) IVF leg and the
+    // per-qid exact leg (the corpus-sized rank lists). The ivfProbes
+    // crank ranking over the 10-query frame makes a third when its
+    // literal cap survives to the rewrite un-merged; depending on which
+    // suite built the shared session, filter-combining may fold it into
+    // the non-literal explode filter first — harmless at 10 rows, so the
+    // lock pins only the corpus-sized legs
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 2,
       "q72 legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       "q72 grew a second nested-loop join:\n" + p.take(2500))
