@@ -41,7 +41,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    batch diminishing returns), q139 filter-threshold calibration,
   *    q142 cross-source copy attribution (directed who-copies-whom),
   *    q143 dedup yield curve (multiplicity histogram + savings),
-  *    q145 range-partition boundary planning + balance audit
+  *    q145 range-partition boundary planning + balance audit,
+  *    q151 DSIR resample execution (q124's importance weights drawn
+  *    through the q62 deterministic hash gate — audit turned selection)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
@@ -61,7 +63,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q58-family serving path consumes via its nprobe parameter),
   *    q149 probe-plan selection (per query, the smallest nprobe whose
   *    recall meets the 800‰ target from q148's curve — the sweep
-  *    turned into the serving configuration)
+  *    turned into the serving configuration), q150 IVF-PQ serving
+  *    evaluation (coarse cells prune, PQ codes rank via ADC — recall +
+  *    scan cost of the combined index vs the exact top-k)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

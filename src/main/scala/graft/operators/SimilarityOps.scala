@@ -1223,6 +1223,64 @@ object SimilarityOps {
        |   AS BIGINT) AS met_target
        |FROM pick WHERE rn = 1 ORDER BY qid""".stripMargin.replace("\n", " ")
 
+  // both trained structures in one statement: the kmeans chain (e, c0..cK,
+  // af) plus q59's PQ chain (es, pc0..pcN, codes) — `es` re-slices the SAME
+  // quantized vectors `e` the coarse quantizer trains on, exactly as the
+  // Spark side's pqTrain does
+  lazy val q150Sql: String = {
+    val pqRounds = (1 to PqIters).map { i =>
+      pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
+        pqUpdateCte(s"pa$i", s"pc$i")
+    }.mkString(",")
+    s"""$kmeansCtes,
+       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
+       |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
+       |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
+       | pc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sqv AS cq FROM es WHERE vec_id < $PqK),
+       |$pqRounds,
+       |${pqAssignCte(s"pc$PqIters", "codes")},
+       | q AS (SELECT vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | qc_d AS (SELECT q.qid, c.cid AS pcid,
+       |   list_reduce(list_transform(range(1, len(c.cq) + 1),
+       |     i -> (c.cq[i] - q.qqv[i]) * (c.cq[i] - q.qqv[i])), (s, x) -> s + x) AS dc
+       |  FROM q, c$KmeansIters c),
+       | qc AS (SELECT qid, pcid,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
+       | probes AS (SELECT qid, pcid FROM qc WHERE crank <= $IvfPqNprobe),
+       | sizes AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
+       | counts AS (SELECT qid, CAST(SUM(sz) - 1 AS BIGINT) AS n_candidates
+       |  FROM probes JOIN sizes ON probes.pcid = sizes.cid GROUP BY qid),
+       | cand AS (SELECT probes.qid, af.vec_id
+       |  FROM af JOIN probes ON af.cid = probes.pcid WHERE af.vec_id <> probes.qid),
+       | dt AS (SELECT es.vec_id AS qid, es.m, c.cid,
+       |   list_reduce(list_transform(range(1, len(es.sqv) + 1),
+       |     i -> (es.sqv[i] - c.cq[i]) * (es.sqv[i] - c.cq[i])), (s, x) -> s + x) AS ld2
+       |  FROM es JOIN pc$PqIters c ON es.m = c.m WHERE es.vec_id < 10),
+       | adc AS (SELECT cand.qid, cand.vec_id, CAST(SUM(dt.ld2) AS BIGINT) AS adq
+       |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN dt ON dt.qid = cand.qid AND dt.m = codes.m AND dt.cid = codes.cid
+       |  GROUP BY cand.qid, cand.vec_id),
+       | pqk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
+       |  WHERE rn <= $RecallK),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | hits AS (SELECT ex.qid,
+       |   CAST(SUM(CASE WHEN pqk.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM ex LEFT JOIN pqk ON ex.qid = pqk.qid AND ex.vec_id = pqk.vec_id
+       |  GROUP BY ex.qid)
+       |SELECT hits.qid, counts.n_candidates, hits.n_hits,
+       | 1000 * hits.n_hits // $RecallK AS recall_permille
+       |FROM hits JOIN counts ON hits.qid = counts.qid
+       |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
+  }
+
   // ===========================================================
   // q97 — MRR@k for the trained-IVF index: where does each query's TRUE
   // nearest neighbor land in the index's ranked answer list? The rank-
@@ -2179,7 +2237,93 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  // ===========================================================
+  // q150 — IVF-PQ serving evaluation: the two trained structures COMBINED
+  // the way a production index actually serves (FAISS IVFADC shape). The
+  // coarse quantizer (q57) prunes the corpus to the query's nprobe=2
+  // nearest cells; within the candidates, ranking runs over the PQ CODES
+  // via ADC (q59) — the vectors themselves are never touched at query
+  // time. Per query: scanned candidates (analytic, from the K-row
+  // cell-size table) and recall of the combined index vs the exact
+  // top-k. q72 charges the cell pruning alone, q147 the compression
+  // alone; this is the figure an operator actually deploys on — both
+  // losses compounding on the same query set, same k, same tie rules.
+  //
+  // Scale path: the probe table is ≤ 10·nprobe rows and BROADCASTS into
+  // one equi-join against the (cid, vec_id) postings — candidates are
+  // Σ probed cells, never corpus². The ADC pass joins the candidate ids
+  // to the M-rows-per-vector code table (equi-join on vec_id), then to
+  // the broadcast per-query distance tables (M·K rows per query). The
+  // exact leg is q72's broadcast shape, pruned map-side by the
+  // TopKPerKey rewrite. Nothing joins two corpus-sized sides; the only
+  // corpus-wide shuffles are the (qid, vec_id) ADC partial sums and the
+  // 10-partition rank windows.
+  // ===========================================================
+  val IvfPqNprobe = 2
+
+  def q150IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
+    val (es, books, afin) = pqTrain(spark, dir)
+    val codes = afin.select("vec_id", "m", "cid")
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+
+    // coarse pruning: the shared serving-path probe builder (q58/q148)
+    val probes = ivfProbes(queries, driverCents(centFinal), IvfPqNprobe)
+      .select("qid", "pcid")
+    val sizes = index.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val counts = probes.join(broadcast(sizes), col("pcid") === col("cid"))
+      .groupBy("qid").agg((sum("sz") - lit(1L)).as("n_candidates"))
+    // candidate ids only — the postings list ships (cid, vec_id), no vectors
+    val cand = index.select("cid", "vec_id")
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+
+    // ADC ranking over the candidates: q59's per-query (m, cid) distance
+    // tables against the trained codebooks, summed over subspaces
+    val centFinalPq = spark.createDataFrame(
+      books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
+      .toDF("m", "cid", "cq")
+    val dt = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
+      .join(broadcast(centFinalPq.withColumn("ncq",
+        graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))), Seq("m"))
+      .withColumn("ld2",
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
+      .select(col("qid"), col("m"), col("cid"), col("ld2"))
+    val wq = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    val pqk = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("ld2").as("adq"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    // exact ground truth: q72's broadcast shape over true integer distances
+    val wx = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val exact = index.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    exact.join(pqk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(counts, Seq("qid"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .select("qid", "n_candidates", "n_hits", "recall_permille")
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_ivfpq_recall" -> (q150IvfPqRecall _),
     "q149_probe_plan" -> (q149ProbePlan _),
     "q148_ivf_probe_sweep" -> (q148IvfProbeSweep _),
     "q147_pq_recall" -> (q147PqRecall _),
@@ -2336,6 +2480,7 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q150_ivfpq_recall" -> q150Sql,
     "q149_probe_plan" -> q149Sql,
     "q148_ivf_probe_sweep" -> q148Sql,
     "q147_pq_recall" -> q147Sql,

@@ -1762,7 +1762,11 @@ object TextOps {
   val DsirBuckets = 128
   val DsirTargetLang = "en"
 
-  def q124DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared base of q124 (weight audit) and q151 (resample execution):
+    * the once-tokenized (source, lang, doc_id, b) bucket projection and the
+    * ≤B-row per-bucket permille weight-class table. */
+  private def dsirToksAndClasses(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val toks = docs(spark, dir)
       .select(col("source"), col("lang"), col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
@@ -1782,6 +1786,11 @@ object TextOps {
     val cls = buckets.crossJoin(broadcast(totals))
       .select(col("b"),
         (expr("(t_c + 1) * r_tot * 1000 DIV ((r_c + 1) * t_tot)") - 1000L).as("cls"))
+    (toks, cls)
+  }
+
+  def q124DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val (toks, cls) = dsirToksAndClasses(spark, dir)
     val perDoc = toks.join(broadcast(cls), Seq("b"))
       .groupBy("source", "doc_id").agg(sum("cls").as("w"))
     perDoc.groupBy("source")
@@ -1791,7 +1800,9 @@ object TextOps {
       .orderBy("source")
   }
 
-  val q124Sql: String =
+  // shared by q124Sql and q151Sql: hashed-bucket projection t and the
+  // per-bucket weight-class table cls
+  private val dsirCtes: String =
     s"""WITH t AS (SELECT d.source, d.lang, d.doc_id,
        |   CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) % $DsirBuckets AS b
        |  FROM documents d, LATERAL (SELECT unnest(regexp_extract_all(lower(d.text),
@@ -1801,12 +1812,73 @@ object TextOps {
        |  FROM t GROUP BY b),
        | tot AS (SELECT SUM(r_c) AS r_tot, SUM(t_c) AS t_tot FROM bk),
        | cls AS (SELECT b, (t_c + 1) * r_tot * 1000 // ((r_c + 1) * t_tot) - 1000 AS cls
-       |  FROM bk, tot),
+       |  FROM bk, tot)""".stripMargin
+
+  val q124Sql: String =
+    s"""$dsirCtes,
        | pd AS (SELECT source, doc_id, SUM(cls) AS w
        |  FROM t JOIN cls USING (b) GROUP BY source, doc_id)
        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS sum_weight,
        | CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
        |FROM pd GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q151 — DSIR resample EXECUTION: consume q124's importance weights the
+  // way q149 consumes q148's sweep — the audit turned into the selection
+  // itself. Each document's weight clamps to an acceptance rate in
+  // [0, 1000]‰ and the q62 deterministic hash gate draws the sample:
+  // hash60(doc_id) % 1000 < clamp(w, 0, 1000). Coordination-free (every
+  // executor decides from the row alone), reproducible run-to-run,
+  // resumable — the properties importance sampling needs at 100 TB where
+  // df.sample's partition-ordering-dependent seed cannot give them.
+  // Target-like docs (w ≥ 1000) are always kept, anti-target docs
+  // (w ≤ 0) never; the permille band between interpolates, which IS
+  // importance-weighted acceptance sampling in exact integers. Output
+  // per source: corpus vs sample size, token mass kept, and the weight
+  // mass the sample captures vs the corpus total.
+  //
+  // Scale path: q124's dataflow end-to-end (one tokenize scan feeding
+  // histogram and scoring, ≤B-row broadcast class table, map-side
+  // partial aggregations); the gate + rollup add one map stage and one
+  // S-row aggregation — nothing new shuffles.
+  // ===========================================================
+  def q151DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val (toks, cls) = dsirToksAndClasses(spark, dir)
+    val perDoc = toks.join(broadcast(cls), Seq("b"))
+      .groupBy("source", "doc_id")
+      .agg(sum("cls").as("w"), count(lit(1)).as("n_toks"))
+    val gated = perDoc
+      .withColumn("rate_permille", greatest(least(col("w"), lit(1000L)), lit(0L)))
+      .withColumn("gate",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1000)
+      .withColumn("kept", col("gate") < col("rate_permille"))
+    gated.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("kept"), col("w")).otherwise(0L)).as("kept_weight"),
+        sum("w").as("sum_weight"))
+      .withColumn("kept_permille", expr("n_kept * 1000 DIV greatest(n_docs, 1L)"))
+      .orderBy("source")
+  }
+
+  val q151Sql: String =
+    s"""$dsirCtes,
+       | pd AS (SELECT source, doc_id, SUM(cls) AS w, COUNT(*) AS n_toks
+       |  FROM t JOIN cls USING (b) GROUP BY source, doc_id),
+       | g AS (SELECT *, GREATEST(LEAST(w, 1000), 0) AS rate_permille,
+       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS gate
+       |  FROM pd),
+       | k AS (SELECT *, gate < rate_permille AS kept FROM g)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+       | CAST(SUM(CASE WHEN kept THEN w ELSE 0 END) AS BIGINT) AS kept_weight,
+       | CAST(SUM(w) AS BIGINT) AS sum_weight,
+       | SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // GREATEST(COUNT(*), 1) AS kept_permille
+       |FROM k GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q125 — per-document memorization-span audit: the document-level
@@ -3043,6 +3115,7 @@ object TextOps {
     "q132_bench_leaks" -> (q132BenchLeaks _),
     "q133_vocab_coverage" -> (q133VocabCoverage _),
     "q125_memorization_spans" -> (q125MemorizationSpans _),
+    "q151_dsir_resample" -> (q151DsirResample _),
     "q124_dsir_weights" -> (q124DsirWeights _),
     "q121_snapshot_diff" -> (q121SnapshotDiff _),
     "q119_tokenizer_apply" -> (q119TokenizerApply _),
@@ -3096,6 +3169,7 @@ object TextOps {
     "q132_bench_leaks" -> q132Sql,
     "q133_vocab_coverage" -> q133Sql,
     "q125_memorization_spans" -> q125Sql,
+    "q151_dsir_resample" -> q151Sql,
     "q124_dsir_weights" -> q124Sql,
     "q121_snapshot_diff" -> q121Sql,
     "q119_tokenizer_apply" -> q119Sql,

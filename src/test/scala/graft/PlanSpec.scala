@@ -281,6 +281,8 @@ class PlanSpec extends AnyFunSuite {
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
+      "q150_ivfpq_recall", // <=10-vector query set (exact ground-truth leg)
+      "q151_dsir_resample", // 1-row totals over the <=B-bucket table (q124's shape)
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
       "q124_dsir_weights", // 1-row totals over the <=B-bucket table
@@ -523,6 +525,38 @@ class PlanSpec extends AnyFunSuite {
     // means the probe or count side regressed to a nested loop
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj <= 1, s"q148 grew $bnlj nested-loop joins:\n" + p.take(2500))
+  }
+
+  test("q150 IVF-PQ eval: probe and distance tables broadcast, candidates stay equi-joined") {
+    // the combined index must keep BOTH structures' scale shapes at once:
+    // the ≤20-row probe table broadcasts into the postings equi-join on
+    // pcid (coarse pruning never corpus²), the per-query ADC distance
+    // tables broadcast into the code equi-join, both rank legs rewrite to
+    // bounded heaps, and the only nested-loop join is the whitelisted
+    // exact ground-truth leg
+    val p = plan("q150_ivfpq_recall")
+    assert(!p.contains("CartesianProduct"), "q150 plans a corpus² join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q150 lost its broadcast joins:\n" + p.take(2500))
+    assert(p.contains("pcid"), "probe-cell equi-join key missing:\n" + p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q150 grew $bnlj nested-loop joins:\n" + p.take(2500))
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 2,
+      "q150 rank legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
+  }
+
+  test("q151 resample keeps q124's single-tokenize shape (one documents scan)") {
+    // the resample execution inherits q124's dataflow: the tokenized
+    // bucket projection materializes ONCE (localCheckpoint) and feeds both
+    // the class histogram and the per-doc scoring join — the corpus scan
+    // count must not regress to two when the gate+rollup stage is added
+    val df = SparkEntry.queries("q151_dsir_resample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"q151 re-scans parquet $scans times — the checkpointed projection is gone:\n" + p.take(2000))
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the checkpointed token projection:\n" + p.take(1500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

@@ -640,6 +640,50 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 IVF-PQ recall is bounded by the pure-IVF recall at the same nprobe") {
+    // the combined index prunes to the SAME candidate set as IVF@nprobe=2
+    // (q72), then ranks it by ADC instead of exact distance. A global
+    // top-k member inside the candidate set always survives exact
+    // ranking (its candidate rank <= its global rank <= k), so per query:
+    //   q150 recall <= q72(nprobe=2) recall   (compression can only lose)
+    // and q150's candidate counts must equal q148's p=2 column (one
+    // analytic count, two derivations)
+    val np = graft.operators.SimilarityOps.IvfPqNprobe
+    val ivfpq = SparkEntry.queries("q150_ivfpq_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(ivfpq.length == 10, s"expected 10 query rows, got ${ivfpq.length}")
+    val ivf = SparkEntry.queries("q72_ann_recall")(spark, dir).collect()
+      .filter(_.getInt(0) == np).map(r => (r.getLong(1), r.getLong(3))).toMap
+    val sweep = SparkEntry.queries("q148_ivf_probe_sweep")(spark, dir).collect()
+      .filter(_.getInt(0) == np).map(r => (r.getLong(1), r.getLong(2))).toMap
+    ivfpq.foreach { case (qid, nCand, recall) =>
+      assert(recall <= ivf(qid),
+        s"q$qid: IVF-PQ recall $recall exceeds the pure-IVF ceiling ${ivf(qid)}")
+      assert(nCand == sweep(qid),
+        s"q$qid: candidate count $nCand disagrees with q148's p=$np column ${sweep(qid)}")
+      assert(recall >= 0L && recall <= 1000L)
+    }
+  }
+
+  test("q151 resample is q124's weights executed through the deterministic gate") {
+    // per source: the sample is a subset (n_kept <= n_docs), every kept doc
+    // carries positive weight (rate > gate >= 0 forces w >= 1, so
+    // kept_weight >= n_kept), and the corpus weight mass agrees with
+    // q124's audit column — same dataflow, two consumers
+    val audit = SparkEntry.queries("q124_dsir_weights")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    val rows = SparkEntry.queries("q151_dsir_resample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, nKept, keptW, sumW) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(nKept <= nDocs, s"$src: kept more than the corpus")
+      assert(keptW >= nKept, s"$src: a kept doc with weight < 1 slipped the gate")
+      assert(sumW == audit(src), s"$src: corpus weight mass diverged from q124")
+      assert(r.getLong(6) == nKept * 1000 / math.max(nDocs, 1L))
+    }
+  }
+
   test("q128 interval union never double-counts overlapping qualifying spans") {
     // Corpus engineered so doc 1 holds TWO qualifying dup runs whose token
     // coverages overlap: doc 1 = w1..w30; doc 2 = w1..w13 makes doc 1's
