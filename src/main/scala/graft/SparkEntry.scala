@@ -65,7 +65,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    recall meets the 800‰ target from q148's curve — the sweep
   *    turned into the serving configuration), q150 IVF-PQ serving
   *    evaluation (coarse cells prune, PQ codes rank via ADC — recall +
-  *    scan cost of the combined index vs the exact top-k)
+  *    scan cost of the combined index vs the exact top-k), q152
+  *    residual-encoded IVF-PQ (the full FAISS IVFADC: PQ trained on
+  *    v − centroid residuals, per-(query, cell) distance tables)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

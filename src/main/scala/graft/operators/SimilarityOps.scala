@@ -691,6 +691,16 @@ object SimilarityOps {
     val es = e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), m -> slice(qv, m * (size(qv) div $PqM) + 1, size(qv) div $PqM))")))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "sqv")
+    pqTrainOn(es)
+  }
+
+  /** PQ codebook training over an arbitrary (vec_id, m, sqv) subvector
+    * frame — q59/q146/q147 train on raw subvectors, q152 on per-cell
+    * RESIDUAL subvectors. Checkpoints the frame (scanned once per Lloyd
+    * round + the ADC pass) and returns (es, books, final assignment). */
+  private def pqTrainOn(es0: DataFrame)
+      : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame) = {
+    val es = es0
       .localCheckpoint() // scanned once; every Lloyd round + ADC reuses it
     // codebooks live on the driver (M×K×(dim/M) longs — always tiny), the
     // same MLlib-shaped loop as kmeansTrainOn: assignment is a map-only
@@ -766,20 +776,21 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  // PQ Lloyd round in SQL, keyed by subspace m alongside cid
-  private def pqAssignCte(cent: String, out: String) =
-    s""" ${out}_d AS (SELECT es.vec_id, es.m, es.sqv, c.cid,
-       |   list_reduce(list_transform(range(1, len(es.sqv) + 1),
-       |     i -> (es.sqv[i] - c.cq[i]) * (es.sqv[i] - c.cq[i])), (s, x) -> s + x) AS d2
-       |  FROM es JOIN $cent c ON es.m = c.m),
+  // PQ Lloyd round in SQL, keyed by subspace m alongside cid; `src` is the
+  // (vec_id, m, sqv) subvector table (raw for q59/q146/q147, residual for q152)
+  private def pqAssignCte(cent: String, out: String, src: String = "es") =
+    s""" ${out}_d AS (SELECT $src.vec_id, $src.m, $src.sqv, c.cid,
+       |   list_reduce(list_transform(range(1, len($src.sqv) + 1),
+       |     i -> ($src.sqv[i] - c.cq[i]) * ($src.sqv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+       |  FROM $src JOIN $cent c ON $src.m = c.m),
        | $out AS (SELECT vec_id, m, cid, d2 FROM (SELECT *,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM ${out}_d)
        |  WHERE rn = 1)""".stripMargin
-  private def pqUpdateCte(assigned: String, out: String) =
+  private def pqUpdateCte(assigned: String, out: String, src: String = "es") =
     s""" ${out}_s AS (SELECT a.m, a.cid, p.pos,
-       |   CAST(floor(CAST(SUM(es.sqv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-       |  FROM $assigned a JOIN es ON a.vec_id = es.vec_id AND a.m = es.m,
-       |   LATERAL (SELECT unnest(range(1, len(es.sqv) + 1)) AS pos) p
+       |   CAST(floor(CAST(SUM($src.sqv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM $assigned a JOIN $src ON a.vec_id = $src.vec_id AND a.m = $src.m,
+       |   LATERAL (SELECT unnest(range(1, len($src.sqv) + 1)) AS pos) p
        |  GROUP BY a.m, a.cid, p.pos),
        | $out AS (SELECT m, cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY m, cid)""".stripMargin
 
@@ -1260,6 +1271,74 @@ object SimilarityOps {
        | adc AS (SELECT cand.qid, cand.vec_id, CAST(SUM(dt.ld2) AS BIGINT) AS adq
        |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
        |  JOIN dt ON dt.qid = cand.qid AND dt.m = codes.m AND dt.cid = codes.cid
+       |  GROUP BY cand.qid, cand.vec_id),
+       | pqk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
+       |  WHERE rn <= $RecallK),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | hits AS (SELECT ex.qid,
+       |   CAST(SUM(CASE WHEN pqk.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM ex LEFT JOIN pqk ON ex.qid = pqk.qid AND ex.vec_id = pqk.vec_id
+       |  GROUP BY ex.qid)
+       |SELECT hits.qid, counts.n_candidates, hits.n_hits,
+       | 1000 * hits.n_hits // $RecallK AS recall_permille
+       |FROM hits JOIN counts ON hits.qid = counts.qid
+       |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
+  }
+
+  // residual IVF-PQ: the PQ chain trains on rv = qv − centroid(own cell);
+  // ADC tables are per (query, probed cell) residuals
+  lazy val q152Sql: String = {
+    val pqRounds = (1 to PqIters).map { i =>
+      pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i", "esr") + "," +
+        pqUpdateCte(s"pa$i", s"pc$i", "esr")
+    }.mkString(",")
+    s"""$kmeansCtes,
+       | rv AS (SELECT af.vec_id, list_transform(range(1, len(af.qv) + 1),
+       |    i -> af.qv[i] - c.cq[i]) AS rv
+       |  FROM af JOIN c$KmeansIters c ON af.cid = c.cid),
+       | esr AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       |   rv[CAST(mm.m AS INTEGER) * (len(rv) // $PqM) + 1 :
+       |      (CAST(mm.m AS INTEGER) + 1) * (len(rv) // $PqM)] AS sqv
+       |  FROM rv, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
+       | pc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sqv AS cq FROM esr WHERE vec_id < $PqK),
+       |$pqRounds,
+       |${pqAssignCte(s"pc$PqIters", "codes", "esr")},
+       | q AS (SELECT vec_id AS qid, qv AS qqv FROM af WHERE vec_id < 10),
+       | qc_d AS (SELECT q.qid, c.cid AS pcid,
+       |   list_reduce(list_transform(range(1, len(c.cq) + 1),
+       |     i -> (c.cq[i] - q.qqv[i]) * (c.cq[i] - q.qqv[i])), (s, x) -> s + x) AS dc
+       |  FROM q, c$KmeansIters c),
+       | qc AS (SELECT qid, pcid,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
+       | probes AS (SELECT qid, pcid FROM qc WHERE crank <= $IvfPqNprobe),
+       | sizes AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
+       | counts AS (SELECT qid, CAST(SUM(sz) - 1 AS BIGINT) AS n_candidates
+       |  FROM probes JOIN sizes ON probes.pcid = sizes.cid GROUP BY qid),
+       | cand AS (SELECT probes.qid, probes.pcid, af.vec_id
+       |  FROM af JOIN probes ON af.cid = probes.pcid WHERE af.vec_id <> probes.qid),
+       | qr AS (SELECT probes.qid, probes.pcid, list_transform(range(1, len(q.qqv) + 1),
+       |    i -> q.qqv[i] - c.cq[i]) AS rq
+       |  FROM probes JOIN q ON probes.qid = q.qid
+       |  JOIN c$KmeansIters c ON probes.pcid = c.cid),
+       | qres AS (SELECT qid, pcid, CAST(mm.m AS INTEGER) AS m,
+       |   rq[CAST(mm.m AS INTEGER) * (len(rq) // $PqM) + 1 :
+       |      (CAST(mm.m AS INTEGER) + 1) * (len(rq) // $PqM)] AS sqv
+       |  FROM qr, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
+       | dt AS (SELECT qres.qid, qres.pcid, qres.m, b.cid,
+       |   list_reduce(list_transform(range(1, len(qres.sqv) + 1),
+       |     i -> (qres.sqv[i] - b.cq[i]) * (qres.sqv[i] - b.cq[i])), (s, x) -> s + x) AS ld2
+       |  FROM qres JOIN pc$PqIters b ON qres.m = b.m),
+       | adc AS (SELECT cand.qid, cand.vec_id, CAST(SUM(dt.ld2) AS BIGINT) AS adq
+       |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN dt ON dt.qid = cand.qid AND dt.pcid = cand.pcid
+       |   AND dt.m = codes.m AND dt.cid = codes.cid
        |  GROUP BY cand.qid, cand.vec_id),
        | pqk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
@@ -2322,7 +2401,104 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  // ===========================================================
+  // q152 — RESIDUAL-encoded IVF-PQ: the full FAISS IVFADC design. q150
+  // quantizes raw vectors; production IVF-PQ quantizes the RESIDUAL
+  // v − centroid(cell(v)) — after the coarse cell absorbs the vector's
+  // position, the residual's variance is what's left, so the same code
+  // budget spends on much smaller magnitudes and distortion drops. The
+  // price is query-time: the ADC distance table is per (query, PROBED
+  // CELL) — the query's residual against that cell — instead of one
+  // table per query; a candidate is scored with the table of its own
+  // cell, Σ_m |r_q(cell)_m − book[code_m]|². Output is q150's schema
+  // (per query: analytic scan cost + recall of the combined index vs
+  // the exact top-k), so raw-PQ and residual-PQ read side by side.
+  //
+  // Scale path: identical skeleton to q150 — probe table ≤ 10·nprobe
+  // rows broadcasts into the postings equi-join; the distance tables
+  // grow to queries×nprobe×M×K rows (1,280 here) and still broadcast;
+  // candidates join codes on vec_id and the tables on (qid, pcid, m,
+  // cid) — never corpus². Residual training reuses pqTrainOn over the
+  // (vec, subspace) residual frame: same two shuffles per Lloyd round,
+  // books stay driver-resident.
+  // ===========================================================
+  def q152IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+
+    // residual subvectors: rv = qv − centroid(own cell), sliced into M
+    // subspaces — the K-row centroid table broadcasts into the subtraction
+    val resid = assigned
+      .join(broadcast(centFinal), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("qv"), col("cq"), (a, b) => a - b).as("rv"))
+    val esr = resid.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(rv, m * (size(rv) div $PqM) + 1, size(rv) div $PqM))")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "sqv")
+    val (_, books, afin) = pqTrainOn(esr)
+    val codes = afin.select("vec_id", "m", "cid")
+
+    val probes = ivfProbes(queries, driverCents(centFinal), IvfPqNprobe)
+      .select("qid", "qqv", "pcid")
+    val sizes = index.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val counts = probes.join(broadcast(sizes), col("pcid") === col("cid"))
+      .groupBy("qid").agg((sum("sz") - lit(1L)).as("n_candidates"))
+    // candidates keep their own cell id: their codes encode the residual
+    // vs THAT cell, so the (qid, pcid) table is the one that scores them
+    val cand = index.select(col("cid").as("pcid"), col("vec_id"))
+      .join(broadcast(probes.select("qid", "pcid")), Seq("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "pcid", "vec_id")
+
+    // per-(query, probed cell) residual distance tables against the books
+    val centFinalPq = spark.createDataFrame(
+      books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
+      .toDF("m", "cid", "cq")
+    val qres = probes
+      .join(broadcast(centFinal.withColumnRenamed("cid", "pcid")), Seq("pcid"))
+      .select(col("qid"), col("pcid"),
+        zip_with(col("qqv"), col("cq"), (a, b) => a - b).as("rq"))
+      .select(col("qid"), col("pcid"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(rq, m * (size(rq) div $PqM) + 1, size(rq) div $PqM))")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "sqv")
+    val dt = qres
+      .join(broadcast(centFinalPq.withColumnRenamed("cq", "bq")), Seq("m"))
+      .withColumn("ld2",
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) +
+          graft.plans.ArrayDot.array_dot(col("bq"), col("bq")) -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("bq")))
+      .select(col("qid"), col("pcid"), col("m"), col("cid"), col("ld2"))
+    val wq = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    val pqk = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("qid", "pcid", "m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("ld2").as("adq"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    val wx = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val exact = index.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    exact.join(pqk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(counts, Seq("qid"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .select("qid", "n_candidates", "n_hits", "recall_permille")
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_ivfpq_residual" -> (q152IvfPqResidual _),
     "q150_ivfpq_recall" -> (q150IvfPqRecall _),
     "q149_probe_plan" -> (q149ProbePlan _),
     "q148_ivf_probe_sweep" -> (q148IvfProbeSweep _),
@@ -2480,6 +2656,7 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q152_ivfpq_residual" -> q152Sql,
     "q150_ivfpq_recall" -> q150Sql,
     "q149_probe_plan" -> q149Sql,
     "q148_ivf_probe_sweep" -> q148Sql,

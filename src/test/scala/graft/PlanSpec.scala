@@ -281,7 +281,7 @@ class PlanSpec extends AnyFunSuite {
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
-      "q150_ivfpq_recall", // <=10-vector query set (exact ground-truth leg)
+      "q150_ivfpq_recall", "q152_ivfpq_residual", // <=10-vector query set (exact ground-truth leg)
       "q151_dsir_resample", // 1-row totals over the <=B-bucket table (q124's shape)
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
@@ -543,6 +543,22 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"q150 grew $bnlj nested-loop joins:\n" + p.take(2500))
     assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 2,
       "q150 rank legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
+  }
+
+  test("q152 residual IVF-PQ keeps q150's shapes with per-cell distance tables") {
+    // residual encoding changes the distance-table grain to (query, probed
+    // cell) but must NOT change the scale skeleton: probe + distance
+    // tables broadcast, candidates equi-joined, one whitelisted
+    // nested-loop join (the exact leg), both rank legs bounded heaps
+    val p = plan("q152_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), "q152 plans a corpus² join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q152 lost its broadcast joins:\n" + p.take(2500))
+    assert(p.contains("pcid"), "probe-cell equi-join key missing:\n" + p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q152 grew $bnlj nested-loop joins:\n" + p.take(2500))
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 2,
+      "q152 rank legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
   }
 
   test("q151 resample keeps q124's single-tokenize shape (one documents scan)") {

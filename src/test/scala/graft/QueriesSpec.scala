@@ -665,6 +665,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q152 residual IVF-PQ prunes with the same cells as q150 (only the codes differ)") {
+    // both designs share the coarse quantizer and nprobe, so the candidate
+    // sets — hence the analytic scan costs — must be IDENTICAL per query;
+    // only the code ranking differs. Catches a probe-path drift between
+    // the raw and residual variants.
+    val raw = SparkEntry.queries("q150_ivfpq_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val res = SparkEntry.queries("q152_ivfpq_residual")(spark, dir).collect()
+    assert(res.length == 10)
+    res.foreach { r =>
+      val (qid, nCand, recall) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(nCand == raw(qid),
+        s"q$qid: residual variant scans $nCand, raw scans ${raw(qid)} — probe paths diverged")
+      assert(recall >= 0L && recall <= 1000L)
+    }
+  }
+
   test("q151 resample is q124's weights executed through the deterministic gate") {
     // per source: the sample is a subset (n_kept <= n_docs), every kept doc
     // carries positive weight (rate > gate >= 0 forces w >= 1, so
