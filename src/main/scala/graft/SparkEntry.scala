@@ -67,7 +67,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    evaluation (coarse cells prune, PQ codes rank via ADC — recall +
   *    scan cost of the combined index vs the exact top-k), q152
   *    residual-encoded IVF-PQ (the full FAISS IVFADC: PQ trained on
-  *    v − centroid residuals, per-(query, cell) distance tables)
+  *    v − centroid residuals, per-(query, cell) distance tables),
+  *    q153 refined IVF-PQ (IndexRefineFlat: exact re-rank of the
+  *    top-3k ADC shortlist — recall provably ≥ q150's per query),
+  *    q154 LSH banding sweep (the dedup analog of q148: candidate
+  *    volume / verified pairs / recall / precision per rows-per-band
+  *    r ∈ {4,8,16} over ONE signature pass — the curve justifying
+  *    q41's r=8 serving config)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

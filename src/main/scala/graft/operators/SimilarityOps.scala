@@ -123,18 +123,24 @@ object SimilarityOps {
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
 
-  /** The bucket frame (band, band_sig, ids) — exposed for PlanSpec. */
-  private[graft] def q41Buckets(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus signature frame (doc_id, sig) — one native one-pass
+    * MinHash per doc; shared by q41 (one banding) and q154 (a banding
+    * sweep over the SAME signatures). */
+  private[graft] def q41Sig(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.MinHashSig.minhash_sig
     // one-pass native signature: no shingle arrays materialized corpus-wide
-    val sig = docs(spark, dir)
+    docs(spark, dir)
       .select(col("doc_id"), minhash_sig(col("text"), 5, NumHashes).as("sig"))
+  }
+
+  /** Banded buckets for a given rows-per-band r over a signature frame. */
+  private def bucketsForBand(sig: DataFrame, r: Int): DataFrame = {
     // bands carry only (doc_id, band, band_sig) — the bucket shuffle moves a
     // few bytes per doc instead of the documents themselves
     val bands = sig
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, ${NumHashes / BandSize - 1}), b -> " +
-          s"concat_ws(':', transform(slice(sig, b * $BandSize + 1, $BandSize), x -> CAST(x AS STRING))))")))
+        expr(s"transform(sequence(0, ${NumHashes / r - 1}), b -> " +
+          s"concat_ws(':', transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
     // ONE shuffle materializes each bucket's sorted member ids with bounded
     // reducer state (smallest_k, k = cap+1): length cap+1 proves the bucket
@@ -146,6 +152,10 @@ object SimilarityOps {
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucketSize)
   }
 
+  /** The bucket frame (band, band_sig, ids) — exposed for PlanSpec. */
+  private[graft] def q41Buckets(spark: SparkSession, dir: String): DataFrame =
+    bucketsForBand(q41Sig(spark, dir), BandSize)
+
   /** Candidate pairs with exact Jaccard — the shared LSH verify stage
     * behind q41 (top-20 readout) and q109 (canonical selection). */
   private[graft] def q41Scored(spark: SparkSession, dir: String): DataFrame = {
@@ -156,7 +166,15 @@ object SimilarityOps {
     // localCheckpoint: cand feeds the broadcast candidate-id union (two
     // references) AND the final verify join — without it the whole
     // sig→band→bucket pipeline replays three times per run
-    val cand = q41Candidates(buckets).localCheckpoint()
+    jaccardVerify(spark, dir, q41Candidates(buckets).localCheckpoint())
+  }
+
+  /** True-Jaccard verification of a (a, b) candidate-pair frame — the
+    * shingle projection runs on the candidate docs only, size-gated
+    * broadcasts throughout. `cand` must be materialized (checkpointed):
+    * it is consumed three times. Returns (a, b, inter, uni, jaccard). */
+  private def jaccardVerify(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     // verify candidates with true Jaccard: restrict to candidate docs FIRST
     // (broadcast semi-join), THEN project the shingle arrays — the expensive
     // shingling runs on the tiny candidate set, not the corpus
@@ -201,6 +219,61 @@ object SimilarityOps {
     q41Scored(spark, dir)
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
+
+  // ===========================================================
+  // q154 — LSH banding sweep: the dedup analog of q148's probe sweep. The
+  // (bands × rows) split of a MinHash signature IS the dedup knob — rows
+  // per band r sets the S-curve: a pair is a candidate iff some band's r
+  // hashes all match, so P(candidate) = 1 − (1 − j^r)^(32/r). Small r
+  // catches lower-Jaccard pairs at the cost of more candidates to verify;
+  // large r verifies almost nothing but misses borderline dups. This
+  // query measures that tradeoff ON THE CORPUS: for r ∈ {4, 8, 16} over
+  // the SAME 32-hash signatures, the candidate volume (the verify bill),
+  // verified true pairs (integer Jaccard ≥ ½), recall against the union
+  // of pairs ANY banding verified (the detectable-truth set), and
+  // precision. q41 serves at r=8; this is the curve that justifies it.
+  //
+  // Scale path: the corpus signature computes ONCE (localCheckpoint) and
+  // feeds all three bandings — each is one bounded-state bucket shuffle
+  // (SmallestK cap) over (doc_id, band, band_sig) rows, never documents.
+  // Candidates of all bandings union into ONE distinct pair set verified
+  // ONCE (q41's size-gated shingle broadcast); per-banding rollups join
+  // the ≤pairs-sized verdict table, and the 1-row truth total attaches
+  // via a whitelisted scalar broadcast. Nothing here is corpus².
+  // ===========================================================
+  val SweepBandRows = Seq(4, 8, 16)
+
+  def q154LshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    // one signature pass for every banding — the expensive part of LSH
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val candAll = SweepBandRows.map { r =>
+      q41Candidates(bucketsForBand(sig, r))
+        .withColumn("band_rows", lit(r.toLong))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    // verify each distinct pair once, whichever bandings proposed it;
+    // checkpoint the ≤pairs-row verdict — it feeds BOTH the truth total
+    // and the per-banding rollup, and without it the whole shingle-verify
+    // subtree (two corpus scans) replays for each consumer
+    val pairs = candAll.select("a", "b").distinct().localCheckpoint()
+    val verdict = jaccardVerify(spark, dir, pairs)
+      .withColumn("ok", (col("inter") * 2 >= col("uni")).cast("long"))
+      .select("a", "b", "ok")
+      .localCheckpoint()
+    // detectable truth = pairs verified under ANY banding in the sweep
+    val truth = verdict.agg(sum("ok").as("truth_pairs"))
+    candAll.join(verdict, Seq("a", "b"))
+      .groupBy("band_rows")
+      .agg(count(lit(1)).as("n_candidates"), sum("ok").as("n_verified"))
+      .crossJoin(broadcast(truth))
+      .withColumn("n_bands", expr(s"CAST($NumHashes AS BIGINT) DIV band_rows"))
+      .withColumn("recall_permille", expr(
+        "CASE WHEN truth_pairs = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000 * n_verified DIV truth_pairs END"))
+      .withColumn("precision_permille", expr("1000 * n_verified DIV n_candidates"))
+      .select("band_rows", "n_bands", "n_candidates", "n_verified",
+        "truth_pairs", "recall_permille", "precision_permille")
+      .orderBy("band_rows")
+  }
 
   // ===========================================================
   // q42 — SimHash signatures: token hashes vote per bit; signature = sign
@@ -1238,7 +1311,9 @@ object SimilarityOps {
   // af) plus q59's PQ chain (es, pc0..pcN, codes) — `es` re-slices the SAME
   // quantized vectors `e` the coarse quantizer trains on, exactly as the
   // Spark side's pqTrain does
-  lazy val q150Sql: String = {
+  // the CTE chain both IVF-PQ serving oracles share: kmeans train + PQ
+  // train + nprobe pruning + candidate ADC distances (ends at `adc`)
+  private lazy val ivfPqAdcCtes: String = {
     val pqRounds = (1 to PqIters).map { i =>
       pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
         pqUpdateCte(s"pa$i", s"pc$i")
@@ -1271,7 +1346,11 @@ object SimilarityOps {
        | adc AS (SELECT cand.qid, cand.vec_id, CAST(SUM(dt.ld2) AS BIGINT) AS adq
        |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
        |  JOIN dt ON dt.qid = cand.qid AND dt.m = codes.m AND dt.cid = codes.cid
-       |  GROUP BY cand.qid, cand.vec_id),
+       |  GROUP BY cand.qid, cand.vec_id)""".stripMargin.replace("\n", " ")
+  }
+
+  lazy val q150Sql: String =
+    s"""$ivfPqAdcCtes,
        | pqk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
        |  WHERE rn <= $RecallK),
@@ -1290,7 +1369,39 @@ object SimilarityOps {
        | 1000 * hits.n_hits // $RecallK AS recall_permille
        |FROM hits JOIN counts ON hits.qid = counts.qid
        |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
-  }
+
+  // refine stage: exact re-rank of the top-RefineR ADC shortlist
+  lazy val q153Sql: String =
+    s"""$ivfPqAdcCtes,
+       | short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
+       |  WHERE rn <= $RefineR),
+       | nref AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_refined
+       |  FROM short GROUP BY qid),
+       | ref_d AS (SELECT short.qid, short.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM short JOIN af ON short.vec_id = af.vec_id
+       |  JOIN q ON short.qid = q.qid),
+       | refk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ref_d)
+       |  WHERE rn <= $RecallK),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | hits AS (SELECT ex.qid,
+       |   CAST(SUM(CASE WHEN refk.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM ex LEFT JOIN refk ON ex.qid = refk.qid AND ex.vec_id = refk.vec_id
+       |  GROUP BY ex.qid)
+       |SELECT hits.qid, counts.n_candidates, nref.n_refined, hits.n_hits,
+       | 1000 * hits.n_hits // $RecallK AS recall_permille
+       |FROM hits JOIN counts ON hits.qid = counts.qid
+       |JOIN nref ON hits.qid = nref.qid
+       |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
 
   // residual IVF-PQ: the PQ chain trains on rv = qv − centroid(own cell);
   // ADC tables are per (query, probed cell) residuals
@@ -2497,7 +2608,105 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  // ===========================================================
+  // q153 — refined IVF-PQ serving (the FAISS IndexRefineFlat pattern):
+  // the piece of the serving story q150 leaves on the table. ADC over PQ
+  // codes is cheap but lossy — instead of RETURNING its top-k, keep a
+  // SHORTLIST of the top-RefineR (3k) ADC candidates and re-rank just
+  // those by EXACT distance against the stored vectors. The index pays
+  // full-precision distance for ≤ 3k vectors per query (vs the whole
+  // probed set for flat IVF), and recall recovers whenever the true
+  // neighbor survived into the shortlist — by construction the refined
+  // top-k's recall is ≥ the ADC top-k's (q150) on every query: the ADC
+  // top-k is a subset of the shortlist, and exact re-ranking surfaces
+  // any true-top-k member the shortlist holds (QueriesSpec asserts the
+  // dominance row by row). Output adds n_refined (the per-query exact-
+  // distance budget actually spent) to q150's schema.
+  //
+  // Scale path: identical to q150 through the ADC aggregation; the
+  // shortlist is ≤ queries×3k rows and BROADCASTS into the vector fetch,
+  // so the refine stage touches exactly the shortlisted vectors — one
+  // broadcast equi-join against the corpus scan, never a second corpus
+  // pass (the exact leg reuses q72's broadcast ground-truth shape).
+  // ===========================================================
+  val RefineR = 3 * RecallK
+
+  def q153IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val (centFinal, assigned) = kmeansTrain(spark, dir)
+    val (es, books, afin) = pqTrain(spark, dir)
+    val codes = afin.select("vec_id", "m", "cid")
+    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
+    val queries = index.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
+
+    val probes = ivfProbes(queries, driverCents(centFinal), IvfPqNprobe)
+      .select("qid", "pcid")
+    val sizes = index.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val counts = probes.join(broadcast(sizes), col("pcid") === col("cid"))
+      .groupBy("qid").agg((sum("sz") - lit(1L)).as("n_candidates"))
+    val cand = index.select("cid", "vec_id")
+      .join(broadcast(probes), col("cid") === col("pcid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+
+    // ADC pass: q150's distance tables and candidate scoring, but kept to
+    // a top-RefineR SHORTLIST instead of the final top-k
+    val centFinalPq = spark.createDataFrame(
+      books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
+      .toDF("m", "cid", "cq")
+    val dt = es.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
+      .join(broadcast(centFinalPq.withColumn("ncq",
+        graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))), Seq("m"))
+      .withColumn("ld2",
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
+      .select(col("qid"), col("m"), col("cid"), col("ld2"))
+    val ws = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    val short = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("ld2").as("adq"))
+      .withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= RefineR)
+      .select("qid", "vec_id")
+    val nref = short.groupBy("qid").agg(count(lit(1)).as("n_refined"))
+
+    // refine: exact re-rank of ONLY the shortlist — the ≤ queries×3k-row
+    // shortlist broadcasts into the vector fetch
+    val wr = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val refk = index.select("vec_id", "qv", "nv")
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    // exact ground truth: q72's broadcast shape over true integer distances
+    val wx = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val exact = index.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    exact.join(refk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(counts, Seq("qid"))
+      .join(nref, Seq("qid"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .select("qid", "n_candidates", "n_refined", "n_hits", "recall_permille")
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_lsh_band_sweep" -> (q154LshBandSweep _),
+    "q153_ivfpq_refine" -> (q153IvfPqRefine _),
     "q152_ivfpq_residual" -> (q152IvfPqResidual _),
     "q150_ivfpq_recall" -> (q150IvfPqRecall _),
     "q149_probe_plan" -> (q149ProbePlan _),
@@ -2539,7 +2748,9 @@ object SimilarityOps {
     * a brute-force ideal. */
   /** The full LSH chain through the `scored` CTE — shared by q41Sql and
     * q109Sql (both consume the verified candidate pairs). */
-  private val q41Ctes: String = {
+  /** The MinHash signature chain through the `sig` CTE (doc_id, sv) —
+    * shared by the q41 family (one banding) and q154 (banding sweep). */
+  private val minhashSigCtes: String = {
     import graft.plans.MinHashSig.{Increments, Multipliers, P}
     val T = "18446744073709551616" // 2^64
     val H = "9223372036854775808" // 2^63
@@ -2563,7 +2774,13 @@ object SimilarityOps {
       " mixed AS (SELECT doc_id, xor(w, w // 2147483648) AS m FROM win),",
       s" hashes AS (SELECT doc_id, i, MIN(((m * a + b) % $T) % $H) AS v",
       "  FROM mixed CROSS JOIN seeds GROUP BY doc_id, i),",
-      " sig AS (SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sv FROM hashes GROUP BY doc_id),",
+      " sig AS (SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sv FROM hashes GROUP BY doc_id)"
+    ).mkString(" ")
+  }
+
+  private val q41Ctes: String = {
+    Seq(
+      s"$minhashSigCtes,",
       " bands AS (SELECT doc_id, bb.band AS band,",
       s"   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig",
       s"  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),",
@@ -2584,6 +2801,40 @@ object SimilarityOps {
     s"""$q41Ctes
        |SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
        |FROM scored ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")
+
+  /** q154 oracle: the same signature chain banded three ways; candidates
+    * of all bandings verify once against the union pair set. */
+  val q154Sql: String =
+    s"""$minhashSigCtes,
+       | rr(r) AS (VALUES (${SweepBandRows.mkString("), (")})),
+       | bands2 AS (SELECT rr.r, sig.doc_id, bb.band AS band,
+       |   array_to_string(sv[bb.band * rr.r + 1 : bb.band * rr.r + rr.r], ':') AS band_sig
+       |  FROM sig, rr, LATERAL (SELECT unnest(range(0, $NumHashes // rr.r)) AS band) bb),
+       | buckets2 AS (SELECT r, band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM bands2 GROUP BY r, band, band_sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketSize),
+       | cand2 AS (SELECT DISTINCT r, p.pr[1] AS a, p.pr[2] AS b FROM buckets2,
+       |  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+       |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
+       | upairs AS (SELECT DISTINCT a, b FROM cand2),
+       | uids AS (SELECT DISTINCT a AS doc_id FROM upairs UNION SELECT DISTINCT b FROM upairs),
+       | ush AS (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+       |   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN uids USING (doc_id)),
+       | uscored AS (SELECT a, b,
+       |   CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
+       |     CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+       |    THEN 1 ELSE 0 END AS ok
+       |  FROM upairs JOIN ush sa ON sa.doc_id = a JOIN ush sb ON sb.doc_id = b),
+       | truth AS (SELECT CAST(SUM(ok) AS BIGINT) AS truth_pairs FROM uscored),
+       | per AS (SELECT cand2.r, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |   CAST(SUM(u.ok) AS BIGINT) AS n_verified
+       |  FROM cand2 JOIN uscored u ON cand2.a = u.a AND cand2.b = u.b GROUP BY cand2.r)
+       |SELECT CAST(per.r AS BIGINT) AS band_rows,
+       | CAST($NumHashes // per.r AS BIGINT) AS n_bands,
+       | per.n_candidates, per.n_verified, truth.truth_pairs,
+       | CASE WHEN truth.truth_pairs = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE 1000 * per.n_verified // truth.truth_pairs END AS recall_permille,
+       | 1000 * per.n_verified // per.n_candidates AS precision_permille
+       |FROM per, truth ORDER BY band_rows""".stripMargin.replace("\n", " ")
 
   val q109Sql: String =
     s"""$q41Ctes,
@@ -2656,6 +2907,8 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q154_lsh_band_sweep" -> q154Sql,
+    "q153_ivfpq_refine" -> q153Sql,
     "q152_ivfpq_residual" -> q152Sql,
     "q150_ivfpq_recall" -> q150Sql,
     "q149_probe_plan" -> q149Sql,

@@ -282,6 +282,8 @@ class PlanSpec extends AnyFunSuite {
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
       "q150_ivfpq_recall", "q152_ivfpq_residual", // <=10-vector query set (exact ground-truth leg)
+      "q153_ivfpq_refine", // <=10-vector query set (exact ground-truth leg)
+      "q154_lsh_band_sweep", // 1-row truth-total scalar attach
       "q151_dsir_resample", // 1-row totals over the <=B-bucket table (q124's shape)
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
@@ -543,6 +545,39 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"q150 grew $bnlj nested-loop joins:\n" + p.take(2500))
     assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 2,
       "q150 rank legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
+  }
+
+  test("q153 refined IVF-PQ: shortlist broadcasts into the vector fetch, three bounded heaps") {
+    // the refine stage adds a third rank leg (the exact re-rank of the
+    // shortlist) and one more broadcast (the ≤ queries×3k shortlist into
+    // the stored-vector fetch) — it must NOT add a second corpus pass or
+    // a nested-loop join beyond the whitelisted exact ground-truth leg
+    val p = plan("q153_ivfpq_refine")
+    assert(!p.contains("CartesianProduct"), "q153 plans a corpus² join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q153 lost its broadcast joins:\n" + p.take(2500))
+    assert(p.contains("pcid"), "probe-cell equi-join key missing:\n" + p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q153 grew $bnlj nested-loop joins:\n" + p.take(2500))
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 3,
+      "q153 rank legs (ADC shortlist, refine, exact) lost the bounded-heap rewrite:\n" + p.take(2500))
+  }
+
+  test("q154 banding sweep: zero corpus scans above the checkpointed verdict") {
+    // the three bandings, their candidate union, AND the pair verdict are
+    // all materialized behind localCheckpoints — the FINAL plan is rollup
+    // arithmetic over RDD scans: no parquet re-scan may survive (the truth
+    // scalar would otherwise replay the whole shingle-verify subtree)
+    val df = SparkEntry.queries("q154_lsh_band_sweep")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "q154 plans a corpus² join:\n" + p.take(2000))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"q154 re-scans parquet $scans times above the checkpointed verdict:\n" + p.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q154 grew $bnlj nested-loop joins:\n" + p.take(2500))
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the checkpointed candidate union:\n" + p.take(1500))
   }
 
   test("q152 residual IVF-PQ keeps q150's shapes with per-cell distance tables") {

@@ -682,6 +682,57 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q154 banding sweep: configs nest and r=8 reproduces q41's serving candidates") {
+    // bands of 2r hashes are concatenations of two bands of r: a pair
+    // matching some 2r-band matches both r-halves, so (cap aside, and no
+    // bucket hits the cap at this sf) candidate and verified sets NEST
+    // downward as r grows. The r=8 leg is exactly q41's serving config —
+    // its candidate volume must equal the q41 chain's pair count.
+    val rows = SparkEntry.queries("q154_lsh_band_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L),
+      s"sweep rows: ${rows.mkString(",")}")
+    rows.foreach { case (r, nb, nc, nv, tp, rec, prec) =>
+      assert(nb == 32L / r, s"r=$r: $nb bands")
+      assert(nv <= nc && nv <= tp, s"r=$r: verified $nv vs cand $nc, truth $tp")
+      assert(rec >= 0 && rec <= 1000 && prec >= 0 && prec <= 1000)
+    }
+    val cands = rows.map(_._3); val vers = rows.map(_._4)
+    assert(cands.sameElements(cands.sortBy(-_)), s"candidates grew with r: ${cands.toSeq}")
+    assert(vers.sameElements(vers.sortBy(-_)), s"verified grew with r: ${vers.toSeq}")
+    assert(rows.head._5 >= vers.max, "truth below the best config's verified count")
+    val q41n = graft.operators.SimilarityOps.q41Scored(spark, dir).count()
+    val r8 = rows.find(_._1 == 8L).get
+    assert(r8._3 == q41n, s"r=8 candidates ${r8._3} != q41's $q41n")
+  }
+
+  test("q153 exact refine dominates the raw ADC top-k on every query") {
+    // the refined index re-ranks the top-RefineR ADC shortlist by exact
+    // distance. The ADC top-k is a subset of the shortlist, and a global
+    // top-k member inside ANY set survives exact ranking of that set, so
+    // per query: q153 recall >= q150 recall (refine can only recover),
+    // the candidate sets (hence analytic scan costs) are identical, and
+    // the exact-distance budget is capped at min(RefineR, n_candidates)
+    val rr = graft.operators.SimilarityOps.RefineR
+    val raw = SparkEntry.queries("q150_ivfpq_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    val ref = SparkEntry.queries("q153_ivfpq_refine")(spark, dir).collect()
+    assert(ref.length == 10, s"expected 10 query rows, got ${ref.length}")
+    ref.foreach { r =>
+      val (qid, nCand, nRef, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      val (rawCand, rawRecall) = raw(qid)
+      assert(nCand == rawCand,
+        s"q$qid: refine variant scans $nCand, raw scans $rawCand — probe paths diverged")
+      assert(recall >= rawRecall,
+        s"q$qid: refined recall $recall fell below the ADC floor $rawRecall")
+      assert(nRef <= math.min(rr.toLong, nCand),
+        s"q$qid: refine budget $nRef exceeds min($rr, $nCand)")
+      assert(nRef > 0L && recall <= 1000L)
+    }
+  }
+
   test("q151 resample is q124's weights executed through the deterministic gate") {
     // per source: the sample is a subset (n_kept <= n_docs), every kept doc
     // carries positive weight (rate > gate >= 0 forces w >= 1, so
