@@ -43,7 +43,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q143 dedup yield curve (multiplicity histogram + savings),
   *    q145 range-partition boundary planning + balance audit,
   *    q151 DSIR resample execution (q124's importance weights drawn
-  *    through the q62 deterministic hash gate — audit turned selection)
+  *    through the q62 deterministic hash gate — audit turned selection),
+  *    q155 dedup-policy selection (q143's yield curve consumed: the
+  *    largest multiplicity threshold retaining ≥900‰ of max savings)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

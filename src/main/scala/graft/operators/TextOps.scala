@@ -3026,6 +3026,82 @@ object TextOps {
        |FROM b ORDER BY bucket""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q155 — dedup-policy selection: CONSUME q143's yield curve (the q149
+  // move applied to dedup). The policy space is "keep-first dedup only
+  // clusters of multiplicity ≥ t" for t ∈ 2..10 (10 = "10+"; t=2 is full
+  // dedup): higher t touches fewer clusters/docs (cheaper, safer — near-
+  // threshold pairs are where false-positive dup clusters live) but
+  // forgoes the savings sitting in small clusters. Per threshold:
+  // clusters hit, docs removed, tokens saved, and the saved share of the
+  // max (t=2) in permille; `selected` marks the LARGEST t — the most
+  // conservative policy — still retaining ≥ 900‰ of the maximum savings.
+  // The audit table IS the decision: its selected row is the policy knob
+  // a thresholded dedup pass runs with.
+  //
+  // Scale path: everything heavy is q143's dataflow (one digest
+  // aggregation + one digest join over a checkpointed narrow
+  // projection); the policy table is ≤9 rows, checkpointed once, and
+  // the two scalar attaches (max savings, selected threshold) are
+  // whitelisted 1-row broadcasts over it.
+  // ===========================================================
+  val DedupSavingsTarget = 900L
+
+  def q155DedupPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤9-row policy table; checkpointed — it feeds the max-savings scalar,
+    // the selection scalar, and the final readout
+    val t = q143DedupYield(spark, dir)
+      .filter(col("bucket") >= 2)
+      .withColumn("n_clusters_hit", sum("n_clusters").over(wd))
+      .withColumn("n_docs_removed", sum(col("n_docs") - col("n_clusters")).over(wd))
+      .withColumn("tokens_saved", sum("removable_tokens").over(wd))
+      .select("bucket", "n_clusters_hit", "n_docs_removed", "tokens_saved")
+      .localCheckpoint()
+    val mx = t.agg(max("tokens_saved").as("max_saved"))
+    val s = t.crossJoin(broadcast(mx))
+      .withColumn("savings_permille", expr(
+        "CASE WHEN max_saved = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000 * tokens_saved DIV max_saved END"))
+    val sel = s.filter(col("savings_permille") >= DedupSavingsTarget)
+      .agg(max("bucket").as("sel_bucket"))
+    s.crossJoin(broadcast(sel))
+      .withColumn("selected",
+        when(col("bucket") === col("sel_bucket"), 1L).otherwise(0L))
+      .select(col("bucket").as("threshold"), col("n_clusters_hit"),
+        col("n_docs_removed"), col("tokens_saved"), col("savings_permille"),
+        col("selected"))
+      .orderBy("threshold")
+  }
+
+  val q155Sql: String =
+    s"""WITH d AS (SELECT doc_id, md5($normSql) AS h,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       | g AS (SELECT h, COUNT(*) AS copies, MIN(doc_id) AS keeper FROM d GROUP BY h),
+       | j AS (SELECT d.doc_id, d.h, d.tokens, g.copies, g.keeper FROM d JOIN g USING (h)),
+       | b AS (SELECT least(copies, $DupBucketCap) AS bucket,
+       |   COUNT(DISTINCT h) AS n_clusters, COUNT(*) AS n_docs,
+       |   SUM(CASE WHEN doc_id <> keeper THEN tokens ELSE 0 END) AS removable_tokens
+       |  FROM j GROUP BY 1),
+       | t AS (SELECT bucket,
+       |   CAST(SUM(n_clusters) OVER wd AS BIGINT) AS n_clusters_hit,
+       |   CAST(SUM(n_docs - n_clusters) OVER wd AS BIGINT) AS n_docs_removed,
+       |   CAST(SUM(removable_tokens) OVER wd AS BIGINT) AS tokens_saved
+       |  FROM b WHERE bucket >= 2
+       |  WINDOW wd AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | mx AS (SELECT MAX(tokens_saved) AS max_saved FROM t),
+       | s AS (SELECT t.*, CASE WHEN mx.max_saved = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(1000 * t.tokens_saved // mx.max_saved AS BIGINT) END AS savings_permille
+       |  FROM t, mx),
+       | sel AS (SELECT MAX(bucket) AS sel_bucket FROM s
+       |  WHERE savings_permille >= $DedupSavingsTarget)
+       |SELECT CAST(s.bucket AS BIGINT) AS threshold, s.n_clusters_hit,
+       | s.n_docs_removed, s.tokens_saved, s.savings_permille,
+       | CAST(CASE WHEN s.bucket = sel.sel_bucket THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM s, sel ORDER BY threshold""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q145 — range-partition boundary planning + balance audit: the layout
   // decision behind every global sort / range-bucketed write at 100 TB
   // (Spark's RangePartitioner, Delta OPTIMIZE ordering, Iceberg sort
@@ -3101,6 +3177,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_copy_attribution" -> (q142CopyAttribution _),
     "q143_dedup_yield" -> (q143DedupYield _),
+    "q155_dedup_policy" -> (q155DedupPolicy _),
     "q145_range_boundaries" -> (q145RangeBoundaries _),
     "q136_softdedup_weights" -> (q136SoftdedupWeights _),
     "q137_containment_pairs" -> (q137ContainmentPairs _),
@@ -3155,6 +3232,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q142_copy_attribution" -> q142Sql,
     "q143_dedup_yield" -> q143Sql,
+    "q155_dedup_policy" -> q155Sql,
     "q145_range_boundaries" -> q145Sql,
     "q136_softdedup_weights" -> q136Sql,
     "q137_containment_pairs" -> q137Sql,

@@ -64,4 +64,18 @@ class CopyAttributionSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 4L, 16L, 12L, 750L, 12L)), s"bucket 4: ${out.get(4L)}")
     assert(out.keySet == Set(1L, 2L, 4L))
   }
+
+  test("q155 selects the most conservative threshold retaining 900‰ of savings") {
+    // thresholds are the observed multiplicities >= 2: t=4 saves 12 of the
+    // max 14 tokens (857‰ — below the 900‰ target), t=2 saves all 14
+    // (1000‰) — so full dedup is the selected policy here, and the t=4 row
+    // documents exactly what the conservative alternative would forgo
+    val out = graft.operators.TextOps.q155DedupPolicy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // threshold -> (clusters_hit, docs_removed, tokens_saved, permille, selected)
+    assert(out.keySet == Set(2L, 4L), s"thresholds: ${out.keySet}")
+    assert(out(4L) == ((1L, 3L, 12L, 857L, 0L)), s"t=4 row: ${out.get(4L)}")
+    assert(out(2L) == ((2L, 4L, 14L, 1000L, 1L)), s"t=2 row: ${out.get(2L)}")
+  }
 }

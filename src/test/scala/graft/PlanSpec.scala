@@ -284,6 +284,7 @@ class PlanSpec extends AnyFunSuite {
       "q150_ivfpq_recall", "q152_ivfpq_residual", // <=10-vector query set (exact ground-truth leg)
       "q153_ivfpq_refine", // <=10-vector query set (exact ground-truth leg)
       "q154_lsh_band_sweep", // 1-row truth-total scalar attach
+      "q155_dedup_policy", // two 1-row scalar attaches over the <=9-row policy table
       "q151_dsir_resample", // 1-row totals over the <=B-bucket table (q124's shape)
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
