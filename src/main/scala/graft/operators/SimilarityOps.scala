@@ -172,9 +172,15 @@ object SimilarityOps {
   /** True-Jaccard verification of a (a, b) candidate-pair frame — the
     * shingle projection runs on the candidate docs only, size-gated
     * broadcasts throughout. `cand` must be materialized (checkpointed):
-    * it is consumed three times. Returns (a, b, inter, uni, jaccard). */
+    * it is consumed three times. Returns (a, b, inter, uni, jaccard).
+    * `shingles` is the per-doc set expression: the q41 family intersects
+    * the 5-char substrings themselves; q154 intersects their 5-gram
+    * Karp-Rabin hashes (longs — a ~6× smaller broadcast and long-typed
+    * intersects; exactly replayable, same polynomial as q135's oracle). */
   private def jaccardVerify(spark: SparkSession, dir: String,
-      cand: DataFrame): DataFrame = {
+      cand: DataFrame, shingles: Column = expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+      ): DataFrame = {
     // verify candidates with true Jaccard: restrict to candidate docs FIRST
     // (broadcast semi-join), THEN project the shingle arrays — the expensive
     // shingling runs on the tiny candidate set, not the corpus
@@ -198,9 +204,7 @@ object SimilarityOps {
     val candB = if (smallCandSet) broadcast(candidateIds) else candidateIds
     val shingleSets = docs(spark, dir)
       .join(candB, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
-          .as("sh"))
+      .select(col("doc_id"), shingles.as("sh"))
     val shB = if (smallCandSet) broadcast(shingleSets) else shingleSets
     cand
       .join(shB.as("x"), col("a") === col("x.doc_id"))
@@ -229,7 +233,8 @@ object SimilarityOps {
   // large r verifies almost nothing but misses borderline dups. This
   // query measures that tradeoff ON THE CORPUS: for r ∈ {4, 8, 16} over
   // the SAME 32-hash signatures, the candidate volume (the verify bill),
-  // verified true pairs (integer Jaccard ≥ ½), recall against the union
+  // verified true pairs (integer Jaccard ≥ ½ over 5-gram Karp-Rabin
+  // hash sets — see the verify note below), recall against the union
   // of pairs ANY banding verified (the detectable-truth set), and
   // precision. q41 serves at r=8; this is the curve that justifies it.
   //
@@ -253,9 +258,18 @@ object SimilarityOps {
     // verify each distinct pair once, whichever bandings proposed it;
     // checkpoint the ≤pairs-row verdict — it feeds BOTH the truth total
     // and the per-banding rollup, and without it the whole shingle-verify
-    // subtree (two corpus scans) replays for each consumer
+    // subtree (two corpus scans) replays for each consumer. Unlike q41
+    // (string shingles), the sweep's verify intersects the 5-gram
+    // KARP-RABIN HASH sets (the q135 rolling hash, native expression):
+    // the permissive r=4 banding proposes ~60× q41's pair volume, and
+    // long-typed sets cut the shingle broadcast ~6× and the per-pair
+    // intersect cost severalfold — identical in both engines (the oracle
+    // replays the same polynomial), with hash-gram Jaccard differing
+    // from string Jaccard only on a ~2^-30-probability intra-doc collision
     val pairs = candAll.select("a", "b").distinct().localCheckpoint()
-    val verdict = jaccardVerify(spark, dir, pairs)
+    val gramSets = array_distinct(
+      graft.plans.RollingHashGrams.rolling_hash_grams(col("text")))
+    val verdict = jaccardVerify(spark, dir, pairs, gramSets)
       .withColumn("ok", (col("inter") * 2 >= col("uni")).cast("long"))
       .select("a", "b", "ok")
       .localCheckpoint()
@@ -2817,8 +2831,11 @@ object SimilarityOps {
        |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
        | upairs AS (SELECT DISTINCT a, b FROM cand2),
        | uids AS (SELECT DISTINCT a AS doc_id FROM upairs UNION SELECT DISTINCT b FROM upairs),
-       | ush AS (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
-       |   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN uids USING (doc_id)),
+       | ush AS (SELECT d.doc_id, list_distinct(list_transform(range(1, CAST(length(text) AS BIGINT) - 3),
+       |   i -> list_reduce(list_transform(range(0, ${graft.plans.RollingHashGrams.K}),
+       |     j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
+       |    (acc, c) -> (acc * ${graft.plans.RollingHashGrams.B} + c) % ${graft.plans.RollingHashGrams.M}))) AS sh
+       |  FROM documents d JOIN uids USING (doc_id)),
        | uscored AS (SELECT a, b,
        |   CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
        |     CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
