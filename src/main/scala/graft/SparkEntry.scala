@@ -75,7 +75,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q154 LSH banding sweep (the dedup analog of q148: candidate
   *    volume / verified pairs / recall / precision per rows-per-band
   *    r ∈ {4,8,16} over ONE signature pass — the curve justifying
-  *    q41's r=8 serving config)
+  *    q41's r=8 serving config), q156 refined residual IVF-PQ (the
+  *    production FAISS default — q153's refine over q152's residual
+  *    ADC chain, completing the {raw,residual}×{ADC,refined} matrix)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

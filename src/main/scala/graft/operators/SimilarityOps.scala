@@ -1418,8 +1418,9 @@ object SimilarityOps {
        |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
 
   // residual IVF-PQ: the PQ chain trains on rv = qv − centroid(own cell);
-  // ADC tables are per (query, probed cell) residuals
-  lazy val q152Sql: String = {
+  // ADC tables are per (query, probed cell) residuals. The CTE chain
+  // through `adc` is shared by q152 (ADC top-k) and q156 (refined).
+  private lazy val ivfPqResidAdcCtes: String = {
     val pqRounds = (1 to PqIters).map { i =>
       pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i", "esr") + "," +
         pqUpdateCte(s"pa$i", s"pc$i", "esr")
@@ -1464,7 +1465,11 @@ object SimilarityOps {
        |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
        |  JOIN dt ON dt.qid = cand.qid AND dt.pcid = cand.pcid
        |   AND dt.m = codes.m AND dt.cid = codes.cid
-       |  GROUP BY cand.qid, cand.vec_id),
+       |  GROUP BY cand.qid, cand.vec_id)""".stripMargin.replace("\n", " ")
+  }
+
+  lazy val q152Sql: String =
+    s"""$ivfPqResidAdcCtes,
        | pqk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
        |  WHERE rn <= $RecallK),
@@ -1483,7 +1488,39 @@ object SimilarityOps {
        | 1000 * hits.n_hits // $RecallK AS recall_permille
        |FROM hits JOIN counts ON hits.qid = counts.qid
        |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
-  }
+
+  // refined residual IVF-PQ: q153's refine stage over q152's ADC chain
+  lazy val q156Sql: String =
+    s"""$ivfPqResidAdcCtes,
+       | short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
+       |  WHERE rn <= $RefineR),
+       | nref AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_refined
+       |  FROM short GROUP BY qid),
+       | ref_d AS (SELECT short.qid, short.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM short JOIN af ON short.vec_id = af.vec_id
+       |  JOIN q ON short.qid = q.qid),
+       | refk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ref_d)
+       |  WHERE rn <= $RecallK),
+       | ex_d AS (SELECT q.qid, af.vec_id,
+       |   list_reduce(list_transform(range(1, len(af.qv) + 1),
+       |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
+       |  FROM af, q WHERE af.vec_id <> q.qid),
+       | ex AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rn FROM ex_d)
+       |  WHERE rn <= $RecallK),
+       | hits AS (SELECT ex.qid,
+       |   CAST(SUM(CASE WHEN refk.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM ex LEFT JOIN refk ON ex.qid = refk.qid AND ex.vec_id = refk.vec_id
+       |  GROUP BY ex.qid)
+       |SELECT hits.qid, counts.n_candidates, nref.n_refined, hits.n_hits,
+       | 1000 * hits.n_hits // $RecallK AS recall_permille
+       |FROM hits JOIN counts ON hits.qid = counts.qid
+       |JOIN nref ON hits.qid = nref.qid
+       |ORDER BY hits.qid""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q97 — MRR@k for the trained-IVF index: where does each query's TRUE
@@ -2547,7 +2584,11 @@ object SimilarityOps {
   // (vec, subspace) residual frame: same two shuffles per Lloyd round,
   // books stay driver-resident.
   // ===========================================================
-  def q152IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+  /** The residual-IVF-PQ dataflow through the per-candidate ADC scores —
+    * shared by q152 (ADC top-k) and q156 (refined top-k). Returns
+    * (index, queries, counts, adq) where adq = (qid, vec_id, adq). */
+  private def residAdcScores(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (centFinal, assigned) = kmeansTrain(spark, dir)
     val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
       .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
@@ -2596,29 +2637,82 @@ object SimilarityOps {
           graft.plans.ArrayDot.array_dot(col("bq"), col("bq")) -
           lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("bq")))
       .select(col("qid"), col("pcid"), col("m"), col("cid"), col("ld2"))
-    val wq = Window.partitionBy("qid").orderBy("adq", "vec_id")
-    val pqk = cand.join(codes, Seq("vec_id"))
+    val adq = cand.join(codes, Seq("vec_id"))
       .join(broadcast(dt), Seq("qid", "pcid", "m", "cid"))
       .groupBy("qid", "vec_id").agg(sum("ld2").as("adq"))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= RecallK)
-      .select("qid", "vec_id")
+    (index, queries, counts, adq)
+  }
 
+  /** Exact ground truth: q72's broadcast shape over true integer
+    * distances — shared by the IVF-PQ evaluation family. */
+  private def exactTopK(index: DataFrame, queries: DataFrame): DataFrame = {
     val wx = Window.partitionBy("qid").orderBy("dq", "vec_id")
-    val exact = index.crossJoin(broadcast(queries))
+    index.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dq", col("nv") + col("nq") -
         lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
       .withColumn("rank", row_number().over(wx))
       .filter(col("rank") <= RecallK)
       .select("qid", "vec_id")
+  }
 
-    exact.join(pqk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+  def q152IvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (index, queries, counts, adq) = residAdcScores(spark, dir)
+    val wq = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    val pqk = adq
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    exactTopK(index, queries)
+      .join(pqk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .join(counts, Seq("qid"))
       .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
       .select("qid", "n_candidates", "n_hits", "recall_permille")
+      .orderBy("qid")
+  }
+
+  // ===========================================================
+  // q156 — refined residual IVF-PQ (the production FAISS default:
+  // IVFADC on residuals + IndexRefineFlat): q153's refine stage over
+  // q152's residual-encoded ADC chain — the fourth corner of the
+  // {raw, residual} × {ADC, refined} serving matrix, in q153's schema
+  // so all four read side by side. Same guarantees as q153: the exact
+  // re-rank touches ≤3k shortlisted vectors per query and its recall
+  // dominates q152's ADC top-k on every query (QueriesSpec asserts it).
+  //
+  // Scale path: identical to q152 through the ADC aggregation; the
+  // ≤queries×3k shortlist broadcasts into the vector fetch (one
+  // equi-join against the corpus scan, no second corpus pass).
+  // ===========================================================
+  def q156IvfPqResidRefine(spark: SparkSession, dir: String): DataFrame = {
+    val (index, queries, counts, adq) = residAdcScores(spark, dir)
+    val ws = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    val short = adq
+      .withColumn("rank", row_number().over(ws))
+      .filter(col("rank") <= RefineR)
+      .select("qid", "vec_id")
+    val nref = short.groupBy("qid").agg(count(lit(1)).as("n_refined"))
+    val wr = Window.partitionBy("qid").orderBy("dq", "vec_id")
+    val refk = index.select("vec_id", "qv", "nv")
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("dq", col("nv") + col("nq") -
+        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+
+    exactTopK(index, queries)
+      .join(refk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(counts, Seq("qid"))
+      .join(nref, Seq("qid"))
+      .withColumn("recall_permille", expr(s"1000 * n_hits DIV $RecallK"))
+      .select("qid", "n_candidates", "n_refined", "n_hits", "recall_permille")
       .orderBy("qid")
   }
 
@@ -2719,6 +2813,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
     "q154_lsh_band_sweep" -> (q154LshBandSweep _),
     "q153_ivfpq_refine" -> (q153IvfPqRefine _),
     "q152_ivfpq_residual" -> (q152IvfPqResidual _),
@@ -2924,6 +3019,7 @@ object SimilarityOps {
        |ORDER BY from_split, to_split""".stripMargin.replace("\n", " ")
 
   val oracles: Map[String, String] = Map(
+    "q156_ivfpq_resid_refine" -> q156Sql,
     "q154_lsh_band_sweep" -> q154Sql,
     "q153_ivfpq_refine" -> q153Sql,
     "q152_ivfpq_residual" -> q152Sql,

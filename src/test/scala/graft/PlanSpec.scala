@@ -282,7 +282,7 @@ class PlanSpec extends AnyFunSuite {
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
       "q150_ivfpq_recall", "q152_ivfpq_residual", // <=10-vector query set (exact ground-truth leg)
-      "q153_ivfpq_refine", // <=10-vector query set (exact ground-truth leg)
+      "q153_ivfpq_refine", "q156_ivfpq_resid_refine", // <=10-vector query set (exact ground-truth leg)
       "q154_lsh_band_sweep", // 1-row truth-total scalar attach
       "q155_dedup_policy", // two 1-row scalar attaches over the <=9-row policy table
       "q151_dsir_resample", // 1-row totals over the <=B-bucket table (q124's shape)
@@ -579,6 +579,21 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"q154 grew $bnlj nested-loop joins:\n" + p.take(2500))
     assert(p.contains("Scan ExistingRDD"),
       "expected the checkpointed candidate union:\n" + p.take(1500))
+  }
+
+  test("q156 refined residual IVF-PQ: shortlist broadcasts, three bounded heaps") {
+    // q153's refine lock applied to the residual encoding: one more
+    // broadcast (the shortlist into the vector fetch), a third rank leg,
+    // still no corpus² and only the whitelisted exact ground-truth BNLJ
+    val p = plan("q156_ivfpq_resid_refine")
+    assert(!p.contains("CartesianProduct"), "q156 plans a corpus² join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q156 lost its broadcast joins:\n" + p.take(2500))
+    assert(p.contains("pcid"), "probe-cell equi-join key missing:\n" + p.take(1500))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q156 grew $bnlj nested-loop joins:\n" + p.take(2500))
+    assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size >= 3,
+      "q156 rank legs (ADC shortlist, refine, exact) lost the bounded-heap rewrite:\n" + p.take(2500))
   }
 
   test("q152 residual IVF-PQ keeps q150's shapes with per-cell distance tables") {

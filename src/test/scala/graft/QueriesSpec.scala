@@ -735,6 +735,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 refined residual IVF-PQ dominates q152's ADC top-k on every query") {
+    // same dominance argument as q153 vs q150, applied to the residual
+    // encoding: the ADC top-k is a subset of the shortlist and exact
+    // re-ranking surfaces any true-top-k member it holds; the candidate
+    // sets (analytic scan costs) are identical by construction
+    val rr = graft.operators.SimilarityOps.RefineR
+    val raw = SparkEntry.queries("q152_ivfpq_residual")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    val ref = SparkEntry.queries("q156_ivfpq_resid_refine")(spark, dir).collect()
+    assert(ref.length == 10, s"expected 10 query rows, got ${ref.length}")
+    ref.foreach { r =>
+      val (qid, nCand, nRef, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      val (rawCand, rawRecall) = raw(qid)
+      assert(nCand == rawCand,
+        s"q$qid: refine variant scans $nCand, ADC scans $rawCand — probe paths diverged")
+      assert(recall >= rawRecall,
+        s"q$qid: refined recall $recall fell below the ADC floor $rawRecall")
+      assert(nRef <= math.min(rr.toLong, nCand) && nRef > 0L && recall <= 1000L)
+    }
+  }
+
   test("q151 resample is q124's weights executed through the deterministic gate") {
     // per source: the sample is a subset (n_kept <= n_docs), every kept doc
     // carries positive weight (rate > gate >= 0 forces w >= 1, so
