@@ -870,7 +870,7 @@ object SimilarityOps {
        |   list_reduce(list_transform(range(1, len($src.sqv) + 1),
        |     i -> ($src.sqv[i] - c.cq[i]) * ($src.sqv[i] - c.cq[i])), (s, x) -> s + x) AS d2
        |  FROM $src JOIN $cent c ON $src.m = c.m),
-       | $out AS (SELECT vec_id, m, cid, d2 FROM (SELECT *,
+       | $out AS MATERIALIZED (SELECT vec_id, m, cid, d2 FROM (SELECT *,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM ${out}_d)
        |  WHERE rn = 1)""".stripMargin
   private def pqUpdateCte(assigned: String, out: String, src: String = "es") =
@@ -879,17 +879,17 @@ object SimilarityOps {
        |  FROM $assigned a JOIN $src ON a.vec_id = $src.vec_id AND a.m = $src.m,
        |   LATERAL (SELECT unnest(range(1, len($src.sqv) + 1)) AS pos) p
        |  GROUP BY a.m, a.cid, p.pos),
-       | $out AS (SELECT m, cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY m, cid)""".stripMargin
+       | $out AS MATERIALIZED (SELECT m, cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY m, cid)""".stripMargin
 
   val q59Sql: String = {
     val rounds = (1 to PqIters).map { i =>
       pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
         pqUpdateCte(s"pa$i", s"pc$i")
     }.mkString(",")
-    s"""WITH e AS (SELECT vec_id,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
        | FROM embeddings),
-       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       | es AS MATERIALIZED (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
        |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
        |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
        |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
@@ -916,10 +916,10 @@ object SimilarityOps {
       pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
         pqUpdateCte(s"pa$i", s"pc$i")
     }.mkString(",")
-    s"""WITH e AS (SELECT vec_id,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
        | FROM embeddings),
-       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       | es AS MATERIALIZED (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
        |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
        |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
        |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
@@ -953,10 +953,10 @@ object SimilarityOps {
       pqAssignCte(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i") + "," +
         pqUpdateCte(s"pa$i", s"pc$i")
     }.mkString(",")
-    s"""WITH e AS (SELECT vec_id,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
        | FROM embeddings),
-       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       | es AS MATERIALIZED (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
        |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
        |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
        |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
@@ -996,7 +996,7 @@ object SimilarityOps {
        |   list_reduce(list_transform(range(1, len(e.qv) + 1),
        |     i -> (e.qv[i] - c.cq[i]) * (e.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
        |  FROM e, $cent c),
-       | $out AS (SELECT vec_id, qv, cid, d2 FROM (SELECT *,
+       | $out AS MATERIALIZED (SELECT vec_id, qv, cid, d2 FROM (SELECT *,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ${out}_d)
        |  WHERE rn = 1)""".stripMargin
   private def kmUpdateCte(assigned: String, out: String) =
@@ -1004,7 +1004,7 @@ object SimilarityOps {
        |   CAST(floor(CAST(SUM(a.qv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
        |  FROM $assigned a, LATERAL (SELECT unnest(range(1, len(a.qv) + 1)) AS pos) p
        |  GROUP BY a.cid, p.pos),
-       | $out AS (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
+       | $out AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
 
   /** Shared CTE chain: quantized vectors `e`, init `c0`, KmeansIters Lloyd
     * rounds, final assignment `af` (vec_id, qv, cid, d2). `pre` lets a
@@ -1021,7 +1021,7 @@ object SimilarityOps {
   }
 
   private def kmeansCtes: String = kmeansCtesFrom(
-    s"""e AS (SELECT vec_id,
+    s"""e AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
        | FROM embeddings)""".stripMargin)
 
@@ -1129,7 +1129,7 @@ object SimilarityOps {
        | n AS (SELECT vec_id, v,
        |   sqrt(list_reduce(list_transform(v, y -> y * y), (s, x2) -> s + x2)) AS nrm
        |  FROM corpus),
-       | e AS (SELECT vec_id,
+       | e AS MATERIALIZED (SELECT vec_id,
        |   list_transform(v, x -> CAST(floor((x / nrm) * $Q) AS BIGINT)) AS qv FROM n)""".stripMargin)
     + s""",
        | p AS (SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib,
@@ -1238,7 +1238,7 @@ object SimilarityOps {
        | qc AS (SELECT qid, pcid,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
        | pp AS (SELECT unnest([${RecallNprobes.mkString(", ")}]) AS p),
-       | probes AS (SELECT pp.p, qc.qid, qc.pcid FROM qc, pp WHERE qc.crank <= pp.p),
+       | probes AS MATERIALIZED (SELECT pp.p, qc.qid, qc.pcid FROM qc, pp WHERE qc.crank <= pp.p),
        | iv_d AS (SELECT probes.p, probes.qid, af.vec_id,
        |   list_reduce(list_transform(range(1, len(af.qv) + 1),
        |     i -> (af.qv[i] - q.qqv[i]) * (af.qv[i] - q.qqv[i])), (s, x) -> s + x) AS dq
@@ -1275,7 +1275,7 @@ object SimilarityOps {
        | qc AS (SELECT qid, pcid,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
        | pp AS (SELECT unnest([1, 2, 4]) AS p),
-       | probes AS (SELECT pp.p, qc.qid, qc.pcid FROM qc, pp WHERE qc.crank <= pp.p),
+       | probes AS MATERIALIZED (SELECT pp.p, qc.qid, qc.pcid FROM qc, pp WHERE qc.crank <= pp.p),
        | sizes AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
        | counts AS (SELECT p, qid, CAST(SUM(sz) - 1 AS BIGINT) AS n_candidates
        |  FROM probes JOIN sizes ON probes.pcid = sizes.cid GROUP BY p, qid),
@@ -1333,7 +1333,7 @@ object SimilarityOps {
         pqUpdateCte(s"pa$i", s"pc$i")
     }.mkString(",")
     s"""$kmeansCtes,
-       | es AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       | es AS MATERIALIZED (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
        |   qv[CAST(mm.m AS INTEGER) * (len(qv) // $PqM) + 1 :
        |      (CAST(mm.m AS INTEGER) + 1) * (len(qv) // $PqM)] AS sqv
        |  FROM e, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
@@ -1347,7 +1347,7 @@ object SimilarityOps {
        |  FROM q, c$KmeansIters c),
        | qc AS (SELECT qid, pcid,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
-       | probes AS (SELECT qid, pcid FROM qc WHERE crank <= $IvfPqNprobe),
+       | probes AS MATERIALIZED (SELECT qid, pcid FROM qc WHERE crank <= $IvfPqNprobe),
        | sizes AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
        | counts AS (SELECT qid, CAST(SUM(sz) - 1 AS BIGINT) AS n_candidates
        |  FROM probes JOIN sizes ON probes.pcid = sizes.cid GROUP BY qid),
@@ -1387,7 +1387,7 @@ object SimilarityOps {
   // refine stage: exact re-rank of the top-RefineR ADC shortlist
   lazy val q153Sql: String =
     s"""$ivfPqAdcCtes,
-       | short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       | short AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
        |  WHERE rn <= $RefineR),
        | nref AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_refined
@@ -1429,7 +1429,7 @@ object SimilarityOps {
        | rv AS (SELECT af.vec_id, list_transform(range(1, len(af.qv) + 1),
        |    i -> af.qv[i] - c.cq[i]) AS rv
        |  FROM af JOIN c$KmeansIters c ON af.cid = c.cid),
-       | esr AS (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+       | esr AS MATERIALIZED (SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
        |   rv[CAST(mm.m AS INTEGER) * (len(rv) // $PqM) + 1 :
        |      (CAST(mm.m AS INTEGER) + 1) * (len(rv) // $PqM)] AS sqv
        |  FROM rv, LATERAL (SELECT unnest(range(0, $PqM)) AS m) mm),
@@ -1443,7 +1443,7 @@ object SimilarityOps {
        |  FROM q, c$KmeansIters c),
        | qc AS (SELECT qid, pcid,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dc, pcid) AS crank FROM qc_d),
-       | probes AS (SELECT qid, pcid FROM qc WHERE crank <= $IvfPqNprobe),
+       | probes AS MATERIALIZED (SELECT qid, pcid FROM qc WHERE crank <= $IvfPqNprobe),
        | sizes AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
        | counts AS (SELECT qid, CAST(SUM(sz) - 1 AS BIGINT) AS n_candidates
        |  FROM probes JOIN sizes ON probes.pcid = sizes.cid GROUP BY qid),
@@ -1492,7 +1492,7 @@ object SimilarityOps {
   // refined residual IVF-PQ: q153's refine stage over q152's ADC chain
   lazy val q156Sql: String =
     s"""$ivfPqResidAdcCtes,
-       | short AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+       | short AS MATERIALIZED (SELECT qid, vec_id FROM (SELECT qid, vec_id,
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adq, vec_id) AS rn FROM adc)
        |  WHERE rn <= $RefineR),
        | nref AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_refined
@@ -2883,7 +2883,7 @@ object SimilarityOps {
       " mixed AS (SELECT doc_id, xor(w, w // 2147483648) AS m FROM win),",
       s" hashes AS (SELECT doc_id, i, MIN(((m * a + b) % $T) % $H) AS v",
       "  FROM mixed CROSS JOIN seeds GROUP BY doc_id, i),",
-      " sig AS (SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sv FROM hashes GROUP BY doc_id)"
+      " sig AS MATERIALIZED (SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY i) AS sv FROM hashes GROUP BY doc_id)"
     ).mkString(" ")
   }
 
@@ -2895,13 +2895,13 @@ object SimilarityOps {
       s"  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),",
       " buckets AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids",
       s"  FROM bands GROUP BY band, band_sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketSize),",
-      " cand AS (SELECT DISTINCT p.pr[1] AS a, p.pr[2] AS b FROM buckets,",
+      " cand AS MATERIALIZED (SELECT DISTINCT p.pr[1] AS a, p.pr[2] AS b FROM buckets,",
       "  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),",
       "   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),",
       " ids AS (SELECT DISTINCT a AS doc_id FROM cand UNION SELECT DISTINCT b FROM cand),",
-      " sh AS (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),",
+      " sh AS MATERIALIZED (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),",
       "   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN ids USING (doc_id)),",
-      " scored AS (SELECT a, b, CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,",
+      " scored AS MATERIALIZED (SELECT a, b, CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,",
       "  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni",
       "  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b)").mkString(" ")
   }
@@ -2921,17 +2921,17 @@ object SimilarityOps {
        |  FROM sig, rr, LATERAL (SELECT unnest(range(0, $NumHashes // rr.r)) AS band) bb),
        | buckets2 AS (SELECT r, band, band_sig, list(doc_id ORDER BY doc_id) AS ids
        |  FROM bands2 GROUP BY r, band, band_sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketSize),
-       | cand2 AS (SELECT DISTINCT r, p.pr[1] AS a, p.pr[2] AS b FROM buckets2,
+       | cand2 AS MATERIALIZED (SELECT DISTINCT r, p.pr[1] AS a, p.pr[2] AS b FROM buckets2,
        |  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),
        |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
-       | upairs AS (SELECT DISTINCT a, b FROM cand2),
+       | upairs AS MATERIALIZED (SELECT DISTINCT a, b FROM cand2),
        | uids AS (SELECT DISTINCT a AS doc_id FROM upairs UNION SELECT DISTINCT b FROM upairs),
-       | ush AS (SELECT d.doc_id, list_distinct(list_transform(range(1, CAST(length(text) AS BIGINT) - 3),
+       | ush AS MATERIALIZED (SELECT d.doc_id, list_distinct(list_transform(range(1, CAST(length(text) AS BIGINT) - 3),
        |   i -> list_reduce(list_transform(range(0, ${graft.plans.RollingHashGrams.K}),
        |     j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT)),
        |    (acc, c) -> (acc * ${graft.plans.RollingHashGrams.B} + c) % ${graft.plans.RollingHashGrams.M}))) AS sh
        |  FROM documents d JOIN uids USING (doc_id)),
-       | uscored AS (SELECT a, b,
+       | uscored AS MATERIALIZED (SELECT a, b,
        |   CASE WHEN CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
        |     CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
        |    THEN 1 ELSE 0 END AS ok
