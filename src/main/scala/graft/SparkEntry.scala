@@ -45,7 +45,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q151 DSIR resample execution (q124's importance weights drawn
   *    through the q62 deterministic hash gate — audit turned selection),
   *    q155 dedup-policy selection (q143's yield curve consumed: the
-  *    largest multiplicity threshold retaining ≥900‰ of max savings)
+  *    largest multiplicity threshold retaining ≥900‰ of max savings),
+  *    q157 substring-removal execution (q128's ExactSubstr audit
+  *    applied: interval unions deleted, docs rebuilt from kept tokens,
+  *    bit_xor cleaned-corpus fingerprint — reconciles with q128)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

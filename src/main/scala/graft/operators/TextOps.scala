@@ -2117,6 +2117,99 @@ object TextOps {
        |FROM tot LEFT JOIN ps USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q157 — substring-dedup removal EXECUTION (q128's audit applied): the
+  // third audit→execution bridge after q151 (q124's weights drawn) and
+  // q155 (q143's threshold picked). The ExactSubstr pass actually runs:
+  // every token inside a qualifying dup-run interval union is DELETED,
+  // the document is rebuilt from the kept tokens, and the output proves
+  // it — per source, docs modified / token mass before and after /
+  // removal share, plus an order-independent corpus fingerprint
+  // (bit_xor of each cleaned doc's 60-bit md5) so two engines must agree
+  // on every cleaned BYTE, not just the counts. tokens_before −
+  // tokens_after must equal q128's tokens_removed per source — the
+  // execution provably implements the accounting (QueriesSpec asserts
+  // the bridge row by row).
+  //
+  // Scale path: the span side rides q125/q128's dup-run machinery
+  // (digests at the scan, repeated-digest semi-join, islanding on dup
+  // rows only; qualifying spans are a handful of rows per affected doc);
+  // reconstruction is ONE left join of the corpus against the
+  // doc-keyed interval lists followed by a map-only per-doc filter —
+  // no position explode, no shuffle beyond the span aggregation the
+  // audit already pays. The per-source rollup is map-side combined;
+  // bit_xor keeps the fingerprint order-independent so no sort exists
+  // anywhere.
+  // ===========================================================
+  def q157SubstringRemovalExec(spark: SparkSession, dir: String): DataFrame = {
+    val iv = dupRunSpans(docs(spark, dir), Seq.empty)
+      .filter(col("run") >= RunThr)
+      .select(col("doc_id"), col("start").as("s"),
+        (col("start") + col("run") + lit(NgramW - 2L)).as("e"))
+      .groupBy("doc_id").agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    docs(spark, dir)
+      .withColumn("otoks", regexp_extract_all(col("text"), lit(wsTokenRe), lit(0)))
+      .join(iv, Seq("doc_id"), "left_outer")
+      // kept = tokens at positions outside the interval union; intervals
+      // can overlap (q128's point) — the exists() test handles overlap
+      // without needing the merge the arithmetic accounting required
+      .withColumn("kept", when(col("iv").isNull, col("otoks")).otherwise(expr(
+        "transform(filter(sequence(1, size(otoks)), i -> " +
+          "NOT exists(iv, l -> i >= l.s AND i <= l.e)), i -> element_at(otoks, i))")))
+      .withColumn("nb", size(col("otoks")).cast("long"))
+      .withColumn("na", size(col("kept")).cast("long"))
+      .withColumn("h", conv(substring(
+        md5(concat_ws(" ", col("kept")).cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("docs_modified"),
+        sum("nb").as("tokens_before"),
+        sum("na").as("tokens_after"),
+        expr("bit_xor(h)").as("corpus_fp"))
+      .withColumn("tokens_removed", col("tokens_before") - col("tokens_after"))
+      .withColumn("removal_permille",
+        expr("tokens_removed * 1000 DIV greatest(tokens_before, 1L)"))
+      .select("source", "n_docs", "docs_modified", "tokens_before",
+        "tokens_after", "tokens_removed", "removal_permille", "corpus_fp")
+      .orderBy("source")
+  }
+
+  val q157Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |   regexp_extract_all(text, '[^ \\t\\n\\r\\f]+') AS otoks,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
+       | b AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $NgramW),
+       | gr AS (SELECT doc_id, u.i AS i,
+       |   md5(array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i + ${NgramW - 1} AS INTEGER)], ' ')) AS g
+       |  FROM b, LATERAL (SELECT unnest(range(1, len(toks) - ${NgramW - 2})) AS i) u),
+       | rep AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2),
+       | dup AS (SELECT doc_id, i FROM gr SEMI JOIN rep USING (g)),
+       | runs AS (SELECT doc_id, i,
+       |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM dup),
+       | rl AS (SELECT doc_id, MIN(i) AS s, COUNT(*) AS run
+       |  FROM runs GROUP BY doc_id, grp),
+       | qv AS (SELECT doc_id, s, s + run + ${NgramW - 2} AS e
+       |  FROM rl WHERE run >= $RunThr),
+       | iv AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv
+       |  FROM qv GROUP BY doc_id),
+       | cl AS (SELECT t.doc_id, t.source, CAST(len(t.otoks) AS BIGINT) AS nb,
+       |   CASE WHEN iv.iv IS NULL THEN t.otoks ELSE
+       |     list_transform(list_filter(range(1, len(t.otoks) + 1),
+       |       i -> len(list_filter(iv.iv, l -> i >= l['s'] AND i <= l['e'])) = 0),
+       |      i -> t.otoks[CAST(i AS INTEGER)]) END AS kept
+       |  FROM t LEFT JOIN iv USING (doc_id)),
+       | fp AS (SELECT doc_id, source, nb, CAST(len(kept) AS BIGINT) AS na,
+       |   CAST(('0x' || substr(md5(COALESCE(array_to_string(kept, ' '), '')), 1, 15)) AS BIGINT) AS h
+       |  FROM cl)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified,
+       | CAST(SUM(nb) AS BIGINT) AS tokens_before,
+       | CAST(SUM(na) AS BIGINT) AS tokens_after,
+       | CAST(SUM(nb) - SUM(na) AS BIGINT) AS tokens_removed,
+       | CAST((SUM(nb) - SUM(na)) * 1000 // GREATEST(SUM(nb), 1) AS BIGINT) AS removal_permille,
+       | bit_xor(h) AS corpus_fp
+       |FROM fp GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q129 — learned quality filter trained INSIDE the engine: an integer
   // batch perceptron over q32's quality features (token count, punct
   // permille, mean-token-length permille + bias), labels from q32's own
@@ -3186,6 +3279,7 @@ object TextOps {
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
+    "q157_substring_removal_exec" -> (q157SubstringRemovalExec _),
     "q129_quality_perceptron" -> (q129QualityPerceptron _),
     "q130_source_divergence" -> (q130SourceDivergence _),
     "q131_epoch_plan" -> (q131EpochPlan _),
@@ -3241,6 +3335,7 @@ object TextOps {
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,
+    "q157_substring_removal_exec" -> q157Sql,
     "q129_quality_perceptron" -> q129Sql,
     "q130_source_divergence" -> q130Sql,
     "q131_epoch_plan" -> q131Sql,

@@ -564,6 +564,21 @@ class PlanSpec extends AnyFunSuite {
       "q153 rank legs (ADC shortlist, refine, exact) lost the bounded-heap rewrite:\n" + p.take(2500))
   }
 
+  test("q157 removal execution: three corpus scans, no cartesian, map-only rebuild") {
+    // the span side is q128's dup-run machinery, whose gram-position frame
+    // is deliberately consumed twice (repeated-digest aggregation + dup
+    // semi-join — re-scanning beats materializing the position explode);
+    // the reconstruction adds exactly one more scan joined against the
+    // doc-keyed interval lists. The execution must not add a fourth scan
+    // or any nested-loop/cartesian join (the rebuild is a per-row filter)
+    val df = SparkEntry.queries("q157_substring_removal_exec")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q157 plans a corpus-squared join:\n" + p.take(2000))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"q157 scans the corpus $scans times:\n" + p.take(2000))
+  }
+
   test("q154 banding sweep: zero corpus scans above the checkpointed verdict") {
     // the three bandings, their candidate union, AND the pair verdict are
     // all materialized behind localCheckpoints — the FINAL plan is rollup

@@ -802,5 +802,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(row.getLong(3) == 3L, s"docs 1-3 affected, doc 4 clean: $row")
     assert(row.getLong(4) == 63L, s"union must be 30+13+20, not the naive 66: $row")
     assert(row.getLong(5) == 63L * 1000 / 73L)
+
+    // q157 executes that exact removal: docs 1-3 are FULLY covered by
+    // their qualifying unions (each collapses to the empty document),
+    // doc 4 is untouched — so the corpus fingerprint is fully predictable:
+    // xor of three empty-string hashes (= one, xor-cancelling pairwise)
+    // with doc 4's original single-spaced text hash
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val e = SparkEntry.queries("q157_substring_removal_exec")(spark, d).collect()
+    assert(e.length == 1)
+    val ex = e.head // source, n_docs, docs_modified, before, after, removed, permille, fp
+    assert(ex.getLong(1) == 4L && ex.getLong(2) == 3L)
+    assert(ex.getLong(3) == 73L && ex.getLong(4) == 10L && ex.getLong(5) == 63L)
+    assert(ex.getLong(7) == (h60("") ^ h60(mk(1 to 10, "u"))),
+      s"cleaned-corpus fingerprint mismatch: $ex")
+  }
+
+  test("q157 execution reconciles with q128's accounting on every source") {
+    // the execution must implement the audit: per source, identical doc
+    // counts and token totals, docs_modified == docs_affected, and the
+    // executed token delta equal to the accounted removal
+    val audit = SparkEntry.queries("q128_substring_removal")(spark, dir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exec = SparkEntry.queries("q157_substring_removal_exec")(spark, dir).collect()
+    assert(exec.nonEmpty)
+    exec.foreach { r =>
+      val (src, nDocs, mod, before, after, removed) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (aDocs, aTotal, aAffected, aRemoved) = audit(src)
+      assert(nDocs == aDocs && before == aTotal, s"$src: corpus grain diverged")
+      assert(mod == aAffected, s"$src: modified $mod docs, audit says $aAffected")
+      assert(removed == aRemoved, s"$src: removed $removed tokens, audit says $aRemoved")
+      assert(after == before - removed)
+    }
   }
 }
