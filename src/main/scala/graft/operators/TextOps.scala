@@ -1842,6 +1842,18 @@ object TextOps {
   // partial aggregations); the gate + rollup add one map stage and one
   // S-row aggregation — nothing new shuffles.
   // ===========================================================
+  /** q151's deterministic acceptance draw: hash60("dsir:" + doc_id) ‰.
+    * The "dsir:" domain tag decorrelates this draw from q62's mixture gate
+    * (which hashes the bare doc_id) — stacked deterministic samplers must
+    * draw independently, or every doc surviving a p-permille mixture gate
+    * would be exactly the set the resampler keeps at clamped weight p.
+    * Exact integer path (no floats): first 15 md5 hex chars → 60-bit long
+    * → mod 1000; pinned bit-for-bit by a QueriesSpec test against a pure
+    * JVM MessageDigest reference. */
+  def dsirGate(docId: Column): Column =
+    conv(substring(md5(concat(lit("dsir:"), docId.cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 1000
+
   def q151DsirResample(spark: SparkSession, dir: String): DataFrame = {
     val (toks, cls) = dsirToksAndClasses(spark, dir)
     val perDoc = toks.join(broadcast(cls), Seq("b"))
@@ -1849,9 +1861,7 @@ object TextOps {
       .agg(sum("cls").as("w"), count(lit(1)).as("n_toks"))
     val gated = perDoc
       .withColumn("rate_permille", greatest(least(col("w"), lit(1000L)), lit(0L)))
-      .withColumn("gate",
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long") % 1000)
+      .withColumn("gate", dsirGate(col("doc_id")))
       .withColumn("kept", col("gate") < col("rate_permille"))
     gated.groupBy("source")
       .agg(
@@ -1869,7 +1879,7 @@ object TextOps {
        | pd AS (SELECT source, doc_id, SUM(cls) AS w, COUNT(*) AS n_toks
        |  FROM t JOIN cls USING (b) GROUP BY source, doc_id),
        | g AS (SELECT *, GREATEST(LEAST(w, 1000), 0) AS rate_permille,
-       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS gate
+       |   CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS gate
        |  FROM pd),
        | k AS (SELECT *, gate < rate_permille AS kept FROM g)
        |SELECT source, COUNT(*) AS n_docs,
@@ -1877,7 +1887,7 @@ object TextOps {
        | CAST(SUM(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
        | CAST(SUM(CASE WHEN kept THEN w ELSE 0 END) AS BIGINT) AS kept_weight,
        | CAST(SUM(w) AS BIGINT) AS sum_weight,
-       | SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // GREATEST(COUNT(*), 1) AS kept_permille
+       | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // GREATEST(COUNT(*), 1) AS BIGINT) AS kept_permille
        |FROM k GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================

@@ -776,6 +776,39 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q151 gate is the exact 60-bit md5 integer path, domain-tagged 'dsir:'") {
+    // Pins the resample gate bit-for-bit against a pure-JVM MessageDigest
+    // reference so the oracle SQL and the Column path cannot silently
+    // diverge: gate = int(md5("dsir:" + doc_id)[0:15 hex], 16) % 1000, and
+    // a doc is kept iff gate < clamp(w, 0, 1000) — exact integers, no
+    // floats, no partition-order dependence.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ref(id: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dsir:" + id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000
+    }
+    val ids = (0 until 64).map(i => s"doc-$i") ++ Seq("", "漢字-id", "a b c")
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), graft.operators.TextOps.dsirGate(col("doc_id")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(got(id) == ref(id), s"gate('$id')"))
+    // acceptance semantics on planted weights straddling both clamp edges
+    val planted = Seq(("always", 5000L), ("edge-hi", 1000L), ("edge-lo", 0L),
+      ("anti", -7L)) ++ (0 until 40).map(i => (s"doc-$i", (i * 37L % 1100) - 50))
+    val kept = planted.toDF("doc_id", "w")
+      .withColumn("kept",
+        graft.operators.TextOps.dsirGate(col("doc_id")) <
+          greatest(least(col("w"), lit(1000L)), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    kept.foreach { case (id, w, k) =>
+      assert(k == (ref(id) < math.max(0L, math.min(1000L, w))), s"'$id' w=$w")
+      if (w >= 1000L) assert(k, s"'$id' target-like doc must always be kept")
+      if (w <= 0L) assert(!k, s"'$id' anti-target doc must never be kept")
+    }
+  }
+
   test("q128 interval union never double-counts overlapping qualifying spans") {
     // Corpus engineered so doc 1 holds TWO qualifying dup runs whose token
     // coverages overlap: doc 1 = w1..w30; doc 2 = w1..w13 makes doc 1's
