@@ -703,24 +703,32 @@ object RelationalOps {
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).cast("long")
         .as("dup_pk"), count(lit(1)).as("n_pk"))
-    val rows = audited.crossJoin(dupKeys)
-    // one row per constraint: name, rows checked, violations, pass —
-    // pivoted with ONE stack() over the single joined aggregate row (a
-    // unionByName of per-constraint selects re-evaluated the aggregates
-    // per branch: 6 extra corpus scans at 100 TB for a 6-row output)
-    val constraints = Seq(
-      ("orderkey_not_null", "n", "null_orderkey"),
-      ("quantity_in_(0,50]", "n", "qty_range"),
-      ("discount_in_[0,0.1]", "n", "disc_range"),
-      ("returnflag_in_domain", "n", "flag_domain"),
-      ("extendedprice_positive", "n", "price_positive"),
-      ("pk_unique(orderkey,linenumber)", "n_pk", "dup_pk"))
-    val stackArgs = constraints.map { case (name, checked, viol) =>
-      s"'$name', CAST($checked AS BIGINT), CAST($viol AS BIGINT)"
+    // one row per constraint: name, rows checked, violations, pass. The
+    // five single-pass constraints pivot with ONE stack() directly over the
+    // scan aggregate, and the pk check unions in as its own 1-row branch —
+    // no crossJoin. (History: a unionByName of per-constraint selects
+    // re-evaluated the aggregates per branch — 12 static corpus scans; the
+    // r10 fix stacked over audited×dupKeys, but that BroadcastNestedLoopJoin
+    // + Generate added two query stages and a broadcast of per-query fixed
+    // latency, ~2× wall at sf0.1. Two independent aggregate branches and a
+    // 6-row union is both the fastest and the scale shape: each branch is
+    // one scan + partial aggregation, nothing joins.)
+    val scanConstraints = Seq(
+      ("orderkey_not_null", "null_orderkey"),
+      ("quantity_in_(0,50]", "qty_range"),
+      ("discount_in_[0,0.1]", "disc_range"),
+      ("returnflag_in_domain", "flag_domain"),
+      ("extendedprice_positive", "price_positive"))
+    val stackArgs = scanConstraints.map { case (name, viol) =>
+      s"'$name', CAST(n AS BIGINT), CAST($viol AS BIGINT)"
     }.mkString(", ")
-    rows
-      .select(expr(s"stack(${constraints.size}, $stackArgs) " +
+    audited
+      .select(expr(s"stack(${scanConstraints.size}, $stackArgs) " +
         "AS (constraint, checked, violations)"))
+      .unionByName(dupKeys.select(
+        lit("pk_unique(orderkey,linenumber)").as("constraint"),
+        col("n_pk").cast("long").as("checked"),
+        col("dup_pk").cast("long").as("violations")))
       .withColumn("pass", col("violations") === 0L)
       .orderBy("constraint")
   }

@@ -274,7 +274,7 @@ class PlanSpec extends AnyFunSuite {
     val bnljBounded = Set(
       "q37_tfidf", "q75_pmi_collocations", "q76_bm25", // 1-row corpus totals
       "q126_hybrid_rrf", // 1-row corpus total inside the shared q76 scorer
-      "q84_funnel", "q87_quality_audit", "q94_benford_audit", // 1-row scalars
+      "q84_funnel", "q94_benford_audit", // 1-row scalars
       "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
