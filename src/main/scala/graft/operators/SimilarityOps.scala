@@ -133,15 +133,19 @@ object SimilarityOps {
       .select(col("doc_id"), minhash_sig(col("text"), 5, NumHashes).as("sig"))
   }
 
-  /** Banded buckets for a given rows-per-band r over a signature frame. */
-  private def bucketsForBand(sig: DataFrame, r: Int): DataFrame = {
-    // bands carry only (doc_id, band, band_sig) — the bucket shuffle moves a
-    // few bytes per doc instead of the documents themselves
-    val bands = sig
+  /** The (doc_id, band, band_sig) projection for rows-per-band r — bands
+    * carry only a few bytes per doc, never the documents. Exposed for the
+    * QueriesSpec precondition check on uncapped bucket sizes. */
+  private[graft] def bandedSigs(sig: DataFrame, r: Int): DataFrame =
+    sig
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, ${NumHashes / r - 1}), b -> " +
           s"concat_ws(':', transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+
+  /** Banded buckets for a given rows-per-band r over a signature frame. */
+  private def bucketsForBand(sig: DataFrame, r: Int): DataFrame = {
+    val bands = bandedSigs(sig, r)
     // ONE shuffle materializes each bucket's sorted member ids with bounded
     // reducer state (smallest_k, k = cap+1): length cap+1 proves the bucket
     // is degenerate (ubiquitous shingle pattern ⇒ n²/2 pairs, no signal) and
@@ -274,16 +278,26 @@ object SimilarityOps {
       .select("a", "b", "ok")
       .localCheckpoint()
     // detectable truth = pairs verified under ANY banding in the sweep
-    val truth = verdict.agg(sum("ok").as("truth_pairs"))
-    candAll.join(verdict, Seq("a", "b"))
+    val truth = verdict.agg(coalesce(sum("ok"), lit(0L)).as("truth_pairs"))
+    val perBand = candAll.join(verdict, Seq("a", "b"))
       .groupBy("band_rows")
       .agg(count(lit(1)).as("n_candidates"), sum("ok").as("n_verified"))
+    // a banding that proposes zero candidates must still report its row
+    // (n_candidates = 0), not vanish from the sweep: left-join the static
+    // swept-configuration list rather than grouping candidates alone
+    val bandList = spark.createDataFrame(SweepBandRows.map(r => Tuple1(r.toLong)))
+      .toDF("band_rows")
+    bandList.join(perBand, Seq("band_rows"), "left_outer")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("n_verified", coalesce(col("n_verified"), lit(0L)))
       .crossJoin(broadcast(truth))
       .withColumn("n_bands", expr(s"CAST($NumHashes AS BIGINT) DIV band_rows"))
       .withColumn("recall_permille", expr(
         "CASE WHEN truth_pairs = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE 1000 * n_verified DIV truth_pairs END"))
-      .withColumn("precision_permille", expr("1000 * n_verified DIV n_candidates"))
+      .withColumn("precision_permille", expr(
+        "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000 * n_verified DIV n_candidates END"))
       .select("band_rows", "n_bands", "n_candidates", "n_verified",
         "truth_pairs", "recall_permille", "precision_permille")
       .orderBy("band_rows")
@@ -2502,7 +2516,13 @@ object SimilarityOps {
   // ===========================================================
   val IvfPqNprobe = 2
 
-  def q150IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** The raw-encoded IVF-PQ dataflow through the per-candidate ADC scores
+    * — shared by q150 (ADC top-k) and q153 (refined top-k), mirroring
+    * residAdcScores for the residual pair q152/q156 so the raw and
+    * residual variants cannot drift apart under future edits. Returns
+    * (index, queries, counts, adq) where adq = (qid, vec_id, adq). */
+  private def rawAdcScores(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (centFinal, assigned) = kmeansTrain(spark, dir)
     val (es, books, afin) = pqTrain(spark, dir)
     val codes = afin.select("vec_id", "m", "cid")
@@ -2523,7 +2543,7 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
 
-    // ADC ranking over the candidates: q59's per-query (m, cid) distance
+    // ADC scoring over the candidates: q59's per-query (m, cid) distance
     // tables against the trained codebooks, summed over subspaces
     val centFinalPq = spark.createDataFrame(
       books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
@@ -2536,25 +2556,22 @@ object SimilarityOps {
         graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
           lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
       .select(col("qid"), col("m"), col("cid"), col("ld2"))
-    val wq = Window.partitionBy("qid").orderBy("adq", "vec_id")
-    val pqk = cand.join(codes, Seq("vec_id"))
+    val adq = cand.join(codes, Seq("vec_id"))
       .join(broadcast(dt), Seq("qid", "m", "cid"))
       .groupBy("qid", "vec_id").agg(sum("ld2").as("adq"))
+    (index, queries, counts, adq)
+  }
+
+  def q150IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (index, queries, counts, adq) = rawAdcScores(spark, dir)
+    val wq = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    val pqk = adq
       .withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= RecallK)
       .select("qid", "vec_id")
 
-    // exact ground truth: q72's broadcast shape over true integer distances
-    val wx = Window.partitionBy("qid").orderBy("dq", "vec_id")
-    val exact = index.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dq", col("nv") + col("nq") -
-        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
-      .withColumn("rank", row_number().over(wx))
-      .filter(col("rank") <= RecallK)
-      .select("qid", "vec_id")
-
-    exact.join(pqk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+    exactTopK(index, queries)
+      .join(pqk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .join(counts, Seq("qid"))
@@ -2740,41 +2757,10 @@ object SimilarityOps {
   val RefineR = 3 * RecallK
 
   def q153IvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val (centFinal, assigned) = kmeansTrain(spark, dir)
-    val (es, books, afin) = pqTrain(spark, dir)
-    val codes = afin.select("vec_id", "m", "cid")
-    val index = assigned.select(col("cid"), col("vec_id"), col("qv"))
-      .withColumn("nv", graft.plans.ArrayDot.array_dot(col("qv"), col("qv")))
-    val queries = index.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("nv").as("nq"))
-
-    val probes = ivfProbes(queries, driverCents(centFinal), IvfPqNprobe)
-      .select("qid", "pcid")
-    val sizes = index.groupBy("cid").agg(count(lit(1)).as("sz"))
-    val counts = probes.join(broadcast(sizes), col("pcid") === col("cid"))
-      .groupBy("qid").agg((sum("sz") - lit(1L)).as("n_candidates"))
-    val cand = index.select("cid", "vec_id")
-      .join(broadcast(probes), col("cid") === col("pcid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id")
-
-    // ADC pass: q150's distance tables and candidate scoring, but kept to
-    // a top-RefineR SHORTLIST instead of the final top-k
-    val centFinalPq = spark.createDataFrame(
-      books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
-      .toDF("m", "cid", "cq")
-    val dt = es.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("m"), col("sqv"))
-      .join(broadcast(centFinalPq.withColumn("ncq",
-        graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))), Seq("m"))
-      .withColumn("ld2",
-        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
-          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
-      .select(col("qid"), col("m"), col("cid"), col("ld2"))
+    val (index, queries, counts, adq) = rawAdcScores(spark, dir)
+    // ADC pass kept to a top-RefineR SHORTLIST instead of the final top-k
     val ws = Window.partitionBy("qid").orderBy("adq", "vec_id")
-    val short = cand.join(codes, Seq("vec_id"))
-      .join(broadcast(dt), Seq("qid", "m", "cid"))
-      .groupBy("qid", "vec_id").agg(sum("ld2").as("adq"))
+    val short = adq
       .withColumn("rank", row_number().over(ws))
       .filter(col("rank") <= RefineR)
       .select("qid", "vec_id")
@@ -2792,17 +2778,8 @@ object SimilarityOps {
       .filter(col("rank") <= RecallK)
       .select("qid", "vec_id")
 
-    // exact ground truth: q72's broadcast shape over true integer distances
-    val wx = Window.partitionBy("qid").orderBy("dq", "vec_id")
-    val exact = index.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dq", col("nv") + col("nq") -
-        lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("qqv")))
-      .withColumn("rank", row_number().over(wx))
-      .filter(col("rank") <= RecallK)
-      .select("qid", "vec_id")
-
-    exact.join(refk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
+    exactTopK(index, queries)
+      .join(refk.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left_outer")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .join(counts, Seq("qid"))
@@ -2936,17 +2913,19 @@ object SimilarityOps {
        |     CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
        |    THEN 1 ELSE 0 END AS ok
        |  FROM upairs JOIN ush sa ON sa.doc_id = a JOIN ush sb ON sb.doc_id = b),
-       | truth AS (SELECT CAST(SUM(ok) AS BIGINT) AS truth_pairs FROM uscored),
+       | truth AS (SELECT CAST(COALESCE(SUM(ok), 0) AS BIGINT) AS truth_pairs FROM uscored),
        | per AS (SELECT cand2.r, CAST(COUNT(*) AS BIGINT) AS n_candidates,
        |   CAST(SUM(u.ok) AS BIGINT) AS n_verified
        |  FROM cand2 JOIN uscored u ON cand2.a = u.a AND cand2.b = u.b GROUP BY cand2.r)
-       |SELECT CAST(per.r AS BIGINT) AS band_rows,
-       | CAST($NumHashes // per.r AS BIGINT) AS n_bands,
-       | per.n_candidates, per.n_verified, truth.truth_pairs,
+       |SELECT CAST(rr.r AS BIGINT) AS band_rows,
+       | CAST($NumHashes // rr.r AS BIGINT) AS n_bands,
+       | CAST(COALESCE(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+       | CAST(COALESCE(per.n_verified, 0) AS BIGINT) AS n_verified, truth.truth_pairs,
        | CASE WHEN truth.truth_pairs = 0 THEN CAST(0 AS BIGINT)
-       |  ELSE 1000 * per.n_verified // truth.truth_pairs END AS recall_permille,
-       | 1000 * per.n_verified // per.n_candidates AS precision_permille
-       |FROM per, truth ORDER BY band_rows""".stripMargin.replace("\n", " ")
+       |  ELSE 1000 * COALESCE(per.n_verified, 0) // truth.truth_pairs END AS recall_permille,
+       | CASE WHEN COALESCE(per.n_candidates, 0) = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE 1000 * per.n_verified // per.n_candidates END AS precision_permille
+       |FROM rr LEFT JOIN per ON per.r = rr.r CROSS JOIN truth ORDER BY band_rows""".stripMargin.replace("\n", " ")
 
   val q109Sql: String =
     s"""$q41Ctes,

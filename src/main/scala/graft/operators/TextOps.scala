@@ -2167,8 +2167,13 @@ object TextOps {
           "NOT exists(iv, l -> i >= l.s AND i <= l.e)), i -> element_at(otoks, i))")))
       .withColumn("nb", size(col("otoks")).cast("long"))
       .withColumn("na", size(col("kept")).cast("long"))
+      // untouched docs fingerprint their ORIGINAL bytes (spacing intact);
+      // modified docs are rebuilt from kept tokens, so the single-space
+      // join IS their cleaned byte form by definition
       .withColumn("h", conv(substring(
-        md5(concat_ws(" ", col("kept")).cast("binary")), 1, 15), 16, 10).cast("long"))
+        md5(when(col("iv").isNull, col("text"))
+          .otherwise(concat_ws(" ", col("kept"))).cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("docs_modified"),
@@ -2184,7 +2189,7 @@ object TextOps {
   }
 
   val q157Sql: String =
-    s"""WITH t AS (SELECT doc_id, source,
+    s"""WITH t AS (SELECT doc_id, source, text,
        |   regexp_extract_all(text, '[^ \\t\\n\\r\\f]+') AS otoks,
        |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents),
        | b AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $NgramW),
@@ -2201,14 +2206,16 @@ object TextOps {
        |  FROM rl WHERE run >= $RunThr),
        | iv AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv
        |  FROM qv GROUP BY doc_id),
-       | cl AS (SELECT t.doc_id, t.source, CAST(len(t.otoks) AS BIGINT) AS nb,
+       | cl AS (SELECT t.doc_id, t.source, t.text, CAST(len(t.otoks) AS BIGINT) AS nb,
+       |   iv.iv IS NULL AS untouched,
        |   CASE WHEN iv.iv IS NULL THEN t.otoks ELSE
        |     list_transform(list_filter(range(1, len(t.otoks) + 1),
        |       i -> len(list_filter(iv.iv, l -> i >= l['s'] AND i <= l['e'])) = 0),
        |      i -> t.otoks[CAST(i AS INTEGER)]) END AS kept
        |  FROM t LEFT JOIN iv USING (doc_id)),
        | fp AS (SELECT doc_id, source, nb, CAST(len(kept) AS BIGINT) AS na,
-       |   CAST(('0x' || substr(md5(COALESCE(array_to_string(kept, ' '), '')), 1, 15)) AS BIGINT) AS h
+       |   CAST(('0x' || substr(md5(CASE WHEN untouched THEN text
+       |     ELSE COALESCE(array_to_string(kept, ' '), '') END), 1, 15)) AS BIGINT) AS h
        |  FROM cl)
        |SELECT source, COUNT(*) AS n_docs,
        | CAST(SUM(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified,

@@ -686,10 +686,23 @@ class QueriesSpec extends AnyFunSuite {
 
   test("q154 banding sweep: configs nest and r=8 reproduces q41's serving candidates") {
     // bands of 2r hashes are concatenations of two bands of r: a pair
-    // matching some 2r-band matches both r-halves, so (cap aside, and no
-    // bucket hits the cap at this sf) candidate and verified sets NEST
-    // downward as r grows. The r=8 leg is exactly q41's serving config —
-    // its candidate volume must equal the q41 chain's pair count.
+    // matching some 2r-band matches both r-halves, so candidate and
+    // verified sets NEST downward as r grows — PROVIDED no bucket hits the
+    // MaxBucketSize cap (a capped r=4 bucket can drop pairs r=8 keeps).
+    // Assert that precondition directly instead of assuming it, so a
+    // data-scale change fails here with a readable message rather than as
+    // a confusing monotonicity violation below.
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val ops = graft.operators.SimilarityOps
+    val sig = ops.q41Sig(spark, dir).localCheckpoint()
+    ops.SweepBandRows.foreach { r =>
+      val biggest = ops.bandedSigs(sig, r)
+        .groupBy("band", "band_sig").agg(count(lit(1)).as("sz"))
+        .agg(max("sz")).head().getLong(0)
+      assert(biggest <= ops.MaxBucketSize,
+        s"r=$r has a bucket of size $biggest > cap ${ops.MaxBucketSize} — " +
+          "the nesting assertions below are not valid at this data scale")
+    }
     val rows = SparkEntry.queries("q154_lsh_band_sweep")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
