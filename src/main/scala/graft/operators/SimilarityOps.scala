@@ -478,12 +478,26 @@ object SimilarityOps {
   // ===========================================================
   def q48DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, pairs) = neardupCorpusAndPairs(spark, dir)
-    // adjacency WITH self-loops: new label = min comp over N(v) ∪ {v}, so a
-    // round is ONE join + ONE aggregate — no second "merge with own label"
-    // join (the self-edge carries it through the same groupBy)
+    val labels = minLabelComponents(pairs)
+    dupHistogram(corpus, labels, labels.count())
+  }
+
+  /** Min-label connected components over an undirected pair frame
+    * (ia, ib): one row (vec_id, comp) per ACTIVE node — a node appearing
+    * in some pair — with comp = the min id reachable in its component.
+    * Shared by q48 (cluster histogram) and q158 (near-dup removal).
+    *
+    * Adaptive physical strategy (the AQE move, applied to graph shape):
+    * the verified-dup subgraph is a sliver of the corpus, and its runtime
+    * size is already on the driver. Below the threshold — ~4M edges ≈
+    * 64 MB of longs — a driver union-find labels the whole subgraph in
+    * ONE pass with zero shuffle rounds; above it, an O(diameter)-round
+    * distributed min-label loop takes over. Both paths produce the
+    * identical labeling (min id per connected component). */
+  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     // materialize the verified pairs ONCE before deriving views — the
     // undirected union alone references the subtree twice, so without this
-    // checkpoint the full LSH+cosine pair discovery (the dominant cost)
+    // checkpoint the full pair-discovery chain (the dominant cost)
     // replays per reference
     val p = pairs.localCheckpoint()
     val undirected = p.select(col("ia").as("src"), col("ib").as("dst"))
@@ -497,13 +511,6 @@ object SimilarityOps {
     val nActiveEdges = undirected.count()
     val loopParts = math.max(1, (nActiveEdges / 1000000L).toInt)
 
-    // Adaptive physical strategy (the AQE move, applied to graph shape):
-    // the verified-dup subgraph is a sliver of the corpus, and its runtime
-    // size is already on the driver (nActiveEdges). Below the threshold —
-    // ~4M edges ≈ 64 MB of longs — a driver union-find labels the whole
-    // subgraph in ONE pass with zero shuffle rounds; above it, the
-    // O(diameter)-round distributed min-label loop takes over. Both paths
-    // produce the identical labeling (min id per connected component).
     val SmallGraphEdges = 4L << 20
     if (nActiveEdges <= SmallGraphEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -521,23 +528,23 @@ object SimilarityOps {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min root wins
       }
       val comps = parent.keys.toSeq.map(v => (v, find(v)))
-      val nActive = comps.size.toLong
-      val labels = corpus.sparkSession.createDataFrame(comps).toDF("vec_id", "comp")
-      return dupHistogram(corpus, labels, nActive)
+      return p.sparkSession.createDataFrame(comps).toDF("vec_id", "comp")
     }
 
     // propagate only over the ACTIVE subgraph — nodes that appear in some
     // pair. Singletons (the overwhelming majority of a real corpus) can
     // never change label, so keeping them out of the loop shrinks every
-    // round from |corpus| to ~2·|pairs| rows; they rejoin as size-1
-    // clusters arithmetically at the end.
+    // round from |corpus| to ~2·|pairs| rows; they rejoin arithmetically
+    // downstream (q48's size-1 clusters, q158's untouched docs).
+    // adjacency WITH self-loops: new label = min comp over N(v) ∪ {v}, so a
+    // round is ONE join + ONE aggregate — no second "merge with own label"
+    // join (the self-edge carries it through the same groupBy)
     val adj = undirected.union(active.select(col("src"), col("src").as("dst")))
       .repartition(loopParts, col("src"))
       .localCheckpoint()
     var labels = active.select(col("src").as("vec_id"))
       .withColumn("comp", col("vec_id"))
       .repartition(loopParts, col("vec_id")).localCheckpoint()
-    val nActive = labels.count()
     // min-propagation is monotone non-increasing, so the label-sum is a
     // convergence certificate: unchanged sum ⇔ no label moved this round —
     // a single-stage aggregate over the checkpointed result instead of a
@@ -563,9 +570,8 @@ object SimilarityOps {
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"[graft] q48: label propagation hit the $maxIter-round cap before converging — cluster histogram may split long chains")
-
-    dupHistogram(corpus, labels, nActive)
+        s"[graft] minLabelComponents: label propagation hit the $maxIter-round cap before converging — component labels may split long chains")
+    labels
   }
 
   /** q48 output shape: cluster-size histogram over active components plus
@@ -1737,6 +1743,70 @@ object SimilarityOps {
   }
 
   // ===========================================================
+  // q158 — near-dup removal EXECUTION (q109's selection applied): the
+  // fourth audit→execution bridge after q151 (q124's weights drawn),
+  // q155 (q143's threshold picked) and q157 (q128's spans deleted). The
+  // verified LSH pair set (q41's chain, integer Jaccard gate) closes
+  // into connected components (the adaptive q48 labeling — a~b, b~c
+  // collapse to ONE group), each component keeps its single best copy
+  // (max type-token ratio, ties to the lower doc_id — q109's quality
+  // rule lifted from pairs to whole clusters, so chained dups can no
+  // longer transitively drop every copy), and the corpus is rebuilt
+  // from the survivors. Output per source: docs before/dropped, token
+  // mass before/after, removal share, and an order-independent corpus
+  // fingerprint (bit_xor of each kept doc's original-byte 60-bit md5 —
+  // kept docs are unmodified, so the fingerprint pins the rebuilt
+  // corpus byte-exactly, the q157 convention).
+  //
+  // Scale path: pair discovery is the banded, bucket-capped q41 chain
+  // (never corpus²); labeling is adaptive (driver union-find under 4M
+  // edges, O(diameter) distributed min-label rounds above); the ranked
+  // in-component selection windows only the pair-bounded active sliver;
+  // and the loser set broadcasts (size-gated, q109's move) into ONE
+  // final corpus pass. Nothing beyond the audit chain shuffles.
+  // ===========================================================
+  def q158NearDupRemovalExec(spark: SparkSession, dir: String): DataFrame = {
+    val dups = q41Scored(spark, dir)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select(col("a").as("ia"), col("b").as("ib"))
+    val labels = minLabelComponents(dups) // (vec_id, comp); checkpointed
+    val qual = docs(spark, dir)
+      .withColumn("tk", regexp_extract_all(lower(col("text")),
+        lit(graft.operators.TextOps.wsTokenRe), lit(0)))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("tk")).cast("long").as("tokens"),
+        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
+          .as("ttr"))
+    // active docs rank INSIDE their component by quality; every copy but
+    // rank 1 drops. The labels/losers slivers are pair-bounded: broadcast
+    // them unless the corpus is duplicate-dense (q41's size gate).
+    val smallSet = labels.count() <= (1L << 20)
+    def gated(df: DataFrame): DataFrame = if (smallSet) broadcast(df) else df
+    val wc = Window.partitionBy("comp").orderBy(col("ttr").desc, col("doc_id"))
+    val losers = qual
+      .join(gated(labels.withColumnRenamed("vec_id", "doc_id")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), lit(1L).as("dropped"))
+    qual.join(gated(losers), Seq("doc_id"), "left_outer")
+      .withColumn("h",
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("docs_dropped"),
+        sum("tokens").as("tokens_before"),
+        sum(when(col("dropped").isNull, col("tokens")).otherwise(0L)).as("tokens_after"),
+        coalesce(expr("bit_xor(CASE WHEN dropped IS NULL THEN h END)"), lit(0L))
+          .as("corpus_fp"))
+      .withColumn("tokens_removed", col("tokens_before") - col("tokens_after"))
+      .withColumn("removal_permille",
+        expr("tokens_removed * 1000 DIV greatest(tokens_before, 1L)"))
+      .select("source", "n_docs", "docs_dropped", "tokens_before",
+        "tokens_after", "tokens_removed", "removal_permille", "corpus_fp")
+      .orderBy("source")
+  }
+
+  // ===========================================================
   // q112 — cross-modal alignment filter (the CLIP-score gate of LAION /
   // DataComp curation: drop caption↔media pairs whose embeddings
   // disagree). `documents` rows pair with `embeddings` rows on
@@ -2790,6 +2860,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_neardup_removal_exec" -> (q158NearDupRemovalExec _),
     "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
     "q154_lsh_band_sweep" -> (q154LshBandSweep _),
     "q153_ivfpq_refine" -> (q153IvfPqRefine _),
@@ -2944,6 +3015,41 @@ object SimilarityOps {
        |FROM qual LEFT JOIN losers l ON qual.doc_id = l.doc_id
        |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
+  /** Oracle: brute-force transitive closure over the same verified pair
+    * set (recursive CTE, min reachable id = component label), then the
+    * identical in-component quality ranking. The RECURSIVE keyword is
+    * spliced onto the shared q41 CTE chain's WITH. */
+  val q158Sql: String =
+    s"""$q41Ctes,
+       | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
+       | adjr AS (SELECT a AS src, b AS dst FROM dup UNION ALL SELECT b, a FROM dup),
+       | reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM adjr)
+       |  UNION
+       |  SELECT r.src, a2.dst FROM reach r JOIN adjr a2 ON r.dst = a2.src),
+       | compx AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+       | qual0 AS (SELECT doc_id, source, text,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS tk FROM documents),
+       | qual AS (SELECT doc_id, source, text, CAST(len(tk) AS BIGINT) AS tokens,
+       |   CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS BIGINT) * 1000 // len(tk)
+       |    ELSE 0 END AS ttr FROM qual0),
+       | ranked AS (SELECT c.doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY c.comp ORDER BY q.ttr DESC, c.doc_id) AS rk
+       |  FROM compx c JOIN qual q USING (doc_id)),
+       | losers AS (SELECT doc_id FROM ranked WHERE rk > 1),
+       | fpx AS (SELECT q.source, q.tokens, l.doc_id IS NOT NULL AS dropped,
+       |   CAST(('0x' || substr(md5(q.text), 1, 15)) AS BIGINT) AS h
+       |  FROM qual q LEFT JOIN losers l USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
+       | CAST(SUM(tokens) AS BIGINT) AS tokens_before,
+       | CAST(SUM(CASE WHEN dropped THEN 0 ELSE tokens END) AS BIGINT) AS tokens_after,
+       | CAST(SUM(CASE WHEN dropped THEN tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+       | CAST(SUM(CASE WHEN dropped THEN tokens ELSE 0 END) * 1000 // GREATEST(SUM(tokens), 1) AS BIGINT) AS removal_permille,
+       | COALESCE(bit_xor(CASE WHEN dropped THEN NULL ELSE h END), 0) AS corpus_fp
+       |FROM fpx GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val q134Sql: String =
     s"""$q41Ctes,
        | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
@@ -3030,5 +3136,6 @@ object SimilarityOps {
     "q72_ann_recall" -> q72Sql,
     "q106_hard_negatives" -> q106Sql,
     "q107_coverage_sample" -> q107Sql,
-    "q109_canonical_selection" -> q109Sql)
+    "q109_canonical_selection" -> q109Sql,
+    "q158_neardup_removal_exec" -> q158Sql)
 }

@@ -822,6 +822,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 removal keeps exactly one canonical doc per near-dup component") {
+    // independent accounting: each connected component of the verified
+    // pair graph loses all members but one, so total docs_dropped must
+    // equal (active nodes − components) — computed here straight from the
+    // shared labeling helper, not from q158's own rollup. Also: kept token
+    // mass never exceeds the corpus and every source keeps >= 1 doc... a
+    // source CAN lose all docs only if every doc is a non-canonical dup,
+    // which the planted corpus doesn't produce.
+    import org.apache.spark.sql.functions.{col, lit}
+    val ops = graft.operators.SimilarityOps
+    val rows = SparkEntry.queries("q158_neardup_removal_exec")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, dropped, tb, ta, tr, pm) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(dropped <= nDocs && ta <= tb && tr == tb - ta,
+        s"${r.getString(0)}: inconsistent accounting")
+      assert(pm == tr * 1000 / math.max(tb, 1L))
+    }
+    val labels = ops.minLabelComponents(
+      ops.q41Scored(spark, dir)
+        .filter(col("inter") * lit(2L) >= col("uni"))
+        .select(col("a").as("ia"), col("b").as("ib")))
+    val nActive = labels.count()
+    val nComp = labels.select("comp").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nActive - nComp,
+      s"dropped ${rows.map(_.getLong(2)).sum} != active $nActive - components $nComp")
+  }
+
   test("q128 interval union never double-counts overlapping qualifying spans") {
     // Corpus engineered so doc 1 holds TWO qualifying dup runs whose token
     // coverages overlap: doc 1 = w1..w30; doc 2 = w1..w13 makes doc 1's
