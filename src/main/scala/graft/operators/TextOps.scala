@@ -3031,6 +3031,76 @@ object TextOps {
        |FROM el WHERE rn = 1 ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q159 — quality-filter EXECUTION (q139's calibration applied): the
+  // fifth audit→execution bridge after q151/q155/q157/q158. q139 picks
+  // each source's largest score cutoff still meeting the 600‰ acceptance
+  // target; this pass actually drops every document scoring below its
+  // source's threshold and proves the result — per source: the applied
+  // threshold, docs kept, token mass before/after, the realized keep
+  // rate (which must reconcile EXACTLY with q139's acceptance_permille —
+  // QueriesSpec asserts the bridge row by row), and the q157/q158
+  // order-independent corpus fingerprint (bit_xor of kept docs'
+  // original-byte 60-bit md5 — kept docs are unmodified).
+  //
+  // Scale path: calibrate-then-execute is two corpus scans by design —
+  // q139's histogram scan (the corpus collapses to |sources|×|scores|
+  // rows map-side) derives the S-row threshold table, which BROADCASTS
+  // into one re-scoring scan whose gate and rollup are map-side; no
+  // per-doc state crosses the wire and nothing sorts.
+  // ===========================================================
+  def q159QualityFilterExec(spark: SparkSession, dir: String): DataFrame = {
+    val thr = q139ThresholdCalibration(spark, dir)
+      .select(col("source"), col("threshold"))
+    val scored = docs(spark, dir)
+      .withColumn("tokens", ws_token_count(col("text")).cast("long"))
+      .withColumn("score", expr("tokens * 1000 DIV greatest(n_chars, 1L)"))
+      .select(col("source"), col("text"), col("tokens"), col("score"))
+    scored.join(broadcast(thr), Seq("source"))
+      .withColumn("kept", col("score") >= col("threshold"))
+      .withColumn("h",
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .groupBy("source").agg(
+        max("threshold").as("threshold"), // constant within the group
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum("tokens").as("tokens_before"),
+        sum(when(col("kept"), col("tokens")).otherwise(0L)).as("tokens_after"),
+        coalesce(expr("bit_xor(CASE WHEN kept THEN h END)"), lit(0L)).as("corpus_fp"))
+      .withColumn("kept_permille", expr("docs_kept * 1000 DIV greatest(n_docs, 1L)"))
+      .select("source", "threshold", "n_docs", "docs_kept", "tokens_before",
+        "tokens_after", "kept_permille", "corpus_fp")
+      .orderBy("source")
+  }
+
+  val q159Sql: String =
+    s"""WITH sc AS (SELECT source, text,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens,
+       |   len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) * 1000
+       |     // greatest(n_chars, 1) AS score FROM documents),
+       | hist AS (SELECT source, score, COUNT(*) AS c FROM sc GROUP BY source, score),
+       | tot AS (SELECT source, COUNT(*) AS total_docs FROM sc GROUP BY source),
+       | cum AS (SELECT h.source, h.score, tot.total_docs,
+       |   SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.score DESC
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accepted
+       |  FROM hist h JOIN tot USING (source)),
+       | el AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY score DESC) AS rn
+       |  FROM cum WHERE accepted * 1000 >= $CalibTargetPermille * total_docs),
+       | thr AS (SELECT source, score AS threshold FROM el WHERE rn = 1),
+       | g AS (SELECT sc.source, sc.tokens, thr.threshold,
+       |   sc.score >= thr.threshold AS kept,
+       |   CAST(('0x' || substr(md5(sc.text), 1, 15)) AS BIGINT) AS h
+       |  FROM sc JOIN thr USING (source))
+       |SELECT source, CAST(MAX(threshold) AS BIGINT) AS threshold,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       | CAST(SUM(tokens) AS BIGINT) AS tokens_before,
+       | CAST(SUM(CASE WHEN kept THEN tokens ELSE 0 END) AS BIGINT) AS tokens_after,
+       | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // GREATEST(COUNT(*), 1) AS BIGINT) AS kept_permille,
+       | COALESCE(bit_xor(CASE WHEN kept THEN h END), 0) AS corpus_fp
+       |FROM g GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q142 — cross-source copy attribution (who copies whom): for every
   // exact-duplicate cluster, the earliest copy (min doc_id — the crawl
   // timeline order q138 uses) is the ORIGIN; every later copy attributes
@@ -3293,6 +3363,7 @@ object TextOps {
     "q137_containment_pairs" -> (q137ContainmentPairs _),
     "q138_novelty_decay" -> (q138NoveltyDecay _),
     "q139_threshold_calibration" -> (q139ThresholdCalibration _),
+    "q159_quality_filter_exec" -> (q159QualityFilterExec _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -3349,6 +3420,7 @@ object TextOps {
     "q137_containment_pairs" -> q137Sql,
     "q138_novelty_decay" -> q138Sql,
     "q139_threshold_calibration" -> q139Sql,
+    "q159_quality_filter_exec" -> q159Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

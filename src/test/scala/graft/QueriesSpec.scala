@@ -822,6 +822,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 executes exactly q139's calibrated acceptance, source by source") {
+    // the execution must reconcile with the audit it applies: same
+    // threshold, docs_kept == q139's accepted_docs, same total, and the
+    // realized keep rate == q139's acceptance_permille — any drift means
+    // the gate re-scored documents differently than the calibration did
+    val cal = SparkEntry.queries("q139_threshold_calibration")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ex = SparkEntry.queries("q159_quality_filter_exec")(spark, dir).collect()
+    assert(ex.nonEmpty && ex.length == cal.size)
+    ex.foreach { r =>
+      val src = r.getString(0)
+      val (thr, accepted, total, accPm) = cal(src)
+      assert(r.getLong(1) == thr, s"$src: executed threshold ${r.getLong(1)} != calibrated $thr")
+      assert(r.getLong(2) == total, s"$src: corpus size drifted")
+      assert(r.getLong(3) == accepted, s"$src: kept ${r.getLong(3)} != calibrated accepted $accepted")
+      assert(r.getLong(6) == accPm, s"$src: realized keep rate != calibrated acceptance")
+      assert(r.getLong(5) <= r.getLong(4), s"$src: kept token mass exceeds corpus")
+    }
+  }
+
   test("q158 removal keeps exactly one canonical doc per near-dup component") {
     // independent accounting: each connected component of the verified
     // pair graph loses all members but one, so total docs_dropped must
