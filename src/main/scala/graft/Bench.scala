@@ -156,7 +156,7 @@ object Bench {
     // with the actual exception instead of a bare failed-count (round 6
     // published failed:30 + two zeroed legs and nobody noticed for a round)
     val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def runQuerySuite(): Seq[(String, Double, Long)] = (if (legsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+    def runQuerySuite(): Seq[(String, Double, Long, Seq[Double])] = (if (legsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
                    else SparkEntry.queries.toSeq.sortBy(_._1)
                      .filter(q => onlyQuery.forall(_ == q._1))).map { case (name, fn) =>
       // three measured executions, report the min: single-shot numbers on a
@@ -171,14 +171,14 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val (sec1, rows1) = once()
-      val (sec, rows) =
-        if (rows1 < 0) (sec1, rows1)
+      val (sec, rows, reps) =
+        if (rows1 < 0) (sec1, rows1, Seq(sec1))
         else {
           // min over SUCCESSFUL runs only: a rerun that fails (e.g. a
           // transient OOM) must not poison a valid measurement with its
           // short aborted elapsed time, nor flip the query to failed
           val runs = (sec1, rows1) +: (1 to 2).map(_ => once()).filter(_._2 >= 0)
-          (runs.map(_._1).min, rows1)
+          (runs.map(_._1).min, rows1, runs.map(_._1))
         }
       // isolate measurements: caches a query built must not occupy executor
       // memory while the NEXT query is timed (dropped outside the timer).
@@ -193,7 +193,7 @@ object Bench {
       // second GC pauses inside whichever later query trips the collector
       // (q33 measures 0.46s isolated but 3.3s mid-suite without it)
       System.gc()
-      (name, sec, rows)
+      (name, sec, rows, reps)
     }
     import org.apache.spark.sql.functions.{octet_length, sum => fsum, col}
     val ev = Tables.events(spark, sfDir)
@@ -621,10 +621,20 @@ object Bench {
     // record.
     def r4(d: Double): Double = math.rint(d * 10000) / 10000
     def r1(d: Double): Double = math.rint(d * 10) / 10
-    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + r4(v) }
+    val qsCompact = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
+    // per-query reps, opt-in (SPARK_GRAFT_QUERY_REPS=1): the min above is
+    // the headline, but round-over-round per-query comparisons need the
+    // spread to tell drift from noise — persisted for the local round
+    // artifacts (bench_rN_local.json), off for the official line to keep
+    // it inside log-tail capture windows
+    val qsReps =
+      if (!sys.env.get("SPARK_GRAFT_QUERY_REPS").contains("1")) ""
+      else results.map { case (k, _, _, rs) =>
+        "\"" + k + "\":" + rs.map(r4).mkString("[", ",", "]")
+      }.mkString(",\"query_reps\":{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)

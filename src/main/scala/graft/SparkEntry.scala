@@ -48,7 +48,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    largest multiplicity threshold retaining ≥900‰ of max savings),
   *    q157 substring-removal execution (q128's ExactSubstr audit
   *    applied: interval unions deleted, docs rebuilt from kept tokens,
-  *    bit_xor cleaned-corpus fingerprint — reconciles with q128)
+  *    bit_xor cleaned-corpus fingerprint — reconciles with q128),
+  *    q159 quality-filter execution (q139's calibrated per-source
+  *    thresholds applied: sub-threshold docs dropped, realized keep
+  *    rate reconciles exactly with q139's acceptance_permille)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
@@ -80,7 +83,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    r ∈ {4,8,16} over ONE signature pass — the curve justifying
   *    q41's r=8 serving config), q156 refined residual IVF-PQ (the
   *    production FAISS default — q153's refine over q152's residual
-  *    ADC chain, completing the {raw,residual}×{ADC,refined} matrix)
+  *    ADC chain, completing the {raw,residual}×{ADC,refined} matrix),
+  *    q158 near-dup removal execution (q109's selection applied
+  *    corpus-wide: verified pairs → connected components → one
+  *    best-TTR canonical kept per cluster, bit_xor kept-corpus
+  *    fingerprint — docs_dropped ≡ active nodes − components)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection
