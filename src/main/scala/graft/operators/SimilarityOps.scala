@@ -494,7 +494,13 @@ object SimilarityOps {
     * ONE pass with zero shuffle rounds; above it, an O(diameter)-round
     * distributed min-label loop takes over. Both paths produce the
     * identical labeling (min id per connected component). */
-  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def minLabelComponents(
+      pairs: DataFrame,
+      // test seam: QueriesSpec forces the distributed loop on small graphs
+      // (smallGraphEdges = -1) and asserts it labels identically to the
+      // union-find path — the loop is what actually runs at 100 TB, so it
+      // must not be reachable only above 4M edges
+      smallGraphEdges: Long = 4L << 20): DataFrame = {
     // materialize the verified pairs ONCE before deriving views — the
     // undirected union alone references the subtree twice, so without this
     // checkpoint the full pair-discovery chain (the dominant cost)
@@ -511,8 +517,7 @@ object SimilarityOps {
     val nActiveEdges = undirected.count()
     val loopParts = math.max(1, (nActiveEdges / 1000000L).toInt)
 
-    val SmallGraphEdges = 4L << 20
-    if (nActiveEdges <= SmallGraphEdges) {
+    if (nActiveEdges <= smallGraphEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -843,6 +843,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed min-label loop labels components identically to union-find") {
+    // the driver union-find path covers every test corpus (< 4M edges), so
+    // without forcing it the O(diameter) distributed loop — the path that
+    // actually runs at 100 TB — would never execute under test. Planted
+    // graph: a 6-node chain (diameter 5, needs real propagation rounds),
+    // a triangle with a chord, a 2-cycle pair, and an isolated self-pair.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // chain
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L),             // triangle+chord
+      (30L, 31L),                                                 // pair
+      (40L, 40L)                                                  // self-loop
+    ).toDF("ia", "ib")
+    val ops = graft.operators.SimilarityOps
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = toMap(ops.minLabelComponents(edges))
+    val loop = toMap(ops.minLabelComponents(edges, smallGraphEdges = -1L))
+    assert(uf == loop, s"union-find $uf vs distributed $loop")
+    val expected = Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L, 40L -> 40L)
+    assert(uf == expected)
+    // and on the real verified pair graph, both paths agree too
+    val realPairs = ops.q41Scored(spark, dir)
+      .filter(col("inter") * org.apache.spark.sql.functions.lit(2L) >= col("uni"))
+      .select(col("a").as("ia"), col("b").as("ib"))
+      .localCheckpoint()
+    assert(toMap(ops.minLabelComponents(realPairs)) ==
+      toMap(ops.minLabelComponents(realPairs, smallGraphEdges = -1L)))
+  }
+
   test("q158 removal keeps exactly one canonical doc per near-dup component") {
     // independent accounting: each connected component of the verified
     // pair graph loses all members but one, so total docs_dropped must
