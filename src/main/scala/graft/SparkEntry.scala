@@ -51,7 +51,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    bit_xor cleaned-corpus fingerprint — reconciles with q128),
   *    q159 quality-filter execution (q139's calibrated per-source
   *    thresholds applied: sub-threshold docs dropped, realized keep
-  *    rate reconciles exactly with q139's acceptance_permille)
+  *    rate reconciles exactly with q139's acceptance_permille),
+  *    q160 packing-budget sweep (q63's packing at context length
+  *    512..8192 in one pass — fill vs truncation curve per budget;
+  *    2048 row reconciles exactly with q63's global rollup)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

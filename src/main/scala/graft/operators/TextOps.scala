@@ -700,6 +700,77 @@ object TextOps {
        |FROM s GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q160 — packing-budget sweep (the q148/q154 sweep move applied to
+  // q63's packing): the SAME greedy running-sum packing evaluated at
+  // context length B ∈ {512, 1024, 2048, 4096, 8192} in one pass — the
+  // curve a trainer reads before fixing a context length. Per budget:
+  // sequences produced, fill efficiency (token mass over n_seqs·B), the
+  // worst overflowing sequence, and the truncation bill (docs longer
+  // than B can never fit a sequence — their excess tokens are what
+  // truncation or doc-splitting must eat). q63 serves at 2048; its
+  // global rollup must reconcile with this sweep's 2048 row exactly
+  // (QueriesSpec asserts it).
+  //
+  // Scale path: ONE tokenize scan and ONE (source, shard) running-sum
+  // window — the cumulative is budget-independent, so the sweep is a
+  // map-side 5× explode of the windowed frame into the (budget, source,
+  // shard, seq) aggregation; no join, no second window, no re-scan.
+  // ===========================================================
+  val PackSweepBudgets = Seq(512L, 1024L, 2048L, 4096L, 8192L)
+
+  def q160PackSweep(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = docs(spark, dir)
+      .withColumn("tokens", ws_token_count(col("text")))
+      .withColumn("shard", expr(s"doc_id div $PackShard"))
+      .withColumn("cum", sum("tokens").over(w))
+      .select("source", "shard", "tokens", "cum")
+    val per = d
+      .withColumn("budget", explode(typedLit(PackSweepBudgets)))
+      .withColumn("seq_id", expr("(cum - tokens) DIV budget"))
+      .groupBy("budget", "source", "shard", "seq_id")
+      .agg(sum("tokens").as("seq_tokens"),
+        sum(when(col("tokens") > col("budget"), 1L).otherwise(0L)).as("ov_docs"),
+        sum(when(col("tokens") > col("budget"), col("tokens") - col("budget"))
+          .otherwise(0L)).as("ov_toks"))
+    per.groupBy("budget").agg(
+        count(lit(1)).as("n_seqs"),
+        sum("seq_tokens").as("total_tokens"),
+        max("seq_tokens").as("max_seq_tokens"),
+        sum("ov_docs").as("overflow_docs"),
+        sum("ov_toks").as("overflow_tokens"))
+      .withColumn("fill_permille", expr("total_tokens * 1000 DIV (n_seqs * budget)"))
+      .select("budget", "n_seqs", "total_tokens", "max_seq_tokens",
+        "fill_permille", "overflow_docs", "overflow_tokens")
+      .orderBy("budget")
+  }
+
+  val q160Sql: String =
+    s"""WITH bb(budget) AS (VALUES (${PackSweepBudgets.mkString("), (")})),
+       | d AS (SELECT source, doc_id, doc_id // $PackShard AS shard,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       | c AS (SELECT source, shard, tokens,
+       |   SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       | p AS (SELECT bb.budget, c.source, c.shard,
+       |   (c.cum - c.tokens) // bb.budget AS seq_id,
+       |   SUM(c.tokens) AS seq_tokens,
+       |   SUM(CASE WHEN c.tokens > bb.budget THEN 1 ELSE 0 END) AS ov_docs,
+       |   SUM(CASE WHEN c.tokens > bb.budget THEN c.tokens - bb.budget ELSE 0 END) AS ov_toks
+       |  FROM c CROSS JOIN bb
+       |  GROUP BY bb.budget, c.source, c.shard, (c.cum - c.tokens) // bb.budget)
+       |SELECT CAST(budget AS BIGINT) AS budget, COUNT(*) AS n_seqs,
+       | CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       | CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+       | CAST(SUM(seq_tokens) * 1000 // (COUNT(*) * budget) AS BIGINT) AS fill_permille,
+       | CAST(SUM(ov_docs) AS BIGINT) AS overflow_docs,
+       | CAST(SUM(ov_toks) AS BIGINT) AS overflow_tokens
+       |FROM p GROUP BY budget ORDER BY budget""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity
   // filtering, re-expressed integer-exact). A 2-gram count LM is trained on
   // the corpus itself; each document's score is the mean log2-frequency of
@@ -3364,6 +3435,7 @@ object TextOps {
     "q138_novelty_decay" -> (q138NoveltyDecay _),
     "q139_threshold_calibration" -> (q139ThresholdCalibration _),
     "q159_quality_filter_exec" -> (q159QualityFilterExec _),
+    "q160_pack_sweep" -> (q160PackSweep _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -3421,6 +3493,7 @@ object TextOps {
     "q138_novelty_decay" -> q138Sql,
     "q139_threshold_calibration" -> q139Sql,
     "q159_quality_filter_exec" -> q159Sql,
+    "q160_pack_sweep" -> q160Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

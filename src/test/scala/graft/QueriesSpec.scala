@@ -822,6 +822,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q160 budget sweep reconciles with q63's serving config and is monotone") {
+    // the 2048 row IS q63's packing, globally rolled up: same sequence
+    // count, token mass, and worst sequence. Across budgets: a bigger
+    // context can only produce fewer (or equal) sequences and fewer
+    // overflowing docs; token mass is budget-invariant (packing moves
+    // tokens, never drops them).
+    val rows = SparkEntry.queries("q160_pack_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == graft.operators.TextOps.PackSweepBudgets)
+    val q63 = SparkEntry.queries("q63_sequence_pack")(spark, dir).collect()
+    val (nSeq63, tok63, max63) = (q63.map(_.getLong(2)).sum,
+      q63.map(_.getLong(3)).sum, q63.map(_.getLong(4)).max)
+    val at2048 = rows.find(_._1 == 2048L).get
+    assert(at2048._2 == nSeq63 && at2048._3 == tok63 && at2048._4 == max63,
+      s"2048 row $at2048 does not reconcile with q63 ($nSeq63, $tok63, $max63)")
+    assert(rows.map(_._3).distinct.size == 1, "token mass varies with budget")
+    val seqs = rows.map(_._2); val ov = rows.map(_._6)
+    assert(seqs.sameElements(seqs.sortBy(-_)), s"n_seqs grew with budget: ${seqs.toSeq}")
+    assert(ov.sameElements(ov.sortBy(-_)), s"overflow docs grew with budget: ${ov.toSeq}")
+    rows.foreach { case (b, n, tot, mx, fill, ovd, ovt) =>
+      assert(fill == tot * 1000 / (n * b))
+      assert(mx >= tot / math.max(n, 1L) && (ovd == 0L) == (ovt == 0L))
+    }
+  }
+
   test("q159 executes exactly q139's calibrated acceptance, source by source") {
     // the execution must reconcile with the audit it applies: same
     // threshold, docs_kept == q139's accepted_docs, same total, and the
