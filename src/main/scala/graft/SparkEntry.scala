@@ -90,7 +90,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q158 near-dup removal execution (q109's selection applied
   *    corpus-wide: verified pairs → connected components → one
   *    best-TTR canonical kept per cluster, bit_xor kept-corpus
-  *    fingerprint — docs_dropped ≡ active nodes − components)
+  *    fingerprint — docs_dropped ≡ active nodes − components),
+  *    q161 incremental near-dup dedup (q110's daily-increment
+  *    contract on LSH: arrivals probe the snapshot's banded signature
+  *    buckets + within-batch candidates, one Jaccard verify — q110's
+  *    schema and precedence, near beside exact)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection

@@ -304,6 +304,119 @@ object SimilarityOps {
   }
 
   // ===========================================================
+  // q161 — incremental NEAR-dup dedup (q110's daily-increment contract
+  // lifted from exact digests to LSH): yesterday's corpus is already
+  // near-deduped; today's arrivals (doc_id % 5 = 0, q110's split) are
+  // checked against the SNAPSHOT's banded signature table and against
+  // each other — never all-pairs against the corpus. Arrival bands
+  // probe the snapshot buckets by (band, band_sig) equi-join (a
+  // single-member snapshot bucket still matters — it is the dup target
+  // of a new copy — so the probe table keeps size-1 buckets, unlike
+  // candidate-pair generation, and drops only the degenerate
+  // above-cap ones, q41's no-signal rule); within-batch candidates come
+  // from the arrivals' own capped buckets. Both candidate sets verify
+  // ONCE with true Jaccard (q41's integer gate). Keep-first semantics,
+  // q110's precedence: a verified dup against ANY snapshot doc drops
+  // the arrival (dup_vs_old); otherwise a verified dup against any
+  // SMALLER-id arrival drops it (dup_within — min-id-wins, the q60/q68
+  // rule: deterministic and replayable without transitive closure).
+  // Output schema = q110's exactly, so exact and near incremental
+  // dedup read side by side.
+  //
+  // Scale path: ONE signature pass over the corpus (at 100 TB the
+  // snapshot's band table is maintained incrementally, not recomputed);
+  // the probe is a (band, band_sig) hash equi-join of the arrival-band
+  // sliver against the capped snapshot buckets; verification touches
+  // only candidate docs (size-gated shingle broadcast); the flag and
+  // rollup aggregations are pair-bounded. Nothing corpus² anywhere.
+  // ===========================================================
+  def q161IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val newSig = sig.filter(col("doc_id") % 5 === 0)
+    val oldSig = sig.filter(col("doc_id") % 5 =!= 0)
+    val newBands = bandedSigs(newSig, BandSize)
+    // snapshot probe table: keep size-1 buckets, cap the degenerate ones
+    val oldBuckets = bandedSigs(oldSig, BandSize)
+      .groupBy("band", "band_sig")
+      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), MaxBucketSize + 1).as("ids"))
+      .filter(size(col("ids")) <= MaxBucketSize)
+      .select(col("band"), col("band_sig"), explode(col("ids")).as("old_id"))
+    val crossPairs = newBands.join(oldBuckets, Seq("band", "band_sig"))
+      .select(col("doc_id").as("a"), col("old_id").as("b")).distinct()
+    val withinPairs = q41Candidates(bucketsForBand(newSig, BandSize))
+    val allPairs = crossPairs.unionByName(withinPairs).distinct().localCheckpoint()
+    val verdict = jaccardVerify(spark, dir, allPairs)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select("a", "b")
+      .localCheckpoint()
+    // per-arrival flags from the verified pair sliver: any old partner /
+    // any smaller new partner
+    val members = verdict.select(col("a").as("m"), col("b").as("p"))
+      .unionByName(verdict.select(col("b").as("m"), col("a").as("p")))
+    val flags = members.filter(col("m") % 5 === 0)
+      .groupBy("m").agg(
+        max(when(col("p") % 5 =!= 0, 1L).otherwise(0L)).as("has_old"),
+        max(when(col("p") % 5 === 0 && col("p") < col("m"), 1L).otherwise(0L))
+          .as("has_prior"))
+    val smallFlags = flags.count() <= (1L << 20)
+    val fl = if (smallFlags) broadcast(flags) else flags
+    docs(spark, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"))
+      .join(fl.withColumnRenamed("m", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("has_old") === 1L, "dup_vs_old")
+          .when(col("has_prior") === 1L, "dup_within")
+          .otherwise("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("kept"),
+        sum(when(col("status") === "dup_vs_old", 1L).otherwise(0L)).as("dup_vs_old"),
+        sum(when(col("status") === "dup_within", 1L).otherwise(0L)).as("dup_within"))
+      .orderBy("source")
+  }
+
+  // lazy: minhashSigCtes is declared further down the object; a strict val
+  // here would capture null at object init
+  lazy val q161Sql: String =
+    s"""$minhashSigCtes,
+       | bandsx AS (SELECT doc_id, bb.band AS band,
+       |   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig
+       |  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),
+       | nb AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 = 0),
+       | ob AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 <> 0),
+       | obuck AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM ob GROUP BY band, band_sig HAVING COUNT(*) <= $MaxBucketSize),
+       | crossp AS (SELECT DISTINCT nb.doc_id AS a, o.oid AS b
+       |  FROM nb JOIN obuck USING (band, band_sig),
+       |   LATERAL (SELECT unnest(obuck.ids) AS oid) o),
+       | nbuck AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM nb GROUP BY band, band_sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketSize),
+       | withinp AS (SELECT DISTINCT p.pr[1] AS a, p.pr[2] AS b FROM nbuck,
+       |  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+       |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
+       | upairs AS MATERIALIZED (SELECT a, b FROM crossp UNION SELECT a, b FROM withinp),
+       | uids AS (SELECT DISTINCT a AS doc_id FROM upairs UNION SELECT DISTINCT b FROM upairs),
+       | ush AS MATERIALIZED (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+       |   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN uids USING (doc_id)),
+       | ver AS MATERIALIZED (SELECT a, b FROM upairs
+       |  JOIN ush sa ON sa.doc_id = a JOIN ush sb ON sb.doc_id = b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
+       |   CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)),
+       | memb AS (SELECT a AS m, b AS p FROM ver UNION ALL SELECT b, a FROM ver),
+       | fl AS (SELECT m, MAX(CASE WHEN p % 5 <> 0 THEN 1 ELSE 0 END) AS has_old,
+       |   MAX(CASE WHEN p % 5 = 0 AND p < m THEN 1 ELSE 0 END) AS has_prior
+       |  FROM memb WHERE m % 5 = 0 GROUP BY m),
+       | cls AS (SELECT d.source,
+       |   CASE WHEN fl.has_old = 1 THEN 'dup_vs_old'
+       |    WHEN fl.has_prior = 1 THEN 'dup_within' ELSE 'kept' END AS status
+       |  FROM documents d LEFT JOIN fl ON d.doc_id = fl.m WHERE d.doc_id % 5 = 0)
+       |SELECT source, COUNT(*) AS n_new,
+       | CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       | CAST(SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_old,
+       | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
+       |FROM cls GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q42 — SimHash signatures: token hashes vote per bit; signature = sign
   // vector packed to a long. The token hash is the 60-bit md5 prefix
   // (15 hex chars) — unlike xxhash64 this is reproducible in ANY engine
@@ -2865,6 +2978,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_incremental_neardup" -> (q161IncrementalNearDup _),
     "q158_neardup_removal_exec" -> (q158NearDupRemovalExec _),
     "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
     "q154_lsh_band_sweep" -> (q154LshBandSweep _),
@@ -3142,5 +3256,6 @@ object SimilarityOps {
     "q106_hard_negatives" -> q106Sql,
     "q107_coverage_sample" -> q107Sql,
     "q109_canonical_selection" -> q109Sql,
-    "q158_neardup_removal_exec" -> q158Sql)
+    "q158_neardup_removal_exec" -> q158Sql,
+    "q161_incremental_neardup" -> q161Sql)
 }

@@ -903,6 +903,40 @@ class QueriesSpec extends AnyFunSuite {
       toMap(ops.minLabelComponents(realPairs, smallGraphEdges = -1L)))
   }
 
+  test("q161 incremental near-dup subsumes q110's exact dedup on the same split") {
+    // same arrival split (doc_id % 5 = 0), same output schema. An exact
+    // duplicate has an identical signature, hence identical band sigs, so
+    // every exact dup is an LSH candidate and Jaccard 1 passes the verify
+    // gate — PROVIDED no bucket involved was cap-dropped; assert that
+    // precondition (q154's move), then per source: statuses partition the
+    // arrivals and near-dedup can only keep FEWER docs than exact dedup.
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val ops = graft.operators.SimilarityOps
+    val sig = ops.q41Sig(spark, dir).localCheckpoint()
+    Seq(sig.filter(col("doc_id") % 5 === 0), sig.filter(col("doc_id") % 5 =!= 0))
+      .foreach { side =>
+        val biggest = ops.bandedSigs(side, ops.BandSize)
+          .groupBy("band", "band_sig").agg(count(lit(1)).as("sz"))
+          .agg(max("sz")).head().getLong(0)
+        assert(biggest <= ops.MaxBucketSize,
+          s"a split-side bucket of size $biggest exceeds the cap — the " +
+            "subsumption assertion is not valid at this data scale")
+      }
+    val exact = SparkEntry.queries("q110_incremental_dedup")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val near = SparkEntry.queries("q161_incremental_neardup")(spark, dir).collect()
+    assert(near.nonEmpty && near.length == exact.size)
+    near.foreach { r =>
+      val (src, nNew, kept, vsOld, within) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (exactNew, exactKept) = exact(src)
+      assert(nNew == exactNew, s"$src: arrival split drifted from q110")
+      assert(kept + vsOld + within == nNew, s"$src: statuses do not partition")
+      assert(kept <= exactKept,
+        s"$src: near-dedup kept $kept > exact dedup's $exactKept — an exact dup escaped")
+    }
+  }
+
   test("q158 removal keeps exactly one canonical doc per near-dup component") {
     // independent accounting: each connected component of the verified
     // pair graph loses all members but one, so total docs_dropped must
