@@ -330,7 +330,11 @@ object SimilarityOps {
   // only candidate docs (size-gated shingle broadcast); the flag and
   // rollup aggregations are pair-bounded. Nothing corpus² anywhere.
   // ===========================================================
-  def q161IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** q161's pre-checkpoint candidate-pair subtree (snapshot probe +
+    * within-batch), exposed so PlanSpec can assert the probe's
+    * (band, band_sig) equi-join shape that the checkpoint hides from the
+    * final query's plan. */
+  private[graft] def q161CandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = q41Sig(spark, dir).localCheckpoint()
     val newSig = sig.filter(col("doc_id") % 5 === 0)
     val oldSig = sig.filter(col("doc_id") % 5 =!= 0)
@@ -344,7 +348,11 @@ object SimilarityOps {
     val crossPairs = newBands.join(oldBuckets, Seq("band", "band_sig"))
       .select(col("doc_id").as("a"), col("old_id").as("b")).distinct()
     val withinPairs = q41Candidates(bucketsForBand(newSig, BandSize))
-    val allPairs = crossPairs.unionByName(withinPairs).distinct().localCheckpoint()
+    crossPairs.unionByName(withinPairs).distinct()
+  }
+
+  def q161IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val allPairs = q161CandidatePairs(spark, dir).localCheckpoint()
     val verdict = jaccardVerify(spark, dir, allPairs)
       .filter(col("inter") * lit(2L) >= col("uni"))
       .select("a", "b")

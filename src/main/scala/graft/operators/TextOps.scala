@@ -3065,10 +3065,12 @@ object TextOps {
       .select(col("source"),
         expr("tk * 1000 DIV greatest(n_chars, 1L)").as("score"))
     val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
-    // totals DERIVE from the histogram (sum of its counts) — aggregating
-    // `scored` again would re-run the tokenize scan for a second pass
-    val tot = hist.groupBy("source").agg(sum("c").as("total_docs"))
-    val cum = hist.join(tot, "source")
+    // totals DERIVE from the histogram via an unordered window over the
+    // SAME source partitioning as the cumulative — one shuffle, no
+    // hist⋈rollup self-join (which duplicated the tokenize scan subtree
+    // statically and leaned on runtime ReusedExchange to collapse it)
+    val cum = hist
+      .withColumn("total_docs", sum("c").over(Window.partitionBy("source")))
       .withColumn("accepted", sum("c").over(
         Window.partitionBy("source").orderBy(col("score").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -641,6 +641,66 @@ class PlanSpec extends AnyFunSuite {
       "expected the checkpointed token projection:\n" + p.take(1500))
   }
 
+  test("q158 removal is pair-bounded: no corpus², broadcast-gated rebuild") {
+    // the LSH chain is checkpointed away (Scan ExistingRDD); what remains
+    // must be broadcast hash joins of pair-sized slivers into corpus
+    // passes — never a cartesian/nested-loop join, and the canonical
+    // window keyed by comp (active sliver only), not over documents
+    val p = plan("q158_neardup_removal_exec")
+    assert(!p.contains("CartesianProduct"), "q158 plans a corpus² join:\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q158 grew a nested-loop join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q158 lost its broadcast joins (labels/losers slivers now shuffle):\n" + p.take(2500))
+    assert(p.contains("windowspecdefinition(comp#"),
+      "q158 canonical window no longer keyed by component:\n" + p.take(2500))
+  }
+
+  test("q159 executes through one broadcast of the threshold table") {
+    // calibrate-then-execute: the S-row threshold table must BROADCAST
+    // into the re-scoring scan (a shuffle join on source would move the
+    // corpus); no nested-loop join anywhere
+    val p = plan("q159_quality_filter_exec")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q159 plans a non-equi join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q159 threshold table no longer broadcasts:\n" + p.take(2500))
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      "q159 must scan documents exactly twice (histogram + gate):\n" + p.take(2500))
+  }
+
+  test("q160 sweep stays one scan + one window (budget-independent cumulative)") {
+    val p = plan("q160_pack_sweep")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "q160 re-scans documents per budget:\n" + p.take(2500))
+    assert("windowspecdefinition".r.findAllIn(p).size == 1,
+      "q160 grew a second window:\n" + p.take(2500))
+    assert(!p.contains("Join"), "q160 should have no join at all:\n" + p.take(2000))
+    assert(p.contains("Generate explode"),
+      "q160 budget fan-out is not the map-side explode:\n" + p.take(2000))
+  }
+
+  test("q161 probes snapshot buckets by equi-join, never corpus²") {
+    // the final plan is the flags-join + rollup above the checkpointed
+    // verdict (Scan ExistingRDD); the probe itself is asserted on the
+    // pre-checkpoint subtree, where the (band, band_sig) key must drive a
+    // hash equi-join — a SortMergeJoin is fine at corpus scale, a
+    // nested-loop/cartesian never is
+    val p = plan("q161_incremental_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q161 plans a non-equi join:\n" + p.take(2000))
+    assert(p.contains("Scan ExistingRDD"),
+      "q161 lost its checkpointed verdict sliver:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "q161 flags sliver no longer broadcasts:\n" + p.take(2000))
+    val sub = graft.operators.SimilarityOps.q161CandidatePairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!sub.contains("CartesianProduct") && !sub.contains("BroadcastNestedLoopJoin"),
+      "q161 probe subtree plans a non-equi join:\n" + sub.take(2500))
+    assert(sub.contains("band_sig#"),
+      "q161 probe no longer keys on (band, band_sig):\n" + sub.take(2500))
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition
