@@ -54,7 +54,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    rate reconciles exactly with q139's acceptance_permille),
   *    q160 packing-budget sweep (q63's packing at context length
   *    512..8192 in one pass — fill vs truncation curve per budget;
-  *    2048 row reconciles exactly with q63's global rollup)
+  *    2048 row reconciles exactly with q63's global rollup),
+  *    q162 deterministic shuffle + shard manifest (hash-ordered
+  *    reproducible global shuffle: per-shard docs/token share,
+  *    first-doc ordering witness, bit_xor membership fingerprint)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned

@@ -771,6 +771,69 @@ object TextOps {
        |FROM p GROUP BY budget ORDER BY budget""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q162 — deterministic corpus shuffle + shard manifest: the
+  // reproducible "global shuffle" a trainer needs before writing
+  // training shards. Order key = hash60("shuffle:" || doc_id) (domain-
+  // tagged, the r11 rule — independent of the q62/q151 sampling draws);
+  // shard = key mod S. Every decision is per-row from the row alone:
+  // coordination-free, identical on any cluster layout, resumable —
+  // what df.orderBy(rand()) cannot give. Output is the MANIFEST the
+  // shuffle would ship: per shard, docs, token mass, token share,
+  // the first document in shard order (the reproducibility witness —
+  // both engines must agree on the exact ordering, not just the
+  // partition), and an order-independent membership fingerprint.
+  //
+  // Scale path: one tokenize scan, map-side shard assignment + partial
+  // aggregation into S rows; the share computation is a window over the
+  // S-row aggregate. A real shard write adds a repartition(shard) +
+  // sortWithinPartitions(order_key) — the manifest costs none of it.
+  // ===========================================================
+  val ShuffleShards = 16L
+
+  def q162ShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("tokens", ws_token_count(col("text")).cast("long"))
+      .withColumn("ok", conv(substring(
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long"))
+      .withColumn("shard", pmod(col("ok"), lit(ShuffleShards)))
+    // first-doc witness as min over (ok, doc_id) PACKED into one
+    // DECIMAL(38,0) = ok·2^63 + doc_id (ok < 2^60, doc_id < 2^63 ⇒ fits
+    // 38 digits): a struct-min would force SortAggregate — a per-partition
+    // corpus sort — where the packed scalar min hash-aggregates
+    d.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("shard_tokens"),
+        min(expr("CAST(ok AS DECIMAL(38,0)) * 9223372036854775808 + doc_id"))
+          .as("packed"),
+        expr("bit_xor(ok)").as("shard_fp"))
+      .withColumn("token_permille", expr(
+        "shard_tokens * 1000 DIV sum(shard_tokens) OVER ()"))
+      .withColumn("first_doc",
+        expr("CAST(packed % 9223372036854775808 AS BIGINT)"))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("token_permille"), col("first_doc"), col("shard_fp"))
+      .orderBy("shard")
+  }
+
+  val q162Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |   CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens,
+       |   CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ok
+       |  FROM documents),
+       | s AS (SELECT *, ok % $ShuffleShards AS shard FROM d),
+       | per AS (SELECT shard, COUNT(*) AS n_docs,
+       |   CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       |   CAST(MIN(CAST(ok AS HUGEINT) * 9223372036854775808 + doc_id)
+       |     % 9223372036854775808 AS BIGINT) AS first_doc,
+       |   bit_xor(ok) AS shard_fp
+       |  FROM s GROUP BY shard)
+       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, shard_tokens,
+       | CAST(shard_tokens * 1000 // SUM(shard_tokens) OVER () AS BIGINT) AS token_permille,
+       | first_doc, shard_fp
+       |FROM per ORDER BY shard""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity
   // filtering, re-expressed integer-exact). A 2-gram count LM is trained on
   // the corpus itself; each document's score is the mean log2-frequency of
@@ -3438,6 +3501,7 @@ object TextOps {
     "q139_threshold_calibration" -> (q139ThresholdCalibration _),
     "q159_quality_filter_exec" -> (q159QualityFilterExec _),
     "q160_pack_sweep" -> (q160PackSweep _),
+    "q162_shuffle_shards" -> (q162ShuffleShards _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -3496,6 +3560,7 @@ object TextOps {
     "q139_threshold_calibration" -> q139Sql,
     "q159_quality_filter_exec" -> q159Sql,
     "q160_pack_sweep" -> q160Sql,
+    "q162_shuffle_shards" -> q162Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

@@ -701,6 +701,18 @@ class PlanSpec extends AnyFunSuite {
       "q161 probe no longer keys on (band, band_sig):\n" + sub.take(2500))
   }
 
+  test("q162 manifest is one scan into hash aggregation — no corpus sort") {
+    // the first-doc witness is a packed DECIMAL min precisely so the
+    // aggregate hash-aggregates; a struct-min would silently flip the
+    // whole corpus projection into per-partition SortAggregate sorts
+    val p = plan("q162_shuffle_shards")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "q162 re-scans documents:\n" + p.take(2000))
+    assert(!p.contains("SortAggregate"),
+      "q162 aggregation degraded to SortAggregate (corpus sort):\n" + p.take(2500))
+    assert(!p.contains("Join"), "q162 should have no join:\n" + p.take(2000))
+  }
+
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {
     // an unpartitioned row_number window filter drags the whole ranked
     // table through ONE task's sort; orderBy().limit(k) plans per-partition

@@ -903,6 +903,37 @@ class QueriesSpec extends AnyFunSuite {
       toMap(ops.minLabelComponents(realPairs, smallGraphEdges = -1L)))
   }
 
+  test("q162 shard manifest is reproducible from doc_ids alone (JVM reference)") {
+    // shard, first_doc, membership fingerprint, and n_docs derive purely
+    // from doc_id — recompute all four per shard with a pure MessageDigest
+    // reference over the collected id column and require exact equality;
+    // token shares must floor-sum to within S of 1000 and cover the corpus
+    import org.apache.spark.sql.functions.col
+    val s = graft.operators.TextOps.ShuffleShards
+    def h60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("shuffle:" + id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val ref = ids.groupBy(id => math.floorMod(h60(id), s)).map { case (sh, ms) =>
+      sh -> (ms.length.toLong, ms.minBy(id => (h60(id), id)),
+        ms.map(h60).reduce(_ ^ _))
+    }
+    val rows = SparkEntry.queries("q162_shuffle_shards")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until s), "missing shards")
+    rows.foreach { r =>
+      val (sh, n, fd, fp) = (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))
+      val (rn, rfd, rfp) = ref(sh)
+      assert(n == rn && fd == rfd && fp == rfp,
+        s"shard $sh: ($n, $fd, $fp) != reference ($rn, $rfd, $rfp)")
+    }
+    assert(rows.map(_.getLong(1)).sum == ids.length)
+    val pmSum = rows.map(_.getLong(3)).sum
+    assert(pmSum <= 1000 && pmSum >= 1000 - s, s"token shares sum to $pmSum")
+  }
+
   test("q161 incremental near-dup subsumes q110's exact dedup on the same split") {
     // same arrival split (doc_id % 5 = 0), same output schema. An exact
     // duplicate has an identical signature, hence identical band sigs, so
