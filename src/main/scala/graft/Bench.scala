@@ -156,6 +156,9 @@ object Bench {
     // with the actual exception instead of a bare failed-count (round 6
     // published failed:30 + two zeroed legs and nobody noticed for a round)
     val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // queries whose measurement survived but lost ≥1 of its reruns — the
+    // min is still valid (first run succeeded) but the record must say so
+    val rerunFailures = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def runQuerySuite(): Seq[(String, Double, Long, Seq[Double])] = (if (legsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
                    else SparkEntry.queries.toSeq.sortBy(_._1)
                      .filter(q => onlyQuery.forall(_ == q._1))).map { case (name, fn) =>
@@ -176,8 +179,14 @@ object Bench {
         else {
           // min over SUCCESSFUL runs only: a rerun that fails (e.g. a
           // transient OOM) must not poison a valid measurement with its
-          // short aborted elapsed time, nor flip the query to failed
-          val runs = (sec1, rows1) +: (1 to 2).map(_ => once()).filter(_._2 >= 0)
+          // short aborted elapsed time, nor flip the query to failed.
+          // A dropped rerun is recorded EXPLICITLY (rerunFailures → the
+          // query_rerun_failures JSON field) — a short query_reps list
+          // alone is too easy to misread as a fewer-runs config
+          val attempts = (1 to 2).map(_ => once())
+          val runs = (sec1, rows1) +: attempts.filter(_._2 >= 0)
+          val dropped = attempts.count(_._2 < 0)
+          if (dropped > 0) rerunFailures(name) = dropped
           (runs.map(_._1).min, rows1, runs.map(_._1))
         }
       // isolate measurements: caches a query built must not occupy executor
@@ -633,8 +642,13 @@ object Bench {
       else results.map { case (k, _, _, rs) =>
         "\"" + k + "\":" + rs.map(r4).mkString("[", ",", "]")
       }.mkString(",\"query_reps\":{", ",", "}")
+    // unconditional (usually {}): any query that lost a rerun to a
+    // transient failure is named here with the dropped-run count
+    val qsRerunFail = rerunFailures
+      .map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString(",\"query_rerun_failures\":{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)

@@ -801,16 +801,25 @@ object TextOps {
     // DECIMAL(38,0) = ok·2^63 + doc_id (ok < 2^60, doc_id < 2^63 ⇒ fits
     // 38 digits): a struct-min would force SortAggregate — a per-partition
     // corpus sort — where the packed scalar min hash-aggregates
-    d.groupBy("shard").agg(
+    val per = d.groupBy("shard").agg(
         count(lit(1)).as("n_docs"),
         sum("tokens").as("shard_tokens"),
         min(expr("CAST(ok AS DECIMAL(38,0)) * 9223372036854775808 + doc_id"))
           .as("packed"),
         expr("bit_xor(ok)").as("shard_fp"))
+    // the manifest contract is one row per shard 0..S-1 — a shard that
+    // happens to receive zero docs must surface as an explicit zero row
+    // (the q154 zero-candidate-banding rule), not silently vanish from
+    // the groupBy; its witness is -1 ("no first doc")
+    spark.range(ShuffleShards).select(col("id").as("shard"))
+      .join(per, Seq("shard"), "left_outer")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("shard_tokens", coalesce(col("shard_tokens"), lit(0L)))
+      .withColumn("shard_fp", coalesce(col("shard_fp"), lit(0L)))
       .withColumn("token_permille", expr(
-        "shard_tokens * 1000 DIV sum(shard_tokens) OVER ()"))
+        "shard_tokens * 1000 DIV greatest(sum(shard_tokens) OVER (), 1L)"))
       .withColumn("first_doc",
-        expr("CAST(packed % 9223372036854775808 AS BIGINT)"))
+        expr("coalesce(CAST(packed % 9223372036854775808 AS BIGINT), -1L)"))
       .select(col("shard"), col("n_docs"), col("shard_tokens"),
         col("token_permille"), col("first_doc"), col("shard_fp"))
       .orderBy("shard")
@@ -827,11 +836,16 @@ object TextOps {
        |   CAST(MIN(CAST(ok AS HUGEINT) * 9223372036854775808 + doc_id)
        |     % 9223372036854775808 AS BIGINT) AS first_doc,
        |   bit_xor(ok) AS shard_fp
-       |  FROM s GROUP BY shard)
-       |SELECT CAST(shard AS BIGINT) AS shard, n_docs, shard_tokens,
-       | CAST(shard_tokens * 1000 // SUM(shard_tokens) OVER () AS BIGINT) AS token_permille,
-       | first_doc, shard_fp
-       |FROM per ORDER BY shard""".stripMargin.replace("\n", " ")
+       |  FROM s GROUP BY shard),
+       | sh AS (SELECT unnest(range(0, $ShuffleShards)) AS shard)
+       |SELECT CAST(sh.shard AS BIGINT) AS shard,
+       | CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       | CAST(COALESCE(shard_tokens, 0) AS BIGINT) AS shard_tokens,
+       | CAST(COALESCE(shard_tokens, 0) * 1000
+       |   // GREATEST(SUM(COALESCE(shard_tokens, 0)) OVER (), 1) AS BIGINT) AS token_permille,
+       | CAST(COALESCE(first_doc, -1) AS BIGINT) AS first_doc,
+       | CAST(COALESCE(shard_fp, 0) AS BIGINT) AS shard_fp
+       |FROM sh LEFT JOIN per USING (shard) ORDER BY shard""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity

@@ -935,14 +935,30 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("q161 incremental near-dup subsumes q110's exact dedup on the same split") {
-    // same arrival split (doc_id % 5 = 0), same output schema. An exact
-    // duplicate has an identical signature, hence identical band sigs, so
-    // every exact dup is an LSH candidate and Jaccard 1 passes the verify
-    // gate — PROVIDED no bucket involved was cap-dropped; assert that
-    // precondition (q154's move), then per source: statuses partition the
-    // arrivals and near-dedup can only keep FEWER docs than exact dedup.
-    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // same arrival split (doc_id % 5 = 0), same output schema. A
+    // BYTE-identical duplicate has an identical signature, hence identical
+    // band sigs, so every such dup is an LSH candidate and Jaccard 1 passes
+    // the verify gate — PROVIDED no bucket involved was cap-dropped; assert
+    // that precondition (q154's move), then per source: statuses partition
+    // the arrivals and near-dedup can only keep FEWER docs than exact dedup.
+    // CAVEAT: q110's exactness is md5 over NORMALIZED text (lowercased,
+    // whitespace-squeezed) while MinHash shingles the RAW text, so a dup
+    // differing only in case/whitespace need not be an LSH candidate —
+    // kept <= exactKept is guaranteed only when every q110 dup cluster is
+    // byte-identical. Assert THAT precondition on the corpus too, so a
+    // future testdata change fails with a readable message instead of a
+    // mysterious subsumption miss.
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, lower, max, md5, regexp_replace, trim}
     val ops = graft.operators.SimilarityOps
+    val mixedCaseDupClusters = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5(trim(regexp_replace(lower(col("text")),
+        "[ \\t\\n\\r\\f]+", " ")).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("forms"))
+      .filter(col("n") > 1 && col("forms") > 1)
+      .count()
+    assert(mixedCaseDupClusters == 0L,
+      s"$mixedCaseDupClusters q110 dup clusters are normalized-equal but not " +
+        "byte-identical — the q161-subsumes-q110 assertion is not valid on this corpus")
     val sig = ops.q41Sig(spark, dir).localCheckpoint()
     Seq(sig.filter(col("doc_id") % 5 === 0), sig.filter(col("doc_id") % 5 =!= 0))
       .foreach { side =>
