@@ -406,18 +406,22 @@ object TextOps {
   // broadcast LEFT-SEMI join on the exploded n-grams — one distinct on
   // (doc_id) after the semi-join, no corpus×benchmark shuffle.
   // ===========================================================
+  /** (doc_id, ng) — every lowercased whitespace-token word 3-gram of
+    * `text`. ONE definition feeds the q54 audit and the q163 execution,
+    * so the applied verdicts cannot drift from the audited ones. */
+  private[operators] def wordTrigrams(df: DataFrame): DataFrame =
+    df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("ng", explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select(col("doc_id"), col("ng"))
+
   def q54Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    def ngrams(df: DataFrame): DataFrame =
-      df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
-        .withColumn("ng", explode(expr(
-          """CASE WHEN size(toks) >= 3 THEN
-            |  transform(sequence(1, size(toks) - 2),
-            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-        .select(col("doc_id"), col("ng"))
     val d = docs(spark, dir)
-    val benchNgrams = ngrams(d.filter(col("doc_id") % 97 === 0)).select("ng").distinct()
-    val contaminated = ngrams(d.filter(col("doc_id") % 97 =!= 0))
+    val benchNgrams = wordTrigrams(d.filter(col("doc_id") % 97 === 0)).select("ng").distinct()
+    val contaminated = wordTrigrams(d.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(benchNgrams), Seq("ng"), "left_semi")
       .select("doc_id").distinct()
     d.filter(col("doc_id") % 97 =!= 0)
@@ -846,6 +850,87 @@ object TextOps {
        | CAST(COALESCE(first_doc, -1) AS BIGINT) AS first_doc,
        | CAST(COALESCE(shard_fp, 0) AS BIGINT) AS shard_fp
        |FROM sh LEFT JOIN per USING (shard) ORDER BY shard""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q163 — decontamination EXECUTION (q54's verdicts applied): the sixth
+  // and final audit→execution bridge after q151/q155/q157/q158/q159.
+  // q54 flags every corpus doc sharing any word 3-gram with the held-out
+  // benchmark slice (doc_id % 97 = 0); this pass actually DROPS the
+  // flagged docs, rebuilds the corpus from the survivors (texts
+  // unmodified), and proves it — per source: docs before/dropped, token
+  // mass before/after, removal share, and the order-independent corpus
+  // fingerprint (bit_xor of kept docs' original-byte 60-bit md5, the
+  // q157/q158/q159 convention). Per-lang drop counts must reconcile
+  // EXACTLY with q54's n_contaminated (QueriesSpec asserts the bridge
+  // row by row via [[q163Flags]]).
+  //
+  // Scale path: the audit's dataflow end-to-end — the benchmark 3-gram
+  // set is tiny relative to the corpus and BROADCASTS into a left-semi
+  // probe of the corpus gram stream (at a benchmark too big to hash-
+  // broadcast, q66's bloom prefilter swaps in at the same boundary); the
+  // flagged-id sliver equi-joins back on doc_id; the rollup is map-side
+  // combined. No corpus×benchmark shuffle, nothing corpus² anywhere.
+  // ===========================================================
+  /** Per-corpus-doc decon verdicts (doc_id, lang, source, tokens, h,
+    * dropped) — graft-visible so QueriesSpec can reconcile the per-lang
+    * drop counts against the q54 audit exactly. */
+  private[graft] def q163Flags(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val benchNgrams = wordTrigrams(d.filter(col("doc_id") % 97 === 0)).select("ng").distinct()
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val flagged = wordTrigrams(corpus)
+      .join(broadcast(benchNgrams), Seq("ng"), "left_semi")
+      .select("doc_id").distinct()
+    corpus
+      .withColumn("tokens", ws_token_count(col("text")).cast("long"))
+      .join(flagged.withColumn("dropped", lit(1L)), Seq("doc_id"), "left_outer")
+      .withColumn("h",
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tokens"),
+        col("h"), col("dropped"))
+  }
+
+  def q163DeconExec(spark: SparkSession, dir: String): DataFrame =
+    q163Flags(spark, dir)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("docs_dropped"),
+        sum("tokens").as("tokens_before"),
+        sum(when(col("dropped").isNull, col("tokens")).otherwise(0L)).as("tokens_after"),
+        coalesce(expr("bit_xor(CASE WHEN dropped IS NULL THEN h END)"), lit(0L))
+          .as("corpus_fp"))
+      .withColumn("tokens_removed", col("tokens_before") - col("tokens_after"))
+      .withColumn("removal_permille",
+        expr("tokens_removed * 1000 DIV greatest(tokens_before, 1L)"))
+      .select("source", "n_docs", "docs_dropped", "tokens_before",
+        "tokens_after", "tokens_removed", "removal_permille", "corpus_fp")
+      .orderBy("source")
+
+  val q163Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |   regexp_extract_all(lower(text), '[^ \t\n\r\f]+') AS toks FROM documents),
+      | ng AS (SELECT doc_id,
+      |   unnest(CASE WHEN len(toks) >= 3
+      |     THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |     ELSE CAST([] AS VARCHAR[]) END) AS ng
+      |  FROM toks),
+      | bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+      | flagged AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (ng)
+      |  WHERE n.doc_id % 97 <> 0),
+      | corpus AS (SELECT doc_id, source,
+      |   CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS tokens,
+      |   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 97 <> 0)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
+      | CAST(SUM(tokens) AS BIGINT) AS tokens_before,
+      | CAST(SUM(CASE WHEN f.doc_id IS NULL THEN tokens ELSE 0 END) AS BIGINT) AS tokens_after,
+      | CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+      | CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN tokens ELSE 0 END) * 1000
+      |   // GREATEST(SUM(tokens), 1) AS BIGINT) AS removal_permille,
+      | COALESCE(bit_xor(CASE WHEN f.doc_id IS NULL THEN h END), 0) AS corpus_fp
+      |FROM corpus LEFT JOIN flagged f USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity
@@ -3516,6 +3601,7 @@ object TextOps {
     "q159_quality_filter_exec" -> (q159QualityFilterExec _),
     "q160_pack_sweep" -> (q160PackSweep _),
     "q162_shuffle_shards" -> (q162ShuffleShards _),
+    "q163_decon_exec" -> (q163DeconExec _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -3575,6 +3661,7 @@ object TextOps {
     "q159_quality_filter_exec" -> q159Sql,
     "q160_pack_sweep" -> q160Sql,
     "q162_shuffle_shards" -> q162Sql,
+    "q163_decon_exec" -> q163Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

@@ -710,7 +710,26 @@ class PlanSpec extends AnyFunSuite {
       "q162 re-scans documents:\n" + p.take(2000))
     assert(!p.contains("SortAggregate"),
       "q162 aggregation degraded to SortAggregate (corpus sort):\n" + p.take(2500))
-    assert(!p.contains("Join"), "q162 should have no join:\n" + p.take(2000))
+    // the only join is the S-row static shard list padding the manifest
+    // (zero-doc shards must surface) — it must broadcast, and the corpus
+    // side must still be the single hash-aggregated scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q162 shard-list padding join is not a broadcast equi-join:\n" + p.take(2500))
+  }
+
+  test("q163 decon execution: benchmark grams broadcast, flagged ids equi-join") {
+    // the audit's scale shape carried into the execution: the tiny
+    // benchmark 3-gram side must BROADCAST into a left-semi probe of the
+    // corpus gram stream; the flagged-id sliver joins back on doc_id as a
+    // hash equi-join; nothing corpus² anywhere
+    val p = plan("q163_decon_exec")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q163 plans a non-equi join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "q163 benchmark gram set no longer broadcasts into a semi-join:\n" + p.take(2500))
+    assert(!p.contains("SortAggregate"),
+      "q163 rollup degraded to SortAggregate:\n" + p.take(2500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

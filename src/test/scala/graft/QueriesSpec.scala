@@ -869,6 +869,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q163 drops exactly the docs q54's audit flagged, lang by lang") {
+    // the execution must apply the audit's verdicts verbatim: rolling
+    // q163's per-doc flags up by LANG must reproduce q54's
+    // (n_docs, n_contaminated) rows exactly, and the per-source execution
+    // output must agree with the same flags — any drift means the applied
+    // 3-gram probe diverged from the audited one
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val audit = SparkEntry.queries("q54_decontaminate")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val flags = graft.operators.TextOps.q163Flags(spark, dir).localCheckpoint()
+    val byLang = flags.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang.keySet == audit.keySet, "lang universe drifted from q54")
+    byLang.foreach { case (lang, (n, c)) =>
+      assert((n, c) == audit(lang),
+        s"$lang: execution flags ($n docs, $c dropped) != q54 audit ${audit(lang)}")
+    }
+    val ex = SparkEntry.queries("q163_decon_exec")(spark, dir).collect()
+    val bySrc = flags.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ex.nonEmpty && ex.length == bySrc.size)
+    ex.foreach { r =>
+      val (src, n, dropped) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert((n, dropped) == bySrc(src), s"$src: rollup drifted from the flags")
+      assert(r.getLong(3) - r.getLong(4) == r.getLong(5) &&
+        (dropped > 0L || r.getLong(5) == 0L),
+        s"$src: token accounting inconsistent with drop counts")
+    }
+  }
+
   test("distributed min-label loop labels components identically to union-find") {
     // the driver union-find path covers every test corpus (< 4M edges), so
     // without forcing it the O(diameter) distributed loop — the path that
