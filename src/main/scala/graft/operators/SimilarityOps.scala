@@ -353,10 +353,15 @@ object SimilarityOps {
 
   def q161IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val allPairs = q161CandidatePairs(spark, dir).localCheckpoint()
+    // persist + count: the count IS the materialization job (where the
+    // eager localCheckpoint it replaces ran one anyway), and its value
+    // doubles as the broadcast gate below — one fewer blocking job in
+    // the query path than checkpoint-then-count-the-flags (r11 verdict)
     val verdict = jaccardVerify(spark, dir, allPairs)
       .filter(col("inter") * lit(2L) >= col("uni"))
       .select("a", "b")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerified = verdict.count()
     // per-arrival flags from the verified pair sliver: any old partner /
     // any smaller new partner
     val members = verdict.select(col("a").as("m"), col("b").as("p"))
@@ -366,7 +371,8 @@ object SimilarityOps {
         max(when(col("p") % 5 =!= 0, 1L).otherwise(0L)).as("has_old"),
         max(when(col("p") % 5 === 0 && col("p") < col("m"), 1L).otherwise(0L))
           .as("has_prior"))
-    val smallFlags = flags.count() <= (1L << 20)
+    // flags rows ≤ distinct arrival members ≤ 2·|verified pairs|
+    val smallFlags = nVerified * 2 <= (1L << 20)
     val fl = if (smallFlags) broadcast(flags) else flags
     docs(spark, dir).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("source"))
@@ -617,11 +623,22 @@ object SimilarityOps {
     * identical labeling (min id per connected component). */
   private[graft] def minLabelComponents(
       pairs: DataFrame,
+      smallGraphEdges: Long = 4L << 20): DataFrame =
+    minLabelComponentsBounded(pairs, smallGraphEdges)._1
+
+  /** [[minLabelComponents]] plus a driver-side upper bound on the label
+    * row count (exact active-node count on the union-find path, the
+    * directed-edge count on the distributed path) — already computed for
+    * the path choice, so callers gate their downstream broadcast
+    * decisions on it WITHOUT running a separate count() job over the
+    * labels (the r11 verdict's extra-blocking-job finding). */
+  private[graft] def minLabelComponentsBounded(
+      pairs: DataFrame,
       // test seam: QueriesSpec forces the distributed loop on small graphs
       // (smallGraphEdges = -1) and asserts it labels identically to the
       // union-find path — the loop is what actually runs at 100 TB, so it
       // must not be reachable only above 4M edges
-      smallGraphEdges: Long = 4L << 20): DataFrame = {
+      smallGraphEdges: Long = 4L << 20): (DataFrame, Long) = {
     // materialize the verified pairs ONCE before deriving views — the
     // undirected union alone references the subtree twice, so without this
     // checkpoint the full pair-discovery chain (the dominant cost)
@@ -654,7 +671,8 @@ object SimilarityOps {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min root wins
       }
       val comps = parent.keys.toSeq.map(v => (v, find(v)))
-      return p.sparkSession.createDataFrame(comps).toDF("vec_id", "comp")
+      return (p.sparkSession.createDataFrame(comps).toDF("vec_id", "comp"),
+        parent.size.toLong)
     }
 
     // propagate only over the ACTIVE subgraph — nodes that appear in some
@@ -697,7 +715,7 @@ object SimilarityOps {
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"[graft] minLabelComponents: label propagation hit the $maxIter-round cap before converging — component labels may split long chains")
-    labels
+    (labels, nActiveEdges)
   }
 
   /** q48 output shape: cluster-size histogram over active components plus
@@ -1895,7 +1913,9 @@ object SimilarityOps {
     val dups = q41Scored(spark, dir)
       .filter(col("inter") * lit(2L) >= col("uni"))
       .select(col("a").as("ia"), col("b").as("ib"))
-    val labels = minLabelComponents(dups) // (vec_id, comp); checkpointed
+    // (vec_id, comp), checkpointed; the active bound rides along from the
+    // labeling's own path choice — no extra count() job in the query path
+    val (labels, activeBound) = minLabelComponentsBounded(dups)
     val qual = docs(spark, dir)
       .withColumn("tk", regexp_extract_all(lower(col("text")),
         lit(graft.operators.TextOps.wsTokenRe), lit(0)))
@@ -1906,7 +1926,7 @@ object SimilarityOps {
     // active docs rank INSIDE their component by quality; every copy but
     // rank 1 drops. The labels/losers slivers are pair-bounded: broadcast
     // them unless the corpus is duplicate-dense (q41's size gate).
-    val smallSet = labels.count() <= (1L << 20)
+    val smallSet = activeBound <= (1L << 20)
     def gated(df: DataFrame): DataFrame = if (smallSet) broadcast(df) else df
     val wc = Window.partitionBy("comp").orderBy(col("ttr").desc, col("doc_id"))
     val losers = qual

@@ -689,8 +689,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q161_incremental_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "q161 plans a non-equi join:\n" + p.take(2000))
-    assert(p.contains("Scan ExistingRDD"),
-      "q161 lost its checkpointed verdict sliver:\n" + p.take(2000))
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      "q161 lost its materialized verdict sliver (persist or checkpoint):\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin"),
       "q161 flags sliver no longer broadcasts:\n" + p.take(2000))
     val sub = graft.operators.SimilarityOps.q161CandidatePairs(spark, dir)
