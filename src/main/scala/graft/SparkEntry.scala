@@ -57,7 +57,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    2048 row reconciles exactly with q63's global rollup),
   *    q162 deterministic shuffle + shard manifest (hash-ordered
   *    reproducible global shuffle: per-shard docs/token share,
-  *    first-doc ordering witness, bit_xor membership fingerprint)
+  *    first-doc ordering witness, bit_xor membership fingerprint),
+  *    q163 decontamination execution (q54's verdicts applied: flagged
+  *    docs dropped, corpus rebuilt, per-lang drops reconcile with the
+  *    audit — the sixth audit→execution bridge)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
@@ -102,6 +105,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection
   *  - PipelineOps: q50 full-engine pipeline
+  *  - CurationExec: q164 composed curation pipeline (the five
+  *    corpus-rewriting bridges — q158 near-dup removal → q157 substring
+  *    removal → q159 quality filter → q151 DSIR resample → q163 decon —
+  *    as ONE dataflow, per-source funnel + final corpus fingerprint)
   * Every query has an exact DuckDB oracle (see oracleSql).
   */
 object SparkEntry {
@@ -115,7 +122,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ForwardingOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries ++
-      SessionOps.queries
+      CurationExec.queries ++ SessionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — including q41, whose multiply-shift hash
@@ -124,5 +131,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ForwardingOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       SimilarityOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++
-      SessionOps.oracles
+      CurationExec.oracles ++ SessionOps.oracles
 }

@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * q164 — the COMPOSED curation pipeline: the five corpus-rewriting
+ * audit→execution bridges (q158 near-dup removal → q157 substring removal
+ * → q159 quality filter → q151 DSIR resample → q163 decontamination) run
+ * as ONE dataflow over the SAME corpus, in the order a production
+ * training-data run applies them. Each stage operates on the PREVIOUS
+ * stage's output — span discovery, threshold calibration and the DSIR
+ * bucket histogram are all recomputed on their stage input, exactly as a
+ * real pipeline recalibrates on the corpus it is about to filter — and
+ * the decontamination probe checks the text that actually ships (the
+ * stage-2 rewritten bytes) against the ORIGINAL held-out benchmark slice.
+ *
+ * Output: the per-source funnel — docs and token mass surviving each
+ * stage — plus the final corpus fingerprint (bit_xor of surviving docs'
+ * 60-bit md5 over their CURRENT bytes: original bytes for untouched docs,
+ * rebuilt bytes for stage-2-modified ones — the q157 convention). The
+ * funnel HEAD reconciles exactly with the standalone q158 (same pair set,
+ * same components, same canonical rule ⇒ same survivors), which
+ * QueriesSpec asserts row by row; later stages run on rewritten input by
+ * design, so their standalone counterparts are shape oracles, not
+ * value equalities.
+ *
+ * Scale path: every stage keeps its standalone bridge's shape — the LSH
+ * chain is banded and bucket-capped (never corpus²), the loser/interval/
+ * threshold/class/flag slivers broadcast (size-gated where pair-derived),
+ * the DSIR tokenize scan feeds histogram and scoring once, and the
+ * benchmark gram set broadcasts into a left-semi probe. The two stage
+ * boundaries that change the corpus (after near-dup removal + substring
+ * rewrite, and after the quality/resample gates) materialize via
+ * localCheckpoint — standing in for the inter-stage parquet writes a
+ * production run does; everything between is one declarative plan.
+ */
+object CurationExec {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** The S0 quality projection shared by stage 1's ranking and the
+    * funnel spine. */
+  private def qualFrame(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("tk", regexp_extract_all(lower(col("text")),
+        lit(TextOps.wsTokenRe), lit(0)))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        size(col("tk")).cast("long").as("tokens0"),
+        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
+          .as("ttr"))
+
+  /** Stage 1's pre-checkpoint loser subtree plus the labeling's active
+    * bound — graft-visible so PlanSpec can assert the component-keyed
+    * canonical window that the checkpoint hides from the final plan
+    * (the q161CandidatePairs pattern). */
+  private[graft] def q164Losers1(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val dups = SimilarityOps.q41Scored(spark, dir)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select(col("a").as("ia"), col("b").as("ib"))
+    val (labels, activeBound) = SimilarityOps.minLabelComponentsBounded(dups)
+    val lab = if (activeBound <= (1L << 20)) broadcast(labels) else labels
+    val wc = Window.partitionBy("comp").orderBy(col("ttr").desc, col("doc_id"))
+    val losers = qualFrame(spark, dir)
+      .join(lab.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), lit(1L).as("dropped1"))
+    (losers, activeBound)
+  }
+
+  def q164CurationExec(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.{wsTokenRe, RunThr, NgramW, CalibTargetPermille, DsirBuckets, DsirTargetLang}
+
+    // ---- stage 1: near-dup removal (q158's selection, verbatim) ----
+    val (losers1Pre, activeBound) = q164Losers1(spark, dir)
+    val smallSet = activeBound <= (1L << 20)
+    def gated(df: DataFrame): DataFrame = if (smallSet) broadcast(df) else df
+    val qual = qualFrame(spark, dir)
+    // pair-bounded sliver; its upstream is the whole LSH chain
+    val losers1 = losers1Pre.localCheckpoint()
+    // every S0 doc with its stage-1 verdict — the funnel's spine
+    val f0 = qual.select("doc_id", "source", "lang", "text", "tokens0")
+      .join(gated(losers1), Seq("doc_id"), "left_outer")
+      .withColumn("kept1", col("dropped1").isNull)
+    val c1 = f0.filter(col("kept1")).select("doc_id", "source", "lang", "text")
+
+    // ---- stage 2: substring removal (q157's rewrite) on the survivors —
+    // dup-run spans are REDISCOVERED on the stage-1 corpus: a span whose
+    // only other copy was just removed is no longer a dup span
+    val iv = TextOps.dupRunSpans(c1, Seq.empty)
+      .filter(col("run") >= RunThr)
+      .select(col("doc_id"), col("start").as("s"),
+        (col("start") + col("run") + lit(NgramW - 2L)).as("e"))
+      .groupBy("doc_id").agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    val c2 = c1
+      .withColumn("otoks", regexp_extract_all(col("text"), lit(wsTokenRe), lit(0)))
+      .join(iv, Seq("doc_id"), "left_outer")
+      .withColumn("kept", when(col("iv").isNull, col("otoks")).otherwise(expr(
+        "transform(filter(sequence(1, size(otoks)), i -> " +
+          "NOT exists(iv, l -> i >= l.s AND i <= l.e)), i -> element_at(otoks, i))")))
+      .withColumn("text2",
+        when(col("iv").isNull, col("text")).otherwise(concat_ws(" ", col("kept"))))
+      .select(col("doc_id"), col("source"), col("lang"), col("text2"),
+        size(col("kept")).cast("long").as("tokens2"),
+        conv(substring(md5(col("text2").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h2"))
+      .localCheckpoint() // stage boundary: the rewritten corpus ships downstream
+
+    // ---- stage 3: quality filter (q139's calibration + q159's gate),
+    // calibrated on the CURRENT corpus — scores re-derive from the
+    // rewritten text, not the original n_chars
+    val scored = c2.withColumn("score",
+      expr("tokens2 * 1000 DIV greatest(CAST(length(text2) AS BIGINT), 1L)"))
+    val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("total_docs", sum("c").over(Window.partitionBy("source")))
+      .withColumn("accepted", sum("c").over(
+        Window.partitionBy("source").orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("accepted") * 1000 >= lit(CalibTargetPermille) * col("total_docs"))
+    val thr = cum.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("score").as("threshold"))
+    val s3 = scored.join(broadcast(thr), Seq("source"))
+      .withColumn("kept3", col("score") >= col("threshold"))
+
+    // ---- stage 4: DSIR resample (q124's weights through q151's gate),
+    // bucket histogram recomputed on the quality-filtered corpus
+    val toks = s3.filter(col("kept3"))
+      .select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(lower(col("text2")), lit(wsTokenRe), lit(0))).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets)
+      .drop("tok")
+      .localCheckpoint() // one tokenize scan feeds histogram AND scoring (q124's move)
+    val buckets = toks.groupBy("b")
+      .agg(count(lit(1)).as("r_c"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t_c"))
+      .localCheckpoint()
+    val totals = buckets.agg(sum("r_c").as("r_tot"), sum("t_c").as("t_tot"))
+    val cls = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (expr("(t_c + 1) * r_tot * 1000 DIV ((r_c + 1) * t_tot)") - 1000L).as("cls"))
+    val perDoc = toks.join(broadcast(cls), Seq("b"))
+      .groupBy("doc_id").agg(sum("cls").as("w"))
+    // a doc emitting no tokens has no weight row: it carries no target
+    // signal, so the resampler drops it (rate 0) — COALESCE'd explicitly
+    val s4 = s3.join(perDoc, Seq("doc_id"), "left_outer")
+      .withColumn("kept4", col("kept3") &&
+        (TextOps.dsirGate(col("doc_id")) <
+          greatest(least(coalesce(col("w"), lit(0L)), lit(1000L)), lit(0L))))
+      .select("doc_id", "source", "lang", "text2", "tokens2", "h2", "kept3", "kept4")
+      .localCheckpoint() // stage boundary: the gated corpus feeds probe + rollup
+
+    // ---- stage 5: decontamination (q163's drop) — the SHIPPING text
+    // (stage-2 bytes) is probed against the ORIGINAL benchmark slice,
+    // and the held-out slice itself leaves the corpus
+    val benchNg = TextOps.wordTrigrams(
+        docs(spark, dir).filter(col("doc_id") % 97 === 0))
+      .select("ng").distinct()
+    val flagged = TextOps.wordTrigrams(
+        s4.filter(col("kept4")).select(col("doc_id"), col("text2").as("text")))
+      .join(broadcast(benchNg), Seq("ng"), "left_semi")
+      .select("doc_id").distinct()
+    val s5 = s4.join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left_outer")
+      .withColumn("kept5",
+        col("kept4") && col("doc_id") % 97 =!= 0 && col("hit").isNull)
+
+    // ---- the funnel: one rollup over the spine + stage verdicts ----
+    f0.select("doc_id", "source", "tokens0", "kept1")
+      .join(s5.select("doc_id", "tokens2", "h2", "kept3", "kept4", "kept5"),
+        Seq("doc_id"), "left_outer")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens0").as("tokens_total"),
+        sum(when(col("kept1"), 1L).otherwise(0L)).as("s1_docs"),
+        sum(when(col("kept1"), col("tokens0")).otherwise(0L)).as("s1_tokens"),
+        sum(when(col("kept1"), col("tokens2")).otherwise(0L)).as("s2_tokens"),
+        sum(when(col("kept3"), 1L).otherwise(0L)).as("s3_docs"),
+        sum(when(col("kept3"), col("tokens2")).otherwise(0L)).as("s3_tokens"),
+        sum(when(col("kept4"), 1L).otherwise(0L)).as("s4_docs"),
+        sum(when(col("kept4"), col("tokens2")).otherwise(0L)).as("s4_tokens"),
+        sum(when(col("kept5"), 1L).otherwise(0L)).as("final_docs"),
+        sum(when(col("kept5"), col("tokens2")).otherwise(0L)).as("final_tokens"),
+        coalesce(expr("bit_xor(CASE WHEN kept5 THEN h2 END)"), lit(0L))
+          .as("corpus_fp"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the five standalone oracles' CTE chains spliced end to end —
+    * the q41 LSH chain + recursive components (q158), the dup-run rewrite
+    * over the survivors (q157), histogram calibration (q139), the DSIR
+    * bucket classes + hash gate (q151), and the 3-gram benchmark probe
+    * (q163) — each stage reading the previous stage's CTE. */
+  lazy val q164Sql: String =
+    (s"""$q41CtesRef,
+       | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
+       | adjr AS (SELECT a AS src, b AS dst FROM dup UNION ALL SELECT b, a FROM dup),
+       | reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM adjr)
+       |  UNION
+       |  SELECT r.src, a2.dst FROM reach r JOIN adjr a2 ON r.dst = a2.src),
+       | compx AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+       | qual0 AS (SELECT doc_id, source, lang, text,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS tk FROM documents),
+       | qual AS (SELECT doc_id, source, lang, text,
+       |   CAST(len(tk) AS BIGINT) AS tokens0,
+       |   CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS BIGINT) * 1000 // len(tk)
+       |    ELSE 0 END AS ttr FROM qual0),
+       | ranked AS (SELECT c.doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY c.comp ORDER BY q.ttr DESC, c.doc_id) AS rk
+       |  FROM compx c JOIN qual q USING (doc_id)),
+       | losers1 AS (SELECT doc_id FROM ranked WHERE rk > 1),
+       | f0 AS MATERIALIZED (SELECT q.doc_id, q.source, q.lang, q.text, q.tokens0,
+       |   l.doc_id IS NOT NULL AS dropped1
+       |  FROM qual q LEFT JOIN losers1 l USING (doc_id)),
+       | t2 AS MATERIALIZED (SELECT doc_id, source, lang, text,
+       |   regexp_extract_all(text, '[^ \\t\\n\\r\\f]+') AS otoks,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM f0 WHERE NOT dropped1),
+       | b2 AS (SELECT doc_id, toks FROM t2 WHERE len(toks) >= ${TextOps.NgramW}),
+       | gr2 AS (SELECT doc_id, u.i AS i,
+       |   md5(array_to_string(toks[CAST(u.i AS INTEGER):CAST(u.i + ${TextOps.NgramW - 1} AS INTEGER)], ' ')) AS g
+       |  FROM b2, LATERAL (SELECT unnest(range(1, len(toks) - ${TextOps.NgramW - 2})) AS i) u),
+       | rep2 AS (SELECT g FROM gr2 GROUP BY g HAVING COUNT(*) >= 2),
+       | dup2 AS (SELECT doc_id, i FROM gr2 SEMI JOIN rep2 USING (g)),
+       | runs2 AS (SELECT doc_id, i,
+       |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM dup2),
+       | rl2 AS (SELECT doc_id, MIN(i) AS s, COUNT(*) AS run
+       |  FROM runs2 GROUP BY doc_id, grp),
+       | qv2 AS (SELECT doc_id, s, s + run + ${TextOps.NgramW - 2} AS e
+       |  FROM rl2 WHERE run >= ${TextOps.RunThr}),
+       | iv2 AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv
+       |  FROM qv2 GROUP BY doc_id),
+       | s2 AS MATERIALIZED (SELECT t2.doc_id, t2.source, t2.lang,
+       |   CASE WHEN iv2.iv IS NULL THEN t2.text
+       |    ELSE COALESCE(array_to_string(list_transform(list_filter(range(1, len(t2.otoks) + 1),
+       |      i -> len(list_filter(iv2.iv, l -> i >= l['s'] AND i <= l['e'])) = 0),
+       |     i -> t2.otoks[CAST(i AS INTEGER)]), ' '), '') END AS text2
+       |  FROM t2 LEFT JOIN iv2 USING (doc_id)),
+       | sc3 AS MATERIALIZED (SELECT doc_id, source, lang, text2,
+       |   CAST(len(regexp_extract_all(text2, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens2,
+       |   CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT) AS h2,
+       |   CAST(len(regexp_extract_all(text2, '[^ \\t\\n\\r\\f]+')) AS BIGINT) * 1000
+       |     // greatest(length(text2), 1) AS score
+       |  FROM s2),
+       | hist3 AS (SELECT source, score, COUNT(*) AS c FROM sc3 GROUP BY source, score),
+       | tot3 AS (SELECT source, COUNT(*) AS total_docs FROM sc3 GROUP BY source),
+       | cum3 AS (SELECT h.source, h.score, tot3.total_docs,
+       |   SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.score DESC
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS accepted
+       |  FROM hist3 h JOIN tot3 USING (source)),
+       | el3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY score DESC) AS rn
+       |  FROM cum3 WHERE accepted * 1000 >= ${TextOps.CalibTargetPermille} * total_docs),
+       | thr3 AS (SELECT source, score AS threshold FROM el3 WHERE rn = 1),
+       | s3 AS MATERIALIZED (SELECT sc3.*, sc3.score >= thr3.threshold AS kept3
+       |  FROM sc3 JOIN thr3 USING (source)),
+       | t4 AS MATERIALIZED (SELECT s3.doc_id, s3.lang,
+       |   CAST(('0x' || substr(md5(u.tok), 1, 15)) AS BIGINT) % ${TextOps.DsirBuckets} AS b
+       |  FROM s3, LATERAL (SELECT unnest(regexp_extract_all(lower(s3.text2),
+       |   '[^ \\t\\n\\r\\f]+')) AS tok) u
+       |  WHERE s3.kept3),
+       | bk4 AS (SELECT b, COUNT(*) AS r_c,
+       |   SUM(CASE WHEN lang = '${TextOps.DsirTargetLang}' THEN 1 ELSE 0 END) AS t_c
+       |  FROM t4 GROUP BY b),
+       | tot4 AS (SELECT SUM(r_c) AS r_tot, SUM(t_c) AS t_tot FROM bk4),
+       | cls4 AS (SELECT b, (t_c + 1) * r_tot * 1000 // ((r_c + 1) * t_tot) - 1000 AS cls
+       |  FROM bk4, tot4),
+       | pd4 AS (SELECT doc_id, SUM(cls) AS w FROM t4 JOIN cls4 USING (b) GROUP BY doc_id),
+       | s4 AS MATERIALIZED (SELECT s3.doc_id, s3.source, s3.lang, s3.text2,
+       |   s3.tokens2, s3.h2, s3.kept3,
+       |   s3.kept3 AND
+       |    CAST(('0x' || substr(md5('dsir:' || CAST(s3.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+       |     < GREATEST(LEAST(COALESCE(pd4.w, 0), 1000), 0) AS kept4
+       |  FROM s3 LEFT JOIN pd4 USING (doc_id)),
+       | btk5 AS (SELECT doc_id,
+       |   regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM documents WHERE doc_id % 97 = 0),
+       | bench5 AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS ng
+       |  FROM btk5),
+       | ntk5 AS (SELECT doc_id,
+       |   regexp_extract_all(lower(text2), '[^ \\t\\n\\r\\f]+') AS toks
+       |  FROM s4 WHERE kept4),
+       | ng5 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS ng
+       |  FROM ntk5),
+       | flagged5 AS (SELECT DISTINCT n.doc_id FROM ng5 n JOIN bench5 b USING (ng)),
+       | s5 AS (SELECT s4.*,
+       |   s4.kept4 AND s4.doc_id % 97 <> 0 AND fl.doc_id IS NULL AS kept5
+       |  FROM s4 LEFT JOIN flagged5 fl USING (doc_id))
+       |SELECT f0.source, COUNT(*) AS n_docs,
+       | CAST(SUM(f0.tokens0) AS BIGINT) AS tokens_total,
+       | CAST(SUM(CASE WHEN NOT f0.dropped1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_docs,
+       | CAST(SUM(CASE WHEN NOT f0.dropped1 THEN f0.tokens0 ELSE 0 END) AS BIGINT) AS s1_tokens,
+       | CAST(SUM(CASE WHEN NOT f0.dropped1 THEN s5.tokens2 ELSE 0 END) AS BIGINT) AS s2_tokens,
+       | CAST(SUM(CASE WHEN s5.kept3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_docs,
+       | CAST(SUM(CASE WHEN s5.kept3 THEN s5.tokens2 ELSE 0 END) AS BIGINT) AS s3_tokens,
+       | CAST(SUM(CASE WHEN s5.kept4 THEN 1 ELSE 0 END) AS BIGINT) AS s4_docs,
+       | CAST(SUM(CASE WHEN s5.kept4 THEN s5.tokens2 ELSE 0 END) AS BIGINT) AS s4_tokens,
+       | CAST(SUM(CASE WHEN s5.kept5 THEN 1 ELSE 0 END) AS BIGINT) AS final_docs,
+       | CAST(SUM(CASE WHEN s5.kept5 THEN s5.tokens2 ELSE 0 END) AS BIGINT) AS final_tokens,
+       | COALESCE(bit_xor(CASE WHEN s5.kept5 THEN s5.h2 END), 0) AS corpus_fp
+       |FROM f0 LEFT JOIN s5 USING (doc_id)
+       |GROUP BY f0.source ORDER BY f0.source""").stripMargin.replace("\n", " ")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  // referenced through a def so this object's init never races
+  // SimilarityOps' own (q41Ctes is a val there)
+  private def q41CtesRef: String = SimilarityOps.q41Ctes
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_curation_exec" -> (q164CurationExec _))
+
+  val oracles: Map[String, String] = Map(
+    "q164_curation_exec" -> q164Sql)
+}

@@ -3082,7 +3082,9 @@ object SimilarityOps {
     ).mkString(" ")
   }
 
-  private val q41Ctes: String = {
+  // operators-visible: CurationExec splices the shared LSH chain into the
+  // composed-pipeline oracle exactly as q158/q109/q134/q144 splice it here
+  private[operators] val q41Ctes: String = {
     Seq(
       s"$minhashSigCtes,",
       " bands AS (SELECT doc_id, bb.band AS band,",

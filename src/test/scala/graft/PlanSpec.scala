@@ -289,6 +289,7 @@ class PlanSpec extends AnyFunSuite {
       "q42_simhash", // 100-row head set theta-join
       "q122_semantic_decon", // benchmark suite side is small by nature (broadcast eval set)
       "q124_dsir_weights", // 1-row totals over the <=B-bucket table
+      "q164_curation_exec", // 1-row DSIR totals over the <=B-bucket table (q124's shape)
       "q138_novelty_decay", // 1-row max-doc-id scalar for the batch id
       "q145_range_boundaries") // <=R-1-row target/boundary broadcasts + 1-row sample total
     import scala.jdk.CollectionConverters._
@@ -730,6 +731,26 @@ class PlanSpec extends AnyFunSuite {
       "q163 benchmark gram set no longer broadcasts into a semi-join:\n" + p.take(2500))
     assert(!p.contains("SortAggregate"),
       "q163 rollup degraded to SortAggregate:\n" + p.take(2500))
+  }
+
+  test("q164 composed pipeline keeps every stage's broadcast-sliver shape") {
+    // the composition must not lose the standalone bridges' scale shapes:
+    // no corpus² anywhere (the DSIR 1-row totals attach is the only BNLJ,
+    // whitelisted suite-wide); the canonical window stays keyed by
+    // component; the threshold/class/benchmark slivers broadcast
+    val p = plan("q164_curation_exec")
+    assert(!p.contains("CartesianProduct"),
+      "q164 plans a corpus² join:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "q164 benchmark gram probe lost its broadcast semi-join:\n" + p.take(2500))
+    // the stage-1 canonical window lives below the losers checkpoint —
+    // assert its shape on the pre-checkpoint accessor (q161's pattern)
+    val sub = graft.operators.CurationExec.q164Losers1(spark, dir)
+      ._1.queryExecution.executedPlan.toString
+    assert(!sub.contains("CartesianProduct"),
+      "q164 stage-1 subtree plans a corpus² join:\n" + sub.take(2500))
+    assert(sub.contains("windowspecdefinition(comp#"),
+      "q164 stage-1 canonical window no longer keyed by component:\n" + sub.take(2500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

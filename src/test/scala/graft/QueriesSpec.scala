@@ -903,6 +903,50 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q164 composed pipeline reconciles with standalone q158 at the funnel head") {
+    // stage 1 runs on the full corpus with q158's exact selection (same
+    // pair set, same components, same canonical rule), so the funnel head
+    // must equal the standalone bridge row by row; later stages run on
+    // REWRITTEN input by design, so for them the invariants are the
+    // monotone funnel shape, which is asserted stage by stage
+    val standalone = SparkEntry.queries("q158_neardup_removal_exec")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(1) - r.getLong(2), r.getLong(4)))
+      .toMap // source -> (n_docs, tokens_before, survivors, tokens_after)
+    val funnel = SparkEntry.queries("q164_curation_exec")(spark, dir).collect()
+    assert(funnel.nonEmpty && funnel.length == standalone.size)
+    funnel.foreach { r =>
+      val src = r.getString(0)
+      val (nDocs, tokens0, s1Docs, s1Tokens) = standalone(src)
+      assert(r.getLong(1) == nDocs, s"$src: corpus size drifted from q158")
+      assert(r.getLong(2) == tokens0, s"$src: corpus token mass drifted from q158")
+      assert(r.getLong(3) == s1Docs,
+        s"$src: stage-1 survivors ${r.getLong(3)} != standalone q158's $s1Docs")
+      assert(r.getLong(4) == s1Tokens,
+        s"$src: stage-1 token mass ${r.getLong(4)} != standalone q158's $s1Tokens")
+      // funnel monotonicity: docs n_docs >= s1 >= s3 >= s4 >= final;
+      // tokens total >= s1 >= s2 (rewrite only deletes) >= s3 >= s4 >= final
+      val docsChain = Seq(r.getLong(1), r.getLong(3), r.getLong(6),
+        r.getLong(8), r.getLong(10))
+      assert(docsChain == docsChain.sorted.reverse, s"$src: doc funnel not monotone: $docsChain")
+      val tokChain = Seq(r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getLong(7), r.getLong(9), r.getLong(11))
+      assert(tokChain == tokChain.sorted.reverse, s"$src: token funnel not monotone: $tokChain")
+    }
+    // the composition must actually curate: the dropping stages all fire
+    // on the planted corpus. (Stage 2 deletes ZERO tokens here — correct,
+    // not vacuous: the planted dup spans are cross-copy repeats, and
+    // stage 1 removed every copy but one, so no gram repeats corpus-wide
+    // afterwards; standalone q157 on the raw corpus does fire, which its
+    // own bridge test asserts.)
+    val tot = (i: Int) => funnel.map(_.getLong(i)).sum
+    assert(tot(3) < tot(1), "near-dup removal dropped nothing")
+    assert(tot(6) < tot(3), "quality filter dropped nothing")
+    assert(tot(8) < tot(6), "DSIR resample dropped nothing")
+    assert(tot(10) < tot(8), "decontamination dropped nothing")
+  }
+
   test("distributed min-label loop labels components identically to union-find") {
     // the driver union-find path covers every test corpus (< 4M edges), so
     // without forcing it the O(diameter) distributed loop — the path that
