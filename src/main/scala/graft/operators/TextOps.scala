@@ -794,13 +794,31 @@ object TextOps {
   // ===========================================================
   val ShuffleShards = 16L
 
-  def q162ShuffleShards(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  /** The 60-bit domain-tagged order key, as an expression over `doc_id` —
+    * shared by the manifest prediction and the from-files recomputation so
+    * both derive the key from the stored document, never trusting a
+    * written column. */
+  private def shuffleOrderKey: Column = conv(substring(
+    md5(concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")),
+    1, 15), 16, 10).cast("long")
+
+  /** The shuffle-enriched corpus frame (docs + tokens, ok, shard) shared
+    * by the manifest (q162) and the shard writer ([[q162WriteShards]]). */
+  private[graft] def q162Enriched(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .withColumn("tokens", ws_token_count(col("text")).cast("long"))
-      .withColumn("ok", conv(substring(
-        md5(concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")),
-        1, 15), 16, 10).cast("long"))
+      .withColumn("ok", shuffleOrderKey)
       .withColumn("shard", pmod(col("ok"), lit(ShuffleShards)))
+
+  def q162ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    q162Manifest(spark, q162Enriched(spark, dir))
+
+  /** Manifest aggregation over any shuffle-enriched frame — one code path
+    * for the PREDICTION (q162 over the corpus) and the recomputation FROM
+    * the written shard files ([[q162ManifestFromFiles]]), so the
+    * write→recompute→compare realization proof (ShardWriteSpec) exercises
+    * identical aggregation logic on both sides and differs only in input. */
+  private def q162Manifest(spark: SparkSession, d: DataFrame): DataFrame = {
     // first-doc witness as min over (ok, doc_id) PACKED into one
     // DECIMAL(38,0) = ok·2^63 + doc_id (ok < 2^60, doc_id < 2^63 ⇒ fits
     // 38 digits): a struct-min would force SortAggregate — a per-partition
@@ -850,6 +868,37 @@ object TextOps {
        | CAST(COALESCE(first_doc, -1) AS BIGINT) AS first_doc,
        | CAST(COALESCE(shard_fp, 0) AS BIGINT) AS shard_fp
        |FROM sh LEFT JOIN per USING (shard) ORDER BY shard""".stripMargin.replace("\n", " ")
+
+  /** REALIZE the shuffle q162 predicts: write the corpus as S shard
+    * directories of parquet, each shard internally sorted by the order key
+    * (ok, doc_id) — the layout a trainer streams sequentially. The hash
+    * repartition on `shard` puts ALL rows of a shard in one task, and
+    * `partitionBy` splits a task's output by shard value, so each shard
+    * directory holds exactly one file whose first row is the manifest's
+    * reproducibility witness (`first_doc`). At 100 TB, raise S so a shard
+    * fits a write task — the repartition+sort cost is the one the q162
+    * manifest comment prices; nothing here is driver-side. */
+  def q162WriteShards(spark: SparkSession, dir: String, outPath: String): Unit =
+    q162Enriched(spark, dir)
+      .select(col("doc_id"), col("text"), col("ok"), col("shard"))
+      .repartition(ShuffleShards.toInt, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ok"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
+  /** Recompute the q162 manifest FROM written shard files: the shard comes
+    * from the directory a doc actually landed in, while tokens and the
+    * order key are re-derived from the stored document itself — so a doc
+    * written to the wrong shard, a dropped doc, or a corrupted text all
+    * surface as a manifest mismatch. ShardWriteSpec asserts this equals
+    * the prediction row for row, turning the reproducibility witness into
+    * proof the written artifact matches. */
+  def q162ManifestFromFiles(spark: SparkSession, outPath: String): DataFrame = {
+    val d = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("text"), col("shard").cast("long").as("shard"))
+      .withColumn("tokens", ws_token_count(col("text")).cast("long"))
+      .withColumn("ok", shuffleOrderKey)
+    q162Manifest(spark, d)
+  }
 
   // ===========================================================
   // q163 — decontamination EXECUTION (q54's verdicts applied): the sixth
