@@ -138,10 +138,22 @@ object SimilarityOps {
     * QueriesSpec precondition check on uncapped bucket sizes. */
   private[graft] def bandedSigs(sig: DataFrame, r: Int): DataFrame =
     sig
-      .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, ${NumHashes / r - 1}), b -> " +
-          s"concat_ws(':', transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING))))")))
+      .select(col("doc_id"), posexplode(bandArrayExpr(r)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+
+  /** The banding expression over a `sig` column (array of band_sig strings,
+    * position = band) — exposed so the streaming twin (NearDupStream) bands
+    * arrivals with EXACTLY the projection the batch snapshot used. */
+  private[graft] def bandArrayExpr(r: Int): Column =
+    expr(s"transform(sequence(0, ${NumHashes / r - 1}), b -> " +
+      s"concat_ws(':', transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING))))")
+
+  /** The q41-family per-doc shingle set (distinct 5-char substrings) as an
+    * expression over a `text` column — the one definition shared by batch
+    * verification (jaccardVerify's default) and the streaming twin, so
+    * stream and batch verify candidates over identical sets. */
+  private[graft] def charShingles: Column = expr(
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
 
   /** Banded buckets for a given rows-per-band r over a signature frame. */
   private def bucketsForBand(sig: DataFrame, r: Int): DataFrame = {
@@ -182,9 +194,7 @@ object SimilarityOps {
     * Karp-Rabin hashes (longs — a ~6× smaller broadcast and long-typed
     * intersects; exactly replayable, same polynomial as q135's oracle). */
   private def jaccardVerify(spark: SparkSession, dir: String,
-      cand: DataFrame, shingles: Column = expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
-      ): DataFrame = {
+      cand: DataFrame, shingles: Column = charShingles): DataFrame = {
     // verify candidates with true Jaccard: restrict to candidate docs FIRST
     // (broadcast semi-join), THEN project the shingle arrays — the expensive
     // shingling runs on the tiny candidate set, not the corpus
