@@ -556,6 +556,75 @@ object Bench {
     val socketFwdRate: Double = socketLeg.best
     val h2FwdRate: Double = h2Leg.best
 
+    // Payload-size-swept BYTES legs: BASELINE.md's second scale unit is
+    // 16 MiB/s per worker (reference AutoScalarConfiguration.java:22), but
+    // the events table's props average ~9 bytes/record, so the legs above
+    // measure the bytes target at ~0.05% duty — vacuously. These legs push
+    // the SAME engine batch path through the SAME socket dispatcher with
+    // synthetic 1 KiB and 16 KiB values (record counts sized so one rep is
+    // ~40-130 MB of wire traffic) and report WIRE BYTES/SEC directly
+    // against the 16 MiB/s target. The padded input is cached and counted
+    // before the timer so scan/pad cost is not billed to the wire; reps
+    // interleave across the two sizes like every other paired leg here.
+    class ByteLeg(val payloadBytes: Int, nRecords: Int) {
+      val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      private var closeServer: () => Unit = () => ()
+      private var cached: org.apache.spark.sql.Dataset[graft.streaming.ForwardingEngine.KafkaRecord] = null
+      private var run: () => Double = () => 0.0
+      def open(): Unit =
+        try {
+          val srv = new graft.streaming.SocketConsumerServer(_ =>
+            graft.streaming.DispatchResult(graft.model.GrpcStatus.OK, None, overdue = false))
+          closeServer = () => srv.close()
+          val factory = graft.streaming.SocketDispatcherFactory(
+            "127.0.0.1", srv.port, rpcTimeoutMs = 30000)
+          val spec = graft.operators.PipelineOps.pipelineSpec("events")
+          import spark.implicits._
+          val sz = payloadBytes
+          cached = graft.operators.PipelineOps.eventRecords(spark, sfDir)
+            .limit(nRecords)
+            .map(r => r.copy(value = java.util.Arrays.copyOf(r.value, sz)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached.count()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val m = graft.streaming.ForwardingEngine
+              .processBatch(spec, factory, "local", cached).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (m > 0) m.toDouble * sz / sec else 0.0
+          }
+          once() // warm: codegen + server threads + pools
+          run = () => once()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] byte-leg ${payloadBytes}B failed to open: ${e.getMessage}")
+        }
+      def rep(): Unit = reps +=
+        (try run() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] byte-leg ${payloadBytes}B rep failed: ${e.getMessage}"); 0.0
+        })
+      def close(): Unit = {
+        closeServer()
+        if (cached != null) cached.unpersist(blocking = false)
+      }
+      def best: Double = if (reps.isEmpty) 0.0 else reps.max
+      def median: Double = {
+        val ok = reps.filter(_ > 0).sorted
+        if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+      }
+    }
+    val byteLeg1k = new ByteLeg(1024, 40000)
+    val byteLeg16k = new ByteLeg(16384, 8000)
+    if (!legsOnly && onlyQuery.isEmpty) {
+      byteLeg1k.open(); byteLeg16k.open()
+      (1 to 3).foreach { _ =>
+        coolDown(); byteLeg1k.rep()
+        coolDown(); byteLeg16k.rep()
+      }
+      byteLeg1k.close(); byteLeg16k.close()
+    }
+
     // sustained windows LAST: one continuous 60 s (SPARK_GRAFT_SUSTAIN_SEC)
     // live query per leg. Reported next to the rep min/median — a sustained
     // figure materially under rep-min means the short reps were flattering
@@ -648,7 +717,7 @@ object Bench {
       .map { case (k, n) => "\"" + k + "\":" + n }
       .mkString(",\"query_rerun_failures\":{", ",", "}")
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
