@@ -982,6 +982,102 @@ object TextOps {
       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q165 — epoch-mixture EXECUTION (q131's plan applied — the seventh
+  // audit→execution bridge, and the first that UP-samples): each
+  // source's capped epoch rate ep = least(epochs_permille, cap) is
+  // realized per document as ep DIV 1000 full copies plus one more iff
+  // the domain-tagged hash gate draws below ep mod 1000 — deterministic
+  // fractional epochs with zero coordination (the q62/q151 gate
+  // convention, 'epoch:' tag so stacked samplers stay independent).
+  // Output per source: the applied rate, corpus vs emitted docs/token
+  // mass, the realized permille, and a bit_xor fingerprint over
+  // (doc, copy-index) replica hashes — a MULTISET fingerprint, so both
+  // engines must agree on every replica COUNT, not just membership.
+  //
+  // Scale path: ONE tokenize scan; the plan is the |sources|-row q131
+  // table and broadcasts; copy counts are per-row arithmetic; the only
+  // fanout is the ≤(cap/1000 + 1)× replica explode feeding a map-side
+  // partial rollup. Nothing shuffles but the S-row aggregates.
+  // ===========================================================
+  def q165EpochExec(spark: SparkSession, dir: String): DataFrame = {
+    val plan = q131EpochPlan(spark, dir)
+      .select(col("source"),
+        least(col("epochs_permille"), lit(EpochCapPermille)).as("ep"))
+    val d = docs(spark, dir)
+      .withColumn("tokens", ws_token_count(col("text")).cast("long"))
+      .select(col("source"), col("doc_id"), col("tokens"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("gate",
+        conv(substring(md5(concat(lit("epoch:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 1000)
+      .withColumn("copies",
+        expr("ep DIV 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END"))
+      // the narrow per-doc frame feeds BOTH the rollup and the replica-
+      // fingerprint explode — persisted (q65's bigram rule) so the
+      // tokenize scan runs once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("tokens").as("tokens"),
+      max("ep").as("applied_permille"),
+      sum("copies").as("emitted_docs"),
+      sum(expr("tokens * copies")).as("emitted_tokens"))
+    val fp = d.filter(col("copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(expr("sequence(0L, copies - 1L)")).as("k"))
+      .withColumn("rfp",
+        conv(substring(md5(concat(lit("epochfp:"), col("doc_id").cast("string"),
+          lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy("source").agg(expr("bit_xor(rfp)").as("replica_fp"))
+    base.join(fp, Seq("source"), "left_outer")
+      .withColumn("replica_fp", coalesce(col("replica_fp"), lit(0L)))
+      .withColumn("achieved_permille",
+        expr("emitted_tokens * 1000 DIV greatest(tokens, 1L)"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("applied_permille"), col("emitted_docs"), col("emitted_tokens"),
+        col("achieved_permille"), col("replica_fp"))
+      .orderBy("source")
+  }
+
+  // lazy: EpochBudgetX/EpochCapPermille are declared further down with
+  // q131; a strict val here would capture 0 at object init (the q161Sql
+  // rule)
+  lazy val q165Sql: String =
+    s"""WITH per AS (SELECT source,
+       |   CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       | w AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight FROM per),
+       | tt AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+       |   CAST(SUM(weight) AS BIGINT) AS tot_weight FROM w),
+       | p AS (SELECT source, tokens,
+       |   (weight * 1000 // tt.tot_weight) * tt.tot_tokens * $EpochBudgetX // 1000 AS required_tokens
+       |  FROM w, tt),
+       | plan AS (SELECT source,
+       |   LEAST(required_tokens * 1000 // tokens, $EpochCapPermille) AS ep FROM p),
+       | dd AS (SELECT d.source, d.doc_id,
+       |   CAST(len(regexp_extract_all(d.text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS tokens,
+       |   CAST(('0x' || substr(md5('epoch:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS gate
+       |  FROM documents d),
+       | c AS (SELECT dd.*, ep,
+       |   ep // 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END AS copies
+       |  FROM dd JOIN plan USING (source)),
+       | base AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
+       |   CAST(MAX(ep) AS BIGINT) AS applied_permille,
+       |   CAST(SUM(copies) AS BIGINT) AS emitted_docs,
+       |   CAST(SUM(tokens * copies) AS BIGINT) AS emitted_tokens
+       |  FROM c GROUP BY source),
+       | r AS (SELECT source, doc_id, u.k FROM c,
+       |   LATERAL (SELECT unnest(range(0, copies)) AS k) u),
+       | fp AS (SELECT source, bit_xor(CAST(('0x' || substr(md5('epochfp:'
+       |     || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS replica_fp
+       |  FROM r GROUP BY source)
+       |SELECT base.source, n_docs, tokens, applied_permille, emitted_docs, emitted_tokens,
+       | CAST(emitted_tokens * 1000 // GREATEST(tokens, 1) AS BIGINT) AS achieved_permille,
+       | CAST(COALESCE(replica_fp, 0) AS BIGINT) AS replica_fp
+       |FROM base LEFT JOIN fp USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity
   // filtering, re-expressed integer-exact). A 2-gram count LM is trained on
   // the corpus itself; each document's score is the mean log2-frequency of
@@ -3651,6 +3747,7 @@ object TextOps {
     "q160_pack_sweep" -> (q160PackSweep _),
     "q162_shuffle_shards" -> (q162ShuffleShards _),
     "q163_decon_exec" -> (q163DeconExec _),
+    "q165_epoch_exec" -> (q165EpochExec _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -3711,6 +3808,7 @@ object TextOps {
     "q160_pack_sweep" -> q160Sql,
     "q162_shuffle_shards" -> q162Sql,
     "q163_decon_exec" -> q163Sql,
+    "q165_epoch_exec" -> q165Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

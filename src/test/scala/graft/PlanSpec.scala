@@ -278,6 +278,7 @@ class PlanSpec extends AnyFunSuite {
       "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
+      "q165_epoch_exec", // 1-row corpus-total scalars inside the embedded q131 plan
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
@@ -751,6 +752,22 @@ class PlanSpec extends AnyFunSuite {
       "q164 stage-1 subtree plans a corpus² join:\n" + sub.take(2500))
     assert(sub.contains("windowspecdefinition(comp#"),
       "q164 stage-1 canonical window no longer keyed by component:\n" + sub.take(2500))
+  }
+
+  test("q165 epoch execution: plan broadcasts, replica fanout map-side") {
+    // the S-row epoch plan must BROADCAST into the corpus scan (a shuffled
+    // plan join would re-partition the whole corpus by source — the skew
+    // magnet); the replica explode is a Generate with no join under it;
+    // the only nested-loop joins are the embedded q131 1-row totals
+    val p = plan("q165_epoch_exec")
+    assert(!p.contains("CartesianProduct"),
+      "q165 plans a corpus² join:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      "q165 epoch plan no longer broadcasts into the corpus scan:\n" + p.take(2500))
+    assert(p.contains("Generate explode"),
+      "q165 replica fanout is no longer a map-side explode:\n" + p.take(2500))
+    assert(!p.contains("SortAggregate"),
+      "q165 rollup degraded to SortAggregate:\n" + p.take(2500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

@@ -947,6 +947,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(tot(10) < tot(8), "decontamination dropped nothing")
   }
 
+  test("q165 epoch execution reconciles with q131's plan and realizes fractional epochs") {
+    // the seventh bridge: applied rate = the CAPPED q131 plan rate per
+    // source; emitted docs/tokens sit exactly between floor- and
+    // ceil-epoch bounds (the fractional gate decides per doc); and the
+    // planted ~3x budget must actually UP-sample every source
+    val plan = SparkEntry.queries("q131_epoch_plan")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        math.min(r.getLong(4), graft.operators.TextOps.EpochCapPermille)).toMap
+    val ex = SparkEntry.queries("q165_epoch_exec")(spark, dir).collect()
+    assert(ex.nonEmpty && ex.length == plan.size)
+    var fractionalFired = false
+    ex.foreach { r =>
+      val (src, nDocs, tokens, ep, eDocs, eToks) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ep == plan(src), s"$src: applied rate $ep != capped plan rate ${plan(src)}")
+      val c = ep / 1000
+      assert(eDocs >= nDocs * c && eDocs <= nDocs * (c + 1),
+        s"$src: emitted docs $eDocs outside [$c, ${c + 1}] epochs of $nDocs docs")
+      assert(eToks >= tokens * c && eToks <= tokens * (c + 1),
+        s"$src: emitted tokens $eToks outside the epoch bounds")
+      if (eDocs > nDocs * c && eDocs < nDocs * (c + 1)) fractionalFired = true
+      assert(r.getLong(6) == eToks * 1000 / math.max(tokens, 1L),
+        s"$src: achieved_permille inconsistent with emitted tokens")
+      assert(eDocs == 0L || r.getLong(7) != 0L, s"$src: replica fingerprint vacuously zero")
+      assert(eDocs > nDocs, s"$src: epoch execution did not up-sample")
+    }
+    assert(fractionalFired, "no source exercised the fractional-epoch gate")
+  }
+
   test("distributed min-label loop labels components identically to union-find") {
     // the driver union-find path covers every test corpus (< 4M edges), so
     // without forcing it the O(diameter) distributed loop — the path that
