@@ -999,11 +999,16 @@ object TextOps {
   // fanout is the ≤(cap/1000 + 1)× replica explode feeding a map-side
   // partial rollup. Nothing shuffles but the S-row aggregates.
   // ===========================================================
-  def q165EpochExec(spark: SparkSession, dir: String): DataFrame = {
+  /** The epoch-execution per-doc frame (source, doc_id, tokens, ep, gate,
+    * copies) — q165's decision table, shared with q166's materialization
+    * manifest so both realize the SAME replica multiset. Persisted: the
+    * narrow frame feeds two aggregates (q65's bigram rule), so the
+    * tokenize scan runs once per query, not twice. */
+  private def q165PerDoc(spark: SparkSession, dir: String): DataFrame = {
     val plan = q131EpochPlan(spark, dir)
       .select(col("source"),
         least(col("epochs_permille"), lit(EpochCapPermille)).as("ep"))
-    val d = docs(spark, dir)
+    docs(spark, dir)
       .withColumn("tokens", ws_token_count(col("text")).cast("long"))
       .select(col("source"), col("doc_id"), col("tokens"))
       .join(broadcast(plan), Seq("source"))
@@ -1012,10 +1017,11 @@ object TextOps {
           .cast("binary")), 1, 15), 16, 10).cast("long") % 1000)
       .withColumn("copies",
         expr("ep DIV 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END"))
-      // the narrow per-doc frame feeds BOTH the rollup and the replica-
-      // fingerprint explode — persisted (q65's bigram rule) so the
-      // tokenize scan runs once, not twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def q165EpochExec(spark: SparkSession, dir: String): DataFrame = {
+    val d = q165PerDoc(spark, dir)
     val base = d.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum("tokens").as("tokens"),
@@ -1040,10 +1046,11 @@ object TextOps {
       .orderBy("source")
   }
 
-  // lazy: EpochBudgetX/EpochCapPermille are declared further down with
-  // q131; a strict val here would capture 0 at object init (the q161Sql
-  // rule)
-  lazy val q165Sql: String =
+  // shared by q165Sql and q166Sql: the epoch plan + per-doc replica-count
+  // chain (through CTE c). lazy: EpochBudgetX/EpochCapPermille are
+  // declared further down with q131; a strict val here would capture 0 at
+  // object init (the q161Sql rule)
+  private lazy val epochExecCtes: String =
     s"""WITH per AS (SELECT source,
        |   CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))) AS BIGINT) AS tokens
        |  FROM documents GROUP BY source),
@@ -1061,7 +1068,10 @@ object TextOps {
        |  FROM documents d),
        | c AS (SELECT dd.*, ep,
        |   ep // 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END AS copies
-       |  FROM dd JOIN plan USING (source)),
+       |  FROM dd JOIN plan USING (source))""".stripMargin
+
+  lazy val q165Sql: String =
+    s"""$epochExecCtes,
        | base AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS tokens,
        |   CAST(MAX(ep) AS BIGINT) AS applied_permille,
        |   CAST(SUM(copies) AS BIGINT) AS emitted_docs,
@@ -1076,6 +1086,86 @@ object TextOps {
        | CAST(emitted_tokens * 1000 // GREATEST(tokens, 1) AS BIGINT) AS achieved_permille,
        | CAST(COALESCE(replica_fp, 0) AS BIGINT) AS replica_fp
        |FROM base LEFT JOIN fp USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q166 — training-set MATERIALIZATION manifest (q165 × q162): the two
+  // executions composed into the artifact a trainer actually streams —
+  // the epoch-upsampled replica multiset, globally shuffled and sharded.
+  // Every replica (doc, copy-index) draws its own order key
+  // hash60('mat:' ‖ doc_id ‖ ':' ‖ k) — a fresh domain tag, so the
+  // materialization shuffle is independent of q162's corpus shuffle and
+  // of every sampling gate, AND two replicas of the same doc land in
+  // (almost surely) different shards, which is exactly what epoch
+  // up-sampling wants: no shard sees the same doc twice per pass.
+  // Manifest per shard: replicas, distinct docs, token mass and share,
+  // the first replica in shard order (the reproducibility witness), and
+  // the bit_xor order-key fingerprint; zero-replica shards surface as
+  // explicit zero rows (the q162 contract).
+  //
+  // Scale path: q165's one-tokenize-scan replica frame + the ≤4×
+  // map-side explode; shard assignment is per-row arithmetic; the
+  // manifest is an S-row rollup (count-distinct doc_id is the only
+  // two-phase aggregate, bounded by the replica count). A real shard
+  // write adds repartition(shard) + sortWithinPartitions(ok) exactly as
+  // q162WriteShards does for the raw corpus.
+  // ===========================================================
+  def q166MaterializeManifest(spark: SparkSession, dir: String): DataFrame = {
+    val reps = q165PerDoc(spark, dir)
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("tokens"),
+        explode(expr("sequence(0L, copies - 1L)")).as("k"))
+      .withColumn("ok",
+        conv(substring(md5(concat(lit("mat:"), col("doc_id").cast("string"),
+          lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("shard", pmod(col("ok"), lit(ShuffleShards)))
+    val per = reps.groupBy("shard").agg(
+      count(lit(1)).as("n_replicas"),
+      countDistinct("doc_id").as("n_docs"),
+      sum("tokens").as("shard_tokens"),
+      min(expr("CAST(ok AS DECIMAL(38,0)) * 9223372036854775808 + doc_id"))
+        .as("packed"),
+      expr("bit_xor(ok)").as("shard_fp"))
+    spark.range(ShuffleShards).select(col("id").as("shard"))
+      .join(per, Seq("shard"), "left_outer")
+      .withColumn("n_replicas", coalesce(col("n_replicas"), lit(0L)))
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("shard_tokens", coalesce(col("shard_tokens"), lit(0L)))
+      .withColumn("shard_fp", coalesce(col("shard_fp"), lit(0L)))
+      .withColumn("token_permille", expr(
+        "shard_tokens * 1000 DIV greatest(sum(shard_tokens) OVER (), 1L)"))
+      .withColumn("first_doc",
+        expr("coalesce(CAST(packed % 9223372036854775808 AS BIGINT), -1L)"))
+      .select(col("shard"), col("n_replicas"), col("n_docs"),
+        col("shard_tokens"), col("token_permille"), col("first_doc"),
+        col("shard_fp"))
+      .orderBy("shard")
+  }
+
+  lazy val q166Sql: String =
+    s"""$epochExecCtes,
+       | r AS (SELECT doc_id, tokens, u.k,
+       |   CAST(('0x' || substr(md5('mat:' || CAST(doc_id AS VARCHAR) || ':'
+       |     || CAST(u.k AS VARCHAR)), 1, 15)) AS BIGINT) AS ok
+       |  FROM c, LATERAL (SELECT unnest(range(0, copies)) AS k) u),
+       | s AS (SELECT *, ok % $ShuffleShards AS shard FROM r),
+       | mper AS (SELECT shard, COUNT(*) AS n_replicas,
+       |   COUNT(DISTINCT doc_id) AS n_docs,
+       |   CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       |   CAST(MIN(CAST(ok AS HUGEINT) * 9223372036854775808 + doc_id)
+       |     % 9223372036854775808 AS BIGINT) AS first_doc,
+       |   bit_xor(ok) AS shard_fp
+       |  FROM s GROUP BY shard),
+       | sh AS (SELECT unnest(range(0, $ShuffleShards)) AS shard)
+       |SELECT CAST(sh.shard AS BIGINT) AS shard,
+       | CAST(COALESCE(n_replicas, 0) AS BIGINT) AS n_replicas,
+       | CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       | CAST(COALESCE(shard_tokens, 0) AS BIGINT) AS shard_tokens,
+       | CAST(COALESCE(shard_tokens, 0) * 1000
+       |   // GREATEST(SUM(COALESCE(shard_tokens, 0)) OVER (), 1) AS BIGINT) AS token_permille,
+       | CAST(COALESCE(first_doc, -1) AS BIGINT) AS first_doc,
+       | CAST(COALESCE(shard_fp, 0) AS BIGINT) AS shard_fp
+       |FROM sh LEFT JOIN mper USING (shard) ORDER BY shard""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity
@@ -3748,6 +3838,7 @@ object TextOps {
     "q162_shuffle_shards" -> (q162ShuffleShards _),
     "q163_decon_exec" -> (q163DeconExec _),
     "q165_epoch_exec" -> (q165EpochExec _),
+    "q166_materialize_manifest" -> (q166MaterializeManifest _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
     "q127_distinct_ngrams" -> (q127DistinctNgrams _),
     "q128_substring_removal" -> (q128SubstringRemoval _),
@@ -3809,6 +3900,7 @@ object TextOps {
     "q162_shuffle_shards" -> q162Sql,
     "q163_decon_exec" -> q163Sql,
     "q165_epoch_exec" -> q165Sql,
+    "q166_materialize_manifest" -> q166Sql,
     "q135_winnow_pairs" -> q135Sql,
     "q127_distinct_ngrams" -> q127Sql,
     "q128_substring_removal" -> q128Sql,

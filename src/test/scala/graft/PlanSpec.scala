@@ -279,6 +279,7 @@ class PlanSpec extends AnyFunSuite {
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
       "q165_epoch_exec", // 1-row corpus-total scalars inside the embedded q131 plan
+      "q166_materialize_manifest", // same embedded q131 totals as q165
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
@@ -768,6 +769,22 @@ class PlanSpec extends AnyFunSuite {
       "q165 replica fanout is no longer a map-side explode:\n" + p.take(2500))
     assert(!p.contains("SortAggregate"),
       "q165 rollup degraded to SortAggregate:\n" + p.take(2500))
+  }
+
+  test("q166 materialization manifest: replica fanout map-side, packed-min hash-aggregates") {
+    // the composed manifest keeps both parents' shapes: q165's broadcast
+    // plan + map-side replica explode, and q162's packed-DECIMAL witness
+    // min on the HashAggregate path (a struct-min would force a
+    // SortAggregate corpus sort)
+    val p = plan("q166_materialize_manifest")
+    assert(!p.contains("CartesianProduct"),
+      "q166 plans a corpus² join:\n" + p.take(2500))
+    assert(p.contains("BroadcastHashJoin"),
+      "q166 epoch plan no longer broadcasts into the corpus scan:\n" + p.take(2500))
+    assert(p.contains("Generate explode"),
+      "q166 replica fanout is no longer a map-side explode:\n" + p.take(2500))
+    assert(!p.contains("SortAggregate"),
+      "q166 witness min degraded to SortAggregate:\n" + p.take(2500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

@@ -976,6 +976,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(fractionalFired, "no source exercised the fractional-epoch gate")
   }
 
+  test("q166 materialization manifest reconciles with q165's replica multiset") {
+    // the capstone composition: the sharded manifest must redistribute
+    // EXACTLY the replica multiset q165 emits — same replica count, same
+    // token mass — into a complete 0..S-1 shard list with the q162
+    // zero-row/witness contract
+    val ex = SparkEntry.queries("q165_epoch_exec")(spark, dir).collect()
+    val totalReplicas = ex.map(_.getLong(4)).sum
+    val totalTokens = ex.map(_.getLong(5)).sum
+    val m = SparkEntry.queries("q166_materialize_manifest")(spark, dir).collect()
+    assert(m.map(_.getLong(0)).toSeq ==
+      (0L until graft.operators.TextOps.ShuffleShards))
+    assert(m.map(_.getLong(1)).sum == totalReplicas,
+      s"manifest replicas ${m.map(_.getLong(1)).sum} != q165's $totalReplicas")
+    assert(m.map(_.getLong(3)).sum == totalTokens,
+      s"manifest tokens ${m.map(_.getLong(3)).sum} != q165's $totalTokens")
+    m.foreach { r =>
+      val (shard, nRep, nDocs, first, fp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(nDocs <= nRep, s"shard $shard: distinct docs $nDocs > replicas $nRep")
+      if (nRep == 0L) assert(first == -1L && fp == 0L,
+        s"shard $shard: empty shard must carry the -1 witness and zero fp")
+      else assert(first >= 0L, s"shard $shard: non-empty shard lost its witness")
+    }
+    // the ~3x epoch budget must actually up-sample into the manifest:
+    // more replicas land in shards than the corpus has documents
+    assert(totalReplicas > ex.map(_.getLong(1)).sum,
+      "materialization did not up-sample")
+  }
+
   test("distributed min-label loop labels components identically to union-find") {
     // the driver union-find path covers every test corpus (< 4M edges), so
     // without forcing it the O(diameter) distributed loop — the path that
