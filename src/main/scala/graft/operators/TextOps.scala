@@ -1109,16 +1109,33 @@ object TextOps {
   // write adds repartition(shard) + sortWithinPartitions(ok) exactly as
   // q162WriteShards does for the raw corpus.
   // ===========================================================
-  def q166MaterializeManifest(spark: SparkSession, dir: String): DataFrame = {
-    val reps = q165PerDoc(spark, dir)
+  /** The per-replica materialization order key over (`doc_id`, `k`) —
+    * shared by the manifest and the from-files recomputation, which never
+    * trusts a written column. */
+  private def matOrderKey: Column = conv(substring(
+    md5(concat(lit("mat:"), col("doc_id").cast("string"),
+      lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
+    .cast("long")
+
+  /** The sharded replica frame (doc_id, tokens, k, ok, shard) — q165's
+    * multiset under the materialization shuffle; shared by the manifest
+    * and the shard writer ([[q166WriteShards]]). */
+  private def q166Replicas(spark: SparkSession, dir: String): DataFrame =
+    q165PerDoc(spark, dir)
       .filter(col("copies") > 0)
       .select(col("doc_id"), col("tokens"),
         explode(expr("sequence(0L, copies - 1L)")).as("k"))
-      .withColumn("ok",
-        conv(substring(md5(concat(lit("mat:"), col("doc_id").cast("string"),
-          lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+      .withColumn("ok", matOrderKey)
       .withColumn("shard", pmod(col("ok"), lit(ShuffleShards)))
+
+  def q166MaterializeManifest(spark: SparkSession, dir: String): DataFrame =
+    q166Manifest(spark, q166Replicas(spark, dir))
+
+  /** Manifest aggregation over any sharded replica frame — one code path
+    * for the prediction and the from-files recomputation (the q162Manifest
+    * rule), so ShardWriteSpec's q166 write→recompute→compare differs only
+    * in input. */
+  private def q166Manifest(spark: SparkSession, reps: DataFrame): DataFrame = {
     val per = reps.groupBy("shard").agg(
       count(lit(1)).as("n_replicas"),
       countDistinct("doc_id").as("n_docs"),
@@ -1166,6 +1183,35 @@ object TextOps {
        | CAST(COALESCE(first_doc, -1) AS BIGINT) AS first_doc,
        | CAST(COALESCE(shard_fp, 0) AS BIGINT) AS shard_fp
        |FROM sh LEFT JOIN mper USING (shard) ORDER BY shard""".stripMargin.replace("\n", " ")
+
+  /** REALIZE the materialization q166 predicts: write the replica
+    * multiset as S shard directories, each one file internally sorted by
+    * (ok, doc_id, k) — the training-shard layout, minus the payload bytes
+    * (a production shard inlines the text; the identity/order/placement
+    * proof is the same either way). Same one-task-per-shard layout
+    * guarantee as [[q162WriteShards]]. */
+  def q166WriteShards(spark: SparkSession, dir: String, outPath: String): Unit =
+    q166Replicas(spark, dir)
+      .select(col("doc_id"), col("k"), col("ok"), col("shard"))
+      .repartition(ShuffleShards.toInt, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ok"), col("doc_id"), col("k"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
+  /** Recompute the q166 manifest FROM written shard files: shard from the
+    * directory a replica landed in, the order key re-derived from the
+    * stored (doc_id, k), and token counts re-joined from the CORPUS — so
+    * a misplaced replica, a dropped copy, or a forged id all surface as a
+    * manifest mismatch against the prediction (ShardWriteSpec). */
+  def q166ManifestFromFiles(spark: SparkSession, dir: String,
+                            outPath: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), ws_token_count(col("text")).cast("long").as("tokens"))
+    val reps = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("k"), col("shard").cast("long").as("shard"))
+      .withColumn("ok", matOrderKey)
+      .join(toks, Seq("doc_id"))
+    q166Manifest(spark, reps)
+  }
 
   // ===========================================================
   // q65 — count-based LM quality score (CCNet/Gopher-style perplexity

@@ -78,4 +78,51 @@ class ShardWriteSpec extends AnyFunSuite {
       }
     } finally deleteRecursively(out)
   }
+
+  test("written replica shards realize the q166 materialization manifest exactly") {
+    val out = Files.createTempDirectory("graft_mat_shards_")
+    try {
+      val outPath = out.toString
+      graft.operators.TextOps.q166WriteShards(spark, dir, outPath)
+
+      // manifest recomputed from the files (shard = landing directory,
+      // order key re-derived from the stored (doc_id, k), tokens re-joined
+      // from the corpus) equals the prediction row for row
+      val predicted = graft.operators.TextOps.q166MaterializeManifest(spark, dir).collect()
+      val recomputed = graft.operators.TextOps
+        .q166ManifestFromFiles(spark, dir, outPath).collect()
+      assert(predicted.length == recomputed.length)
+      predicted.zip(recomputed).foreach { case (p, r) =>
+        assert(p == r, s"shard ${p.getLong(0)}: predicted $p != recomputed-from-files $r")
+      }
+
+      // physical layout: one file per non-empty shard, rows sorted by
+      // (ok, doc_id, k), first row = the first-replica witness; epoch
+      // replication must be VISIBLE in the files (some shard holds more
+      // replicas than distinct docs, or the multiset as a whole does)
+      val manifest = predicted.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap // shard -> (n_replicas, first_doc)
+      var totalReplicas = 0L
+      val distinctDocs = scala.collection.mutable.Set.empty[Long]
+      Files.list(out).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("shard=")).foreach { d =>
+          val shard = d.getFileName.toString.stripPrefix("shard=").toLong
+          val files = Files.list(d).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          assert(files.size == 1, s"shard $shard: expected one file, got ${files.size}")
+          val rows = spark.read.parquet(files.head.toString)
+            .selectExpr("doc_id", "k", "ok").collect()
+          val (nRep, firstDoc) = manifest(shard)
+          assert(rows.length.toLong == nRep)
+          val keys = rows.map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSeq
+          assert(keys == keys.sorted, s"shard $shard: file not sorted by (ok, doc_id, k)")
+          assert(rows.head.getLong(0) == firstDoc,
+            s"shard $shard: first row ${rows.head.getLong(0)} != witness $firstDoc")
+          totalReplicas += rows.length
+          rows.foreach(r => distinctDocs += r.getLong(0))
+        }
+      assert(totalReplicas > distinctDocs.size,
+        "written shards carry no replication — the epoch up-sampling is missing")
+    } finally deleteRecursively(out)
+  }
 }
