@@ -60,7 +60,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    first-doc ordering witness, bit_xor membership fingerprint),
   *    q163 decontamination execution (q54's verdicts applied: flagged
   *    docs dropped, corpus rebuilt, per-lang drops reconcile with the
-  *    audit — the sixth audit→execution bridge)
+  *    audit — the sixth audit→execution bridge),
+  *    q165 epoch-mixture execution (q131's capped plan applied with
+  *    deterministic fractional epochs — the seventh bridge, the first
+  *    that UP-samples; bit_xor multiset fingerprint pins replica
+  *    counts), q166 training-set materialization manifest (q165 × q162:
+  *    the replica multiset globally shuffled and sharded under fresh
+  *    per-replica order keys; reconciles with q165's totals; realized
+  *    as written sorted shards in ShardWriteSpec)
   *  - SimilarityOps: q40-q43 similarity + sketches, q47 embedding
   *    near-dup, q48 dup clustering, q57 fixed-point k-means, q58 trained-IVF
   *    ANN, q59 product-quantization ANN, q68 SemDeDup (cluster-partitioned
