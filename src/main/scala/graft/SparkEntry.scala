@@ -115,7 +115,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - CurationExec: q164 composed curation pipeline (the five
   *    corpus-rewriting bridges — q158 near-dup removal → q157 substring
   *    removal → q159 quality filter → q151 DSIR resample → q163 decon —
-  *    as ONE dataflow, per-source funnel + final corpus fingerprint)
+  *    as ONE dataflow, per-source funnel + final corpus fingerprint),
+  *    q167 curated training-set materialization (q164 × q165 × q166:
+  *    the shipped corpus epoch-planned on its own masses, replicated
+  *    through fresh gate/key domains, sharded into q166's manifest
+  *    schema — the full arc, audits to training shards, one dataflow)
   * Every query has an exact DuckDB oracle (see oracleSql).
   */
 object SparkEntry {

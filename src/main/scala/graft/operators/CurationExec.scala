@@ -71,7 +71,12 @@ object CurationExec {
     (losers, activeBound)
   }
 
-  def q164CurationExec(spark: SparkSession, dir: String): DataFrame = {
+  /** The composed pipeline's spine: (f0 = every S0 doc with its stage-1
+    * verdict, s5 = the stage-5 frame carrying every later verdict and the
+    * current bytes' token count/digest). q164's funnel is one rollup over
+    * it; q167 consumes the kept5 rows as the curated corpus. Extracted so
+    * the materialization composition reuses the EXACT same dataflow. */
+  private[graft] def q164Spine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import TextOps.{wsTokenRe, RunThr, NgramW, CalibTargetPermille, DsirBuckets, DsirTargetLang}
 
     // ---- stage 1: near-dup removal (q158's selection, verbatim) ----
@@ -170,7 +175,11 @@ object CurationExec {
     val s5 = s4.join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left_outer")
       .withColumn("kept5",
         col("kept4") && col("doc_id") % 97 =!= 0 && col("hit").isNull)
+    (f0, s5)
+  }
 
+  def q164CurationExec(spark: SparkSession, dir: String): DataFrame = {
+    val (f0, s5) = q164Spine(spark, dir)
     // ---- the funnel: one rollup over the spine + stage verdicts ----
     f0.select("doc_id", "source", "tokens0", "kept1")
       .join(s5.select("doc_id", "tokens2", "h2", "kept3", "kept4", "kept5"),
@@ -197,7 +206,11 @@ object CurationExec {
     * over the survivors (q157), histogram calibration (q139), the DSIR
     * bucket classes + hash gate (q151), and the 3-gram benchmark probe
     * (q163) — each stage reading the previous stage's CTE. */
-  lazy val q164Sql: String =
+  /** q164's full CTE chain through the stage-5 frame `s5` — shared with
+    * q167's oracle, which materializes the kept5 corpus instead of
+    * rolling up the funnel. Consumers apply the WITH→WITH RECURSIVE
+    * rewrite after assembly (the `reach` CTE needs it). */
+  private lazy val q164Ctes: String =
     (s"""$q41CtesRef,
        | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
        | adjr AS (SELECT a AS src, b AS dst FROM dup UNION ALL SELECT b, a FROM dup),
@@ -296,7 +309,10 @@ object CurationExec {
        | flagged5 AS (SELECT DISTINCT n.doc_id FROM ng5 n JOIN bench5 b USING (ng)),
        | s5 AS (SELECT s4.*,
        |   s4.kept4 AND s4.doc_id % 97 <> 0 AND fl.doc_id IS NULL AS kept5
-       |  FROM s4 LEFT JOIN flagged5 fl USING (doc_id))
+       |  FROM s4 LEFT JOIN flagged5 fl USING (doc_id))""").stripMargin
+
+  lazy val q164Sql: String =
+    (q164Ctes + """
        |SELECT f0.source, COUNT(*) AS n_docs,
        | CAST(SUM(f0.tokens0) AS BIGINT) AS tokens_total,
        | CAST(SUM(CASE WHEN NOT f0.dropped1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_docs,
@@ -317,9 +333,117 @@ object CurationExec {
   // SimilarityOps' own (q41Ctes is a val there)
   private def q41CtesRef: String = SimilarityOps.q41Ctes
 
+  // ===========================================================
+  // q167 — CURATED training-set materialization (q164 × q165 × q166,
+  // the full arc in one query): the corpus q164 ships — survivors of all
+  // five curation stages, carrying their REWRITTEN bytes' token counts —
+  // is epoch-planned (q131's math recomputed on the CURATED per-source
+  // masses, same budget × cap), replicated through a fresh
+  // domain-tagged fractional gate ('cepoch:'), and globally shuffled
+  // into shards under per-replica order keys ('cmat:' ‖ doc_id ‖ ':' ‖ k)
+  // — q166's manifest schema, so the raw-corpus and curated-corpus
+  // materializations read side by side. This is the artifact the whole
+  // pipeline exists to produce: audits → executions → composed curation
+  // → epoch mixture → sharded training set, one dataflow.
+  //
+  // Scale path: q164's spine (every stage its standalone shape, two
+  // localCheckpoint stage boundaries) + one S-row plan broadcast + the
+  // ≤4× map-side replica explode + the S-row manifest rollup. The
+  // curated frame checkpoints once (it feeds the plan aggregation and
+  // the replica branch). Fresh gate/key domains keep every draw
+  // independent of q151's resample inside the pipeline, q165/q166's
+  // raw-corpus run, and q162's corpus shuffle.
+  // ===========================================================
+  /** The curated corpus q164 ships (doc_id, source, current-bytes token
+    * count) — kept5 rows, checkpointed: consumed by the plan aggregation,
+    * the replica explode, and the spec's cross-checks. */
+  private[graft] def q167Curated(spark: SparkSession, dir: String): DataFrame = {
+    val (_, s5) = q164Spine(spark, dir)
+    s5.filter(col("kept5"))
+      .select(col("doc_id"), col("source"), col("tokens2").as("tokens"))
+      .localCheckpoint()
+  }
+
+  /** q131's epoch math over the curated per-source masses (same budget ×
+    * cap; divisors guarded — a post-curation source CAN be degenerate). */
+  private[graft] def q167Plan(cur: DataFrame): DataFrame = {
+    val per = cur.groupBy("source").agg(sum("tokens").as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val totals = per.agg(sum("tokens").as("tot_tokens"), sum("weight").as("tot_weight"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), least(expr(
+        s"((weight * 1000 DIV greatest(tot_weight, 1L)) * tot_tokens * ${TextOps.EpochBudgetX} DIV 1000) " +
+          s"* 1000 DIV greatest(tokens, 1L)"),
+        lit(TextOps.EpochCapPermille)).as("ep"))
+  }
+
+  /** The sharded curated-replica frame (doc_id, tokens, k, ok, shard). */
+  private[graft] def q167Replicas(spark: SparkSession, dir: String): DataFrame = {
+    val cur = q167Curated(spark, dir)
+    cur.join(broadcast(q167Plan(cur)), Seq("source"))
+      .withColumn("gate",
+        conv(substring(md5(concat(lit("cepoch:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long") % 1000)
+      .withColumn("copies",
+        expr("ep DIV 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("tokens"),
+        explode(expr("sequence(0L, copies - 1L)")).as("k"))
+      .withColumn("ok",
+        conv(substring(md5(concat(lit("cmat:"), col("doc_id").cast("string"),
+          lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("shard", pmod(col("ok"), lit(TextOps.ShuffleShards)))
+  }
+
+  def q167CuratedMaterialize(spark: SparkSession, dir: String): DataFrame =
+    TextOps.q166Manifest(spark, q167Replicas(spark, dir))
+
+  lazy val q167Sql: String =
+    (q164Ctes + s""",
+       | cur AS (SELECT doc_id, source, tokens2 AS tokens FROM s5 WHERE kept5),
+       | cper AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS tokens FROM cur GROUP BY source),
+       | cw AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight FROM cper),
+       | ctt AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+       |   CAST(SUM(weight) AS BIGINT) AS tot_weight FROM cw),
+       | cplan AS (SELECT source, LEAST(
+       |   ((weight * 1000 // GREATEST(ctt.tot_weight, 1)) * ctt.tot_tokens * ${TextOps.EpochBudgetX} // 1000)
+       |     * 1000 // GREATEST(tokens, 1), ${TextOps.EpochCapPermille}) AS ep
+       |  FROM cw, ctt),
+       | cc AS (SELECT cur.doc_id, cur.tokens, ep,
+       |   ep // 1000 + CASE WHEN
+       |     CAST(('0x' || substr(md5('cepoch:' || CAST(cur.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+       |     < ep % 1000 THEN 1 ELSE 0 END AS copies
+       |  FROM cur JOIN cplan USING (source)),
+       | cr AS (SELECT doc_id, tokens, u.k,
+       |   CAST(('0x' || substr(md5('cmat:' || CAST(doc_id AS VARCHAR) || ':'
+       |     || CAST(u.k AS VARCHAR)), 1, 15)) AS BIGINT) AS ok
+       |  FROM cc, LATERAL (SELECT unnest(range(0, copies)) AS k) u),
+       | cs AS (SELECT *, ok % ${TextOps.ShuffleShards} AS shard FROM cr),
+       | cmper AS (SELECT shard, COUNT(*) AS n_replicas,
+       |   COUNT(DISTINCT doc_id) AS n_docs,
+       |   CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       |   CAST(MIN(CAST(ok AS HUGEINT) * 9223372036854775808 + doc_id)
+       |     % 9223372036854775808 AS BIGINT) AS first_doc,
+       |   bit_xor(ok) AS shard_fp
+       |  FROM cs GROUP BY shard),
+       | csh AS (SELECT unnest(range(0, ${TextOps.ShuffleShards})) AS shard)
+       |SELECT CAST(csh.shard AS BIGINT) AS shard,
+       | CAST(COALESCE(n_replicas, 0) AS BIGINT) AS n_replicas,
+       | CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       | CAST(COALESCE(shard_tokens, 0) AS BIGINT) AS shard_tokens,
+       | CAST(COALESCE(shard_tokens, 0) * 1000
+       |   // GREATEST(SUM(COALESCE(shard_tokens, 0)) OVER (), 1) AS BIGINT) AS token_permille,
+       | CAST(COALESCE(first_doc, -1) AS BIGINT) AS first_doc,
+       | CAST(COALESCE(shard_fp, 0) AS BIGINT) AS shard_fp
+       |FROM csh LEFT JOIN cmper USING (shard) ORDER BY shard""").stripMargin
+      .replace("\n", " ").replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q164_curation_exec" -> (q164CurationExec _))
+    "q164_curation_exec" -> (q164CurationExec _),
+    "q167_curated_materialize" -> (q167CuratedMaterialize _))
 
   val oracles: Map[String, String] = Map(
-    "q164_curation_exec" -> q164Sql)
+    "q164_curation_exec" -> q164Sql,
+    "q167_curated_materialize" -> q167Sql)
 }

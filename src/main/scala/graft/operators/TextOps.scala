@@ -1135,7 +1135,7 @@ object TextOps {
     * for the prediction and the from-files recomputation (the q162Manifest
     * rule), so ShardWriteSpec's q166 write→recompute→compare differs only
     * in input. */
-  private def q166Manifest(spark: SparkSession, reps: DataFrame): DataFrame = {
+  private[graft] def q166Manifest(spark: SparkSession, reps: DataFrame): DataFrame = {
     val per = reps.groupBy("shard").agg(
       count(lit(1)).as("n_replicas"),
       countDistinct("doc_id").as("n_docs"),

@@ -280,6 +280,7 @@ class PlanSpec extends AnyFunSuite {
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
       "q165_epoch_exec", // 1-row corpus-total scalars inside the embedded q131 plan
       "q166_materialize_manifest", // same embedded q131 totals as q165
+      "q167_curated_materialize", // 1-row curated-totals attach (the q131 shape on q164's output)
       "q133_vocab_coverage", // 6-row k-budget literal + 1-row totals
       "q40_ann_cosine", "q72_ann_recall", "q97_ann_mrr", // <=10-vector query sets
       "q148_ivf_probe_sweep", "q149_probe_plan", // <=10-vector query set (exact ground-truth leg)
@@ -785,6 +786,20 @@ class PlanSpec extends AnyFunSuite {
       "q166 replica fanout is no longer a map-side explode:\n" + p.take(2500))
     assert(!p.contains("SortAggregate"),
       "q166 witness min degraded to SortAggregate:\n" + p.take(2500))
+  }
+
+  test("q167 curated materialization keeps the manifest shape over the checkpointed spine") {
+    // downstream of the curated checkpoint the plan must be exactly the
+    // q166 manifest shape: broadcast plan attach, map-side replica
+    // explode, HashAggregate witness min; the q164 spine's own shape is
+    // locked by its dedicated test
+    val p = plan("q167_curated_materialize")
+    assert(!p.contains("CartesianProduct"),
+      "q167 plans a corpus² join:\n" + p.take(2500))
+    assert(p.contains("Generate explode"),
+      "q167 replica fanout is no longer a map-side explode:\n" + p.take(2500))
+    assert(!p.contains("SortAggregate"),
+      "q167 witness min degraded to SortAggregate:\n" + p.take(2500))
   }
 
   test("q86/q76 final top-k plans as TakeOrderedAndProject, not a global window sort") {

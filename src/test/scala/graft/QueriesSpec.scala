@@ -1005,6 +1005,55 @@ class QueriesSpec extends AnyFunSuite {
       "materialization did not up-sample")
   }
 
+  test("q167 curated materialization reconciles with q164's shipped corpus") {
+    val ops = graft.operators.CurationExec
+    val cap = graft.operators.TextOps.EpochCapPermille
+    // funnel columns: source, n_docs, tokens_total, s1_docs, s1_tokens,
+    // s2_tokens, s3_docs, s3_tokens, s4_docs, s4_tokens, final_docs,
+    // final_tokens, corpus_fp
+    val funnel = SparkEntry.queries("q164_curation_exec")(spark, dir).collect()
+    val finalDocs = funnel.map(r => r.getString(0) -> r.getLong(10)).toMap
+    val finalTokens = funnel.map(_.getLong(11)).sum
+
+    // the curated frame IS the funnel's final stage, per source
+    val cur = ops.q167Curated(spark, dir)
+    val curBySrc = cur.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    finalDocs.filter(_._2 > 0L).foreach { case (src, n) =>
+      assert(curBySrc.getOrElse(src, 0L) == n,
+        s"$src: curated frame ${curBySrc.getOrElse(src, 0L)} docs != funnel final_docs $n")
+    }
+
+    // the epoch plan is recalibrated on the CURATED masses — it must
+    // actually differ from the raw-corpus q131 plan somewhere
+    val plan = ops.q167Plan(cur).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan.values.forall(ep => ep >= 0L && ep <= cap))
+    val raw = SparkEntry.queries("q131_epoch_plan")(spark, dir).collect()
+      .map(r => r.getString(0) -> math.min(r.getLong(4), cap)).toMap
+    assert(plan.exists { case (s, ep) => raw(s) != ep },
+      "curated plan identical to the raw-corpus plan — recalibration is vacuous")
+
+    // the manifest redistributes the curated multiset within epoch bounds
+    val m = SparkEntry.queries("q167_curated_materialize")(spark, dir).collect()
+    assert(m.map(_.getLong(0)).toSeq ==
+      (0L until graft.operators.TextOps.ShuffleShards))
+    val nRep = m.map(_.getLong(1)).sum
+    val tok = m.map(_.getLong(3)).sum
+    val nCur = finalDocs.values.sum
+    val (minFull, maxFull) = (plan.values.min / 1000, plan.values.max / 1000 + 1)
+    assert(nRep >= nCur * minFull && nRep <= nCur * maxFull,
+      s"replicas $nRep outside [$minFull, $maxFull] epochs of $nCur shipped docs")
+    assert(tok >= finalTokens * minFull && tok <= finalTokens * maxFull,
+      s"token mass $tok outside the epoch bounds of shipped $finalTokens")
+
+    // every replica is a shipped doc; none vanish while every rate >= 1 epoch
+    val repDocs = ops.q167Replicas(spark, dir).select("doc_id").distinct()
+    assert(repDocs.join(cur, Seq("doc_id"), "left_anti").count() == 0,
+      "a replica of a non-shipped doc reached the training set")
+    if (plan.values.min >= 1000L) assert(repDocs.count() == nCur)
+  }
+
   test("distributed min-label loop labels components identically to union-find") {
     // the driver union-find path covers every test corpus (< 4M edges), so
     // without forcing it the O(diameter) distributed loop — the path that
