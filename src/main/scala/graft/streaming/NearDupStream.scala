@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.SimilarityOps
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -17,73 +17,137 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *     (plans/MinHashSig — the same one-pass expression the snapshot used),
  *     the q41 shingle set, and the banding projection — all codegen'd
  *     column work before any state.
- *  2. ONE stateful op, keyed by (band, band_sig) — the probe key IS the
- *     group key, so the snapshot probe and within-stream candidate
- *     generation share a single state layout:
- *      - snapshot probe: the key looks up the snapshot's capped band table
- *        (a driver-built broadcast map here; at snapshots past broadcast
- *        size the same keyed lookup runs as a state-store-initialized map
- *        or a stream-static equi-join — the q161 probe contract either way;
- *        size-1 snapshot buckets kept, they are the dup targets);
+ *  2. Snapshot probe, in one of TWO size-gated forms ([[probeFor]]):
+ *      - [[BroadcastProbe]] (small snapshots): the capped band table as a
+ *        driver map, embedded as a literal map lookup — zero per-batch
+ *        planning, the fast path;
+ *      - [[JoinProbe]] (beyond broadcast): the capped band table as a
+ *        FRAME, and each micro-batch's arrival bands probe it by a
+ *        stream-static (band, band_sig) LEFT equi-join — exactly the q161
+ *        batch probe shape (SimilarityOps.scala oldBuckets join), so a
+ *        TB-scale snapshot shuffles on the band key instead of ever
+ *        visiting the driver. Both forms attach the same `old_cands`
+ *        column; NearDupStreamSpec proves stream ≡ batch on BOTH.
+ *  3. ONE stateful op, keyed by (band, band_sig):
  *      - within-stream: group state holds the bucket's prior arrivals
  *        (id + shingle set), capped at MaxBucketSize (q41's no-signal
  *        rule), verified against the new arrival with TRUE Jaccard right
- *        in the operator — both shingle sets are already in hand;
+ *        in the operator — both shingle sets are already in hand. Once a
+ *        bucket hits the cap the state (and every later verdict from the
+ *        bucket) carries `overflow = true`: an over-cap bucket can no
+ *        longer flag dups against its unretained members, so the contract
+ *        break is SURFACED at runtime instead of silently degrading;
  *      - state is evicted by EVENT-TIME TIMEOUT once the watermark passes
- *        a bucket's horizon, so state is bounded by (bucket arrival rate ×
- *        watermark horizon) × MaxBucketSize, regardless of stream length.
- *  3. Jaccard verify of the snapshot candidates IN THE MICRO-BATCH
+ *        a bucket's horizon. The horizon is MONOTONE — max(previous
+ *        horizon, batch max ts + delayMs) — so an out-of-order (but
+ *        within-watermark) arrival can extend a bucket's retention but
+ *        never shorten a horizon an earlier batch established. State is
+ *        bounded by (bucket arrival rate × watermark horizon) ×
+ *        MaxBucketSize, regardless of stream length.
+ *  4. Jaccard verify of the snapshot candidates IN THE MICRO-BATCH
  *     ([[resolve]], called from foreachBatch): the arrival's shingles ride
  *     the operator output; the old side equi-joins the snapshot shingle
  *     frame on the candidate-id sliver (broadcast of the sliver, never the
  *     snapshot), then per-doc flags fold with q161's precedence —
  *     dup_vs_old beats dup_within beats kept.
  *
- * Parity with batch q161 (asserted by NearDupStreamSpec on replayed
- * arrivals, checkpoint restart included): identical signatures, banding,
- * shingles, Jaccard gate (2·inter ≥ union) and precedence. Two replay
- * preconditions make stream ≡ batch exact: arrivals replay in doc_id order
- * (batch's min-id-wins is arrival-order-free; the stream sees earlier =
- * smaller), and no arrival bucket exceeds MaxBucketSize (batch drops
- * over-cap buckets retroactively; a stream can only cap the prefix) — the
- * spec asserts both on its corpus, the q161-subsumes-q110 pattern.
+ * ORDERING CONTRACT. The stream's native semantics is FIRST-ARRIVAL-WINS:
+ * an arrival is `dup_within` iff some band bucket already held a verified-
+ * similar arrival when it was processed (batches in arrival order; within
+ * one micro-batch, per bucket, rows process in doc_id order, so a single
+ * batch is internally deterministic regardless of shuffle order). Two
+ * flags are arrival-order-INVARIANT pointwise: `dup_vs_old` (it depends
+ * only on the fixed snapshot) and therefore also the kept∪dup_within
+ * complement. The kept/dup_within split among those is the greedy
+ * first-arrival outcome — equal to batch q161's min-id-wins exactly when
+ * arrivals replay in doc_id order (earlier = smaller), and equal for ANY
+ * order when each bucket's verified-similarity components are cliques
+ * whose members share `dup_vs_old` status (one kept per clique either
+ * way). NearDupStreamSpec asserts stream ≡ batch on ordered replays and
+ * stream ≡ the first-arrival-wins ground truth on randomized replays.
+ * The second replay precondition for exact batch parity is unchanged: no
+ * arrival bucket exceeds MaxBucketSize (batch drops over-cap buckets
+ * retroactively; a stream can only cap the prefix — and now says so via
+ * the overflow flag).
  */
 object NearDupStream {
 
-  /** One arrival × band row after the stateless enrich. */
+  /** How arrival bands look up the snapshot's capped band table. */
+  sealed trait SnapshotProbe
+  /** Small-snapshot fast path: the table as a driver map, attached as a
+    * literal map lookup (no per-batch join planning). */
+  final case class BroadcastProbe(table: Map[(Int, String), Seq[Long]])
+      extends SnapshotProbe
+  /** Beyond-broadcast path: the capped band FRAME (band, band_sig,
+    * old_ids); arrival bands stream-static-left-join it per micro-batch —
+    * the q161 probe equi-join. The frame is probed every batch: pass it
+    * persisted (probeFor does), or backed by the incrementally-maintained
+    * band table a production snapshot keeps. */
+  final case class JoinProbe(bands: DataFrame) extends SnapshotProbe
+
+  /** One arrival × band row after the stateless enrich + snapshot probe. */
   final case class BandRow(
       doc_id: Long, ts: java.sql.Timestamp, band: Int, band_sig: String,
-      shingles: Seq[String])
+      shingles: Seq[String], old_cands: Seq[Long])
 
-  /** A prior arrival held in bucket state: id + its verified shingle set. */
+  /** A prior arrival held in bucket state: id + its verified shingle set.
+    * `horizonMs` is the monotone eviction horizon; `overflowed` latches
+    * once the bucket hit MaxBucketSize (members lost ⇒ within-bucket dup
+    * flags are best-effort from then on). */
   final case class BucketMember(docId: Long, shingles: Seq[String])
-  final case class BucketState(members: List[BucketMember])
+  final case class BucketState(
+      members: List[BucketMember], horizonMs: Long, overflowed: Boolean)
 
   /** Per (arrival, band) verdict leaving the stateful op: the within-stream
     * flag is already VERIFIED (both shingle sets were in hand); snapshot
     * candidates leave unverified for the micro-batch join ([[resolve]]).
     * Shingles ride along for that verify (4 bands/doc; a production trim
-    * emits them only when old_cands is non-empty). */
+    * emits them only when old_cands is non-empty). `overflow` reports the
+    * bucket's latched over-cap state. */
   final case class BandVerdict(
       doc_id: Long, ts: java.sql.Timestamp, has_prior: Boolean,
-      old_cands: Seq[Long], shingles: Seq[String])
+      old_cands: Seq[Long], shingles: Seq[String], overflow: Boolean)
 
-  /** The snapshot's capped band table as a driver map — (band, band_sig) →
-    * bucket member ids, size-1 buckets KEPT, over-cap buckets dropped:
-    * exactly q161's oldBuckets probe table. */
-  def snapshotBandTable(snapshotDocs: DataFrame): Map[(Int, String), Seq[Long]] = {
+  /** The snapshot's capped band table as a FRAME — (band, band_sig,
+    * old_ids), bucket member ids ascending, size-1 buckets KEPT (they are
+    * the dup targets of a new copy), over-cap buckets dropped: exactly
+    * q161's oldBuckets probe table. */
+  def snapshotBandFrame(snapshotDocs: DataFrame): DataFrame = {
     import graft.plans.MinHashSig.minhash_sig
     val sig = snapshotDocs.select(col("doc_id"),
       minhash_sig(col("text"), 5, SimilarityOps.NumHashes).as("sig"))
     SimilarityOps.bandedSigs(sig, SimilarityOps.BandSize)
       .groupBy("band", "band_sig")
       .agg(graft.functions.SmallestK.smallest_k(col("doc_id"),
-        SimilarityOps.MaxBucketSize + 1).as("ids"))
-      .filter(size(col("ids")) <= SimilarityOps.MaxBucketSize)
+        SimilarityOps.MaxBucketSize + 1).as("old_ids"))
+      .filter(size(col("old_ids")) <= SimilarityOps.MaxBucketSize)
+  }
+
+  /** The same table collected to a driver map (the broadcast form). */
+  def snapshotBandTable(snapshotDocs: DataFrame): Map[(Int, String), Seq[Long]] =
+    snapshotBandFrame(snapshotDocs)
       .collect()
       .map(r => (r.getInt(0), r.getString(1)) ->
         r.getAs[scala.collection.Seq[Long]](2).toSeq)
       .toMap
+
+  /** Size-gated probe selection: ≤ `maxBroadcastBuckets` buckets → the
+    * driver-map fast path; else the stream-static join form over the
+    * PERSISTED frame (it is probed every micro-batch). The count is one
+    * driver job at stream START, not per batch; at a 100 TB snapshot the
+    * band table is maintained incrementally and its row count is already
+    * known, so the gate costs nothing. Tests force the join form by
+    * passing 0 (the minLabelComponents gate-seam pattern). */
+  def probeFor(snapshotDocs: DataFrame,
+               maxBroadcastBuckets: Long = 1L << 20): SnapshotProbe = {
+    val frame = snapshotBandFrame(snapshotDocs)
+    if (frame.count() <= maxBroadcastBuckets) BroadcastProbe(
+      frame.collect()
+        .map(r => (r.getInt(0), r.getString(1)) ->
+          r.getAs[scala.collection.Seq[Long]](2).toSeq)
+        .toMap)
+    else JoinProbe(
+      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** The snapshot shingle frame (doc_id, sh) for the micro-batch verify —
@@ -91,36 +155,71 @@ object NearDupStream {
   def snapshotShingles(snapshotDocs: DataFrame): DataFrame =
     snapshotDocs.select(col("doc_id"), SimilarityOps.charShingles.as("sh"))
 
-  /** Stages 1+2: enrich arrivals (`doc_id`, `text`, event time), band them,
-    * and run the keyed stateful op against `snapshot`. `delayMs` is both
-    * the watermark delay and the bucket-state eviction horizon. */
-  def bandVerdicts(df: DataFrame, snapshot: Map[(Int, String), Seq[Long]],
-                   eventTimeCol: String, delayMs: Long): Dataset[BandVerdict] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = if (df.isStreaming) df.withWatermark(eventTimeCol, s"$delayMs milliseconds") else df
-    base
+  /** The stateless enrich: one MinHash signature + the q41 shingle set per
+    * arrival, exploded to (doc_id, ts, shingles, band, band_sig) — exposed
+    * so NearDupStreamSpec derives its first-arrival-wins ground truth from
+    * the EXACT projection the stream runs. */
+  private[graft] def enriched(df: DataFrame, eventTimeCol: String): DataFrame =
+    df
       .withColumn("sig", graft.plans.MinHashSig.minhash_sig(
         col("text"), 5, SimilarityOps.NumHashes))
       .withColumn("shingles", SimilarityOps.charShingles)
       .select(col("doc_id"), col(eventTimeCol).as("ts"), col("shingles"),
         posexplode(SimilarityOps.bandArrayExpr(SimilarityOps.BandSize)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+
+  private def emptyLongArray: Column = expr("CAST(array() AS ARRAY<BIGINT>)")
+
+  /** Stages 1–3: enrich arrivals (`doc_id`, `text`, event time), band them,
+    * attach snapshot candidates via `probe`, and run the keyed stateful op.
+    * `delayMs` is both the watermark delay and the bucket-state eviction
+    * horizon. */
+  def bandVerdicts(df: DataFrame, probe: SnapshotProbe,
+                   eventTimeCol: String, delayMs: Long): Dataset[BandVerdict] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = if (df.isStreaming) df.withWatermark(eventTimeCol, s"$delayMs milliseconds") else df
+    val bands = enriched(base, eventTimeCol)
+    // both probe forms attach the SAME old_cands column (empty when the
+    // bucket is absent), entirely as column work — the watermark tag on ts
+    // survives, and the stateful op below is probe-form-agnostic
+    val withCands = probe match {
+      case BroadcastProbe(table) =>
+        // literal map lookup: band_sig is digits+':' only, '|' is safe
+        val lut = typedLit(table.map { case ((b, s), ids) => s"$b|$s" -> ids })
+        bands.withColumn("old_cands", coalesce(
+          element_at(lut, concat_ws("|", col("band"), col("band_sig"))),
+          emptyLongArray))
+      case JoinProbe(frame) =>
+        bands.join(frame, Seq("band", "band_sig"), "left_outer")
+          .withColumn("old_cands", coalesce(col("old_ids"), emptyLongArray))
+    }
+    withCands
+      .select(col("doc_id"), col("ts"), col("band"), col("band_sig"),
+        col("shingles"), col("old_cands"))
       .as[BandRow]
       .groupByKey(r => (r.band, r.band_sig))
       .flatMapGroupsWithState[BucketState, BandVerdict](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process(snapshot, delayMs))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process(delayMs))
   }
 
-  private def process(snapshot: Map[(Int, String), Seq[Long]], delayMs: Long)(
+  /** Back-compat form: a pre-collected driver table IS the broadcast probe. */
+  def bandVerdicts(df: DataFrame, snapshot: Map[(Int, String), Seq[Long]],
+                   eventTimeCol: String, delayMs: Long): Dataset[BandVerdict] =
+    bandVerdicts(df, BroadcastProbe(snapshot), eventTimeCol, delayMs)
+
+  private def process(delayMs: Long)(
       key: (Int, String), rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[BandVerdict] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    // min-id-wins within the batch regardless of iterator order; across
-    // batches the replay-in-id-order precondition makes earlier = smaller
+    // within one micro-batch the bucket processes in doc_id order (batch-
+    // internal determinism regardless of shuffle order); across batches the
+    // contract is first-arrival-wins (scaladoc above)
     val sorted = rows.toIndexedSeq.sortBy(_.doc_id)
-    var members = state.getOption.map(_.members).getOrElse(Nil)
-    val oldIds = snapshot.getOrElse(key, Seq.empty)
+    val prior = state.getOption.getOrElse(
+      BucketState(Nil, Long.MinValue, overflowed = false))
+    var members = prior.members
+    var overflowed = prior.overflowed
     val out = sorted.map { r =>
       val sh = r.shingles.toSet
       // TRUE Jaccard vs prior bucket mates — q161's integer gate
@@ -130,22 +229,29 @@ object NearDupStream {
       }
       if (members.size < SimilarityOps.MaxBucketSize)
         members = BucketMember(r.doc_id, r.shingles) :: members
-      BandVerdict(r.doc_id, r.ts, hasPrior, oldIds, r.shingles)
+      else overflowed = true // member lost: within-bucket flags degrade — say so
+      BandVerdict(r.doc_id, r.ts, hasPrior, r.old_cands, r.shingles, overflowed)
     }
-    state.update(BucketState(members))
-    state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + delayMs)
+    // MONOTONE eviction horizon: a late (within-watermark) batch may extend
+    // retention but never pull an established horizon earlier
+    val horizon = math.max(prior.horizonMs, sorted.map(_.ts.getTime).max + delayMs)
+    state.update(BucketState(members, horizon, overflowed))
+    state.setTimeoutTimestamp(horizon)
     out.iterator
   }
 
-  /** Stage 3, inside foreachBatch: verify the micro-batch's snapshot
+  /** Stage 4, inside foreachBatch: verify the micro-batch's snapshot
     * candidates with true Jaccard against the snapshot shingle frame and
     * fold per-doc flags with q161's precedence. Returns one row per
-    * arrival: (doc_id, ts, status ∈ kept | dup_vs_old | dup_within). */
+    * arrival: (doc_id, ts, status ∈ kept | dup_vs_old | dup_within,
+    * bucket_overflow — true iff any of the arrival's buckets had
+    * overflowed, i.e. its status is best-effort). */
   def resolve(batch: DataFrame, snapshotSh: DataFrame): DataFrame = {
     val perDoc = batch.groupBy("doc_id", "ts").agg(
       (max(when(col("has_prior"), 1L).otherwise(0L)) === 1L).as("has_prior"),
       array_distinct(flatten(collect_list(col("old_cands")))).as("old_cands"),
-      first(col("shingles")).as("sh")) // identical across a doc's band rows
+      first(col("shingles")).as("sh"), // identical across a doc's band rows
+      (max(when(col("overflow"), 1L).otherwise(0L)) === 1L).as("bucket_overflow"))
     // candidate sliver → broadcast into the snapshot shingle frame: the
     // join ships the (few) candidates to the (large) snapshot side, never
     // the reverse, and only candidate old docs get their shingles read
@@ -164,6 +270,6 @@ object NearDupStream {
         when(coalesce(col("has_old"), lit(false)), lit("dup_vs_old"))
           .when(col("has_prior"), lit("dup_within"))
           .otherwise(lit("kept")))
-      .select(col("doc_id"), col("ts"), col("status"))
+      .select(col("doc_id"), col("ts"), col("status"), col("bucket_overflow"))
   }
 }

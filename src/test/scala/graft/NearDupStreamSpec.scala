@@ -12,8 +12,11 @@ import java.sql.Timestamp
 case class ArrivalDoc(doc_id: Long, text: String, ts: Timestamp)
 
 /** The streaming LSH near-dup twin must reproduce batch q161 exactly on
-  * replayed arrivals — across a checkpoint restart — and hold bounded
-  * state (event-time eviction of bucket members). */
+  * replayed arrivals — across a checkpoint restart, under BOTH snapshot
+  * probe forms (driver-map broadcast and the beyond-broadcast stream-static
+  * band join) — implement first-arrival-wins under randomized arrival
+  * order, hold bounded state (event-time eviction with a monotone horizon),
+  * and surface bucket overflow instead of silently degrading. */
 class NearDupStreamSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -27,10 +30,15 @@ class NearDupStreamSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("stream ≡ q161 batch on replayed arrivals, checkpoint restart included") {
+  private def docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"), col("text"), col("source"))
+
+  /** Replay the sf0.001 arrivals (doc_id-ordered, in thirds, with a
+    * checkpoint restart after the second third) through the stream under
+    * `mkProbe`'s snapshot form, and assert the per-source rollup equals
+    * batch q161 exactly. */
+  private def runParity(mkProbe: org.apache.spark.sql.DataFrame => NearDupStream.SnapshotProbe): Unit = {
     val ops = graft.operators.SimilarityOps
-    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"), col("source"))
 
     // replay preconditions (see NearDupStream scaladoc): batch q161 drops
     // over-cap ARRIVAL buckets retroactively, a stream can only cap the
@@ -44,7 +52,7 @@ class NearDupStreamSpec extends AnyFunSuite {
         "is not exact at this data scale")
 
     val snapshotDocs = docsDf.filter(col("doc_id") % 5 =!= 0)
-    val table = NearDupStream.snapshotBandTable(snapshotDocs)
+    val probe = mkProbe(snapshotDocs)
     val snapSh = NearDupStream.snapshotShingles(snapshotDocs).cache()
 
     // arrivals replayed in doc_id order (min-id-wins ≡ first-arrival-wins)
@@ -59,15 +67,15 @@ class NearDupStreamSpec extends AnyFunSuite {
     val thirds = replay.grouped(math.max(replay.length / 3 + 1, 1)).toSeq
 
     val ckpt = Files.createTempDirectory("neardup_ckpt_").toString
-    val results = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, String)]]
+    val results = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, String, Boolean)]]
     val ms = MemoryStream[ArrivalDoc](implicitly[Encoder[ArrivalDoc]], spark.sqlContext)
-    val verdicts = NearDupStream.bandVerdicts(ms.toDF(), table, "ts", 3600000L)
+    val verdicts = NearDupStream.bandVerdicts(ms.toDF(), probe, "ts", 3600000L)
     def startQuery() = verdicts.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .foreachBatch { (ds: org.apache.spark.sql.Dataset[NearDupStream.BandVerdict], id: Long) =>
         results(id) = NearDupStream.resolve(ds.toDF(), snapSh).collect()
-          .map(r => r.getLong(0) -> r.getString(2))
+          .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
       }
       .start()
 
@@ -88,9 +96,12 @@ class NearDupStreamSpec extends AnyFunSuite {
 
     // batchIds are unique; a replayed batch overwrites its own slot, so
     // the union is exactly one verdict per arrival
-    val statuses = results.values.flatten.toMap
+    val flat = results.values.flatten.toSeq
+    val statuses = flat.map(v => v._1 -> v._2).toMap
     assert(statuses.size == replay.length,
       s"${statuses.size} verdicts for ${replay.length} arrivals")
+    // the cap precondition held, so no bucket may report overflow
+    assert(!flat.exists(_._3), "bucket_overflow fired under the cap precondition")
 
     val streamRollup = statuses.toSeq
       .groupBy { case (id, _) => srcOf(id) }
@@ -111,6 +122,114 @@ class NearDupStreamSpec extends AnyFunSuite {
     // the twin must actually exercise both dup paths on this corpus
     assert(statuses.values.exists(_ == "dup_vs_old"), "no dup_vs_old fired")
     assert(statuses.values.exists(_ == "dup_within"), "no dup_within fired")
+    snapSh.unpersist()
+  }
+
+  test("stream ≡ q161 batch on replayed arrivals, checkpoint restart included (broadcast probe)") {
+    runParity { snap =>
+      val p = NearDupStream.probeFor(snap)
+      assert(p.isInstanceOf[NearDupStream.BroadcastProbe],
+        "sf0.001 snapshot must gate to the driver-map fast path")
+      p
+    }
+  }
+
+  test("stream ≡ q161 batch under the stream-static band-join probe (beyond-broadcast form forced)") {
+    runParity { snap =>
+      // gate seam: 0 forces the beyond-broadcast form on a small snapshot
+      val p = NearDupStream.probeFor(snap, maxBroadcastBuckets = 0L)
+      assert(p.isInstanceOf[NearDupStream.JoinProbe],
+        "maxBroadcastBuckets = 0 must force the stream-static join form")
+      p
+    }
+  }
+
+  test("randomized arrival order: first-arrival-wins ground truth; dup_vs_old is order-invariant") {
+    val snapshotDocs = docsDf.filter(col("doc_id") % 5 =!= 0)
+    val table = NearDupStream.snapshotBandTable(snapshotDocs)
+    val snapSh = NearDupStream.snapshotShingles(snapshotDocs).cache()
+
+    val arrivals = docsDf.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+    val rnd = new scala.util.Random(20260815L)
+    // shuffled doc ids; timestamps follow ARRIVAL order (monotone), so the
+    // out-of-orderness under test is the id dimension the contract names
+    val shuffled = rnd.shuffle(arrivals.toSeq)
+    val t0 = 1700000000000L
+    val replay = shuffled.zipWithIndex.map { case (r, i) =>
+      ArrivalDoc(r.getLong(0), r.getString(1), new Timestamp(t0 + i * 1000L))
+    }
+    val batches = replay.grouped(math.max(replay.length / 3 + 1, 1)).toSeq
+
+    val ckpt = Files.createTempDirectory("neardup_shuf_").toString
+    val results = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, String)]]
+    val ms = MemoryStream[ArrivalDoc](implicitly[Encoder[ArrivalDoc]], spark.sqlContext)
+    val q = NearDupStream.bandVerdicts(ms.toDF(), table, "ts", 3600000L).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[NearDupStream.BandVerdict], id: Long) =>
+        results(id) = NearDupStream.resolve(ds.toDF(), snapSh).collect()
+          .map(r => r.getLong(0) -> r.getString(2))
+      }
+      .start()
+    try batches.foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val statuses = results.values.flatten.toMap
+    assert(statuses.size == replay.length)
+
+    // ---- ground truth: simulate the documented contract driver-side from
+    // the stream's own enrich projection (bands + shingles) ----
+    val bandRows = NearDupStream.enriched(
+        docsDf.filter(col("doc_id") % 5 === 0)
+          .withColumn("ts0", lit(new Timestamp(t0))), "ts0")
+      .select("doc_id", "band", "band_sig", "shingles").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2)),
+        r.getAs[scala.collection.Seq[String]](3).toSet))
+    val bandsOf = bandRows.groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(x => (x._2, x._3)) }
+    val oldSh = snapSh.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]](1).toSet).toMap
+    def similar(a: Set[String], b: Set[String]): Boolean = {
+      val inter = a.count(b.contains)
+      inter * 2 >= a.size + b.size - inter
+    }
+    // dup_vs_old is computable WITHOUT any arrival ordering — that is the
+    // order-invariance claim: it depends only on the fixed snapshot
+    val expectedOld = bandsOf.collect { case (id, bs)
+      if bs.flatMap(x => table.getOrElse(x._1, Seq.empty)).distinct
+        .exists(o => similar(bs.head._2, oldSh(o))) => id
+    }.toSet
+    // first-arrival-wins replay: batches in order; within a batch each
+    // bucket processes its rows in doc_id order (the stream's batch-
+    // internal determinism rule)
+    val members = scala.collection.mutable.Map
+      .empty[(Int, String), List[(Long, Set[String])]]
+    val expectedPrior = scala.collection.mutable.Set.empty[Long]
+    batches.foreach { b =>
+      val perBucket = b.flatMap(a => bandsOf(a.doc_id).map(x => (x._1, a.doc_id, x._2)))
+        .groupBy(_._1)
+      perBucket.foreach { case (key, rows) =>
+        var ms0 = members.getOrElse(key, Nil)
+        rows.sortBy(_._2).foreach { case (_, id, sh) =>
+          if (ms0.exists(m => similar(m._2, sh))) expectedPrior += id
+          if (ms0.size < graft.operators.SimilarityOps.MaxBucketSize)
+            ms0 = (id, sh) :: ms0
+        }
+        members(key) = ms0
+      }
+    }
+    val expected = replay.map { a =>
+      a.doc_id -> (if (expectedOld(a.doc_id)) "dup_vs_old"
+                   else if (expectedPrior(a.doc_id)) "dup_within"
+                   else "kept")
+    }.toMap
+    assert(statuses == expected,
+      s"stream diverged from first-arrival-wins ground truth: " +
+        s"${statuses.toSet.diff(expected.toSet).take(5)}")
+    // both order-invariant sets hold pointwise
+    assert(statuses.filter(_._2 == "dup_vs_old").keySet == expectedOld)
+    assert(statuses.filter(_._2 != "dup_vs_old").keySet ==
+      replay.map(_.doc_id).toSet -- expectedOld)
     snapSh.unpersist()
   }
 
@@ -157,5 +276,86 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(statuses == Map(
       1L -> "kept", 2L -> "dup_within", 3L -> "kept", 4L -> "kept", 5L -> "kept"),
       s"got $statuses")
+  }
+
+  test("eviction horizon is monotone: a late within-watermark arrival cannot shorten it") {
+    val emptySnapshot = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val table = NearDupStream.snapshotBandTable(emptySnapshot)
+    val snapSh = NearDupStream.snapshotShingles(emptySnapshot)
+
+    val dup = "the same near duplicate text body, long enough to shingle meaningfully"
+    val d = 60000L
+    val t0 = 1700000000000L
+
+    val ckpt = Files.createTempDirectory("neardup_mono_").toString
+    val results = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, String)]]
+    val ms = MemoryStream[ArrivalDoc](implicitly[Encoder[ArrivalDoc]], spark.sqlContext)
+    val q = NearDupStream.bandVerdicts(ms.toDF(), table, "ts", d).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[NearDupStream.BandVerdict], id: Long) =>
+        results(id) = NearDupStream.resolve(ds.toDF(), snapSh).collect()
+          .map(r => r.getLong(0) -> r.getString(2))
+      }
+      .start()
+    try {
+      // doc1 at t+100s establishes horizon t+160s (watermark → t+40s)
+      ms.addData(Seq(ArrivalDoc(1L, dup, new Timestamp(t0 + 100000)))); q.processAllAvailable()
+      // doc2 arrives LATE (event time t+50s, within watermark): it must
+      // flag dup_within AND must not pull the horizon back to t+110s
+      ms.addData(Seq(ArrivalDoc(2L, dup, new Timestamp(t0 + 50000)))); q.processAllAvailable()
+      // fillers advance the watermark to t+120s — past the 110s horizon a
+      // non-monotone implementation would have set, short of the real 160s
+      ms.addData(Seq(ArrivalDoc(3L,
+        "a completely different filler document advancing the watermark only",
+        new Timestamp(t0 + 180000))))
+      q.processAllAvailable()
+      ms.addData(Seq(ArrivalDoc(4L,
+        "unrelated second filler: entirely disjoint vocabulary keeps jaccard at zero",
+        new Timestamp(t0 + 181000))))
+      q.processAllAvailable()
+      // the bucket must still remember docs 1/2 → dup_within
+      ms.addData(Seq(ArrivalDoc(5L, dup, new Timestamp(t0 + 130000)))); q.processAllAvailable()
+    } finally q.stop()
+
+    val statuses = results.values.flatten.toMap
+    assert(statuses == Map(
+      1L -> "kept", 2L -> "dup_within", 3L -> "kept", 4L -> "kept", 5L -> "dup_within"),
+      s"got $statuses — a 'kept' doc 5 means the late doc 2 shortened the horizon")
+  }
+
+  test("an over-cap bucket surfaces bucket_overflow on every verdict past the cap") {
+    val cap = graft.operators.SimilarityOps.MaxBucketSize
+    val emptySnapshot = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val table = NearDupStream.snapshotBandTable(emptySnapshot)
+    val snapSh = NearDupStream.snapshotShingles(emptySnapshot)
+
+    val dup = "the same near duplicate text body, long enough to shingle meaningfully"
+    val t0 = 1700000000000L
+    val docs = (1 to cap + 2).map(i => ArrivalDoc(i.toLong, dup, new Timestamp(t0 + i * 1000L)))
+
+    val ckpt = Files.createTempDirectory("neardup_ovfl_").toString
+    val results = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, String, Boolean)]]
+    val ms = MemoryStream[ArrivalDoc](implicitly[Encoder[ArrivalDoc]], spark.sqlContext)
+    val q = NearDupStream.bandVerdicts(ms.toDF(), table, "ts", 3600000L).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[NearDupStream.BandVerdict], id: Long) =>
+        results(id) = NearDupStream.resolve(ds.toDF(), snapSh).collect()
+          .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+      }
+      .start()
+    try { ms.addData(docs); q.processAllAvailable() } finally q.stop()
+
+    val flat = results.values.flatten.toSeq
+    assert(flat.size == docs.size)
+    val overflowed = flat.filter(_._3).map(_._1).toSet
+    // docs cap+1 and cap+2 arrive after the bucket filled: their verdicts
+    // are best-effort and MUST say so; everything up to the cap is clean
+    assert(overflowed == Set((cap + 1).toLong, (cap + 2).toLong),
+      s"overflow flagged on $overflowed, expected docs ${cap + 1}/${cap + 2}")
+    val statuses = flat.map(v => v._1 -> v._2).toMap
+    assert(statuses(1L) == "kept")
+    assert((2 to cap + 2).forall(i => statuses(i.toLong) == "dup_within"))
   }
 }
