@@ -75,8 +75,17 @@ object CurationExec {
     * verdict, s5 = the stage-5 frame carrying every later verdict and the
     * current bytes' token count/digest). q164's funnel is one rollup over
     * it; q167 consumes the kept5 rows as the curated corpus. Extracted so
-    * the materialization composition reuses the EXACT same dataflow. */
-  private[graft] def q164Spine(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * the materialization composition reuses the EXACT same dataflow.
+    *
+    * `stageBoundary` materializes the two corpus-rewriting stage outputs
+    * (the stage-2 rewritten corpus, the stage-4 gated corpus). The default
+    * localCheckpoint is the cheap single-run form; a production run passes
+    * a write-parquet-and-reread boundary instead ([[parquetBoundary]]) so
+    * an executor loss recomputes from durable inter-stage artifacts rather
+    * than failing the job — CurationBoundarySpec proves both modes emit
+    * identical funnels and fingerprints. */
+  private[graft] def q164Spine(spark: SparkSession, dir: String,
+      stageBoundary: DataFrame => DataFrame = _.localCheckpoint()): (DataFrame, DataFrame) = {
     import TextOps.{wsTokenRe, RunThr, NgramW, CalibTargetPermille, DsirBuckets, DsirTargetLang}
 
     // ---- stage 1: near-dup removal (q158's selection, verbatim) ----
@@ -112,7 +121,7 @@ object CurationExec {
         size(col("kept")).cast("long").as("tokens2"),
         conv(substring(md5(col("text2").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h2"))
-      .localCheckpoint() // stage boundary: the rewritten corpus ships downstream
+      .transform(stageBoundary) // stage boundary: the rewritten corpus ships downstream
 
     // ---- stage 3: quality filter (q139's calibration + q159's gate),
     // calibrated on the CURRENT corpus — scores re-derive from the
@@ -160,7 +169,7 @@ object CurationExec {
         (TextOps.dsirGate(col("doc_id")) <
           greatest(least(coalesce(col("w"), lit(0L)), lit(1000L)), lit(0L))))
       .select("doc_id", "source", "lang", "text2", "tokens2", "h2", "kept3", "kept4")
-      .localCheckpoint() // stage boundary: the gated corpus feeds probe + rollup
+      .transform(stageBoundary) // stage boundary: the gated corpus feeds probe + rollup
 
     // ---- stage 5: decontamination (q163's drop) — the SHIPPING text
     // (stage-2 bytes) is probed against the ORIGINAL benchmark slice,
@@ -178,8 +187,24 @@ object CurationExec {
     (f0, s5)
   }
 
-  def q164CurationExec(spark: SparkSession, dir: String): DataFrame = {
-    val (f0, s5) = q164Spine(spark, dir)
+  /** A durable stage boundary: write the stage output as parquet under
+    * `baseDir` and read it back — the production-recovery form of the
+    * default localCheckpoint (which is non-reliable storage: an executor
+    * loss mid-run fails the job instead of recomputing). Each boundary
+    * crossing gets its own numbered subdirectory, so a restarted run can
+    * resume from the last completed stage write. */
+  def parquetBoundary(baseDir: String): DataFrame => DataFrame = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    df => {
+      val p = s"$baseDir/stage_${n.getAndIncrement()}"
+      df.write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+    }
+  }
+
+  def q164CurationExec(spark: SparkSession, dir: String,
+      stageBoundary: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val (f0, s5) = q164Spine(spark, dir, stageBoundary)
     // ---- the funnel: one rollup over the spine + stage verdicts ----
     f0.select("doc_id", "source", "tokens0", "kept1")
       .join(s5.select("doc_id", "tokens2", "h2", "kept3", "kept4", "kept5"),
@@ -357,11 +382,12 @@ object CurationExec {
   /** The curated corpus q164 ships (doc_id, source, current-bytes token
     * count) — kept5 rows, checkpointed: consumed by the plan aggregation,
     * the replica explode, and the spec's cross-checks. */
-  private[graft] def q167Curated(spark: SparkSession, dir: String): DataFrame = {
-    val (_, s5) = q164Spine(spark, dir)
+  private[graft] def q167Curated(spark: SparkSession, dir: String,
+      stageBoundary: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val (_, s5) = q164Spine(spark, dir, stageBoundary)
     s5.filter(col("kept5"))
       .select(col("doc_id"), col("source"), col("tokens2").as("tokens"))
-      .localCheckpoint()
+      .transform(stageBoundary)
   }
 
   /** q131's epoch math over the curated per-source masses (same budget ×
@@ -377,9 +403,18 @@ object CurationExec {
         lit(TextOps.EpochCapPermille)).as("ep"))
   }
 
+  /** The per-replica curated order key over (`doc_id`, `k`) — fresh 'cmat:'
+    * domain; shared by the replica frame and the from-files recomputation,
+    * which never trusts a written column. */
+  private def cmatOrderKey: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("cmat:"), col("doc_id").cast("string"),
+      lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
   /** The sharded curated-replica frame (doc_id, tokens, k, ok, shard). */
-  private[graft] def q167Replicas(spark: SparkSession, dir: String): DataFrame = {
-    val cur = q167Curated(spark, dir)
+  private[graft] def q167Replicas(spark: SparkSession, dir: String,
+      stageBoundary: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val cur = q167Curated(spark, dir, stageBoundary)
     cur.join(broadcast(q167Plan(cur)), Seq("source"))
       .withColumn("gate",
         conv(substring(md5(concat(lit("cepoch:"), col("doc_id").cast("string"))
@@ -389,15 +424,43 @@ object CurationExec {
       .filter(col("copies") > 0)
       .select(col("doc_id"), col("tokens"),
         explode(expr("sequence(0L, copies - 1L)")).as("k"))
-      .withColumn("ok",
-        conv(substring(md5(concat(lit("cmat:"), col("doc_id").cast("string"),
-          lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+      .withColumn("ok", cmatOrderKey)
       .withColumn("shard", pmod(col("ok"), lit(TextOps.ShuffleShards)))
   }
 
-  def q167CuratedMaterialize(spark: SparkSession, dir: String): DataFrame =
-    TextOps.q166Manifest(spark, q167Replicas(spark, dir))
+  def q167CuratedMaterialize(spark: SparkSession, dir: String,
+      stageBoundary: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    TextOps.q166Manifest(spark, q167Replicas(spark, dir, stageBoundary))
+
+  /** REALIZE the capstone: write the CURATED replica multiset as S shard
+    * directories, each one file internally sorted by (ok, doc_id, k) — the
+    * artifact the whole pipeline exists to produce, written with
+    * q166WriteShards' one-task-per-shard layout guarantee (repartition on
+    * shard puts a shard's rows in one task; partitionBy splits per value). */
+  def q167WriteShards(spark: SparkSession, dir: String, outPath: String): Unit =
+    q167Replicas(spark, dir)
+      .select(col("doc_id"), col("k"), col("ok"), col("shard"))
+      .repartition(TextOps.ShuffleShards.toInt, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ok"), col("doc_id"), col("k"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
+  /** Recompute the q167 manifest FROM written shard files: shard from the
+    * directory a replica landed in, the order key re-derived from the
+    * stored (doc_id, k), and token masses re-joined from the curated corpus
+    * RECOMPUTED from source data — a misplaced replica, a dropped copy, a
+    * forged id, or a replica of a non-curated doc all surface as a manifest
+    * mismatch against the prediction (ShardWriteSpec). The inner join also
+    * means a written doc_id outside the curated set contributes no row, so
+    * the replica counts themselves diverge and fail the compare. */
+  def q167ManifestFromFiles(spark: SparkSession, dir: String,
+                            outPath: String): DataFrame = {
+    val toks = q167Curated(spark, dir).select(col("doc_id"), col("tokens"))
+    val reps = spark.read.parquet(outPath)
+      .select(col("doc_id"), col("k"), col("shard").cast("long").as("shard"))
+      .withColumn("ok", cmatOrderKey)
+      .join(toks, Seq("doc_id"))
+    TextOps.q166Manifest(spark, reps)
+  }
 
   lazy val q167Sql: String =
     (q164Ctes + s""",
@@ -440,8 +503,8 @@ object CurationExec {
       .replace("\n", " ").replaceFirst("WITH ", "WITH RECURSIVE ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q164_curation_exec" -> (q164CurationExec _),
-    "q167_curated_materialize" -> (q167CuratedMaterialize _))
+    "q164_curation_exec" -> ((s, d) => q164CurationExec(s, d)),
+    "q167_curated_materialize" -> ((s, d) => q167CuratedMaterialize(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q164_curation_exec" -> q164Sql,

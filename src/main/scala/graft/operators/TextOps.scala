@@ -1001,10 +1001,18 @@ object TextOps {
   // ===========================================================
   /** The epoch-execution per-doc frame (source, doc_id, tokens, ep, gate,
     * copies) — q165's decision table, shared with q166's materialization
-    * manifest so both realize the SAME replica multiset. Persisted: the
-    * narrow frame feeds two aggregates (q65's bigram rule), so the
-    * tokenize scan runs once per query, not twice. */
-  private def q165PerDoc(spark: SparkSession, dir: String): DataFrame = {
+    * manifest so both realize the SAME replica multiset. Persisted and
+    * MEMOIZED per (session, sf-dir): the narrow frame feeds two aggregates
+    * inside q165 (q65's bigram rule) AND three q166 entry points, so one
+    * Verify/scale-gate run holds a single cached copy instead of
+    * accumulating one per entry point (r12 advisory). An external
+    * clearCache/unpersist only drops the blocks — the memoized plan then
+    * recomputes uncached, still correct. */
+  private val q165PerDocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def q165PerDoc(spark: SparkSession, dir: String): DataFrame =
+    q165PerDocCache.getOrElseUpdate((spark, dir), q165PerDocBuild(spark, dir))
+  private def q165PerDocBuild(spark: SparkSession, dir: String): DataFrame = {
     val plan = q131EpochPlan(spark, dir)
       .select(col("source"),
         least(col("epochs_permille"), lit(EpochCapPermille)).as("ep"))

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.CurationExec
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** The composed curation pipeline's stage boundaries come in two modes:
+  * localCheckpoint (cheap, non-reliable — the single-run default) and
+  * write-parquet-and-reread (the production recovery form: an executor loss
+  * recomputes from durable inter-stage artifacts). The pipeline's OUTPUT
+  * must not depend on the mode: this spec runs q164's funnel and q167's
+  * capstone manifest under both and asserts row-for-row equality —
+  * fingerprints included — and that the parquet mode actually wrote the
+  * inter-stage artifacts it claims to recover from. */
+class CurationBoundarySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // sf0.01 (the driver's verify scale): the boundary writes move real
+  // multi-row-group stage artifacts, not toy frames
+  private val dir = "/root/testdata/sf0.01"
+
+  private def listDir(p: Path): Seq[Path] =
+    Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  test("q164 funnel is identical under localCheckpoint and parquet stage boundaries") {
+    val base = Files.createTempDirectory("graft_curation_stages_")
+    try {
+      val ckpt = CurationExec.q164CurationExec(spark, dir).collect()
+      val pq = CurationExec.q164CurationExec(spark, dir,
+        CurationExec.parquetBoundary(base.toString)).collect()
+      assert(ckpt.length == pq.length)
+      ckpt.zip(pq).foreach { case (a, b) =>
+        assert(a == b, s"funnel row diverged between boundary modes: $a vs $b")
+      }
+      // the durable mode must have actually written its two inter-stage
+      // artifacts (stage-2 rewritten corpus, stage-4 gated corpus)
+      val stages = listDir(base).map(_.getFileName.toString).sorted
+      assert(stages == Seq("stage_0", "stage_1"),
+        s"expected two written stage boundaries, found $stages")
+    } finally deleteRecursively(base)
+  }
+
+  test("q167 capstone manifest is identical under both boundary modes") {
+    val base = Files.createTempDirectory("graft_capstone_stages_")
+    try {
+      val ckpt = CurationExec.q167CuratedMaterialize(spark, dir).collect()
+      val pq = CurationExec.q167CuratedMaterialize(spark, dir,
+        CurationExec.parquetBoundary(base.toString)).collect()
+      assert(ckpt.length == pq.length)
+      ckpt.zip(pq).foreach { case (a, b) =>
+        assert(a == b, s"manifest row diverged between boundary modes: $a vs $b")
+      }
+      // spine boundaries plus the curated-corpus boundary
+      val stages = listDir(base).map(_.getFileName.toString).sorted
+      assert(stages == Seq("stage_0", "stage_1", "stage_2"),
+        s"expected three written stage boundaries, found $stages")
+    } finally deleteRecursively(base)
+  }
+}

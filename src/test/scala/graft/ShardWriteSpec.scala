@@ -5,14 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
-/** Shard-write REALIZATION of q162: the manifest predicts the shuffle; this
-  * spec actually writes the 16 shards (repartition(shard) +
-  * sortWithinPartitions(order key) → parquet), recomputes the manifest FROM
+/** Shard-write REALIZATION of q162/q166/q167: the manifests predict the
+  * shuffles; this spec actually writes the shards (repartition(shard) +
+  * sortWithinPartitions(order key) → parquet), recomputes each manifest FROM
   * the written files, and asserts equality with the prediction — turning
-  * q162's reproducibility witness into proof the written artifact matches.
+  * the reproducibility witnesses into proof the written artifacts match.
   * Runs at sf0.01 (the driver's verify scale), not the usual sf0.001, so
-  * the write exercises more than one row group of real data. */
+  * the writes exercise more than one row group of real data. */
 class ShardWriteSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -24,9 +25,13 @@ class ShardWriteSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
+  /** Files.list with the directory stream actually closed (it leaks a
+    * directory handle per call otherwise). */
+  private def listDir(p: Path): Seq[Path] =
+    Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -53,12 +58,11 @@ class ShardWriteSpec extends AnyFunSuite {
       //    (ok, doc_id) and whose FIRST row is the manifest's first_doc
       val manifest = predicted.map(r =>
         r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap // shard -> (n_docs, first_doc)
-      val shardDirs = Files.list(out).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("shard=")).toSeq
+      val shardDirs = listDir(out)
+        .filter(p => p.getFileName.toString.startsWith("shard="))
       val seenShards = shardDirs.map { d =>
         val shard = d.getFileName.toString.stripPrefix("shard=").toLong
-        val files = Files.list(d).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        val files = listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
         assert(files.size == 1, s"shard $shard: expected one file, got ${files.size}")
         val rows = spark.read.parquet(files.head.toString)
           .selectExpr("doc_id", "ok").collect()
@@ -79,18 +83,21 @@ class ShardWriteSpec extends AnyFunSuite {
     } finally deleteRecursively(out)
   }
 
-  test("written replica shards realize the q166 materialization manifest exactly") {
-    val out = Files.createTempDirectory("graft_mat_shards_")
+  /** Shared body for the two replica-multiset realizations (q166 raw-corpus,
+    * q167 curated capstone): write → recompute-from-files → compare, then
+    * check the physical layout (one sorted file per non-empty shard, first
+    * row = the witness) and that epoch REPLICATION is visible in the files. */
+  private def replicaShardCase(
+      write: String => Unit,
+      predict: () => Array[org.apache.spark.sql.Row],
+      fromFiles: String => Array[org.apache.spark.sql.Row],
+      prefix: String): Unit = {
+    val out = Files.createTempDirectory(prefix)
     try {
-      val outPath = out.toString
-      graft.operators.TextOps.q166WriteShards(spark, dir, outPath)
+      write(out.toString)
 
-      // manifest recomputed from the files (shard = landing directory,
-      // order key re-derived from the stored (doc_id, k), tokens re-joined
-      // from the corpus) equals the prediction row for row
-      val predicted = graft.operators.TextOps.q166MaterializeManifest(spark, dir).collect()
-      val recomputed = graft.operators.TextOps
-        .q166ManifestFromFiles(spark, dir, outPath).collect()
+      val predicted = predict()
+      val recomputed = fromFiles(out.toString)
       assert(predicted.length == recomputed.length)
       predicted.zip(recomputed).foreach { case (p, r) =>
         assert(p == r, s"shard ${p.getLong(0)}: predicted $p != recomputed-from-files $r")
@@ -98,17 +105,16 @@ class ShardWriteSpec extends AnyFunSuite {
 
       // physical layout: one file per non-empty shard, rows sorted by
       // (ok, doc_id, k), first row = the first-replica witness; epoch
-      // replication must be VISIBLE in the files (some shard holds more
-      // replicas than distinct docs, or the multiset as a whole does)
+      // replication must be VISIBLE in the files (the multiset holds more
+      // replicas than distinct docs)
       val manifest = predicted.map(r =>
         r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap // shard -> (n_replicas, first_doc)
       var totalReplicas = 0L
       val distinctDocs = scala.collection.mutable.Set.empty[Long]
-      Files.list(out).iterator().asScala
+      listDir(out)
         .filter(_.getFileName.toString.startsWith("shard=")).foreach { d =>
           val shard = d.getFileName.toString.stripPrefix("shard=").toLong
-          val files = Files.list(d).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          val files = listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
           assert(files.size == 1, s"shard $shard: expected one file, got ${files.size}")
           val rows = spark.read.parquet(files.head.toString)
             .selectExpr("doc_id", "k", "ok").collect()
@@ -124,5 +130,25 @@ class ShardWriteSpec extends AnyFunSuite {
       assert(totalReplicas > distinctDocs.size,
         "written shards carry no replication — the epoch up-sampling is missing")
     } finally deleteRecursively(out)
+  }
+
+  test("written replica shards realize the q166 materialization manifest exactly") {
+    replicaShardCase(
+      out => graft.operators.TextOps.q166WriteShards(spark, dir, out),
+      () => graft.operators.TextOps.q166MaterializeManifest(spark, dir).collect(),
+      out => graft.operators.TextOps.q166ManifestFromFiles(spark, dir, out).collect(),
+      "graft_mat_shards_")
+  }
+
+  test("written CURATED shards realize the q167 capstone manifest exactly") {
+    // the full arc, physically: five curation stages → epoch plan on the
+    // curated masses → replica explode → sharded write; the recompute
+    // re-derives the curated corpus from SOURCE data, so the comparison
+    // proves the written artifact against the pipeline, not against itself
+    replicaShardCase(
+      out => graft.operators.CurationExec.q167WriteShards(spark, dir, out),
+      () => graft.operators.CurationExec.q167CuratedMaterialize(spark, dir).collect(),
+      out => graft.operators.CurationExec.q167ManifestFromFiles(spark, dir, out).collect(),
+      "graft_cur_shards_")
   }
 }
