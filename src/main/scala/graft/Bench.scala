@@ -228,23 +228,70 @@ object Bench {
       Thread.sleep(200)
     }
 
-    // whole-window + first/last-third rates from cumulative (rows, nanos)
-    // samples of a sustained leg: the thirds make throughput SAG visible
-    // (state growth, RocksDB compaction, GC drift) where a single
-    // whole-window mean would average it away
-    def sustainRates(samples: Seq[(Long, Long)]): (Double, Double, Double) = {
-      if (samples.isEmpty) return (0.0, 0.0, 0.0)
-      val (fed, nanos) = samples.last
+    // One telemetry sample of a sustained leg, taken after each fed chunk:
+    // cumulative rows + elapsed nanos (the rate series), plus the three
+    // in-JVM signals that distinguish the known sag mechanisms — GC time
+    // (heap pressure), code-cache occupancy (JIT eviction/disablement), and
+    // state-store rows (unbounded streaming state). r12's official run
+    // showed a 2.3x first→last-third queue-leg collapse with NO telemetry
+    // to tell these apart; the per-bucket series below makes the mechanism
+    // readable from the JSON artifact alone.
+    case class SustainSample(fed: Long, nanos: Long, gcMs: Long,
+                             ccMb: Double, stateRows: Long)
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    def stateRowsOf(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    // whole-window + first/last-third rates + ~5s-bucket series from the
+    // samples: the thirds make throughput SAG visible (state growth,
+    // compaction, GC drift) where a whole-window mean would average it
+    // away; the bucket series localizes WHEN it happened and what moved
+    // with it
+    case class SustainStats(whole: Double, first: Double, last: Double,
+        rateSeries: Seq[Double], gcMsSeries: Seq[Long],
+        ccMbSeries: Seq[Double], stateRowsSeries: Seq[Long])
+    object SustainStats { val zero = SustainStats(0.0, 0.0, 0.0, Nil, Nil, Nil, Nil) }
+    def sustainRates(samples: Seq[SustainSample]): SustainStats = {
+      if (samples.isEmpty) return SustainStats.zero
+      val fed = samples.last.fed
+      val nanos = samples.last.nanos
       val whole = if (nanos > 0) fed * 1e9 / nanos else 0.0
+      // per-bucket series: cut the window into ~5s buckets at sample
+      // boundaries (a chunk can exceed 5s on a degraded host — then the
+      // bucket is just wider and the delta math stays exact)
+      val bucketNs = 5L * 1000000000L
+      val series = scala.collection.mutable.ArrayBuffer.empty[SustainSample]
+      var nextEdge = bucketNs
+      samples.foreach { s =>
+        if (s.nanos >= nextEdge) {
+          series += s
+          nextEdge = (s.nanos / bucketNs + 1) * bucketNs
+        }
+      }
+      if (series.isEmpty || series.last.nanos != nanos) series += samples.last
+      // the caller seeds samples(0) with a t=0 baseline (fed=0), so sliding
+      // deltas from it give the first bucket's true rate and GC delta
+      val withStart = samples.head +: series.toSeq
+      val rateSeries = withStart.sliding(2).map { case Seq(a, b) =>
+        if (b.nanos > a.nanos) (b.fed - a.fed) * 1e9 / (b.nanos - a.nanos) else 0.0
+      }.toSeq
+      val gcSeries = withStart.sliding(2).map { case Seq(a, b) => b.gcMs - a.gcMs }.toSeq
+      val ccSeries = series.toSeq.map(_.ccMb)
+      val stateSeries = series.toSeq.map(_.stateRows)
       // < 4 samples: 2*size/3 indexes the LAST sample and the last-third
       // rate degenerates to 0.0 — publish the whole-window rate instead of
       // a fake collapse signal
-      if (samples.size < 4) return (whole, whole, whole)
+      if (samples.size < 4)
+        return SustainStats(whole, whole, whole, rateSeries, gcSeries, ccSeries, stateSeries)
       val a = samples(samples.size / 3)
       val b = samples(2 * samples.size / 3)
-      val first = if (a._2 > 0) a._1 * 1e9 / a._2 else 0.0
-      val last = if (nanos > b._2) (fed - b._1) * 1e9 / (nanos - b._2) else 0.0
-      (whole, first, last)
+      val first = if (a.nanos > 0) a.fed * 1e9 / a.nanos else 0.0
+      val last = if (nanos > b.nanos) (fed - b.fed) * 1e9 / (nanos - b.nanos) else 0.0
+      SustainStats(whole, first, last, rateSeries, gcSeries, ccSeries, stateSeries)
     }
 
     // streaming-mode throughput: replay the events table through a LIVE
@@ -259,7 +306,7 @@ object Bench {
     // feeds ONE live query continuously for N seconds (the reference's
     // 4,000 msgs/s is a SUSTAINED figure; seconds-long reps cannot show
     // state-growth or GC sag).
-    val (memLegThunk, memSustainThunk): (Option[() => Double], Option[Int => (Double, Double, Double)]) = try {
+    val (memLegThunk, memSustainThunk): (Option[() => Double], Option[Int => SustainStats]) = try {
       import graft.streaming._
       import graft.streaming.ForwardingEngine.KafkaRecord
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -306,7 +353,7 @@ object Bench {
       // sees a strictly-advancing stream like a real topic — state cycles
       // (receive, ack, purge) for the whole window instead of resetting
       // with each rep's fresh checkpoint.
-      def sustainStream(seconds: Int): (Double, Double, Double) = {
+      def sustainStream(seconds: Int): SustainStats = {
         val ms = MemoryStream[KafkaRecord](implicitly[Encoder[KafkaRecord]], spark.sqlContext)
         val routed = new java.util.concurrent.atomic.AtomicLong
         val store = new QueueStore {
@@ -321,7 +368,8 @@ object Bench {
           "local", ms.toDS(), store, ckpt, "bench_stream_sustained")
         val chunk = recs.take(200000)
         val stride = recs.iterator.map(_.offset).max + 1L
-        val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val samples = scala.collection.mutable.ArrayBuffer(
+          SustainSample(0L, 0L, gcMsNow(), codeCacheMb()._1, 0L))
         val t0 = System.nanoTime()
         var fed = 0L
         var i = 0L
@@ -331,10 +379,11 @@ object Bench {
           q.processAllAvailable()
           fed += shifted.size
           i += 1
-          samples += ((fed, System.nanoTime() - t0))
+          samples += SustainSample(fed, System.nanoTime() - t0, gcMsNow(),
+            codeCacheMb()._1, stateRowsOf(q))
         }
         q.stop()
-        if (routed.get() > 0) sustainRates(samples.toSeq) else (0.0, 0.0, 0.0)
+        if (routed.get() > 0) sustainRates(samples.toSeq) else SustainStats.zero
       }
       (Some(() => onceStream()), Some((s: Int) => sustainStream(s)))
     } catch {
@@ -348,7 +397,7 @@ object Bench {
     // ack-watermark group commits included) and routing produced records
     // through the DSv2 batch writer — the full production codepath shape,
     // where MemoryStream above isolates pure engine cost.
-    val (queueLegThunk, queueSustainThunk): (Option[() => Double], Option[Int => (Double, Double, Double)]) = try {
+    val (queueLegThunk, queueSustainThunk): (Option[() => Double], Option[Int => SustainStats]) = try {
       import graft.streaming._
       import org.apache.spark.sql.functions.{lit, map, pmod}
       val feed = ev.limit(1000000).select(
@@ -399,7 +448,7 @@ object Bench {
       // the broker keeps receiving 200k-record chunks (offsets advance
       // inside the broker) — offset planning, admission control, and the
       // streaming machinery run continuously for the window
-      def sustainQueue(seconds: Int): (Double, Double, Double) = {
+      def sustainQueue(seconds: Int): SustainStats = {
         graft.sources.GraftBroker.reset()
         topics.foreach(t => graft.sources.GraftBroker.createTopic(t, 8))
         val routed = new java.util.concurrent.atomic.AtomicLong
@@ -421,7 +470,8 @@ object Bench {
         val grouped = chunk.groupBy(r => (r.getAs[String]("topic"), r.getAs[Int]("partition")))
           .map { case (k, rs) =>
             (k, rs.map(r => (r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value")))) }
-        val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val samples = scala.collection.mutable.ArrayBuffer(
+          SustainSample(0L, 0L, gcMsNow(), codeCacheMb()._1, 0L))
         val t0 = System.nanoTime()
         var fed = 0L
         while ((System.nanoTime() - t0) / 1e9 < seconds) {
@@ -429,11 +479,12 @@ object Bench {
             graft.sources.GraftBroker.produceAll(t, p, rs) }
           q.processAllAvailable()
           fed += chunk.length
-          samples += ((fed, System.nanoTime() - t0))
+          samples += SustainSample(fed, System.nanoTime() - t0, gcMsNow(),
+            codeCacheMb()._1, stateRowsOf(q))
         }
         q.stop()
         graft.sources.GraftBroker.reset() // free the window's broker log
-        if (routed.get() > 0) sustainRates(samples.toSeq) else (0.0, 0.0, 0.0)
+        if (routed.get() > 0) sustainRates(samples.toSeq) else SustainStats.zero
       }
       (Some(() => onceQueue()), Some((s: Int) => sustainQueue(s)))
     } catch {
@@ -636,23 +687,25 @@ object Bench {
     val sustainSec = sys.env.get("SPARK_GRAFT_SUSTAIN_SEC")
       .flatMap(_.toIntOption).getOrElse(60)
     def safeSustain(
-        leg: Option[Int => (Double, Double, Double)],
-        name: String): (Double, Double, Double) =
-      if (sustainSec <= 0) (0.0, 0.0, 0.0)
+        leg: Option[Int => SustainStats],
+        name: String): SustainStats =
+      if (sustainSec <= 0) SustainStats.zero
       else leg.map { f =>
         try f(sustainSec) catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name sustained failed: ${e.getMessage}")
-            (0.0, 0.0, 0.0)
+            SustainStats.zero
         }
-      }.getOrElse((0.0, 0.0, 0.0))
+      }.getOrElse(SustainStats.zero)
     coolDown()
-    val (susStream, susStreamFirst, susStreamLast) =
-      safeSustain(memSustainThunk, "memory-stream")
+    val susStreamStats = safeSustain(memSustainThunk, "memory-stream")
     coolDown()
-    val (susQueue, susQueueFirst, susQueueLast) =
-      safeSustain(queueSustainThunk, "queue-connector")
+    val susQueueStats = safeSustain(queueSustainThunk, "queue-connector")
     graft.sources.GraftBroker.reset()
+    val (susStream, susStreamFirst, susStreamLast) =
+      (susStreamStats.whole, susStreamStats.first, susStreamStats.last)
+    val (susQueue, susQueueFirst, susQueueLast) =
+      (susQueueStats.whole, susQueueStats.first, susQueueStats.last)
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -716,8 +769,20 @@ object Bench {
     val qsRerunFail = rerunFailures
       .map { case (k, n) => "\"" + k + "\":" + n }
       .mkString(",\"query_rerun_failures\":{", ",", "}")
+    // per-~5s-bucket in-leg telemetry of the two sustained windows: the
+    // rows/s series localizes a sag, and the paired GC / code-cache /
+    // state-rows series say WHICH mechanism moved with it (r12 verdict #2:
+    // the official run's 2.3x queue sag was unattributable without these)
+    def sustainJson(prefix: String, s: SustainStats): String =
+      s""""${prefix}_rate_series":${s.rateSeries.map(r1).mkString("[", ",", "]")},""" +
+        s""""${prefix}_gc_ms_series":${s.gcMsSeries.mkString("[", ",", "]")},""" +
+        s""""${prefix}_cc_mb_series":${s.ccMbSeries.map(r1).mkString("[", ",", "]")},""" +
+        s""""${prefix}_state_rows_series":${s.stateRowsSeries.mkString("[", ",", "]")}"""
+    val sustainTelemetryJson =
+      sustainJson("sustained_stream", susStreamStats) + "," +
+        sustainJson("sustained_queue", susQueueStats) + ","
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
