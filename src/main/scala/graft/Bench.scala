@@ -611,12 +611,18 @@ object Bench {
     // 16 MiB/s per worker (reference AutoScalarConfiguration.java:22), but
     // the events table's props average ~9 bytes/record, so the legs above
     // measure the bytes target at ~0.05% duty — vacuously. These legs push
-    // the SAME engine batch path through the SAME socket dispatcher with
-    // synthetic 1 KiB and 16 KiB values (record counts sized so one rep is
-    // ~40-130 MB of wire traffic) and report WIRE BYTES/SEC directly
-    // against the 16 MiB/s target. The padded input is cached and counted
-    // before the timer so scan/pad cost is not billed to the wire; reps
-    // interleave across the two sizes like every other paired leg here.
+    // the SAME engine batch path through the PIPELINED socket dispatcher
+    // (many in-flight frames per connection — the reference's
+    // concurrent-streams model, application-uforwarder-worker.yaml:77) with
+    // synthetic 1 KiB and 16 KiB values and report WIRE BYTES/SEC directly
+    // against the 16 MiB/s target. Record counts are sized so one rep is
+    // ~130-165 MB of wire traffic: r12's 40k-record 1 KiB leg was ~60%
+    // per-rep FIXED cost (stream/stage setup, 32 task launches, dials) and
+    // under-read the steady-state rate ~4x — the WireProbe decomposition
+    // (docs/BENCH_NOTES_r13.md) pinned the engine's marginal rate at 1 KiB
+    // near 440 MB/s. The padded input is cached and counted before the
+    // timer so scan/pad cost is not billed to the wire; reps interleave
+    // across the two sizes like every other paired leg here.
     class ByteLeg(val payloadBytes: Int, nRecords: Int) {
       val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
       private var closeServer: () => Unit = () => ()
@@ -627,7 +633,7 @@ object Bench {
           val srv = new graft.streaming.SocketConsumerServer(_ =>
             graft.streaming.DispatchResult(graft.model.GrpcStatus.OK, None, overdue = false))
           closeServer = () => srv.close()
-          val factory = graft.streaming.SocketDispatcherFactory(
+          val factory = graft.streaming.PipelinedSocketDispatcherFactory(
             "127.0.0.1", srv.port, rpcTimeoutMs = 30000)
           val spec = graft.operators.PipelineOps.pipelineSpec("events")
           import spark.implicits._
@@ -665,7 +671,7 @@ object Bench {
         if (ok.isEmpty) 0.0 else ok(ok.size / 2)
       }
     }
-    val byteLeg1k = new ByteLeg(1024, 40000)
+    val byteLeg1k = new ByteLeg(1024, 160000)
     val byteLeg16k = new ByteLeg(16384, 8000)
     if (!legsOnly && onlyQuery.isEmpty) {
       byteLeg1k.open(); byteLeg16k.open()

@@ -36,24 +36,35 @@ import java.util.concurrent.atomic.AtomicBoolean
 final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
     extends Dispatcher {
 
-  private val idle = new ConcurrentLinkedQueue[Socket]()
+  /** A pooled connection with its buffered streams: buffering turns a
+    * frame's ~16 tiny writes (two per header + two length prefixes +
+    * payload) into one syscall per flush. The streams must live WITH the
+    * socket across borrows — wrapping fresh buffers per dispatch could
+    * strand buffered bytes. One request is in flight per connection, so
+    * the read buffer only ever holds that request's own response. */
+  private final class PooledConn(val sock: Socket) {
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+  }
+
+  private val idle = new ConcurrentLinkedQueue[PooledConn]()
   private val closed = new AtomicBoolean(false)
 
-  private def connect(deadlineNs: Long): Socket = {
+  private def connect(deadlineNs: Long): PooledConn = {
     val s = new Socket()
     val remainMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
     s.connect(new InetSocketAddress(host, port), remainMs.toInt)
     s.setTcpNoDelay(true)
-    s
+    new PooledConn(s)
   }
 
   def dispatch(req: DispatchRequest): DispatchResult = {
     val deadlineNs = System.nanoTime() + rpcTimeoutMs * 1000000L
     def overdueNow = System.nanoTime() >= deadlineNs
-    var sock: Socket = null
+    var conn: PooledConn = null
     try {
-      sock = Option(idle.poll()).getOrElse(connect(deadlineNs))
-      val out = new DataOutputStream(sock.getOutputStream)
+      conn = Option(idle.poll()).getOrElse(connect(deadlineNs))
+      val out = conn.out
       out.writeInt(req.headers.size)
       req.headers.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
       out.writeInt(req.payload.length)
@@ -62,11 +73,10 @@ final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
       // the read deadline is the REMAINING per-message budget, not a fixed
       // socket default — time spent connecting/writing counts against it
       val remainMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
-      sock.setSoTimeout(remainMs.toInt)
-      val in = new DataInputStream(sock.getInputStream)
-      val status = in.readUTF()
-      val action = in.readUTF()
-      if (closed.get() || !idle.offer(sock)) sock.close() else sock = null
+      conn.sock.setSoTimeout(remainMs.toInt)
+      val status = conn.in.readUTF()
+      val action = conn.in.readUTF()
+      if (closed.get() || !idle.offer(conn)) conn.sock.close() else conn = null
       DispatchResult(status, Option(action).filter(_.nonEmpty), overdueNow)
     } catch {
       case _: SocketTimeoutException =>
@@ -78,17 +88,17 @@ final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
       // non-null here ⇔ not returned to the pool (error path, or pool
       // refused): discard — a connection with an in-flight response must
       // never serve another request
-      if (sock != null)
-        try sock.close() catch { case _: IOException => () }
+      if (conn != null)
+        try conn.sock.close() catch { case _: IOException => () }
     }
   }
 
   override def close(): Unit = {
     closed.set(true)
-    var s = idle.poll()
-    while (s != null) {
-      try s.close() catch { case _: IOException => () }
-      s = idle.poll()
+    var c = idle.poll()
+    while (c != null) {
+      try c.sock.close() catch { case _: IOException => () }
+      c = idle.poll()
     }
   }
 }
@@ -99,6 +109,162 @@ final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
 final case class SocketDispatcherFactory(host: String, port: Int, rpcTimeoutMs: Long)
     extends DispatcherFactory {
   def create(): Dispatcher = new SocketDispatcher(host, port, rpcTimeoutMs)
+}
+
+/**
+ * A PIPELINED [[Dispatcher]]: many in-flight requests per connection, the
+ * wire shape the reference gets from HTTP/2 stream multiplexing (it runs up
+ * to 2,000 concurrent streams per pipeline over a handful of channels —
+ * `application-uforwarder-worker.yaml:77`, GrpcManagedChannelPool.java:57 —
+ * precisely so per-RPC round-trip latency never gates throughput). The
+ * sync [[SocketDispatcher]] above holds one request per connection and
+ * waits out a full round trip each time; at KB-scale payloads that makes
+ * the byte legs latency-bound (docs/BENCH_NOTES_r12.md). Here a caller
+ * writes its frame and releases the connection immediately, so frames
+ * stream back-to-back and the round trip is paid once per WINDOW of
+ * in-flight requests, not once per request.
+ *
+ * Correlation is FIFO-per-connection: the framed protocol has no stream
+ * ids, but TCP preserves order and [[SocketConsumerServer]] answers each
+ * connection's requests sequentially, so response k on a connection
+ * belongs to the k-th unanswered request written to it. A reader thread
+ * per connection completes pending futures in that order.
+ *
+ * Deadline semantics match the sync dispatcher: each request carries a
+ * deadline of `rpcTimeoutMs` from dispatch start; the reader enforces the
+ * HEAD request's remaining budget as its read timeout, and a timeout or
+ * read error poisons the whole connection — the head future gets
+ * DEADLINE_EXCEEDED/overdue (or UNAVAILABLE), every other pending future
+ * gets UNAVAILABLE (their responses can no longer be matched), and the
+ * next dispatch dials a replacement. A per-caller backstop of 2x the
+ * timeout guards against a wedged reader thread.
+ */
+final class PipelinedSocketDispatcher(
+    host: String, port: Int, rpcTimeoutMs: Long, connections: Int = 4)
+    extends Dispatcher {
+  import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit, TimeoutException}
+  import java.io.{BufferedInputStream, BufferedOutputStream}
+
+  private val closed = new AtomicBoolean(false)
+
+  private final class Conn {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port),
+      math.max(1L, rpcTimeoutMs).min(Int.MaxValue).toInt)
+    sock.setTcpNoDelay(true)
+    // buffered streams: a frame is ONE write syscall instead of ~16 (two
+    // per header + the length-prefixed payload), and responses batch reads
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val pending = new LinkedBlockingQueue[(CompletableFuture[DispatchResult], Long)]()
+    @volatile var dead = false
+
+    /** Fail everything in flight and retire the connection. `headResult`
+      * resolves the response the reader was blocked on (if any). */
+    def poison(head: (CompletableFuture[DispatchResult], Long),
+               headResult: DispatchResult): Unit = {
+      dead = true
+      if (head != null) head._1.complete(headResult)
+      var p = pending.poll()
+      while (p != null) {
+        // their frames were written but the responses are unmatchable now
+        p._1.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None,
+          overdue = System.nanoTime() >= p._2))
+        p = pending.poll()
+      }
+      try sock.close() catch { case _: IOException => () }
+    }
+
+    val reader = new Thread(() => {
+      try {
+        while (!dead && !closed.get()) {
+          val head = pending.poll(50, TimeUnit.MILLISECONDS)
+          if (head != null) {
+            val (cf, deadlineNs) = head
+            try {
+              val remainMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
+              sock.setSoTimeout(remainMs.toInt)
+              val status = in.readUTF()
+              val action = in.readUTF()
+              cf.complete(DispatchResult(status, Option(action).filter(_.nonEmpty),
+                System.nanoTime() >= deadlineNs))
+              ()
+            } catch {
+              case _: SocketTimeoutException =>
+                poison(head, DispatchResult(
+                  graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true))
+              case _: IOException =>
+                poison(head, DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None,
+                  overdue = System.nanoTime() >= deadlineNs))
+            }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+      finally poison(null, null)
+    }, s"graft-pipe-read-$port")
+    reader.setDaemon(true)
+    reader.start()
+  }
+
+  private val slots = new Array[Conn](math.max(1, connections))
+  private val rr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def dispatch(req: DispatchRequest): DispatchResult = {
+    val deadlineNs = System.nanoTime() + rpcTimeoutMs * 1000000L
+    def overdueNow = System.nanoTime() >= deadlineNs
+    val i = (rr.getAndIncrement() & Int.MaxValue) % slots.length
+    val cf = new CompletableFuture[DispatchResult]()
+    val conn =
+      try slots.synchronized {
+        if (slots(i) == null || slots(i).dead) slots(i) = new Conn
+        slots(i)
+      } catch {
+        case _: IOException =>
+          return DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+      }
+    try conn.synchronized {
+      if (conn.dead) throw new IOException("connection retired")
+      // enqueue-then-write under the same lock: the pending queue's order
+      // IS the frame order the FIFO correlation depends on
+      conn.pending.put((cf, deadlineNs))
+      conn.out.writeInt(req.headers.size)
+      req.headers.foreach { case (k, v) => conn.out.writeUTF(k); conn.out.writeUTF(v) }
+      conn.out.writeInt(req.payload.length)
+      conn.out.write(req.payload)
+      conn.out.flush()
+    } catch {
+      case _: IOException =>
+        conn.poison(null, null) // resolves cf (it is in pending) + siblings
+        if (!cf.isDone)
+          cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
+    }
+    try cf.get(rpcTimeoutMs * 2 + 1000, TimeUnit.MILLISECONDS)
+    catch {
+      case _: TimeoutException => // reader wedged — fail safe like a deadline
+        conn.poison(null, null)
+        DispatchResult(graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true)
+      case _: Exception =>
+        DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+    }
+  }
+
+  override def close(): Unit = {
+    closed.set(true)
+    slots.synchronized {
+      slots.indices.foreach { i =>
+        if (slots(i) != null) { slots(i).poison(null, null); slots(i) = null }
+      }
+    }
+  }
+}
+
+/** Serializable factory for the pipelined dispatcher: one per executor
+  * task, like [[SocketDispatcherFactory]], but each dispatcher multiplexes
+  * its task's whole dispatch pool over `connections` sockets. */
+final case class PipelinedSocketDispatcherFactory(
+    host: String, port: Int, rpcTimeoutMs: Long, connections: Int = 4)
+    extends DispatcherFactory {
+  def create(): Dispatcher = new PipelinedSocketDispatcher(host, port, rpcTimeoutMs, connections)
 }
 
 /**
@@ -125,8 +291,12 @@ final class SocketConsumerServer(handler: DispatchRequest => DispatchResult) {
       // every small response frame into a ~40 ms stall and the whole leg
       // serializes to ~25 RPC/s per connection
       sock.setTcpNoDelay(true)
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
+      // buffered streams: one read syscall per buffered window instead of
+      // ~16 per request (two per header + two length prefixes + payload) —
+      // unbuffered, a single flooded connection topped out at ~18 MB/s of
+      // 1 KiB frames on loopback with the server fully syscall-bound
+      val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
       while (running.get()) {
         val nHeaders = in.readInt()
         val headers = (1 to nHeaders).map(_ => in.readUTF() -> in.readUTF()).toMap
