@@ -982,6 +982,98 @@ object TextOps {
       |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q168 — PII-redaction EXECUTION (q51's scan applied — the eighth
+  // audit→execution bridge, and the first that REWRITES text in place
+  // rather than dropping or replicating whole documents): every detected
+  // email / IPv4 / phone span is replaced with '<PII>' in q51's exact
+  // chain order, the corpus is rebuilt with the redacted bytes, and the
+  // rewrite is proven per source — docs touched, spans redacted by type,
+  // char mass before/after, and a bit_xor fingerprint over the REDACTED
+  // (doc_id, text) pairs: the corpus that ships, not the one scanned.
+  //
+  // The synthetic corpus carries no organic PII spans (q51 finds zero at
+  // every SF), so a doc_id-gated deterministic contact line stands in for
+  // the raw ingest's PII — the in-data harness convention q100 (user_id %
+  // 13 deletion list) and q163 (doc_id % 97 benchmark slice) established:
+  // docs with doc_id % 7 < 2 gain one email, one IPv4, and one phone span,
+  // all derived from doc_id so both engines build the identical raw text.
+  // QueriesSpec reconciles docs_touched and each span count against the
+  // gate exactly.
+  //
+  // Scale path: pure per-row column work — three codegen'd regexp_replace
+  // passes over the same subset-regex family q51 uses (identical under
+  // Java and RE2: no lookaround, no \d/\w shorthand), then ONE map-side
+  // rollup to S source rows. No joins, no shuffle but the S-row aggregate;
+  // at 100 TB this is a single scan-rewrite-fold pass, embarrassingly
+  // parallel by construction.
+  // ===========================================================
+  /** The raw-ingest frame q168 redacts: (doc_id, source, raw) with the
+    * gated contact line appended — exposed so QueriesSpec can reconcile
+    * the exec output against the exact injected spans. */
+  private[graft] def q168Raw(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("raw",
+      when(pmod(col("doc_id"), lit(7)) < 2, concat(
+        col("text"), lit(" Contact: user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" tel +1 555 01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+        .otherwise(col("text")))
+      .select("doc_id", "source", "raw")
+
+  def q168PiiRedactExec(spark: SparkSession, dir: String): DataFrame = {
+    val red = q168Raw(spark, dir)
+      .withColumn("n_email", size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))).cast("long"))
+      .withColumn("n_ipv4", size(regexp_extract_all(col("raw"), lit(ipv4Pat), lit(0))).cast("long"))
+      .withColumn("n_phone", size(regexp_extract_all(col("raw"), lit(phonePat), lit(0))).cast("long"))
+      .withColumn("text_red",
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          emailPat, "<PII>"), ipv4Pat, "<PII>"), phonePat, "<PII>"))
+      .withColumn("h_red",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("text_red")).cast("binary")), 1, 15), 16, 10).cast("long"))
+    red.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text_red") =!= col("raw"), 1L).otherwise(0L)).as("docs_touched"),
+        sum("n_email").as("emails"),
+        sum("n_ipv4").as("ipv4s"),
+        sum("n_phone").as("phones"),
+        sum(length(col("raw")).cast("long")).as("chars_before"),
+        sum(length(col("text_red")).cast("long")).as("chars_after"),
+        expr("bit_xor(h_red)").as("redacted_fp"))
+      .orderBy("source")
+  }
+
+  val q168Sql: String = {
+    val email = emailPat
+    val ipv4 = ipv4Pat
+    val phone = phonePat
+    s"""WITH ing AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 7 < 2 THEN text || ' Contact: user' ||
+       |    CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+       |    ' tel +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |   ELSE text END AS raw
+       | FROM documents),
+       | r AS (SELECT doc_id, source, raw,
+       |  CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(raw, '$ipv4')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$email', '<PII>', 'g'), '$ipv4', '<PII>', 'g'), '$phone', '<PII>', 'g') AS text_red
+       | FROM ing)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(CASE WHEN text_red <> raw THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       | CAST(SUM(n_email) AS BIGINT) AS emails,
+       | CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       | CAST(SUM(n_phone) AS BIGINT) AS phones,
+       | CAST(SUM(length(raw)) AS BIGINT) AS chars_before,
+       | CAST(SUM(length(text_red)) AS BIGINT) AS chars_after,
+       | bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text_red), 1, 15)) AS BIGINT)) AS redacted_fp
+       |FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
   // q165 — epoch-mixture EXECUTION (q131's plan applied — the seventh
   // audit→execution bridge, and the first that UP-samples): each
   // source's capped epoch rate ep = least(epochs_permille, cap) is
@@ -3891,6 +3983,7 @@ object TextOps {
     "q160_pack_sweep" -> (q160PackSweep _),
     "q162_shuffle_shards" -> (q162ShuffleShards _),
     "q163_decon_exec" -> (q163DeconExec _),
+    "q168_pii_redact_exec" -> (q168PiiRedactExec _),
     "q165_epoch_exec" -> (q165EpochExec _),
     "q166_materialize_manifest" -> (q166MaterializeManifest _),
     "q135_winnow_pairs" -> (q135WinnowPairs _),
@@ -3953,6 +4046,7 @@ object TextOps {
     "q160_pack_sweep" -> q160Sql,
     "q162_shuffle_shards" -> q162Sql,
     "q163_decon_exec" -> q163Sql,
+    "q168_pii_redact_exec" -> q168Sql,
     "q165_epoch_exec" -> q165Sql,
     "q166_materialize_manifest" -> q166Sql,
     "q135_winnow_pairs" -> q135Sql,

@@ -903,6 +903,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q168 redacts exactly the gated spans and only them, source by source") {
+    // the execution must strip precisely the injected contact line's three
+    // spans per gated doc (doc_id % 7 < 2) and touch nothing else: per
+    // source, docs_touched and every span count equal the gate population,
+    // the char delta equals the summed span lengths minus 3 x len('<PII>')
+    // per gated doc (computable from q168Raw directly), and ungated docs
+    // ride through byte-identical (chars_after == chars_before there)
+    import org.apache.spark.sql.functions.{col, count, length, lit, pmod, sum, when}
+    val raw = graft.operators.TextOps.q168Raw(spark, dir)
+    val expect = raw
+      .groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(pmod(col("doc_id"), lit(7)) < 2, 1L).otherwise(0L)).as("gated"),
+        sum(length(col("raw")).cast("long")).as("raw_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // span-exact expectation, computed from the raw frame itself: redacted
+    // length = raw length - (sum of the 3 span lengths) + 3*5
+    val spanLens = raw.filter(pmod(col("doc_id"), lit(7)) < 2)
+      .selectExpr("source",
+        "length(regexp_extract(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', 0)) AS e",
+        "length(regexp_extract(raw, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', 0)) AS i",
+        "length(regexp_extract(raw, '[+][0-9][0-9 -]{7,}[0-9]', 0)) AS p")
+      .groupBy("source").agg(sum(col("e") + col("i") + col("p")).cast("long").as("spans"),
+        count(lit(1)).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ex = SparkEntry.queries("q168_pii_redact_exec")(spark, dir).collect()
+    assert(ex.nonEmpty && ex.length == expect.size)
+    ex.foreach { r =>
+      val src = r.getString(0)
+      val (n, gated, rawChars) = expect(src)
+      assert(r.getLong(1) == n, s"$src: doc count drifted")
+      assert(r.getLong(2) == gated, s"$src: docs_touched ${r.getLong(2)} != gate population $gated")
+      assert(r.getLong(3) == gated && r.getLong(4) == gated && r.getLong(5) == gated,
+        s"$src: span counts (${r.getLong(3)},${r.getLong(4)},${r.getLong(5)}) != one each per gated doc")
+      assert(r.getLong(6) == rawChars, s"$src: chars_before != raw ingest mass")
+      val (spans, m) = spanLens.getOrElse(src, (0L, 0L))
+      assert(m == gated, s"$src: span-bearing docs $m != gate population $gated")
+      assert(r.getLong(7) == rawChars - spans + 15L * gated,
+        s"$src: chars_after ${r.getLong(7)} != raw - spans + 15*gated (${rawChars - spans + 15L * gated})")
+    }
+  }
+
   test("q164 composed pipeline reconciles with standalone q158 at the funnel head") {
     // stage 1 runs on the full corpus with q158's exact selection (same
     // pair set, same components, same canonical rule), so the funnel head
