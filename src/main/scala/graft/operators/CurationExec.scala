@@ -235,7 +235,9 @@ object CurationExec {
     * q167's oracle, which materializes the kept5 corpus instead of
     * rolling up the funnel. Consumers apply the WITH→WITH RECURSIVE
     * rewrite after assembly (the `reach` CTE needs it). */
-  private lazy val q164Ctes: String =
+  /** The full 5-stage curation CTE chain (graft-visible: q169 composes it
+    * with the Lloyd chains to retrain the ANN index on the curated set). */
+  private[graft] lazy val q164Ctes: String =
     (s"""$q41CtesRef,
        | dup AS (SELECT a, b FROM scored WHERE inter * 2 >= uni),
        | adjr AS (SELECT a AS src, b AS dst FROM dup UNION ALL SELECT b, a FROM dup),

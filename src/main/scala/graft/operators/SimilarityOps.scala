@@ -814,9 +814,15 @@ object SimilarityOps {
     // cached blocks instead of replaying the upstream chain
     val e = e0.localCheckpoint()
 
-    var cents: Seq[(Int, Seq[Long])] = e.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").cast("int").as("cid"), col("qv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    // init = the K LOWEST vec_ids of the training set, re-labeled 0..K-1
+    // in id order. On the full corpus this is exactly "vec_id < K" with
+    // cid = vec_id (ids are dense from 0); the rank form also covers
+    // SUBSET corpora (q169 trains on the curated survivors, whose lowest
+    // ids are arbitrary) with the same deterministic seed rule.
+    var cents: Seq[(Int, Seq[Long])] = e.orderBy(col("vec_id")).limit(KmeansK)
+      .select(col("vec_id"), col("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      .zipWithIndex.map { case ((_, qv), i) => (i, qv) }.toSeq
 
     // the assignment is the native nearest_centroid expression: one tight
     // codegen'd loop over the literal centroid table computing exact
@@ -1165,11 +1171,11 @@ object SimilarityOps {
 
   // one Lloyd round in SQL: assignment (window top-1 per vector) +
   // per-(cluster, dim) integer mean
-  private def kmAssignCte(cent: String, out: String) =
+  private def kmAssignCte(cent: String, out: String, eName: String = "e") =
     s""" ${out}_d AS (SELECT e.vec_id, e.qv, c.cid,
        |   list_reduce(list_transform(range(1, len(e.qv) + 1),
        |     i -> (e.qv[i] - c.cq[i]) * (e.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
-       |  FROM e, $cent c),
+       |  FROM $eName e, $cent c),
        | $out AS MATERIALIZED (SELECT vec_id, qv, cid, d2 FROM (SELECT *,
        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM ${out}_d)
        |  WHERE rn = 1)""".stripMargin
@@ -1180,6 +1186,24 @@ object SimilarityOps {
        |  GROUP BY a.cid, p.pos),
        | $out AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cq FROM ${out}_s GROUP BY cid)""".stripMargin
 
+  /** The Lloyd CTE chain over corpus CTE `eName` with every chain CTE name
+    * suffixed by `sfx` (c0$sfx … af$sfx) and NO leading WITH — composable
+    * into an existing chain, and twice into one query (q169 trains the
+    * full and the curated index side by side). Init = the K lowest vec_ids
+    * of the training corpus re-labeled 0..K-1 in id order (the rank form
+    * of the old `vec_id < K`, identical on the dense-id full corpus and
+    * well-defined on subsets — mirrors kmeansTrainOn's seed rule). */
+  private[graft] def kmeansChain(eName: String, sfx: String): String = {
+    val rounds = (1 to KmeansIters).map { i =>
+      kmAssignCte(if (i == 1) s"c0$sfx" else s"c${i - 1}$sfx", s"a$i$sfx", eName) +
+        "," + kmUpdateCte(s"a$i$sfx", s"c$i$sfx")
+    }.mkString(",")
+    s""" c0$sfx AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cq
+       |  FROM (SELECT vec_id, qv FROM $eName ORDER BY vec_id LIMIT $KmeansK)),
+       |$rounds,
+       |${kmAssignCte(s"c$KmeansIters$sfx", s"af$sfx", eName)}""".stripMargin
+  }
+
   /** Shared CTE chain: quantized vectors `e`, init `c0`, KmeansIters Lloyd
     * rounds, final assignment `af` (vec_id, qv, cid, d2). `pre` lets a
     * caller swap in a different corpus by prepending CTEs and redefining
@@ -1189,7 +1213,8 @@ object SimilarityOps {
       kmAssignCte(if (i == 1) "c0" else s"c${i - 1}", s"a$i") + "," + kmUpdateCte(s"a$i", s"c$i")
     }.mkString(",")
     s"""WITH $pre,
-       | c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cq FROM e WHERE vec_id < $KmeansK),
+       | c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cq
+       |  FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT $KmeansK)),
        |$rounds,
        |${kmAssignCte(s"c$KmeansIters", "af")}""".stripMargin
   }
@@ -1217,6 +1242,58 @@ object SimilarityOps {
        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq, vec_id) AS rank FROM probe)
        |SELECT qid, cid AS bucket, rank, vec_id, dq FROM r WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q169 — curated-corpus IVF index REBUILD (q164 × q57, the first
+  // cross-family composition of the curation capstone with the ANN
+  // stack): after the composed curation pipeline rewrites the corpus,
+  // the coarse quantizer trained on the FULL corpus no longer matches
+  // the surviving distribution. q169 retrains the quantizer on the
+  // curated survivors (same fixed-point Lloyd, seeded by the K lowest
+  // surviving ids) and reports the MIGRATION MATRIX — for every curated
+  // vector, its old-index cell × new-index cell — with counts and the
+  // new index's per-pair inertia. The matrix is what an index-serving
+  // tier reads to decide between an in-place maintenance pass (q113) and
+  // a full rebuild/re-shard: a near-diagonal-block matrix means cells
+  // mostly survived relabeling; mass smeared across rows means the
+  // curation hollowed cells out and probe plans (q149) need retuning.
+  // (Cluster ids are NOT aligned across trainings — the matrix itself is
+  // the alignment; its row/col marginals are each index's cell masses.)
+  //
+  // Scale path: both trainings are the q57 dataflow — centroids ride as
+  // driver literals, assignment is one codegen'd map-side pass, updates
+  // are (cluster, dim) partial sums; nothing vector-sized shuffles. The
+  // matrix is a K×K-bounded aggregate over ONE equi-join on vec_id.
+  // ===========================================================
+  def q169CuratedIndexRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val eAll = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    val (_, afFull) = kmeansTrainOn(eAll)
+    // the curated survivors: q164's kept5 set (doc ids and vec ids share
+    // the id space; the join prunes the training set, not the index)
+    val curIds = CurationExec.q167Curated(spark, dir).select(col("doc_id").as("vec_id"))
+    val (_, afCur) = kmeansTrainOn(eAll.join(curIds, Seq("vec_id")))
+    afCur.select(col("vec_id"), col("cid").as("new_cid"), col("d2"))
+      .join(afFull.select(col("vec_id"), col("cid").as("old_cid")), Seq("vec_id"))
+      .groupBy("old_cid", "new_cid")
+      .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia_new"))
+      .orderBy("old_cid", "new_cid")
+  }
+
+  lazy val q169Sql: String =
+    (CurationExec.q164Ctes + s""",
+       | cur AS (SELECT doc_id AS vec_id FROM s5 WHERE kept5),
+       | ef AS MATERIALIZED (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |${kmeansChain("ef", "f")},
+       | ex AS MATERIALIZED (SELECT ef.* FROM ef JOIN cur USING (vec_id)),
+       |${kmeansChain("ex", "x")}
+       |SELECT aff.cid AS old_cid, afx.cid AS new_cid, COUNT(*) AS n_vecs,
+       | CAST(SUM(afx.d2) AS BIGINT) AS inertia_new
+       |FROM afx JOIN aff USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin.replace("\n", " ")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   // ===========================================================
   // q68 — SemDeDup (Abbas et al. 2023): semantic dedup by clustering
@@ -3016,6 +3093,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_curated_index" -> (q169CuratedIndexRebuild _),
     "q161_incremental_neardup" -> (q161IncrementalNearDup _),
     "q158_neardup_removal_exec" -> (q158NearDupRemovalExec _),
     "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
@@ -3297,5 +3375,6 @@ object SimilarityOps {
     "q107_coverage_sample" -> q107Sql,
     "q109_canonical_selection" -> q109Sql,
     "q158_neardup_removal_exec" -> q158Sql,
-    "q161_incremental_neardup" -> q161Sql)
+    "q161_incremental_neardup" -> q161Sql,
+    "q169_curated_index" -> q169Sql)
 }
