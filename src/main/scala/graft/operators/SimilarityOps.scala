@@ -2471,8 +2471,11 @@ object SimilarityOps {
   // quantized dim table materializes once for its two consumers
   // (centroid aggregation + distance join).
   // ===========================================================
-  def q140LabelPurity(spark: SparkSession, dir: String,
-      materialize: Boolean = true): DataFrame = {
+  /** q140's shared first pass (graft-visible: q170 repairs from it):
+    * the checkpointed quantized dim table and the per-vector confusion
+    * frame (vec_id, label, own_d2, rival_d2, rival_label, confused). */
+  private[graft] def q140PerVec(spark: SparkSession, dir: String,
+      materialize: Boolean): (DataFrame, DataFrame) = {
     // materialize=false keeps the full lineage in one plan so PlanSpec can
     // assert the centroid broadcast; production path checkpoints both
     // shared projections so each materializes exactly once
@@ -2496,7 +2499,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("own_d2"),
         col("rival.d2").as("rival_d2"), col("rival.label2").as("rival_label"))
       .withColumn("confused", col("rival_d2") < col("own_d2"))
-    val perM = ckpt(per) // vec-sized; rollup and rival-mode both consume it
+    (dims, ckpt(per)) // per is vec-sized; every consumer reads the ckpt
+  }
+
+  def q140LabelPurity(spark: SparkSession, dir: String,
+      materialize: Boolean = true): DataFrame = {
+    val (_, perM) = q140PerVec(spark, dir, materialize)
     val roll = perM.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("confused"), 1L).otherwise(0L)).as("n_confused"))
@@ -2514,7 +2522,9 @@ object SimilarityOps {
       .orderBy("label")
   }
 
-  val q140Sql: String =
+  /** The shared q140 first-pass CTE chain (`q` … `per`) — q170's repair
+    * oracle composes onto it. */
+  private val q140PerCtes: String =
     s"""WITH q AS (SELECT vec_id, label, list_transform(embedding,
        |   x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv FROM embeddings),
        | dims AS (SELECT vec_id, label, u.d AS d, u.x AS x FROM q,
@@ -2531,7 +2541,10 @@ object SimilarityOps {
        |  FROM d2 WHERE label2 <> label),
        | per AS (SELECT own.vec_id, own.label, own.own_d2,
        |   riv.rival_label, riv.rival_d2, riv.rival_d2 < own.own_d2 AS confused
-       |  FROM own LEFT JOIN riv ON own.vec_id = riv.vec_id AND riv.rn = 1),
+       |  FROM own LEFT JOIN riv ON own.vec_id = riv.vec_id AND riv.rn = 1)""".stripMargin
+
+  val q140Sql: String =
+    s"""$q140PerCtes,
        | roll AS (SELECT label, COUNT(*) AS n_vecs,
        |   SUM(CASE WHEN confused THEN 1 ELSE 0 END) AS n_confused
        |  FROM per GROUP BY label),
@@ -2545,6 +2558,93 @@ object SimilarityOps {
        | CAST(COALESCE(rv1.rc, 0) AS BIGINT) AS top_rival_n
        |FROM roll LEFT JOIN rv1 ON roll.label = rv1.label AND rv1.rn = 1
        |ORDER BY roll.label""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q170 — label-noise REPAIR execution (q140's audit APPLIED — the ninth
+  // audit→execution bridge, confident-learning's act step): every vector
+  // q140 flags as confused (closer to a rival label's centroid than its
+  // own) is DROPPED from the training set, the per-label centroids are
+  // RECOMPUTED on the cleaned survivors, and the pass is proven per
+  // label — before/dropped/after counts, how many survivors are STILL
+  // confused against the recomputed centroids (the one-step convergence
+  // check: cleaning moves the centroids, so a second audit is the only
+  // honest "did it help"), and an md5 fingerprint of the cleaned
+  // centroid (dim-ordered), which both engines must reproduce exactly.
+  //
+  // Scale path: pass 1 is q140's locked shape verbatim (shared
+  // q140PerVec); the repair adds one vec_id semi-join to prune the dim
+  // table, the same (label, dim) map-side centroid aggregation, one more
+  // broadcast-centroid distance pass, and L-row rollups. A label whose
+  // vectors ALL drop surfaces as n_after=0 / fp='none', not a lost row.
+  // ===========================================================
+  def q170LabelRepairExec(spark: SparkSession, dir: String): DataFrame = {
+    val (dims, per) = q140PerVec(spark, dir, materialize = true)
+    val kept = per.filter(!coalesce(col("confused"), lit(false))).select("vec_id")
+    val dimsK = dims.join(kept, Seq("vec_id"))
+    // two consumers (distance pass + fingerprint) — cut the recompute once
+    val cents2 = dimsK.groupBy(col("label").as("label2"), col("d"))
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
+      .localCheckpoint()
+    val perB = dimsK.join(broadcast(cents2), Seq("d"))
+      .groupBy("vec_id", "label", "label2")
+      .agg(sum(expr("(x - c) * (x - c)")).as("d2"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum(when(col("label2") === col("label"), col("d2"))).as("own_d2"),
+        min(when(col("label2") =!= col("label"),
+          struct(col("d2"), col("label2")))).as("rival"))
+      .withColumn("still", col("rival.d2") < col("own_d2"))
+    val fps = cents2.groupBy(col("label2").as("label"))
+      .agg(md5(concat_ws(",",
+        expr("transform(sort_array(collect_list(struct(d, c))), s -> CAST(s.c AS STRING))"))
+        .cast("binary")).as("fp"))
+    val base = per.groupBy("label").agg(
+      count(lit(1)).as("n_before"),
+      sum(when(coalesce(col("confused"), lit(false)), 1L).otherwise(0L)).as("n_dropped"))
+    val after = perB.groupBy("label").agg(
+      count(lit(1)).as("n_after"),
+      sum(when(coalesce(col("still"), lit(false)), 1L).otherwise(0L)).as("n_still_confused"))
+    base.join(after, Seq("label"), "left_outer")
+      .join(fps, Seq("label"), "left_outer")
+      .select(col("label"), col("n_before"), col("n_dropped"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_still_confused"), lit(0L)).as("n_still_confused"),
+        coalesce(col("fp"), lit("none")).as("cleaned_centroid_fp"))
+      .orderBy("label")
+  }
+
+  val q170Sql: String =
+    s"""$q140PerCtes,
+       | kept AS (SELECT vec_id FROM per WHERE NOT COALESCE(confused, FALSE)),
+       | dimsk AS (SELECT dims.* FROM dims JOIN kept USING (vec_id)),
+       | cents2 AS (SELECT label AS label2, d,
+       |   CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM dimsk GROUP BY label, d),
+       | d2b AS (SELECT dimsk.vec_id, dimsk.label, cents2.label2,
+       |   SUM((x - c) * (x - c)) AS d2
+       |  FROM dimsk JOIN cents2 USING (d) GROUP BY 1, 2, 3),
+       | own2 AS (SELECT vec_id, label, d2 AS own_d2 FROM d2b WHERE label2 = label),
+       | riv2 AS (SELECT vec_id, label2 AS rival_label, d2 AS rival_d2,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label2) AS rn
+       |  FROM d2b WHERE label2 <> label),
+       | per2 AS (SELECT own2.vec_id, own2.label,
+       |   riv2.rival_d2 < own2.own_d2 AS still
+       |  FROM own2 LEFT JOIN riv2 ON own2.vec_id = riv2.vec_id AND riv2.rn = 1),
+       | base AS (SELECT label, COUNT(*) AS n_before,
+       |   CAST(SUM(CASE WHEN COALESCE(confused, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |  FROM per GROUP BY label),
+       | aft AS (SELECT label, COUNT(*) AS n_after,
+       |   CAST(SUM(CASE WHEN COALESCE(still, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_still_confused
+       |  FROM per2 GROUP BY label),
+       | fps AS (SELECT label2 AS label,
+       |   md5(array_to_string(list_transform(list(c ORDER BY d), x -> CAST(x AS VARCHAR)), ',')) AS fp
+       |  FROM cents2 GROUP BY label2)
+       |SELECT base.label, base.n_before, base.n_dropped,
+       | CAST(COALESCE(aft.n_after, 0) AS BIGINT) AS n_after,
+       | CAST(COALESCE(aft.n_still_confused, 0) AS BIGINT) AS n_still_confused,
+       | COALESCE(fps.fp, 'none') AS cleaned_centroid_fp
+       |FROM base LEFT JOIN aft USING (label) LEFT JOIN fps USING (label)
+       |ORDER BY base.label""".stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q144 — split REPAIR (the actionable half of q134's audit): q134
@@ -3094,6 +3194,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_curated_index" -> (q169CuratedIndexRebuild _),
+    "q170_label_repair_exec" -> (q170LabelRepairExec _),
     "q161_incremental_neardup" -> (q161IncrementalNearDup _),
     "q158_neardup_removal_exec" -> (q158NearDupRemovalExec _),
     "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
@@ -3376,5 +3477,6 @@ object SimilarityOps {
     "q109_canonical_selection" -> q109Sql,
     "q158_neardup_removal_exec" -> q158Sql,
     "q161_incremental_neardup" -> q161Sql,
-    "q169_curated_index" -> q169Sql)
+    "q169_curated_index" -> q169Sql,
+    "q170_label_repair_exec" -> q170Sql)
 }
