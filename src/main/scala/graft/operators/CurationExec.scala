@@ -191,13 +191,19 @@ object CurationExec {
     * `baseDir` and read it back — the production-recovery form of the
     * default localCheckpoint (which is non-reliable storage: an executor
     * loss mid-run fails the job instead of recomputing). Each boundary
-    * crossing gets its own numbered subdirectory, so a restarted run can
-    * resume from the last completed stage write. */
+    * crossing gets its own numbered subdirectory, and a crossing whose
+    * directory already holds a COMPLETED write (the `_SUCCESS` marker) is
+    * skipped and read back as-is — so a restarted run against the same
+    * baseDir actually resumes from the last completed stage instead of
+    * recomputing every stage from scratch (CurationBoundarySpec proves
+    * the reuse: same funnel, stage files untouched on the second run). */
   def parquetBoundary(baseDir: String): DataFrame => DataFrame = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     df => {
       val p = s"$baseDir/stage_${n.getAndIncrement()}"
-      df.write.mode("overwrite").parquet(p)
+      val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+      val fs = marker.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) df.write.mode("overwrite").parquet(p)
       df.sparkSession.read.parquet(p)
     }
   }

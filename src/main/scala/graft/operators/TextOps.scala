@@ -1100,10 +1100,20 @@ object TextOps {
     * accumulating one per entry point (r12 advisory). An external
     * clearCache/unpersist only drops the blocks — the memoized plan then
     * recomputes uncached, still correct. */
-  private val q165PerDocCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def q165PerDoc(spark: SparkSession, dir: String): DataFrame =
-    q165PerDocCache.getOrElseUpdate((spark, dir), q165PerDocBuild(spark, dir))
+  // one-element memo, not a map: a growing (session, dir)-keyed map would
+  // pin every stopped session's plans from a static field for the JVM
+  // lifetime; the single slot covers the real reuse (five entry points in
+  // one Verify/bench run) and an old entry is simply replaced
+  @volatile private var q165PerDocCache: ((SparkSession, String), DataFrame) = null
+  private def q165PerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val cached = q165PerDocCache
+    if (cached != null && cached._1 == ((spark, dir))) cached._2
+    else {
+      val built = q165PerDocBuild(spark, dir)
+      q165PerDocCache = ((spark, dir), built)
+      built
+    }
+  }
   private def q165PerDocBuild(spark: SparkSession, dir: String): DataFrame = {
     val plan = q131EpochPlan(spark, dir)
       .select(col("source"),

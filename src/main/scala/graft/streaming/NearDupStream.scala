@@ -74,8 +74,12 @@ object NearDupStream {
 
   /** How arrival bands look up the snapshot's capped band table. */
   sealed trait SnapshotProbe
-  /** Small-snapshot fast path: the table as a driver map, attached as a
-    * literal map lookup (no per-batch join planning). */
+  /** Small-snapshot fast path: the table as a driver map, realized per
+    * micro-batch as a BROADCAST-HASH-joined local frame — executors probe
+    * a hash table in O(1) per band row. (A literal-map column lookup —
+    * Catalyst's GetMapValue — LINEAR-SCANS the map per row, which at the
+    * size gate's limit would be ~10⁶ comparisons per band row on the hot
+    * path; the broadcast join is the probe the q161 batch uses, hinted.) */
   final case class BroadcastProbe(table: Map[(Int, String), Seq[Long]])
       extends SnapshotProbe
   /** Beyond-broadcast path: the capped band FRAME (band, band_sig,
@@ -123,31 +127,35 @@ object NearDupStream {
       .filter(size(col("old_ids")) <= SimilarityOps.MaxBucketSize)
   }
 
+  private def rowsToTable(
+      rows: Array[org.apache.spark.sql.Row]): Map[(Int, String), Seq[Long]] =
+    rows.map(r => (r.getInt(0), r.getString(1)) ->
+      r.getAs[scala.collection.Seq[Long]](2).toSeq).toMap
+
   /** The same table collected to a driver map (the broadcast form). */
   def snapshotBandTable(snapshotDocs: DataFrame): Map[(Int, String), Seq[Long]] =
-    snapshotBandFrame(snapshotDocs)
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1)) ->
-        r.getAs[scala.collection.Seq[Long]](2).toSeq)
-      .toMap
+    rowsToTable(snapshotBandFrame(snapshotDocs).collect())
 
   /** Size-gated probe selection: ≤ `maxBroadcastBuckets` buckets → the
     * driver-map fast path; else the stream-static join form over the
-    * PERSISTED frame (it is probed every micro-batch). The count is one
-    * driver job at stream START, not per batch; at a 100 TB snapshot the
-    * band table is maintained incrementally and its row count is already
-    * known, so the gate costs nothing. Tests force the join form by
-    * passing 0 (the minLabelComponents gate-seam pattern). */
+    * PERSISTED frame (it is probed every micro-batch; the stream owns the
+    * cache for its lifetime — release with `bands.unpersist()` when the
+    * stream stops). The frame persists BEFORE the gate count so the count
+    * job materializes it and the second consumer (collect, or the first
+    * micro-batch's probe) reads cached blocks instead of recomputing the
+    * whole snapshot signature pass. At a 100 TB snapshot the band table is
+    * maintained incrementally and its row count is already known, so the
+    * gate costs nothing. Tests force the join form by passing 0 (the
+    * minLabelComponents gate-seam pattern). */
   def probeFor(snapshotDocs: DataFrame,
                maxBroadcastBuckets: Long = 1L << 20): SnapshotProbe = {
     val frame = snapshotBandFrame(snapshotDocs)
-    if (frame.count() <= maxBroadcastBuckets) BroadcastProbe(
-      frame.collect()
-        .map(r => (r.getInt(0), r.getString(1)) ->
-          r.getAs[scala.collection.Seq[Long]](2).toSeq)
-        .toMap)
-    else JoinProbe(
-      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (frame.count() <= maxBroadcastBuckets) {
+      val table = rowsToTable(frame.collect())
+      frame.unpersist(blocking = false)
+      BroadcastProbe(table)
+    } else JoinProbe(frame)
   }
 
   /** The snapshot shingle frame (doc_id, sh) for the micro-batch verify —
@@ -181,18 +189,21 @@ object NearDupStream {
     val base = if (df.isStreaming) df.withWatermark(eventTimeCol, s"$delayMs milliseconds") else df
     val bands = enriched(base, eventTimeCol)
     // both probe forms attach the SAME old_cands column (empty when the
-    // bucket is absent), entirely as column work — the watermark tag on ts
-    // survives, and the stateful op below is probe-form-agnostic
+    // bucket is absent) via the SAME left equi-join on (band, band_sig) —
+    // the q161 batch probe shape — differing only in the broadcast hint:
+    // the small form hash-joins a driver-built local frame (O(1) probes
+    // on executors), the large form shuffle-joins the persisted snapshot
+    // frame. The watermark tag on ts survives the join, and the stateful
+    // op below is probe-form-agnostic.
+    def attach(frame: DataFrame, hint: DataFrame => DataFrame): DataFrame =
+      bands.join(hint(frame), Seq("band", "band_sig"), "left_outer")
+        .withColumn("old_cands", coalesce(col("old_ids"), emptyLongArray))
     val withCands = probe match {
       case BroadcastProbe(table) =>
-        // literal map lookup: band_sig is digits+':' only, '|' is safe
-        val lut = typedLit(table.map { case ((b, s), ids) => s"$b|$s" -> ids })
-        bands.withColumn("old_cands", coalesce(
-          element_at(lut, concat_ws("|", col("band"), col("band_sig"))),
-          emptyLongArray))
-      case JoinProbe(frame) =>
-        bands.join(frame, Seq("band", "band_sig"), "left_outer")
-          .withColumn("old_cands", coalesce(col("old_ids"), emptyLongArray))
+        import spark.implicits._
+        attach(table.toSeq.map { case ((b, s), ids) => (b, s, ids) }
+          .toDF("band", "band_sig", "old_ids"), broadcast)
+      case JoinProbe(frame) => attach(frame, identity)
     }
     withCands
       .select(col("doc_id"), col("ts"), col("band"), col("band_sig"),

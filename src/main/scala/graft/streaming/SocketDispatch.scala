@@ -207,6 +207,10 @@ final class PipelinedSocketDispatcher(
   }
 
   private val slots = new Array[Conn](math.max(1, connections))
+  // one lock PER SLOT: a blocking dial (up to rpcTimeoutMs in connect) on
+  // a dead slot must only stall callers routed to that slot, never the
+  // dispatchers whose own slots hold healthy connections
+  private val slotLocks = Array.fill(slots.length)(new Object)
   private val rr = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def dispatch(req: DispatchRequest): DispatchResult = {
@@ -215,7 +219,7 @@ final class PipelinedSocketDispatcher(
     val i = (rr.getAndIncrement() & Int.MaxValue) % slots.length
     val cf = new CompletableFuture[DispatchResult]()
     val conn =
-      try slots.synchronized {
+      try slotLocks(i).synchronized {
         if (slots(i) == null || slots(i).dead) slots(i) = new Conn
         slots(i)
       } catch {
@@ -238,6 +242,12 @@ final class PipelinedSocketDispatcher(
         if (!cf.isDone)
           cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
     }
+    // close the enqueue-vs-poison race: poison sets the volatile `dead`
+    // BEFORE draining pending, so if we read false here our put happened
+    // before the drain (and poison completed cf); if we read true, cf may
+    // have been enqueued after the drain and nobody else will resolve it
+    if (conn.dead && !cf.isDone)
+      cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
     try cf.get(rpcTimeoutMs * 2 + 1000, TimeUnit.MILLISECONDS)
     catch {
       case _: TimeoutException => // reader wedged — fail safe like a deadline
@@ -250,8 +260,8 @@ final class PipelinedSocketDispatcher(
 
   override def close(): Unit = {
     closed.set(true)
-    slots.synchronized {
-      slots.indices.foreach { i =>
+    slots.indices.foreach { i =>
+      slotLocks(i).synchronized {
         if (slots(i) != null) { slots(i).poison(null, null); slots(i) = null }
       }
     }

@@ -4,9 +4,7 @@ import graft.operators.CurationExec
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.nio.file.{Files, Path}
-import scala.jdk.CollectionConverters._
-import scala.util.Using
+import java.nio.file.Files
 
 /** The composed curation pipeline's stage boundaries come in two modes:
   * localCheckpoint (cheap, non-reliable — the single-run default) and
@@ -29,13 +27,7 @@ class CurationBoundarySpec extends AnyFunSuite {
   // multi-row-group stage artifacts, not toy frames
   private val dir = "/root/testdata/sf0.01"
 
-  private def listDir(p: Path): Seq[Path] =
-    Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  import TestFs.{listDir, deleteRecursively}
 
   test("q164 funnel is identical under localCheckpoint and parquet stage boundaries") {
     val base = Files.createTempDirectory("graft_curation_stages_")
@@ -52,6 +44,21 @@ class CurationBoundarySpec extends AnyFunSuite {
       val stages = listDir(base).map(_.getFileName.toString).sorted
       assert(stages == Seq("stage_0", "stage_1"),
         s"expected two written stage boundaries, found $stages")
+
+      // RESUME: a restarted run against the same baseDir must reuse the
+      // completed stage writes (the _SUCCESS gate), not recompute them —
+      // same funnel, stage files untouched
+      val mtimes = listDir(base).flatMap(d => listDir(d))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+      val resumed = CurationExec.q164CurationExec(spark, dir,
+        CurationExec.parquetBoundary(base.toString)).collect()
+      pq.zip(resumed).foreach { case (a, b) =>
+        assert(a == b, s"resumed funnel diverged: $a vs $b")
+      }
+      listDir(base).flatMap(d => listDir(d)).foreach { f =>
+        assert(Files.getLastModifiedTime(f) == mtimes(f.toString),
+          s"stage file $f was rewritten on resume — the _SUCCESS skip did not hold")
+      }
     } finally deleteRecursively(base)
   }
 

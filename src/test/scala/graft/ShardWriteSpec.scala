@@ -25,15 +25,7 @@ class ShardWriteSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
-  /** Files.list with the directory stream actually closed (it leaks a
-    * directory handle per call otherwise). */
-  private def listDir(p: Path): Seq[Path] =
-    Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  import TestFs.{listDir, deleteRecursively}
 
   test("written shards realize the q162 manifest exactly (write → recompute → compare)") {
     val out = Files.createTempDirectory("graft_shards_")
