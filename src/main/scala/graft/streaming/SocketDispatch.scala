@@ -29,9 +29,16 @@ import java.util.concurrent.atomic.AtomicBoolean
  *
  * Wire protocol (length-prefixed frames over a persistent connection — a
  * stand-in for HTTP/2 framing; the sandbox has no gRPC jars):
- *   request:  headerCount:int, then per header UTF key + UTF value,
+ *   request:  seq:long (per-connection, strictly increasing),
+ *             headerCount:int, then per header UTF key + UTF value,
  *             payloadLen:int, payload bytes
- *   response: UTF status (gRPC status name), UTF action ("" = none)
+ *   response: seq:long (echo of the request's), UTF status (gRPC status
+ *             name), UTF action ("" = none)
+ * The echoed sequence id makes request/response correlation EXPLICIT: a
+ * response whose seq does not match the expected request is a protocol
+ * violation (a concurrent or out-of-order server) and poisons the
+ * connection instead of silently delivering a response to the wrong
+ * caller.
  */
 final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
     extends Dispatcher {
@@ -45,6 +52,9 @@ final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
   private final class PooledConn(val sock: Socket) {
     val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
     val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+    /** Next request sequence id on this connection (one in flight at a
+      * time here, so no locking: the borrower owns the connection). */
+    var seq: Long = 0L
   }
 
   private val idle = new ConcurrentLinkedQueue[PooledConn]()
@@ -65,6 +75,9 @@ final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
     try {
       conn = Option(idle.poll()).getOrElse(connect(deadlineNs))
       val out = conn.out
+      val mySeq = conn.seq
+      conn.seq += 1
+      out.writeLong(mySeq)
       out.writeInt(req.headers.size)
       req.headers.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
       out.writeInt(req.payload.length)
@@ -74,6 +87,11 @@ final class SocketDispatcher(host: String, port: Int, rpcTimeoutMs: Long)
       // socket default — time spent connecting/writing counts against it
       val remainMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
       conn.sock.setSoTimeout(remainMs.toInt)
+      val echoed = conn.in.readLong()
+      if (echoed != mySeq)
+        // correlation violation: the server is answering out of order —
+        // this response (and the connection) can never be trusted
+        throw new IOException(s"seq mismatch: sent $mySeq, got $echoed")
       val status = conn.in.readUTF()
       val action = conn.in.readUTF()
       if (closed.get() || !idle.offer(conn)) conn.sock.close() else conn = null
@@ -124,11 +142,18 @@ final case class SocketDispatcherFactory(host: String, port: Int, rpcTimeoutMs: 
  * stream back-to-back and the round trip is paid once per WINDOW of
  * in-flight requests, not once per request.
  *
- * Correlation is FIFO-per-connection: the framed protocol has no stream
- * ids, but TCP preserves order and [[SocketConsumerServer]] answers each
+ * Correlation is FIFO-per-connection AND VERIFIED: every request frame
+ * carries a per-connection sequence id the server echoes in its response.
+ * TCP preserves order and [[SocketConsumerServer]] answers each
  * connection's requests sequentially, so response k on a connection
- * belongs to the k-th unanswered request written to it. A reader thread
- * per connection completes pending futures in that order.
+ * belongs to the k-th unanswered request written to it — and the reader
+ * CHECKS that by comparing the echoed seq against the head pending
+ * request's. A server that handles a connection's requests concurrently
+ * or replies out of order trips the check and POISONS the connection
+ * (head + siblings resolve UNAVAILABLE) instead of silently delivering
+ * response k to caller j — wrong ack/DLQ verdicts can't slip through.
+ * The sync [[SocketDispatcher]] performs the same echo check with one
+ * request in flight.
  *
  * Deadline semantics match the sync dispatcher: each request carries a
  * deadline of `rpcTimeoutMs` from dispatch start; the reader enforces the
@@ -156,12 +181,15 @@ final class PipelinedSocketDispatcher(
     // per header + the length-prefixed payload), and responses batch reads
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
-    val pending = new LinkedBlockingQueue[(CompletableFuture[DispatchResult], Long)]()
+    val pending = new LinkedBlockingQueue[(CompletableFuture[DispatchResult], Long, Long)]()
+    /** Next request seq on this connection; assigned under the writer
+      * lock, so the pending queue's seq order matches the frame order. */
+    var nextSeq: Long = 0L
     @volatile var dead = false
 
     /** Fail everything in flight and retire the connection. `headResult`
       * resolves the response the reader was blocked on (if any). */
-    def poison(head: (CompletableFuture[DispatchResult], Long),
+    def poison(head: (CompletableFuture[DispatchResult], Long, Long),
                headResult: DispatchResult): Unit = {
       dead = true
       if (head != null) head._1.complete(headResult)
@@ -180,10 +208,15 @@ final class PipelinedSocketDispatcher(
         while (!dead && !closed.get()) {
           val head = pending.poll(50, TimeUnit.MILLISECONDS)
           if (head != null) {
-            val (cf, deadlineNs) = head
+            val (cf, deadlineNs, seq) = head
             try {
               val remainMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
               sock.setSoTimeout(remainMs.toInt)
+              val echoed = in.readLong()
+              if (echoed != seq)
+                // the server broke FIFO: this (and every queued) response
+                // can no longer be matched to its caller — fail loudly
+                throw new IOException(s"seq mismatch: expected $seq, got $echoed")
               val status = in.readUTF()
               val action = in.readUTF()
               cf.complete(DispatchResult(status, Option(action).filter(_.nonEmpty),
@@ -229,8 +262,12 @@ final class PipelinedSocketDispatcher(
     try conn.synchronized {
       if (conn.dead) throw new IOException("connection retired")
       // enqueue-then-write under the same lock: the pending queue's order
-      // IS the frame order the FIFO correlation depends on
-      conn.pending.put((cf, deadlineNs))
+      // IS the frame order the FIFO correlation depends on — and the seq
+      // assigned here is what the reader verifies against the echo
+      val mySeq = conn.nextSeq
+      conn.nextSeq += 1
+      conn.pending.put((cf, deadlineNs, mySeq))
+      conn.out.writeLong(mySeq)
       conn.out.writeInt(req.headers.size)
       req.headers.foreach { case (k, v) => conn.out.writeUTF(k); conn.out.writeUTF(v) }
       conn.out.writeInt(req.payload.length)
@@ -253,6 +290,12 @@ final class PipelinedSocketDispatcher(
       case _: TimeoutException => // reader wedged — fail safe like a deadline
         conn.poison(null, null)
         DispatchResult(graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true)
+      case _: InterruptedException =>
+        // a task-kill interrupt on an executor thread must stay VISIBLE to
+        // the caller's cancellation machinery — restore the flag before
+        // reporting the dispatch itself as failed
+        Thread.currentThread().interrupt()
+        DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
       case _: Exception =>
         DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
     }
@@ -308,11 +351,15 @@ final class SocketConsumerServer(handler: DispatchRequest => DispatchResult) {
       val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
       val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
       while (running.get()) {
+        val seq = in.readLong()
         val nHeaders = in.readInt()
         val headers = (1 to nHeaders).map(_ => in.readUTF() -> in.readUTF()).toMap
         val payload = new Array[Byte](in.readInt())
         in.readFully(payload)
         val res = handler(DispatchRequest(payload, headers))
+        // echo the request's seq: the client verifies it to detect any
+        // out-of-order or concurrent-handling server
+        out.writeLong(seq)
         out.writeUTF(res.statusCode)
         out.writeUTF(res.action.getOrElse(""))
         out.flush()

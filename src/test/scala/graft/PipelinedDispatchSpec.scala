@@ -120,6 +120,77 @@ class PipelinedDispatchSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("an out-of-order server trips the seq check and poisons the connection") {
+    // A raw-frame server that breaks the FIFO contract on purpose: it
+    // reads TWO complete requests off one connection, then replies to them
+    // in REVERSE order (each response echoing its own request's seq, as a
+    // concurrent-handling server would). Before the explicit sequence id,
+    // the dispatcher would have silently handed response 2 to caller 1 —
+    // wrong verdicts with no error. Now the reader sees seq 1 where it
+    // expects 0, poisons the connection, and BOTH callers get UNAVAILABLE.
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        def readReq(): Long = {
+          val seq = in.readLong()
+          val nh = in.readInt()
+          (1 to nh).foreach { _ => in.readUTF(); in.readUTF() }
+          val p = new Array[Byte](in.readInt()); in.readFully(p)
+          seq
+        }
+        val s1 = readReq()
+        val s2 = readReq()
+        Seq(s2, s1).foreach { s => // reversed: the correlation violation
+          out.writeLong(s); out.writeUTF(GrpcStatus.OK); out.writeUTF("")
+        }
+        out.flush()
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    val d = new PipelinedSocketDispatcher("127.0.0.1", server.getLocalPort,
+      rpcTimeoutMs = 5000, connections = 1)
+    try {
+      val r1 = new java.util.concurrent.CompletableFuture[DispatchResult]()
+      val r2 = new java.util.concurrent.CompletableFuture[DispatchResult]()
+      val t1 = new Thread(() => r1.complete(d.dispatch(DispatchRequest("a".getBytes, Map.empty))))
+      t1.start()
+      Thread.sleep(100) // request 1's frame is on the wire first
+      val t2 = new Thread(() => r2.complete(d.dispatch(DispatchRequest("b".getBytes, Map.empty))))
+      t2.start()
+      t1.join(15000); t2.join(15000)
+      // neither caller may see OK: the violation is surfaced, not absorbed
+      assert(r1.get().statusCode == GrpcStatus.UNAVAILABLE, r1.get())
+      assert(r2.get().statusCode == GrpcStatus.UNAVAILABLE, r2.get())
+    } finally { d.close(); server.close() }
+  }
+
+  test("sync dispatcher rejects a mismatched seq echo as UNAVAILABLE") {
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        in.readLong() // the request's seq (0) — echo a WRONG one
+        val nh = in.readInt()
+        (1 to nh).foreach { _ => in.readUTF(); in.readUTF() }
+        val p = new Array[Byte](in.readInt()); in.readFully(p)
+        out.writeLong(99L); out.writeUTF(GrpcStatus.OK); out.writeUTF("")
+        out.flush()
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    val d = new SocketDispatcher("127.0.0.1", server.getLocalPort, rpcTimeoutMs = 3000)
+    try {
+      val res = d.dispatch(DispatchRequest("x".getBytes, Map.empty))
+      assert(res.statusCode == GrpcStatus.UNAVAILABLE, res)
+    } finally { d.close(); server.close() }
+  }
+
   test("refused connection maps to UNAVAILABLE, not a hang") {
     val probe = new java.net.ServerSocket(0)
     val deadPort = probe.getLocalPort
