@@ -1110,6 +1110,15 @@ object TextOps {
     if (cached != null && cached._1 == ((spark, dir))) cached._2
     else {
       val built = q165PerDocBuild(spark, dir)
+      // release the evicted entry's persisted blocks BEFORE installing the
+      // replacement: alternating (session, dir) keys would otherwise strand
+      // MEMORY_AND_DISK blocks (and pin a stopped session's plan) until LRU
+      // eviction. A stopped session makes unpersist throw — guard and drop.
+      if (cached != null)
+        try {
+          if (!cached._1._1.sparkContext.isStopped)
+            cached._2.unpersist(blocking = false)
+        } catch { case _: Exception => () }
       q165PerDocCache = ((spark, dir), built)
       built
     }

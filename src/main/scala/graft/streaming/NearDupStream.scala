@@ -136,22 +136,43 @@ object NearDupStream {
   def snapshotBandTable(snapshotDocs: DataFrame): Map[(Int, String), Seq[Long]] =
     rowsToTable(snapshotBandFrame(snapshotDocs).collect())
 
-  /** Size-gated probe selection: ≤ `maxBroadcastBuckets` buckets → the
-    * driver-map fast path; else the stream-static join form over the
-    * PERSISTED frame (it is probed every micro-batch; the stream owns the
-    * cache for its lifetime — release with `bands.unpersist()` when the
-    * stream stops). The frame persists BEFORE the gate count so the count
-    * job materializes it and the second consumer (collect, or the first
+  /** Size-gated probe selection: the broadcast fast path only when the
+    * capped band table is small by BOTH measures — ≤ `maxBroadcastBuckets`
+    * buckets AND ≤ `maxBroadcastBytes` of ESTIMATED payload (band_sig
+    * chars + 8 bytes per member id + per-row overhead, summed in the same
+    * aggregation job that counts the rows) — else the stream-static join
+    * form over the PERSISTED frame (it is probed every micro-batch; the
+    * stream owns the cache for its lifetime — release with
+    * `bands.unpersist()` when the stream stops).
+    *
+    * DRIVER-MEMORY NOTE (why the byte gate exists): the broadcast form
+    * collects the whole table into a driver Map and re-materializes it as
+    * a local frame every micro-batch. A bucket-COUNT gate alone admits
+    * ~10⁶ buckets × (a ~40-char sig + up to MaxBucketSize longs) —
+    * hundreds of MB resident on the driver, an OOM long before the count
+    * trips. The default 64 MB bound keeps the driver copy strictly small;
+    * anything bigger takes the join path, which never visits the driver.
+    *
+    * The frame persists BEFORE the gate aggregation so that job
+    * materializes it and the second consumer (collect, or the first
     * micro-batch's probe) reads cached blocks instead of recomputing the
     * whole snapshot signature pass. At a 100 TB snapshot the band table is
-    * maintained incrementally and its row count is already known, so the
-    * gate costs nothing. Tests force the join form by passing 0 (the
+    * maintained incrementally and its size is already known, so the gate
+    * costs nothing. Tests force the join form by passing 0 (the
     * minLabelComponents gate-seam pattern). */
   def probeFor(snapshotDocs: DataFrame,
-               maxBroadcastBuckets: Long = 1L << 20): SnapshotProbe = {
+               maxBroadcastBuckets: Long = 1L << 20,
+               maxBroadcastBytes: Long = 64L << 20): SnapshotProbe = {
     val frame = snapshotBandFrame(snapshotDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (frame.count() <= maxBroadcastBuckets) {
+    // one job yields both gate measures: row count + estimated bytes
+    // (band int + sig chars + 8 B per member id + ~32 B object overhead)
+    val gate = frame.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(length(col("band_sig")).cast("long") +
+        size(col("old_ids")).cast("long") * 8L + 32L), lit(0L)).as("bytes"))
+      .head()
+    if (gate.getLong(0) <= maxBroadcastBuckets && gate.getLong(1) <= maxBroadcastBytes) {
       val table = rowsToTable(frame.collect())
       frame.unpersist(blocking = false)
       BroadcastProbe(table)
