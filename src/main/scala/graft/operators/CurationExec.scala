@@ -187,23 +187,77 @@ object CurationExec {
     (f0, s5)
   }
 
+  /** Content identity of the input tables a boundary-stamped pipeline run
+    * reads — per table file (or directory tree) the name, byte length and
+    * mtime, md5'd to a short hex stamp. Pass it as [[parquetBoundary]]'s
+    * `fingerprint` so a resumed run only reuses stage artifacts computed
+    * from the SAME inputs: replace or rewrite any input file and the
+    * stamp changes, forcing a recompute instead of serving stale stages. */
+  def inputFingerprint(sfDir: String, tables: Seq[String] = Seq("documents")): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val desc = tables.sorted.map { t =>
+      val root = new java.io.File(s"$sfDir/$t.parquet")
+      walk(root).map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+        .mkString(s"$t[", ",", "]")
+    }.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
   /** A durable stage boundary: write the stage output as parquet under
     * `baseDir` and read it back — the production-recovery form of the
     * default localCheckpoint (which is non-reliable storage: an executor
     * loss mid-run fails the job instead of recomputing). Each boundary
     * crossing gets its own numbered subdirectory, and a crossing whose
-    * directory already holds a COMPLETED write (the `_SUCCESS` marker) is
-    * skipped and read back as-is — so a restarted run against the same
-    * baseDir actually resumes from the last completed stage instead of
-    * recomputing every stage from scratch (CurationBoundarySpec proves
-    * the reuse: same funnel, stage files untouched on the second run). */
-  def parquetBoundary(baseDir: String): DataFrame => DataFrame = {
+    * directory already holds a COMPLETED write (the `_SUCCESS` marker)
+    * with a MATCHING fingerprint stamp is skipped and read back as-is —
+    * so a restarted run against the same baseDir resumes from the last
+    * completed stage instead of recomputing every stage from scratch
+    * (CurationBoundarySpec proves the reuse: same funnel, stage files
+    * untouched on the second run).
+    *
+    * `fingerprint` guards the resume against STALE artifacts: the stamp
+    * (fingerprint + stage index) is written to a `_GRAFT_FINGERPRINT`
+    * sidecar after the stage write completes, and a resume only reuses a
+    * stage whose sidecar matches. Derive it from the run's input identity
+    * ([[inputFingerprint]]) plus any pipeline-version tag — then reusing
+    * a baseDir after the input dir, constants, or stage composition
+    * change recomputes instead of silently serving the old artifacts.
+    * The stage index lives in the returned closure, so ONE boundary
+    * instance must not be shared across pipeline invocations — each
+    * entry-point call gets its own (a shared instance would number a
+    * second pipeline's stages differently than a fresh-process resume;
+    * the in-stamp index turns that mistake into a recompute, not a
+    * wrong-artifact read). */
+  def parquetBoundary(baseDir: String, fingerprint: String = ""): DataFrame => DataFrame = {
     val n = new java.util.concurrent.atomic.AtomicInteger(0)
     df => {
-      val p = s"$baseDir/stage_${n.getAndIncrement()}"
+      val i = n.getAndIncrement()
+      val p = s"$baseDir/stage_$i"
+      val stamp = s"graft-stage-fp v1 stage=$i fp=$fingerprint"
       val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+      val fpPath = new org.apache.hadoop.fs.Path(s"$p/_GRAFT_FINGERPRINT")
       val fs = marker.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) df.write.mode("overwrite").parquet(p)
+      val reusable = fs.exists(marker) && fs.exists(fpPath) && {
+        val in = fs.open(fpPath)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == stamp
+        finally in.close()
+      }
+      if (!reusable) {
+        // overwrite clears any stale artifact (including its old sidecar);
+        // the fresh stamp lands only AFTER the parquet write completed, so
+        // a crash between the two leaves a recompute-on-restart state
+        df.write.mode("overwrite").parquet(p)
+        val out = fs.create(fpPath, true)
+        try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       df.sparkSession.read.parquet(p)
     }
   }

@@ -62,6 +62,59 @@ class CurationBoundarySpec extends AnyFunSuite {
     } finally deleteRecursively(base)
   }
 
+  test("a fingerprint-stamped boundary recomputes when the input changes") {
+    // the staleness scenario the stamp exists for: a baseDir is reused
+    // after the INPUT changed. Without the fingerprint, the _SUCCESS-only
+    // resume would serve the old stage artifacts and the funnel would
+    // silently describe a corpus that no longer exists.
+    val base = Files.createTempDirectory("graft_fp_stages_")
+    val inDir = Files.createTempDirectory("graft_fp_input_")
+    try {
+      // a private input corpus the spec can mutate (sf0.001 keeps it quick)
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .coalesce(1).write.parquet(s"$inDir/documents.parquet")
+      val d = inDir.toString
+      val run1 = CurationExec.q164CurationExec(spark, d,
+        CurationExec.parquetBoundary(base.toString, CurationExec.inputFingerprint(d)))
+        .collect()
+      val mtimes1 = listDir(base).flatMap(x => listDir(x))
+        .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+      // same input, fresh boundary instance, same fingerprint → REUSE
+      val rerun = CurationExec.q164CurationExec(spark, d,
+        CurationExec.parquetBoundary(base.toString, CurationExec.inputFingerprint(d)))
+        .collect()
+      assert(rerun.toSeq == run1.toSeq)
+      listDir(base).flatMap(x => listDir(x))
+        .filterNot(_.getFileName.toString == "_GRAFT_FINGERPRINT").foreach { f =>
+          assert(Files.getLastModifiedTime(f) == mtimes1(f.toString),
+            s"stage file $f rewritten although input (and fingerprint) unchanged")
+        }
+
+      // MUTATE the input: rewrite the corpus with one source dropped
+      val mutated = spark.read.parquet(s"$inDir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
+        .collect()
+      deleteRecursively(java.nio.file.Paths.get(s"$inDir/documents.parquet"))
+      val schema = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(mutated: _*)),
+          schema)
+        .coalesce(1).write.parquet(s"$inDir/documents.parquet")
+
+      // stale baseDir + changed input: the stamp mismatch forces a full
+      // recompute, and the funnel now describes the MUTATED corpus
+      val run2 = CurationExec.q164CurationExec(spark, d,
+        CurationExec.parquetBoundary(base.toString, CurationExec.inputFingerprint(d)))
+        .collect()
+      assert(run2.toSeq != run1.toSeq,
+        "funnel unchanged after the corpus lost a third of its docs — stale stages were served")
+      val nDocs1 = run1.map(_.getAs[Long]("n_docs")).sum
+      val nDocs2 = run2.map(_.getAs[Long]("n_docs")).sum
+      assert(nDocs2 < nDocs1, s"expected fewer docs after the mutation, got $nDocs1 -> $nDocs2")
+    } finally { deleteRecursively(base); deleteRecursively(inDir) }
+  }
+
   test("q167 capstone manifest is identical under both boundary modes") {
     val base = Files.createTempDirectory("graft_capstone_stages_")
     try {
