@@ -441,6 +441,198 @@ object SimilarityOps {
        |FROM cls GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q171 — snapshot ROLL: the daily loop closed. q161 (and its streaming
+  // twin) probe a FIXED snapshot; a production pipeline rolls day N's
+  // kept arrivals into day N+1's snapshot state WITHOUT rescanning the
+  // old corpus. The rollable state is the capped band-bucket table
+  // itself — (band, band_sig, smallest cap+1 member ids) — which is
+  // MERGEABLE: smallest_{k}(A ∪ B) = smallest_{k}(smallest_{k}(A) ∪ B),
+  // so folding a day's kept arrivals in is one (band, band_sig) outer
+  // join of the day's banded ids against the state, never a corpus scan.
+  // Over-cap buckets persist as length-(cap+1) TOMBSTONES (not dropped
+  // like the probe form): once degenerate always degenerate, and the
+  // tombstone is what lets the merge detect that without the old corpus.
+  // The probe table any day serves from is the state filtered to ≤ cap
+  // (q41's no-signal rule) — size-1 buckets kept, q161's probe exactly.
+  //
+  // The query runs TWO consecutive days: base snapshot = doc_id % 5 ∉
+  // {0, 1}; day 1 arrivals (% 5 = 0) dedup against it (q161's dataflow),
+  // day 1's KEPT docs roll into the state, day 2 arrivals (% 5 = 1)
+  // dedup against the ROLLED state. The oracle recomputes day 2's probe
+  // from scratch over (base ∪ kept day 1) — so the hash-exact compare IS
+  // the proof that roll(day1) + day2 ≡ recompute(day1 ∪ base): the two
+  // constructions must produce identical bucket tables or the verdicts
+  // (and the final rollup) diverge.
+  //
+  // Scale path: ONE signature pass feeds base state, both arrival days,
+  // and the roll; the roll is a band-keyed outer join of the (tiny)
+  // kept-day sliver against the state — the state never moves through
+  // the driver and the old corpus is never rescanned; each day's dedup
+  // is q161's shape (bucket probe equi-join, capped within-batch pairs,
+  // one size-gated Jaccard verify). Nothing corpus² anywhere.
+  // ===========================================================
+  /** The ROLLABLE band-bucket state over a signature frame: per (band,
+    * band_sig) the smallest cap+1 member ids — NO over-cap filter, so
+    * degenerate buckets persist as length-(cap+1) tombstones the merge
+    * can recognize. [[probeBuckets]] derives the serving table. */
+  private[graft] def bandState(sig: DataFrame): DataFrame =
+    bandedSigs(sig, BandSize)
+      .groupBy("band", "band_sig")
+      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), MaxBucketSize + 1).as("ids"))
+
+  /** The probe table a day serves from: state buckets ≤ cap (size-1 kept —
+    * they are the dup targets of a new copy; tombstones dropped). */
+  private[graft] def probeBuckets(state: DataFrame): DataFrame =
+    state.filter(size(col("ids")) <= MaxBucketSize)
+
+  /** Fold a day's kept arrivals into the band state WITHOUT rescanning the
+    * old corpus: band the arrivals, aggregate their own capped buckets,
+    * and outer-merge per (band, band_sig) — smallest cap+1 of the union,
+    * exact because smallest-k is mergeable and ids are distinct. The old
+    * side is the STATE (bucket rows), never the old documents. */
+  private[graft] def rollBandState(state: DataFrame, keptSig: DataFrame): DataFrame = {
+    val emptyIds = expr("CAST(array() AS ARRAY<BIGINT>)")
+    bandState(keptSig).withColumnRenamed("ids", "new_ids")
+      .join(state.withColumnRenamed("ids", "old_ids"), Seq("band", "band_sig"), "full_outer")
+      .select(col("band"), col("band_sig"),
+        expr(s"""slice(array_sort(concat(
+          |coalesce(old_ids, CAST(array() AS ARRAY<BIGINT>)),
+          |coalesce(new_ids, CAST(array() AS ARRAY<BIGINT>)))), 1, ${MaxBucketSize + 1})"""
+          .stripMargin.replace("\n", " ")).as("ids"))
+  }
+
+  /** One day's incremental near-dup verdicts (q161's dataflow with the
+    * probe table passed in): arrivals' bands probe `probe` by equi-join,
+    * within-day candidates come from the arrivals' own capped buckets,
+    * both verify ONCE with true Jaccard, and per-doc flags fold with
+    * q161's precedence. `isArrival` classifies a doc id as this day's
+    * arrival (its complement in the verified-pair partners is "old").
+    * Returns (doc_id, source, status). */
+  private def incrementalDayVerdicts(spark: SparkSession, dir: String,
+      newSig: DataFrame, probe: DataFrame,
+      isArrival: Column => Column): DataFrame = {
+    val newBands = bandedSigs(newSig, BandSize)
+    val oldIds = probe.select(col("band"), col("band_sig"), explode(col("ids")).as("old_id"))
+    val crossPairs = newBands.join(oldIds, Seq("band", "band_sig"))
+      .select(col("doc_id").as("a"), col("old_id").as("b")).distinct()
+    val withinPairs = q41Candidates(bucketsForBand(newSig, BandSize))
+    val allPairs = crossPairs.unionByName(withinPairs).distinct().localCheckpoint()
+    val verdict = jaccardVerify(spark, dir, allPairs)
+      .filter(col("inter") * lit(2L) >= col("uni"))
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVerified = verdict.count()
+    val members = verdict.select(col("a").as("m"), col("b").as("p"))
+      .unionByName(verdict.select(col("b").as("m"), col("a").as("p")))
+    val flags = members.filter(isArrival(col("m")))
+      .groupBy("m").agg(
+        max(when(!isArrival(col("p")), 1L).otherwise(0L)).as("has_old"),
+        max(when(isArrival(col("p")) && col("p") < col("m"), 1L).otherwise(0L))
+          .as("has_prior"))
+    val smallFlags = nVerified * 2 <= (1L << 20)
+    val fl = if (smallFlags) broadcast(flags) else flags
+    docs(spark, dir).filter(isArrival(col("doc_id")))
+      .select(col("doc_id"), col("source"))
+      .join(fl.withColumnRenamed("m", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("status",
+        when(col("has_old") === 1L, "dup_vs_old")
+          .when(col("has_prior") === 1L, "dup_within")
+          .otherwise("kept"))
+      .select("doc_id", "source", "status")
+  }
+
+  def q171SnapshotRoll(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val baseSig = sig.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val day1Sig = sig.filter(col("doc_id") % 5 === 0)
+    val day2Sig = sig.filter(col("doc_id") % 5 === 1)
+    // the rollable state, materialized once: probed by day 1 AND merged by
+    // the roll — at production scale this is the table that persists
+    // between days, not a recomputation
+    val state0 = bandState(baseSig).localCheckpoint()
+    val d1 = incrementalDayVerdicts(spark, dir, day1Sig,
+      probeBuckets(state0), c => c % 5 === 0).localCheckpoint()
+    // only KEPT day-1 arrivals enter the snapshot (it stays near-deduped)
+    val kept1Sig = day1Sig.join(
+      d1.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"), "left_semi")
+    val state1 = rollBandState(state0, kept1Sig)
+    val d2 = incrementalDayVerdicts(spark, dir, day2Sig,
+      probeBuckets(state1), c => c % 5 === 1)
+    d1.withColumn("day", lit(1L)).unionByName(d2.withColumn("day", lit(2L)))
+      .groupBy("day", "source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("kept"),
+        sum(when(col("status") === "dup_vs_old", 1L).otherwise(0L)).as("dup_vs_old"),
+        sum(when(col("status") === "dup_within", 1L).otherwise(0L)).as("dup_within"))
+      .orderBy("day", "source")
+  }
+
+  /** One oracle day chain: arrivals CTE `n$s` probes bucket CTE `obuck$s`,
+    * within-day pairs from the arrivals' own capped buckets, one Jaccard
+    * verify, flags with arrival modulus `mod` — ending in `st$s`
+    * (doc_id, source, status). Mirrors q161Sql's chain with the probe
+    * table parameterized. */
+  private def rollDayCtes(s: String, mod: Int): String =
+    s""" crossp$s AS (SELECT DISTINCT n.doc_id AS a, o.oid AS b
+       |  FROM n$s n JOIN obuck$s USING (band, band_sig),
+       |   LATERAL (SELECT unnest(obuck$s.ids) AS oid) o),
+       | nbuck$s AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM n$s GROUP BY band, band_sig HAVING COUNT(*) BETWEEN 2 AND $MaxBucketSize),
+       | withinp$s AS (SELECT DISTINCT p.pr[1] AS a, p.pr[2] AS b FROM nbuck$s,
+       |  LATERAL (SELECT unnest(flatten(list_transform(range(1, len(ids)),
+       |   i -> list_transform(range(CAST(i AS INTEGER) + 1, len(ids) + 1), j -> [ids[CAST(i AS INTEGER)], ids[CAST(j AS INTEGER)]])))) AS pr) p),
+       | up$s AS MATERIALIZED (SELECT a, b FROM crossp$s UNION SELECT a, b FROM withinp$s),
+       | uids$s AS (SELECT DISTINCT a AS doc_id FROM up$s UNION SELECT DISTINCT b FROM up$s),
+       | ush$s AS MATERIALIZED (SELECT d.doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+       |   i -> substr(text, CAST(i AS INTEGER), 5))) AS sh FROM documents d JOIN uids$s USING (doc_id)),
+       | ver$s AS MATERIALIZED (SELECT a, b FROM up$s
+       |  JOIN ush$s sa ON sa.doc_id = a JOIN ush$s sb ON sb.doc_id = b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2 >=
+       |   CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)),
+       | memb$s AS (SELECT a AS m, b AS p FROM ver$s UNION ALL SELECT b, a FROM ver$s),
+       | fl$s AS (SELECT m, MAX(CASE WHEN p % 5 <> $mod THEN 1 ELSE 0 END) AS has_old,
+       |   MAX(CASE WHEN p % 5 = $mod AND p < m THEN 1 ELSE 0 END) AS has_prior
+       |  FROM memb$s WHERE m % 5 = $mod GROUP BY m),
+       | st$s AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |   CASE WHEN fl.has_old = 1 THEN 'dup_vs_old'
+       |    WHEN fl.has_prior = 1 THEN 'dup_within' ELSE 'kept' END AS status
+       |  FROM documents d LEFT JOIN fl$s fl ON d.doc_id = fl.m WHERE d.doc_id % 5 = $mod)""".stripMargin
+
+  /** q171 oracle: day 2's probe is RECOMPUTED from scratch over
+    * (base ∪ kept day 1) — the roll-equals-recompute proof lives in the
+    * hash compare against the Spark side's merged state. */
+  lazy val q171Sql: String =
+    (s"""$minhashSigCtes,
+       | bandsx AS (SELECT doc_id, bb.band AS band,
+       |   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig
+       |  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),
+       | n1 AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 = 0),
+       | n2 AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 = 1),
+       | obuck1 AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |  GROUP BY band, band_sig HAVING COUNT(*) <= $MaxBucketSize),
+       |${rollDayCtes("1", 0)},
+       | kept1 AS (SELECT doc_id FROM st1 WHERE status = 'kept'),
+       | b2 AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |  UNION ALL
+       |  SELECT bx.doc_id, bx.band, bx.band_sig FROM bandsx bx JOIN kept1 USING (doc_id)),
+       | obuck2 AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM b2 GROUP BY band, band_sig HAVING COUNT(*) <= $MaxBucketSize),
+       |${rollDayCtes("2", 1)}
+       |SELECT CAST(1 AS BIGINT) AS day, source, COUNT(*) AS n_new,
+       | CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       | CAST(SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_old,
+       | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
+       |FROM st1 GROUP BY source
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS day, source, COUNT(*) AS n_new,
+       | CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       | CAST(SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_old,
+       | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
+       |FROM st2 GROUP BY source
+       |ORDER BY day, source""").stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q42 — SimHash signatures: token hashes vote per bit; signature = sign
   // vector packed to a long. The token hash is the 60-bit md5 prefix
   // (15 hex chars) — unlike xxhash64 this is reproducible in ANY engine
@@ -3196,6 +3388,7 @@ object SimilarityOps {
     "q169_curated_index" -> (q169CuratedIndexRebuild _),
     "q170_label_repair_exec" -> (q170LabelRepairExec _),
     "q161_incremental_neardup" -> (q161IncrementalNearDup _),
+    "q171_snapshot_roll" -> (q171SnapshotRoll _),
     "q158_neardup_removal_exec" -> (q158NearDupRemovalExec _),
     "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
     "q154_lsh_band_sweep" -> (q154LshBandSweep _),
@@ -3477,6 +3670,7 @@ object SimilarityOps {
     "q109_canonical_selection" -> q109Sql,
     "q158_neardup_removal_exec" -> q158Sql,
     "q161_incremental_neardup" -> q161Sql,
+    "q171_snapshot_roll" -> q171Sql,
     "q169_curated_index" -> q169Sql,
     "q170_label_repair_exec" -> q170Sql)
 }

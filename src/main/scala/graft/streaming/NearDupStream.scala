@@ -112,20 +112,44 @@ object NearDupStream {
       doc_id: Long, ts: java.sql.Timestamp, has_prior: Boolean,
       old_cands: Seq[Long], shingles: Seq[String], overflow: Boolean)
 
+  private def sigOf(docs: DataFrame): DataFrame = {
+    import graft.plans.MinHashSig.minhash_sig
+    docs.select(col("doc_id"),
+      minhash_sig(col("text"), 5, SimilarityOps.NumHashes).as("sig"))
+  }
+
+  /** The snapshot's ROLLABLE band state — (band, band_sig, ids), over-cap
+    * buckets KEPT as length-(cap+1) tombstones (SimilarityOps.bandState):
+    * this is the table a daily pipeline persists between days and folds
+    * each day's kept output into via [[rollSnapshot]], never rescanning
+    * the old corpus. Serve a stream from it via [[probeFrameOf]]. */
+  def snapshotBandState(snapshotDocs: DataFrame): DataFrame =
+    SimilarityOps.bandState(sigOf(snapshotDocs))
+
+  /** Fold a day's KEPT arrivals (doc_id, text) into the band state — one
+    * (band, band_sig) outer merge of the day's banded ids against the
+    * state; exact because smallest-(cap+1) is mergeable (q171's roll).
+    * The old corpus is never rescanned: only the state rows and the
+    * day's arrivals are touched. NearDupStreamSpec proves a stream served
+    * from the rolled state ≡ one served from a full recompute over
+    * (old ∪ kept). */
+  def rollSnapshot(state: DataFrame, keptDocs: DataFrame): DataFrame =
+    SimilarityOps.rollBandState(state, sigOf(keptDocs))
+
+  /** The probe frame (band, band_sig, old_ids) a stream serves from a band
+    * STATE: tombstones dropped, size-1 buckets kept — [[JoinProbe]]'s
+    * input (persist it; it is probed every micro-batch). */
+  def probeFrameOf(state: DataFrame): DataFrame =
+    SimilarityOps.probeBuckets(state).withColumnRenamed("ids", "old_ids")
+
   /** The snapshot's capped band table as a FRAME — (band, band_sig,
     * old_ids), bucket member ids ascending, size-1 buckets KEPT (they are
     * the dup targets of a new copy), over-cap buckets dropped: exactly
-    * q161's oldBuckets probe table. */
-  def snapshotBandFrame(snapshotDocs: DataFrame): DataFrame = {
-    import graft.plans.MinHashSig.minhash_sig
-    val sig = snapshotDocs.select(col("doc_id"),
-      minhash_sig(col("text"), 5, SimilarityOps.NumHashes).as("sig"))
-    SimilarityOps.bandedSigs(sig, SimilarityOps.BandSize)
-      .groupBy("band", "band_sig")
-      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"),
-        SimilarityOps.MaxBucketSize + 1).as("old_ids"))
-      .filter(size(col("old_ids")) <= SimilarityOps.MaxBucketSize)
-  }
+    * q161's oldBuckets probe table. (The probe view of
+    * [[snapshotBandState]] — compute the state instead when the table
+    * must also ROLL forward.) */
+  def snapshotBandFrame(snapshotDocs: DataFrame): DataFrame =
+    probeFrameOf(snapshotBandState(snapshotDocs))
 
   private def rowsToTable(
       rows: Array[org.apache.spark.sql.Row]): Map[(Int, String), Seq[Long]] =

@@ -144,6 +144,89 @@ class NearDupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("day-2 stream served from the ROLLED day-1 output ≡ full-recompute probe (the daily loop)") {
+    val ops = graft.operators.SimilarityOps
+    // q171's day partition: base snapshot % 5 ∉ {0, 1}, day 1 = 0, day 2 = 1
+    val baseDocs = docsDf.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    // replay preconditions (stream ≡ batch) for BOTH arrival days
+    Seq(0, 1).foreach { m =>
+      val s = ops.q41Sig(spark, dir).filter(col("doc_id") % 5 === m)
+      val biggest = ops.bandedSigs(s, ops.BandSize)
+        .groupBy("band", "band_sig").agg(count(lit(1)).as("sz"))
+        .agg(max("sz")).head().getLong(0)
+      assert(biggest <= ops.MaxBucketSize,
+        s"day-$m arrival bucket of size $biggest exceeds the cap")
+    }
+
+    def runDay(arr: Array[org.apache.spark.sql.Row], probe: NearDupStream.SnapshotProbe,
+               snapSh: org.apache.spark.sql.DataFrame, tag: String): Map[Long, String] = {
+      val t0 = 1700000000000L
+      val replay = arr.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+        ArrivalDoc(r.getLong(0), r.getString(1), new Timestamp(t0 + i * 1000L)) }
+      val ckpt = Files.createTempDirectory(s"neardup_roll_$tag").toString
+      val results = scala.collection.concurrent.TrieMap.empty[Long, Array[(Long, String)]]
+      val ms = MemoryStream[ArrivalDoc](implicitly[Encoder[ArrivalDoc]], spark.sqlContext)
+      val q = NearDupStream.bandVerdicts(ms.toDF(), probe, "ts", 3600000L).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[NearDupStream.BandVerdict], id: Long) =>
+          results(id) = NearDupStream.resolve(ds.toDF(), snapSh).collect()
+            .map(r => r.getLong(0) -> r.getString(2))
+        }
+        .start()
+      try { ms.addData(replay.toSeq); q.processAllAvailable() } finally q.stop()
+      results.values.flatten.toMap
+    }
+
+    // ---- day 1 against the base snapshot's ROLLABLE state ----
+    val state0 = NearDupStream.snapshotBandState(baseDocs).localCheckpoint()
+    val probe0Frame = NearDupStream.probeFrameOf(state0).persist()
+    val snapSh0 = NearDupStream.snapshotShingles(baseDocs).cache()
+    val day1 = docsDf.filter(col("doc_id") % 5 === 0).select("doc_id", "text").collect()
+    val st1 = runDay(day1, NearDupStream.JoinProbe(probe0Frame), snapSh0, "d1")
+    assert(st1.size == day1.length)
+    val kept1Ids = st1.collect { case (id, "kept") => id }.toSet
+    assert(kept1Ids.nonEmpty && kept1Ids.size < st1.size,
+      s"degenerate day 1 (kept ${kept1Ids.size}/${st1.size}) — the roll would be untested")
+
+    // ---- ROLL: the stream's own kept output becomes day 2's JoinProbe,
+    // without rescanning the base corpus (only state rows + kept docs) ----
+    val kept1Docs = docsDf.filter(col("doc_id") % 5 === 0)
+      .filter(col("doc_id").isin(kept1Ids.toSeq: _*)).select("doc_id", "text")
+    val state1 = NearDupStream.rollSnapshot(state0, kept1Docs).localCheckpoint()
+    val probeRolledFrame = NearDupStream.probeFrameOf(state1).persist()
+    val snap1Docs = baseDocs.select("doc_id", "text").unionByName(kept1Docs)
+    val snapSh1 = NearDupStream.snapshotShingles(snap1Docs).cache()
+    val day2 = docsDf.filter(col("doc_id") % 5 === 1).select("doc_id", "text").collect()
+    val viaRoll = runDay(day2, NearDupStream.JoinProbe(probeRolledFrame), snapSh1, "d2r")
+
+    // ---- reference: the probe RECOMPUTED from scratch over base ∪ kept1 ----
+    val viaRecompute = runDay(day2, NearDupStream.probeFor(snap1Docs), snapSh1, "d2f")
+    assert(viaRoll == viaRecompute,
+      s"rolled-state verdicts diverged from recompute: " +
+        s"${viaRoll.toSet.diff(viaRecompute.toSet).take(5)}")
+
+    // ---- the whole two-day loop reconciles with batch q171 per source ----
+    val srcOf = docsDf.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def rollup(st: Map[Long, String]) = st.toSeq
+      .groupBy { case (id, _) => srcOf(id) }
+      .map { case (s, xs) => s -> (xs.size.toLong,
+        xs.count(_._2 == "kept").toLong,
+        xs.count(_._2 == "dup_vs_old").toLong,
+        xs.count(_._2 == "dup_within").toLong) }
+    val batch = SparkEntry.queries("q171_snapshot_roll")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    rollup(st1).foreach { case (s, c) =>
+      assert(batch((1L, s)) == c, s"day 1 $s: stream $c != q171 ${batch((1L, s))}") }
+    rollup(viaRoll).foreach { case (s, c) =>
+      assert(batch((2L, s)) == c, s"day 2 $s: stream $c != q171 ${batch((2L, s))}") }
+
+    probe0Frame.unpersist(); probeRolledFrame.unpersist()
+    snapSh0.unpersist(); snapSh1.unpersist()
+  }
+
   test("randomized arrival order: first-arrival-wins ground truth; dup_vs_old is order-invariant") {
     val snapshotDocs = docsDf.filter(col("doc_id") % 5 =!= 0)
     val table = NearDupStream.snapshotBandTable(snapshotDocs)
