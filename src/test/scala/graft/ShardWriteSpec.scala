@@ -132,6 +132,42 @@ class ShardWriteSpec extends AnyFunSuite {
       "graft_mat_shards_")
   }
 
+  test("q169 consumes the persisted old-index artifact, not an inline retraining") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.ivfIndexArtifactPath(dir))
+    deleteRecursively(artifact) // cold start: the first run must build it
+
+    val first = SparkEntry.queries("q169_curated_index")(spark, dir)
+    val rows1 = first.collect()
+    assert(Files.exists(artifact.resolve("_SUCCESS")),
+      "q169 ran without materializing the old-index artifact")
+    val mtimes = listDir(artifact)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    // warm run: the artifact is CONSUMED (files untouched), and the plan
+    // reads it as a parquet scan — the old index's Lloyd training is gone
+    // from the query (exactly one nearest-centroid assignment remains:
+    // the curated training's)
+    val second = SparkEntry.queries("q169_curated_index")(spark, dir)
+    assert(second.collect().toSeq == rows1.toSeq)
+    listDir(artifact).foreach { f =>
+      assert(Files.getLastModifiedTime(f) == mtimes(f.toString),
+        s"artifact file $f rewritten on the warm run — q169 retrained the old index")
+    }
+    val plan = second.queryExecution.executedPlan.toString
+    // the old side is a FILE SCAN of the artifact (the inline form had
+    // zero parquet scans — both sides were checkpointed training RDDs);
+    // the only remaining training subtree is the curated assignment's
+    assert(plan.contains("graft_ivf_index_"),
+      "q169's plan does not scan the stored index artifact")
+    assert(plan.contains("Scan parquet"),
+      "the stored index must enter the plan as a parquet scan")
+    val trainScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(trainScans <= 3,
+      s"expected the full-corpus training subtree gone (old form had 4 " +
+        s"checkpoint scans), found $trainScans")
+  }
+
   test("written CURATED shards realize the q167 capstone manifest exactly") {
     // the full arc, physically: five curation stages → epoch plan on the
     // curated masses → replica explode → sharded write; the recompute
