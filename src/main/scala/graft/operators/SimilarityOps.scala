@@ -508,7 +508,7 @@ object SimilarityOps {
     * q161's precedence. `isArrival` classifies a doc id as this day's
     * arrival (its complement in the verified-pair partners is "old").
     * Returns (doc_id, source, status). */
-  private def incrementalDayVerdicts(spark: SparkSession, dir: String,
+  private[graft] def incrementalDayVerdicts(spark: SparkSession, dir: String,
       newSig: DataFrame, probe: DataFrame,
       isArrival: Column => Column): DataFrame = {
     val newBands = bandedSigs(newSig, BandSize)
@@ -531,7 +531,11 @@ object SimilarityOps {
           .as("has_prior"))
     val smallFlags = nVerified * 2 <= (1L << 20)
     val fl = if (smallFlags) broadcast(flags) else flags
+    // the verdict universe is exactly newSig's ids: the modulus filter
+    // prunes the scan, the semi-join restricts to the actual arrival set
+    // (q172 passes a SUBSET of the modulus class — exact-dedup survivors)
     docs(spark, dir).filter(isArrival(col("doc_id")))
+      .join(newSig.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"))
       .join(fl.withColumnRenamed("m", "doc_id"), Seq("doc_id"), "left_outer")
       .withColumn("status",
@@ -572,7 +576,7 @@ object SimilarityOps {
     * verify, flags with arrival modulus `mod` — ending in `st$s`
     * (doc_id, source, status). Mirrors q161Sql's chain with the probe
     * table parameterized. */
-  private def rollDayCtes(s: String, mod: Int): String =
+  private def rollDayCtes(s: String, mod: Int, universe: Option[String] = None): String =
     s""" crossp$s AS (SELECT DISTINCT n.doc_id AS a, o.oid AS b
        |  FROM n$s n JOIN obuck$s USING (band, band_sig),
        |   LATERAL (SELECT unnest(obuck$s.ids) AS oid) o),
@@ -596,7 +600,7 @@ object SimilarityOps {
        | st$s AS MATERIALIZED (SELECT d.doc_id, d.source,
        |   CASE WHEN fl.has_old = 1 THEN 'dup_vs_old'
        |    WHEN fl.has_prior = 1 THEN 'dup_within' ELSE 'kept' END AS status
-       |  FROM documents d LEFT JOIN fl$s fl ON d.doc_id = fl.m WHERE d.doc_id % 5 = $mod)""".stripMargin
+       |  FROM documents d ${universe.map(u => s"JOIN $u USING (doc_id) ").getOrElse("")}LEFT JOIN fl$s fl ON d.doc_id = fl.m WHERE d.doc_id % 5 = $mod)""".stripMargin
 
   /** q171 oracle: day 2's probe is RECOMPUTED from scratch over
     * (base ∪ kept day 1) — the roll-equals-recompute proof lives in the
@@ -631,6 +635,221 @@ object SimilarityOps {
        | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
        |FROM st2 GROUP BY source
        |ORDER BY day, source""").stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q172 — the INCREMENTAL q164: one arrival batch (doc_id % 5 = 0,
+  // q110/q161's split) through the whole daily-ingest gauntlet as ONE
+  // dataflow, cheapest stage first:
+  //   A. exact dedup vs the snapshot digest set (q110's probe — a
+  //      128-bit hash equi-join kills identical copies before anything
+  //      signature-shaped runs);
+  //   B. near-dup of the exact survivors vs the snapshot band table +
+  //      each other (q161's shape on the pruned set);
+  //   C. IVF maintenance: the ingested docs' embeddings assigned to the
+  //      FROZEN snapshot-trained centroids (q113's add-after-train
+  //      contract on this batch's split), per-cell growth → needs_split,
+  //      rolled up per source as cells touched / hot cells hit;
+  //   D. novelty: the ingested text's distinct 3-gram types probed
+  //      against the snapshot's type set (q138's digest discipline) —
+  //      did the batch add content or just pay dedup bills?
+  // Output: one per-source row — the arrival funnel (n_new → exact →
+  // near → ingested), the index impact, and the novelty yield. The
+  // per-stage numbers reconcile with the standalones: stage A ≡ q110
+  // row for row, and ingested ≡ q161's kept (an exact dup is a fortiori
+  // a near dup, so the two-stage funnel drops exactly q161's drop set) —
+  // QueriesSpec asserts both.
+  //
+  // Scale path: each stage is its standalone's shape — A is one digest
+  // distinct + hash join; B runs LSH only on A's survivors (the batch
+  // already shrank); C is a map-only codegen'd assignment against
+  // driver-literal centroids plus K-row rollups; D ships 16-byte digests
+  // only. One signature pass, one tokenize pass, nothing corpus².
+  // ===========================================================
+  def q172DailyIncrement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    // ---- stage A: exact dedup (q110) ----
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      md5(TextOps.norm.cast("binary")).as("h"))
+    val oldH = d.filter(col("doc_id") % 5 =!= 0).select("h").distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val stA = d.filter(col("doc_id") % 5 === 0)
+      .withColumn("rn", row_number().over(w))
+      .join(oldH.withColumn("in_old", lit(1L)), Seq("h"), "left_outer")
+      .withColumn("ex_status",
+        when(col("in_old").isNotNull, "dup_vs_old")
+          .when(col("rn") > 1, "dup_within")
+          .otherwise("kept"))
+      .select("doc_id", "source", "ex_status")
+      .localCheckpoint() // feeds the survivor set AND the funnel rollup
+    val surv0 = stA.filter(col("ex_status") === "kept").select("doc_id")
+    // ---- stage B: near-dup of the survivors (q161's dataflow) ----
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val snapProbe = probeBuckets(bandState(sig.filter(col("doc_id") % 5 =!= 0)))
+    val survSig = sig.join(surv0, Seq("doc_id"), "left_semi")
+    val stB = incrementalDayVerdicts(spark, dir, survSig, snapProbe, c => c % 5 === 0)
+      .withColumnRenamed("status", "near_status")
+      .localCheckpoint() // feeds the ingest set AND the funnel rollup
+    val ingested = stB.filter(col("near_status") === "kept")
+      .select("doc_id").localCheckpoint()
+    // ---- stage C: IVF maintenance on frozen snapshot centroids (q113) ----
+    val eAll = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    val (centFinal, assignedBase) = kmeansTrainOn(eAll.filter(col("vec_id") % 5 =!= 0))
+    val newAssigned = eAll
+      .join(ingested.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .withColumn("best", graft.plans.NearestCentroid.nearest_centroid(
+        col("qv"), typedlit(driverCents(centFinal))))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+      .localCheckpoint() // feeds cell counts AND the per-source rollup
+    val cellCounts = assignedBase.groupBy("cid").agg(count(lit(1)).as("n_base"))
+      .join(newAssigned.groupBy("cid").agg(count(lit(1)).as("n_new")), Seq("cid"), "full_outer")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val totals = cellCounts.agg(
+      sum(col("n_base") + col("n_new")).as("tot"), count(lit(1)).as("n_cells"))
+    val splitCells = cellCounts.crossJoin(broadcast(totals))
+      .withColumn("needs_split",
+        ((col("n_base") + col("n_new")) * col("n_cells") > col("tot") * 2).cast("long"))
+      .select("cid", "needs_split")
+    val srcOfDoc = docs(spark, dir).select(col("doc_id"), col("source"))
+    val vecRoll = newAssigned.withColumnRenamed("vec_id", "doc_id")
+      .join(srcOfDoc, Seq("doc_id"))
+      .join(broadcast(splitCells), Seq("cid"))
+      .groupBy("source").agg(
+        count(lit(1)).as("vecs_ingested"),
+        countDistinct(col("cid")).as("cells_touched"),
+        countDistinct(when(col("needs_split") === 1L, col("cid"))).as("split_cells_hit"))
+    // ---- stage D: 3-gram novelty vs the snapshot type set (q138) ----
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks",
+        regexp_extract_all(lower(col("text")), lit(TextOps.wsTokenRe), lit(0)))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> md5(CAST(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |      element_at(toks, i + 2)) AS BINARY)))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+    val snapG = grams(docs(spark, dir).filter(col("doc_id") % 5 =!= 0))
+      .select("g").distinct()
+    val arrG = grams(docs(spark, dir).join(ingested, Seq("doc_id"), "left_semi"))
+      .join(srcOfDoc, Seq("doc_id"))
+      .select("source", "g").distinct()
+    val novelRoll = arrG
+      .join(snapG.withColumn("seen", lit(1L)), Seq("g"), "left_outer")
+      .groupBy("source").agg(
+        count(lit(1)).as("types_present"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("types_novel"))
+    // ---- the funnel: one per-source row across all four stages ----
+    val exact = stA.groupBy("source").agg(
+      count(lit(1)).as("n_new"),
+      sum(when(col("ex_status") === "dup_vs_old", 1L).otherwise(0L)).as("exact_dup_old"),
+      sum(when(col("ex_status") === "dup_within", 1L).otherwise(0L)).as("exact_dup_within"))
+    val near = stB.groupBy("source").agg(
+      sum(when(col("near_status") === "dup_vs_old", 1L).otherwise(0L)).as("near_dup_old"),
+      sum(when(col("near_status") === "dup_within", 1L).otherwise(0L)).as("near_dup_within"),
+      sum(when(col("near_status") === "kept", 1L).otherwise(0L)).as("ingested"))
+    exact
+      .join(near, Seq("source"), "left_outer")
+      .join(vecRoll, Seq("source"), "left_outer")
+      .join(novelRoll, Seq("source"), "left_outer")
+      .select(col("source"), col("n_new"),
+        coalesce(col("exact_dup_old"), lit(0L)).as("exact_dup_old"),
+        coalesce(col("exact_dup_within"), lit(0L)).as("exact_dup_within"),
+        coalesce(col("near_dup_old"), lit(0L)).as("near_dup_old"),
+        coalesce(col("near_dup_within"), lit(0L)).as("near_dup_within"),
+        coalesce(col("ingested"), lit(0L)).as("ingested"),
+        coalesce(col("vecs_ingested"), lit(0L)).as("vecs_ingested"),
+        coalesce(col("cells_touched"), lit(0L)).as("cells_touched"),
+        coalesce(col("split_cells_hit"), lit(0L)).as("split_cells_hit"),
+        coalesce(col("types_present"), lit(0L)).as("types_present"),
+        coalesce(col("types_novel"), lit(0L)).as("types_novel"))
+      .withColumn("novelty_permille",
+        expr("types_novel * 1000 DIV greatest(types_present, 1L)"))
+      .orderBy("source")
+  }
+
+  lazy val q172Sql: String =
+    (s"""$minhashSigCtes,
+       | dd AS (SELECT doc_id, source, md5(${graft.operators.TextOps.normSql}) AS h FROM documents),
+       | oldh AS (SELECT DISTINCT h FROM dd WHERE doc_id % 5 <> 0),
+       | exn AS MATERIALIZED (SELECT doc_id, source,
+       |   CASE WHEN o.h IS NOT NULL THEN 'dup_vs_old'
+       |    WHEN rn > 1 THEN 'dup_within' ELSE 'kept' END AS ex_status
+       |  FROM (SELECT doc_id, source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |   FROM dd WHERE doc_id % 5 = 0) nw LEFT JOIN oldh o USING (h)),
+       | sv0 AS (SELECT doc_id FROM exn WHERE ex_status = 'kept'),
+       | bandsx AS (SELECT doc_id, bb.band AS band,
+       |   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig
+       |  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),
+       | nB AS (SELECT b.doc_id, b.band, b.band_sig FROM bandsx b JOIN sv0 USING (doc_id)),
+       | obuckB AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM bandsx WHERE doc_id % 5 <> 0
+       |  GROUP BY band, band_sig HAVING COUNT(*) <= $MaxBucketSize),
+       |${rollDayCtes("B", 0, Some("sv0"))},
+       | ing AS (SELECT doc_id FROM stB WHERE status = 'kept'),
+       | ef AS MATERIALIZED (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       | ebase AS (SELECT * FROM ef WHERE vec_id % 5 <> 0),
+       |${kmeansChain("ebase", "m")},
+       | nbd AS (SELECT ef.vec_id, c.cid,
+       |   list_reduce(list_transform(range(1, len(ef.qv) + 1),
+       |     i -> (ef.qv[i] - c.cq[i]) * (ef.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+       |  FROM ef JOIN ing ON ef.vec_id = ing.doc_id, c${KmeansIters}m c),
+       | na AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT *,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM nbd)
+       |  WHERE rn = 1),
+       | bc AS (SELECT cid, COUNT(*) AS n_base FROM afm GROUP BY cid),
+       | nc AS (SELECT cid, COUNT(*) AS n_new FROM na GROUP BY cid),
+       | cc AS (SELECT COALESCE(bc.cid, nc.cid) AS cid,
+       |   COALESCE(bc.n_base, 0) AS n_base, COALESCE(nc.n_new, 0) AS n_new
+       |  FROM bc FULL JOIN nc ON bc.cid = nc.cid),
+       | tt AS (SELECT SUM(n_base + n_new) AS tot, COUNT(*) AS n_cells FROM cc),
+       | spl AS (SELECT cid, CASE WHEN (n_base + n_new) * tt.n_cells > tt.tot * 2
+       |   THEN 1 ELSE 0 END AS needs_split FROM cc, tt),
+       | vroll AS (SELECT d.source, COUNT(*) AS vecs_ingested,
+       |   COUNT(DISTINCT na.cid) AS cells_touched,
+       |   COUNT(DISTINCT CASE WHEN spl.needs_split = 1 THEN na.cid END) AS split_cells_hit
+       |  FROM na JOIN documents d ON na.vec_id = d.doc_id JOIN spl ON na.cid = spl.cid
+       |  GROUP BY d.source),
+       | gx AS MATERIALIZED (SELECT doc_id, u.g FROM
+       |  (SELECT doc_id, regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+') AS toks FROM documents) t,
+       |  LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+       |   THEN list_transform(range(1, len(toks) - 1),
+       |     i -> md5(array_to_string(toks[i:i+2], ' ')))
+       |   ELSE CAST([] AS VARCHAR[]) END) AS g) u),
+       | snapg AS (SELECT DISTINCT g FROM gx WHERE doc_id % 5 <> 0),
+       | ag AS (SELECT DISTINCT d.source, gx.g FROM gx JOIN ing USING (doc_id)
+       |  JOIN documents d USING (doc_id)),
+       | nroll AS (SELECT source, COUNT(*) AS types_present,
+       |   SUM(CASE WHEN s.g IS NULL THEN 1 ELSE 0 END) AS types_novel
+       |  FROM ag LEFT JOIN snapg s USING (g) GROUP BY source),
+       | exroll AS (SELECT source, COUNT(*) AS n_new,
+       |   SUM(CASE WHEN ex_status = 'dup_vs_old' THEN 1 ELSE 0 END) AS exact_dup_old,
+       |   SUM(CASE WHEN ex_status = 'dup_within' THEN 1 ELSE 0 END) AS exact_dup_within
+       |  FROM exn GROUP BY source),
+       | nearroll AS (SELECT source,
+       |   SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS near_dup_old,
+       |   SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS near_dup_within,
+       |   SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS ingested
+       |  FROM stB GROUP BY source)
+       |SELECT e.source, CAST(e.n_new AS BIGINT) AS n_new,
+       | CAST(e.exact_dup_old AS BIGINT) AS exact_dup_old,
+       | CAST(e.exact_dup_within AS BIGINT) AS exact_dup_within,
+       | CAST(COALESCE(nr.near_dup_old, 0) AS BIGINT) AS near_dup_old,
+       | CAST(COALESCE(nr.near_dup_within, 0) AS BIGINT) AS near_dup_within,
+       | CAST(COALESCE(nr.ingested, 0) AS BIGINT) AS ingested,
+       | CAST(COALESCE(v.vecs_ingested, 0) AS BIGINT) AS vecs_ingested,
+       | CAST(COALESCE(v.cells_touched, 0) AS BIGINT) AS cells_touched,
+       | CAST(COALESCE(v.split_cells_hit, 0) AS BIGINT) AS split_cells_hit,
+       | CAST(COALESCE(g.types_present, 0) AS BIGINT) AS types_present,
+       | CAST(COALESCE(g.types_novel, 0) AS BIGINT) AS types_novel,
+       | CAST(COALESCE(g.types_novel, 0) * 1000
+       |   // greatest(COALESCE(g.types_present, 0), 1) AS BIGINT) AS novelty_permille
+       |FROM exroll e LEFT JOIN nearroll nr USING (source)
+       | LEFT JOIN vroll v USING (source) LEFT JOIN nroll g USING (source)
+       |ORDER BY e.source""").stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q42 — SimHash signatures: token hashes vote per bit; signature = sign
@@ -3420,6 +3639,7 @@ object SimilarityOps {
     "q170_label_repair_exec" -> (q170LabelRepairExec _),
     "q161_incremental_neardup" -> (q161IncrementalNearDup _),
     "q171_snapshot_roll" -> (q171SnapshotRoll _),
+    "q172_daily_increment" -> (q172DailyIncrement _),
     "q158_neardup_removal_exec" -> (q158NearDupRemovalExec _),
     "q156_ivfpq_resid_refine" -> (q156IvfPqResidRefine _),
     "q154_lsh_band_sweep" -> (q154LshBandSweep _),
@@ -3702,6 +3922,7 @@ object SimilarityOps {
     "q158_neardup_removal_exec" -> q158Sql,
     "q161_incremental_neardup" -> q161Sql,
     "q171_snapshot_roll" -> q171Sql,
+    "q172_daily_increment" -> q172Sql,
     "q169_curated_index" -> q169Sql,
     "q170_label_repair_exec" -> q170Sql)
 }

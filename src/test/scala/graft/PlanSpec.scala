@@ -277,6 +277,7 @@ class PlanSpec extends AnyFunSuite {
       "q84_funnel", "q94_benford_audit", // 1-row scalars
       "q101_join_cardinality", "q108_token_budget", // 1-row sketch/budget scalars
       "q113_ivf_maintenance", "q115_mixture_weights", // 1-row totals over K cells / sources
+      "q172_daily_increment", // the same 1-row cell-totals attach (q113's shape, stage C)
       "q130_source_divergence", "q131_epoch_plan", // 1-row corpus-total scalars
       "q165_epoch_exec", // 1-row corpus-total scalars inside the embedded q131 plan
       "q166_materialize_manifest", // same embedded q131 totals as q165

@@ -945,6 +945,55 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q172 per-stage numbers reconcile with the standalone daily queries") {
+    import org.apache.spark.sql.functions.col
+    val c = SparkEntry.queries("q172_daily_increment")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    // stage A ≡ q110 row for row: same arrival batch, same digest probe
+    val q110 = SparkEntry.queries("q110_incremental_dedup")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(c.keySet == q110.keySet, "source universe drifted from q110")
+    c.foreach { case (src, r) =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == q110(src),
+        s"$src: (n_new, exact_dup_old, exact_dup_within) != q110 ${q110(src)}")
+    }
+
+    // funnel accounting: every arrival lands in exactly one bucket
+    c.foreach { case (src, r) =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) +
+        r.getLong(5) + r.getLong(6),
+        s"$src: n_new != exact_dups + near_dups + ingested")
+    }
+
+    // ingested ≡ q161's kept: an exact dup is a fortiori a near dup
+    // (identical text → identical signature → same buckets, Jaccard 1),
+    // so pruning exact dups first then near-dedup drops EXACTLY the
+    // standalone near-dedup's drop set — the composition loses nothing
+    val q161 = SparkEntry.queries("q161_incremental_neardup")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    c.foreach { case (src, r) =>
+      assert(r.getLong(6) == q161(src),
+        s"$src: ingested ${r.getLong(6)} != q161 kept ${q161(src)}")
+    }
+
+    // index + novelty panels: on this testdata doc and vec ids are 1:1,
+    // so every ingested doc carries a vector; cells/split counts are
+    // K-bounded; novelty is a sub-population of the present types
+    c.foreach { case (src, r) =>
+      assert(r.getLong(7) == r.getLong(6), s"$src: vecs_ingested != ingested (1:1 ids)")
+      assert(r.getLong(8) <= graft.operators.SimilarityOps.KmeansK.toLong &&
+        r.getLong(9) <= r.getLong(8), s"$src: cell accounting out of bounds")
+      assert(r.getLong(11) <= r.getLong(10), s"$src: types_novel > types_present")
+    }
+    // the composition must exercise the drop and novelty paths on this
+    // corpus (exact dups happen to be absent from sf0.001's arrival
+    // split — q110 reports zero too, and the row-for-row equality above
+    // is the stage-A check)
+    assert(c.values.map(r => r.getLong(4) + r.getLong(5)).sum > 0, "no near dups fired")
+    assert(c.values.map(_.getLong(11)).sum > 0, "no novel types — stage D vacuous")
+  }
+
   test("q169 migration matrix marginals reconcile with the curated corpus and both indexes") {
     // the matrix's total mass must be exactly the curated-corpus size
     // (every curated vector appears once), its row marginals the OLD
