@@ -1199,6 +1199,25 @@ object SimilarityOps {
   val KmeansIters = 2
   private val Q = "1048576.0" // 2^20
 
+  /** SemDeDup-style auto-K target cluster mass: K ∝ n / this, so
+    * per-cluster pairwise work stays constant as the corpus grows
+    * (SemDeDup trains 50k clusters for LAION-scale corpora for exactly
+    * this reason — fixed K degrades in-cluster work quadratically).
+    * 1024 keeps the derived K at the oracle's pinned [[KmeansK]] through
+    * the 10×-replica scale gate (~5k docs) and starts scaling past ~9k. */
+  val TargetClusterSize = 1024L
+
+  /** The corpus-count-derived K every coarse-quantizer training uses by
+    * default: floored at [[KmeansK]] (the oracle's literal — equal at
+    * every verify corpus, so registered queries stay hash-exact THROUGH
+    * this path), capped at 10⁵ where a literal centroid table stops
+    * being driver-resident (beyond that an IVF quantizer trains
+    * hierarchically — out of scope for this corpus family). The PLAN
+    * SHAPE is K-invariant: centroids ride as literals into the codegen'd
+    * NearestCentroid whatever K is (QueriesSpec asserts both). */
+  def autoK(n: Long): Int =
+    math.min(math.max(KmeansK.toLong, n / TargetClusterSize), 100000L).toInt
+
   /** Trains the quantizer and returns (final centroids (cid, cq),
     * final assignment (vec_id, qv, cid, d2)) — shared by q57 (training
     * diagnostics) and q58 (the IVF index built from it). */
@@ -1218,19 +1237,23 @@ object SimilarityOps {
     * K×dim rows come back to the driver. At 100 TB that is the textbook
     * k-means dataflow: centroid broadcast down, map-side-combined sums up —
     * nothing vector-sized ever shuffles. */
-  private def kmeansTrainOn(e0: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def kmeansTrainOn(e0: DataFrame, k: Int = -1): (DataFrame, DataFrame) = {
     val spark = e0.sparkSession
     // the corpus is scanned (iters + 2) times (init, each round, final
     // assignment consumers); cut the derivation once so every pass reads
     // cached blocks instead of replaying the upstream chain
     val e = e0.localCheckpoint()
+    // K defaults to the corpus-count-derived autoK (the count is one
+    // cached-block job — e just checkpointed); callers pin it explicitly
+    // only to study a specific K
+    val kk = if (k > 0) k else autoK(e.count())
 
     // init = the K LOWEST vec_ids of the training set, re-labeled 0..K-1
     // in id order. On the full corpus this is exactly "vec_id < K" with
     // cid = vec_id (ids are dense from 0); the rank form also covers
     // SUBSET corpora (q169 trains on the curated survivors, whose lowest
     // ids are arbitrary) with the same deterministic seed rule.
-    var cents: Seq[(Int, Seq[Long])] = e.orderBy(col("vec_id")).limit(KmeansK)
+    var cents: Seq[(Int, Seq[Long])] = e.orderBy(col("vec_id")).limit(kk)
       .select(col("vec_id"), col("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
       .zipWithIndex.map { case ((_, qv), i) => (i, qv) }.toSeq
@@ -1755,13 +1778,13 @@ object SimilarityOps {
   //
   // Scale note on K: in-cluster pairwise work is O((n/K)²·K) = O(n²/K), so
   // a FIXED K degrades quadratically as the corpus grows (the 10× run in
-  // docs/SCALE_r8.md measured 2.6×, consistent with n²/K at small n). At
-  // production scale set K ∝ n / targetClusterSize (SemDeDup trains 50k
-  // clusters for LAION-scale corpora for exactly this reason) — then
-  // per-cluster work is constant and total work linear in n. K is 8 here
-  // only because the DuckDB oracle replays Lloyd with K as a literal; the
-  // operator itself takes K from KmeansK and nothing in the plan shape
-  // changes with it (centroids stay driver-resident literals up to ~10⁵).
+  // docs/SCALE_r8.md measured 2.6×, consistent with n²/K at small n). The
+  // K ∝ n / targetClusterSize rule is IN CODE since r14: every
+  // kmeansTrainOn call derives K via autoK (floored at the oracle's
+  // pinned KmeansK — equal on every verify corpus, so hashes stay exact;
+  // scaling past ~9k docs), and nothing in the plan shape changes with K
+  // (centroids stay driver-resident literals up to ~10⁵ — QueriesSpec
+  // asserts the map-only assignment at a forced larger K).
   // ===========================================================
   val SemDedupThr = 0.95
 

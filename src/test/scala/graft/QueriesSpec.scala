@@ -945,6 +945,39 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("coarse-quantizer K derives from corpus size; plan shape is K-invariant") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ops = graft.operators.SimilarityOps
+    // the formula: fixed per-cluster mass, floored at the oracle's pinned
+    // K (equal at every verify corpus INCLUDING the 10x-replica gate's
+    // ~5k docs), capped where literal centroids stop being driver-sane
+    assert(ops.autoK(500) == ops.KmeansK)
+    assert(ops.autoK(5000) == ops.KmeansK)
+    assert(ops.autoK(1024L * 100) == 100)
+    assert(ops.autoK(Long.MaxValue) == 100000)
+    // both verify SFs flow through the auto-K path and land on the
+    // oracle's K: the trained quantizer reports exactly KmeansK clusters
+    // (hash-exactness itself is the driver/scale-gate compare)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val clusters = SparkEntry.queries("q57_kmeans")(spark, d).collect()
+      assert(clusters.length == ops.KmeansK,
+        s"$d: ${clusters.length} clusters != derived K ${ops.KmeansK}")
+    }
+    // a larger K keeps the SAME plan shape: assignment is the codegen'd
+    // nearest_centroid over LITERAL centroids — map-only, no join, no
+    // shuffle appears because K grew
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0d) AS BIGINT))").as("qv"))
+    val (cents32, assigned32) = ops.kmeansTrainOn(e, 32)
+    assert(cents32.count() <= 32L && cents32.count() > ops.KmeansK.toLong,
+      "forced K=32 did not widen the centroid table past the default")
+    val plan = assigned32.queryExecution.executedPlan.toString
+    assert(plan.contains("nearest_centroid"), "assignment lost the native expression")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"assignment grew a join/shuffle at K=32:\n${plan.take(1200)}")
+  }
+
   test("q172 per-stage numbers reconcile with the standalone daily queries") {
     import org.apache.spark.sql.functions.col
     val c = SparkEntry.queries("q172_daily_increment")(spark, dir).collect()
