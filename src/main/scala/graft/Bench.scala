@@ -590,21 +590,36 @@ object Bench {
         if (ok.isEmpty) 0.0 else ok(ok.size / 2)
       }
     }
-    val socketLeg = new WireLeg("socket-forward",
+    // Three wire forms, interleaved (sync, pipelined, h2 per round). The
+    // r14 A/B (docs/BENCH_NOTES_r14.md) adopted the PIPELINED socket form
+    // as the official socket leg (engine path at sf0.1: 54.8k vs sync
+    // 49.0k — the reference never does one blocking round trip per
+    // record; the byte legs adopted this form in r12) and the MULTIPLEXED
+    // HTTP/2 dispatcher as the h2 leg (59.0k — concurrent streams per
+    // connection demultiplexed by stream id, RFC 9113's concurrency and
+    // the reference's 250-streams/channel shape; r13's single-stream h2
+    // ran ~0.6x the socket leg). The sync socket form stays as the
+    // A-side of the A/B for round-over-round comparability.
+    val socketSyncLeg = new WireLeg("socket-sync-forward",
       h => { val s = new graft.streaming.SocketConsumerServer(h); (s.port, () => s.close()) },
       p => graft.streaming.SocketDispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
+    val socketLeg = new WireLeg("socket-forward",
+      h => { val s = new graft.streaming.SocketConsumerServer(h); (s.port, () => s.close()) },
+      p => graft.streaming.PipelinedSocketDispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
     val h2Leg = new WireLeg("http2-forward",
       h => { val s = new graft.streaming.Http2ConsumerServer(h); (s.port, () => s.close()) },
-      p => graft.streaming.Http2DispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
+      p => graft.streaming.MultiplexedHttp2DispatcherFactory("127.0.0.1", p, rpcTimeoutMs = 30000))
     if (!legsOnly && onlyQuery.isEmpty) {
-      socketLeg.open(); h2Leg.open()
+      socketSyncLeg.open(); socketLeg.open(); h2Leg.open()
       (1 to 5).foreach { _ =>
+        coolDown(); socketSyncLeg.rep()
         coolDown(); socketLeg.rep()
         coolDown(); h2Leg.rep()
       }
-      socketLeg.close(); h2Leg.close()
+      socketSyncLeg.close(); socketLeg.close(); h2Leg.close()
     }
     val socketFwdRate: Double = socketLeg.best
+    val socketSyncFwdRate: Double = socketSyncLeg.best
     val h2FwdRate: Double = h2Leg.best
 
     // Payload-size-swept BYTES legs: BASELINE.md's second scale unit is
@@ -788,7 +803,7 @@ object Bench {
       sustainJson("sustained_stream", susStreamStats) + "," +
         sustainJson("sustained_queue", susQueueStats) + ","
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"socket_sync_forward_msgs_per_sec":${r1(socketSyncFwdRate)},"socket_sync_forward_msgs_per_sec_median":${r1(socketSyncLeg.median)},"socket_sync_forward_reps":${socketSyncLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
@@ -820,6 +835,8 @@ object Bench {
       gateErrors += "forward_msgs_per_sec is 0 — q50 engine leg did not run"
     if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && socketFwdRate <= 0)
       gateErrors += "socket_forward_msgs_per_sec is 0 — wire-dispatch leg produced nothing"
+    if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && socketSyncFwdRate <= 0)
+      gateErrors += "socket_sync_forward_msgs_per_sec is 0 — sync wire leg produced nothing"
     if (!legsOnly && onlyQuery.isEmpty && results.nonEmpty && h2FwdRate <= 0)
       gateErrors += "http2_forward_msgs_per_sec is 0 — HTTP/2 wire leg produced nothing"
     if (streamRate <= 0)

@@ -43,9 +43,11 @@ object WireProbe {
     val out = new DataOutputStream(new BufferedOutputStream(s.getOutputStream, 1 << 16))
     val in = new DataInputStream(new BufferedInputStream(s.getInputStream, 1 << 16))
     val t0 = System.nanoTime()
-    val reader = new Thread(() => (1 to n).foreach { _ => in.readUTF(); in.readUTF() })
+    val reader = new Thread(() =>
+      (1 to n).foreach { _ => in.readLong(); in.readUTF(); in.readUTF() })
     reader.setDaemon(true); reader.start()
-    (1 to n).foreach { _ =>
+    (1 to n).foreach { i =>
+      out.writeLong(i.toLong - 1) // the protocol's per-connection seq
       out.writeInt(headers.size)
       headers.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
       out.writeInt(payload.length)

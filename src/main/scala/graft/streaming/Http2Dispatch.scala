@@ -206,8 +206,10 @@ final class Http2Dispatcher(host: String, port: Int, rpcTimeoutMs: Long)
   import Http2._
 
   private final class Conn(val sock: Socket) {
-    val in = new DataInputStream(sock.getInputStream)
-    val out = new DataOutputStream(sock.getOutputStream)
+    // buffered: a request's HEADERS+DATA (and a response's three frames)
+    // cost one syscall per flush instead of one per 9-byte frame header
+    val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
     var nextStream = 1 // client streams are odd
     def takeStream(): Int = { val s = nextStream; nextStream += 2; s }
   }
@@ -309,6 +311,227 @@ final case class Http2DispatcherFactory(host: String, port: Int, rpcTimeoutMs: L
 }
 
 /**
+ * MULTIPLEXED HTTP/2 dispatcher: many concurrent streams per connection —
+ * RFC 9113's actual concurrency model and the reference's production
+ * shape (250 streams per channel, GrpcDispatcherConfiguration.java:10;
+ * up to 2,000 concurrent streams per pipeline). The sync [[Http2Dispatcher]]
+ * above holds ONE stream per pooled connection and waits out a full round
+ * trip per RPC; here a dispatch writes its HEADERS+DATA on a fresh odd
+ * stream id and releases the connection immediately, and a reader thread
+ * per connection demultiplexes interleaved response frames BY STREAM ID —
+ * correlation is carried by the protocol itself, not by response order.
+ *
+ * That stream-id correlation buys a failure-isolation property the framed
+ * socket protocol cannot have: a stream whose deadline expires is simply
+ * ABANDONED (removed from the pending map; its late response frames are
+ * discarded on arrival by the id lookup) — no connection poison, no
+ * collateral UNAVAILABLE for in-flight siblings. Only a transport error
+ * (socket death, framing desync) fails the whole connection.
+ *
+ * Reader liveness vs framing integrity: the reader blocks on the FIRST
+ * byte of a frame with a short (50 ms) timeout — a timeout there has
+ * consumed nothing, so it is a safe point to sweep expired streams —
+ * and switches to the full per-message budget for the frame's remainder
+ * (the server writes each frame contiguously). A timeout mid-frame means
+ * the peer stalled mid-write: framing state is unrecoverable and the
+ * connection dies.
+ */
+final class MultiplexedHttp2Dispatcher(
+    host: String, port: Int, rpcTimeoutMs: Long, connections: Int = 4)
+    extends Dispatcher {
+  import Http2._
+  import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, TimeUnit, TimeoutException}
+
+  private val closed = new AtomicBoolean(false)
+
+  private final class Conn {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port),
+      math.max(1L, rpcTimeoutMs).min(Int.MaxValue).toInt)
+    sock.setTcpNoDelay(true)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+    var nextStream = 1 // writer-lock-guarded; client streams are odd
+    val pending = new ConcurrentHashMap[Integer, (CompletableFuture[DispatchResult], Long)]()
+    @volatile var dead = false
+
+    out.write(Preface)
+    writeFrame(out, SETTINGS, 0, 0, Array.emptyByteArray)
+    out.flush()
+
+    def poison(): Unit = {
+      dead = true
+      val it = pending.keySet().iterator()
+      while (it.hasNext) {
+        val sid = it.next()
+        val p = pending.remove(sid)
+        if (p != null) p._1.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE,
+          None, overdue = System.nanoTime() >= p._2))
+      }
+      try sock.close() catch { case _: IOException => () }
+    }
+
+    /** Expired streams are abandoned, not poisoned: complete the caller
+      * with DEADLINE_EXCEEDED and forget the stream — its late frames
+      * will miss the pending lookup and be dropped. */
+    private def sweepExpired(): Unit = {
+      val now = System.nanoTime()
+      val it = pending.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (now >= e.getValue._2 && pending.remove(e.getKey, e.getValue)) {
+          trailerAcc.remove(e.getKey)
+          e.getValue._1.complete(DispatchResult(
+            graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true))
+          ()
+        }
+      }
+    }
+
+    // per-stream trailer accumulation (response HEADERS before END_STREAM)
+    private val trailerAcc = new ConcurrentHashMap[Integer, Map[String, String]]()
+
+    /** Read one frame with the two-phase timeout discipline; null on a
+      * safe first-byte timeout (sweep point). */
+    private def readFrameOrNull(): Frame = {
+      sock.setSoTimeout(50)
+      val b0 =
+        try in.read()
+        catch { case _: SocketTimeoutException => sweepExpired(); return null }
+      if (b0 < 0) throw new IOException("peer closed")
+      // the rest of the frame follows contiguously — full budget applies
+      sock.setSoTimeout(math.max(1L, rpcTimeoutMs).min(Int.MaxValue).toInt)
+      val b1 = in.readUnsignedByte(); val b2 = in.readUnsignedByte()
+      val len = (b0 << 16) | (b1 << 8) | b2
+      val tpe = in.readUnsignedByte()
+      val flags = in.readUnsignedByte()
+      val sid = in.readInt() & 0x7FFFFFFF
+      val p = new Array[Byte](len)
+      in.readFully(p)
+      Frame(tpe, flags, sid, p)
+    }
+
+    val reader = new Thread(() => {
+      try {
+        while (!dead && !closed.get()) {
+          val f = readFrameOrNull()
+          if (f != null) f.tpe match {
+            case SETTINGS =>
+              if ((f.flags & ACK) == 0) synchronized {
+                writeFrame(out, SETTINGS, ACK, 0, Array.emptyByteArray); out.flush()
+              }
+            case PING => synchronized {
+              writeFrame(out, PING, ACK, 0, f.payload); out.flush()
+            }
+            case HEADERS =>
+              val sid: Integer = f.streamId
+              if (pending.containsKey(sid)) {
+                val acc = Option(trailerAcc.get(sid)).getOrElse(Map.empty) ++
+                  decodeHeaders(f.payload)
+                if ((f.flags & END_STREAM) != 0) {
+                  trailerAcc.remove(sid)
+                  val p = pending.remove(sid)
+                  if (p != null) {
+                    val status = codeToStatus(
+                      acc.get("grpc-status").flatMap(_.toIntOption).getOrElse(2))
+                    p._1.complete(DispatchResult(status,
+                      acc.get("kafka-action").filter(_.nonEmpty),
+                      System.nanoTime() >= p._2))
+                    ()
+                  }
+                } else trailerAcc.put(sid, acc)
+              } // else: frames of an abandoned (expired) stream — drop
+            case DATA | WINDOW_UPDATE | GOAWAY => ()
+            case _ => ()
+          }
+        }
+      } catch { case _: IOException | _: InterruptedException => () }
+      finally poison()
+    }, s"graft-h2mux-read-$port")
+    reader.setDaemon(true)
+    reader.start()
+  }
+
+  private val slots = new Array[Conn](math.max(1, connections))
+  private val slotLocks = Array.fill(slots.length)(new Object)
+  private val rr = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def dispatch(req: DispatchRequest): DispatchResult = {
+    val deadlineNs = System.nanoTime() + rpcTimeoutMs * 1000000L
+    def overdueNow = System.nanoTime() >= deadlineNs
+    val i = (rr.getAndIncrement() & Int.MaxValue) % slots.length
+    val cf = new CompletableFuture[DispatchResult]()
+    val conn =
+      try slotLocks(i).synchronized {
+        if (slots(i) == null || slots(i).dead) slots(i) = new Conn
+        slots(i)
+      } catch {
+        case _: IOException =>
+          return DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+      }
+    var sid = -1
+    try conn.synchronized {
+      if (conn.dead) throw new IOException("connection retired")
+      sid = conn.nextStream
+      conn.nextStream += 2
+      if (conn.nextStream > Int.MaxValue - 2) conn.dead = true // retire after this one
+      conn.pending.put(sid, (cf, deadlineNs))
+      val reqHeaders =
+        Seq(":method" -> "POST", ":scheme" -> "http",
+          ":path" -> "/kafka.consumerproxy.Consumer/Dispatch",
+          ":authority" -> s"$host:$port",
+          "content-type" -> "application/grpc", "te" -> "trailers") ++
+          req.headers.toSeq.sortBy(_._1)
+      writeFrame(conn.out, HEADERS, END_HEADERS, sid, encodeHeaders(reqHeaders))
+      writeData(conn.out, sid, grpcFrame(req.payload), endStream = true)
+      conn.out.flush()
+    } catch {
+      case _: IOException =>
+        if (sid >= 0) conn.pending.remove(Integer.valueOf(sid))
+        conn.poison()
+        if (!cf.isDone)
+          cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
+    }
+    // close the enqueue-vs-poison race (the pipelined dispatcher's rule):
+    // poison sets dead before draining, so dead==false here means our put
+    // is covered by any later drain; dead==true means nobody may drain it
+    if (conn.dead && !cf.isDone) {
+      if (sid >= 0) conn.pending.remove(Integer.valueOf(sid))
+      cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
+      ()
+    }
+    try cf.get(rpcTimeoutMs * 2 + 1000, TimeUnit.MILLISECONDS)
+    catch {
+      case _: TimeoutException => // reader wedged — abandon the stream
+        if (sid >= 0) conn.pending.remove(Integer.valueOf(sid))
+        DispatchResult(graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true)
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+        DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+      case _: Exception =>
+        DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+    }
+  }
+
+  override def close(): Unit = {
+    closed.set(true)
+    slots.indices.foreach { i =>
+      slotLocks(i).synchronized {
+        if (slots(i) != null) { slots(i).poison(); slots(i) = null }
+      }
+    }
+  }
+}
+
+/** Serializable factory for the multiplexed HTTP/2 dispatcher. */
+final case class MultiplexedHttp2DispatcherFactory(
+    host: String, port: Int, rpcTimeoutMs: Long, connections: Int = 4)
+    extends DispatcherFactory {
+  def create(): Dispatcher =
+    new MultiplexedHttp2Dispatcher(host, port, rpcTimeoutMs, connections)
+}
+
+/**
  * The consumer side of the HTTP/2 framing: accepts connections, performs
  * the preface/SETTINGS exchange, reassembles each stream's HEADERS + DATA
  * into a [[DispatchRequest]], and answers with response HEADERS, an empty
@@ -332,8 +555,12 @@ final class Http2ConsumerServer(handler: DispatchRequest => DispatchResult) {
   private def serve(sock: Socket): Unit = {
     try {
       sock.setTcpNoDelay(true)
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
+      // buffered both ways: a response is three frames (HEADERS, DATA,
+      // trailers) — unbuffered that is ~8 small write syscalls serialized
+      // per connection, which caps a multiplexed client whose streams all
+      // share a few connections (the SocketConsumerServer lesson)
+      val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
       val preface = new Array[Byte](Preface.length)
       in.readFully(preface)
       if (!java.util.Arrays.equals(preface, Preface))

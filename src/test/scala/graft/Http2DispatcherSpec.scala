@@ -192,6 +192,130 @@ class Http2DispatcherSpec extends AnyFunSuite {
     } finally { d.close(); server.close() }
   }
 
+  private def digestOf(payload: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  test("multiplexed dispatcher: 8 in-flight streams on ONE connection, responses correlated by stream id out of order") {
+    // A raw-frame HTTP/2 server that holds EIGHT complete requests on one
+    // connection before answering, then replies in REVERSE stream-id
+    // order, tagging each trailer's kafka-action with the REQUEST's
+    // payload digest. Only true stream-id demultiplexing can hand every
+    // caller its own digest: order-based correlation would hand caller 1
+    // stream 15's verdict. This is RFC 9113 concurrency (the reference's
+    // 250-streams/channel shape) exercised for real.
+    val n = 8
+    val server = new java.net.ServerSocket(0)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val preface = new Array[Byte](Http2.Preface.length)
+        in.readFully(preface)
+        Http2.writeFrame(out, Http2.SETTINGS, 0, 0, Array.emptyByteArray)
+        out.flush()
+        val bodies = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
+        val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        while (done.size < n) {
+          val f = Http2.readFrame(in)
+          f.tpe match {
+            case Http2.DATA =>
+              bodies.getOrElseUpdate(f.streamId, new java.io.ByteArrayOutputStream())
+                .write(f.payload)
+              if ((f.flags & Http2.END_STREAM) != 0)
+                done += f.streamId -> Http2.grpcUnframe(bodies(f.streamId).toByteArray)
+            case _ => () // SETTINGS/HEADERS/PING — the test needs only bodies
+          }
+        }
+        done.sortBy(-_._1).foreach { case (sid, payload) => // REVERSED
+          Http2.writeFrame(out, Http2.HEADERS, Http2.END_HEADERS, sid,
+            Http2.encodeHeaders(Seq(":status" -> "200", "content-type" -> "application/grpc")))
+          Http2.writeData(out, sid, Http2.grpcFrame(Array.emptyByteArray), endStream = false)
+          Http2.writeFrame(out, Http2.HEADERS, Http2.END_HEADERS | Http2.END_STREAM, sid,
+            Http2.encodeHeaders(Seq("grpc-status" -> "0",
+              "kafka-action" -> digestOf(payload))))
+        }
+        out.flush()
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    val d = new MultiplexedHttp2Dispatcher("127.0.0.1", server.getLocalPort,
+      rpcTimeoutMs = 10000, connections = 1)
+    try {
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, DispatchResult]()
+      val ts = (0 until n).map { i =>
+        val th = new Thread(() => {
+          results.put(i, d.dispatch(DispatchRequest(s"payload-$i".getBytes("UTF-8"),
+            Map("kafka-offset" -> i.toString))))
+          ()
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join(30000))
+      assert(results.size == n)
+      (0 until n).foreach { i =>
+        val r = results.get(i)
+        assert(r.statusCode == GrpcStatus.OK, s"caller $i: $r")
+        assert(r.action.contains(digestOf(s"payload-$i".getBytes("UTF-8"))),
+          s"caller $i got someone else's response: $r")
+      }
+    } finally { d.close(); server.close() }
+  }
+
+  test("multiplexed dispatcher: an expired stream is abandoned without poisoning its connection") {
+    // the property stream ids buy over the FIFO socket protocol: a
+    // deadline on one stream must not fail in-flight siblings or retire
+    // the connection — the late response is simply dropped by the id
+    // lookup, and the SAME connection keeps serving
+    val stallMarker = "stall".getBytes("UTF-8")
+    val server = new Http2ConsumerServer(req => {
+      if (java.util.Arrays.equals(req.payload, stallMarker)) Thread.sleep(800)
+      DispatchResult(GrpcStatus.OK, Some(digestOf(req.payload)), overdue = false)
+    })
+    try {
+      val d = new MultiplexedHttp2Dispatcher("127.0.0.1", server.port,
+        rpcTimeoutMs = 300, connections = 1)
+      try {
+        val r1 = d.dispatch(DispatchRequest(stallMarker, Map.empty))
+        assert(r1.statusCode == GrpcStatus.DEADLINE_EXCEEDED && r1.overdue, r1.toString)
+        Thread.sleep(700) // the stalled response arrives late and is dropped
+        val after = "after".getBytes("UTF-8")
+        val r2 = d.dispatch(DispatchRequest(after, Map.empty))
+        assert(r2.statusCode == GrpcStatus.OK && r2.action.contains(digestOf(after)), r2.toString)
+        assert(server.acceptedConnections.get() == 1,
+          s"dispatcher redialed (${server.acceptedConnections.get()} connections) — " +
+            "the deadline poisoned the connection")
+      } finally d.close()
+    } finally server.close()
+  }
+
+  test("engine E2E: multiplexed and sync HTTP/2 dispatchers route every record identically") {
+    val server = new Http2ConsumerServer(req => {
+      val off = req.headers("kafka-offset").toLong
+      DispatchResult(GrpcStatus.all((off % GrpcStatus.all.size).toInt), None, overdue = false)
+    })
+    try {
+      val n = 400
+      def rs(): Dataset[KafkaRecord] =
+        spark.createDataset((0 until n).map(i =>
+          KafkaRecord(s"k$i".getBytes("UTF-8"), s"m$i".getBytes("UTF-8"), topic,
+            i % 4, i.toLong, 1700000000000000000L + i, Map.empty)))
+      def routed(f: DispatcherFactory): Seq[(String, Int, Long, String, String)] =
+        ForwardingEngine.processBatch(spec1, f, "local-cluster", rs()).collect()
+          .map(o => (o.physicalTopic, o.physicalPartition, o.physicalOffset, o.code, o.destination))
+          .sortBy(x => (x._1, x._2, x._3)).toSeq
+      val viaMux = routed(
+        MultiplexedHttp2DispatcherFactory("127.0.0.1", server.port, rpcTimeoutMs = 10000))
+      val viaSync = routed(
+        Http2DispatcherFactory("127.0.0.1", server.port, rpcTimeoutMs = 10000))
+      assert(viaMux.size == n && viaMux == viaSync)
+    } finally server.close()
+  }
+
   test("frame layer emits legal HTTP/2 bytes: preface, 9-byte headers, HPACK decode parity") {
     // codec-level round trip without sockets: encode → decode across the
     // representative surface (pseudo-headers first, long values, empties)
