@@ -107,7 +107,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q161 incremental near-dup dedup (q110's daily-increment
   *    contract on LSH: arrivals probe the snapshot's banded signature
   *    buckets + within-batch candidates, one Jaccard verify — q110's
-  *    schema and precedence, near beside exact)
+  *    schema and precedence, near beside exact),
+  *    q171 snapshot roll (the daily loop closed: kept arrivals fold
+  *    into the rollable band-bucket state without rescanning the old
+  *    corpus; two consecutive days, day 2 probing the rolled state,
+  *    oracle recomputes from scratch — roll ≡ recompute by hash),
+  *    q172 daily-increment composition (one arrival batch through
+  *    exact dedup → near-dup → IVF maintenance → novelty as one
+  *    per-source funnel; reconciles with q110/q161 standalones)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection
