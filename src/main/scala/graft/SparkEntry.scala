@@ -44,6 +44,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    q145 range-partition boundary planning + balance audit,
   *    q151 DSIR resample execution (q124's importance weights drawn
   *    through the q62 deterministic hash gate — audit turned selection),
+  *    q173 two-day exact-dedup roll (q171's daily-loop contract on
+  *    q110's digest state: roll = union with the kept sliver, oracle
+  *    recomputes from scratch — roll ≡ recompute by hash),
   *    q155 dedup-policy selection (q143's yield curve consumed: the
   *    largest multiplicity threshold retaining ≥900‰ of max savings),
   *    q157 substring-removal execution (q128's ExactSubstr audit

@@ -1907,6 +1907,87 @@ object TextOps {
        |FROM cls GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q173 — two-day EXACT-dedup roll: q171's daily-loop contract on
+  // q110's digest state. The rollable state here is simply the DISTINCT
+  // digest set, and its roll is a union: state(day N+1) = state(day N) ∪
+  // digests(kept day-N arrivals) — no base-corpus rescan, just the
+  // materialized state frame plus the day's sliver. Two consecutive
+  // arrival days (q171's split: base % 5 ∉ {0,1}, day 1 = 0, day 2 = 1):
+  // day 1 runs q110's probe against the base state, day 1's kept docs'
+  // digests roll in, day 2 probes the ROLLED set. The oracle recomputes
+  // day 2's digest set from scratch over base ∪ kept-day-1, so the
+  // hash-exact compare proves roll ≡ recompute — with q171 (band state)
+  // and StreamDedup.rollSnapshotBits (Bloom bits, lossless OR) this
+  // closes the daily loop on all three incremental-dedup state forms.
+  //
+  // Scale path: the state is a digest column (itself incrementally
+  // maintained); each day is one hash equi-join probe + one per-digest
+  // window over the arrival sliver; the roll is a union-distinct of the
+  // state with the day's kept sliver. Nothing rescans, nothing corpus².
+  // ===========================================================
+  def q173ExactRoll(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), md5(norm.cast("binary")).as("h"))
+      .localCheckpoint() // one digest scan feeds the state and both days
+    // the persisted state, materialized once: day 1 probes it, the roll
+    // unions against it — the base corpus is never rescanned after this
+    val state0 = d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      .select("h").distinct().localCheckpoint()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    def dayVerdicts(day: DataFrame, state: DataFrame): DataFrame = day
+      .withColumn("rn", row_number().over(w))
+      .join(state.withColumn("in_old", lit(1L)), Seq("h"), "left_outer")
+      .withColumn("status",
+        when(col("in_old").isNotNull, "dup_vs_old")
+          .when(col("rn") > 1, "dup_within")
+          .otherwise("kept"))
+      .select("doc_id", "source", "h", "status")
+    val st1 = dayVerdicts(d.filter(col("doc_id") % 5 === 0), state0).localCheckpoint()
+    // the ROLL: kept day-1 digests union into the state — distinct-union
+    // of the state frame with the day's sliver, no rescans
+    val state1 = state0.unionByName(
+      st1.filter(col("status") === "kept").select("h")).distinct()
+    val st2 = dayVerdicts(d.filter(col("doc_id") % 5 === 1), state1)
+    st1.withColumn("day", lit(1L)).unionByName(st2.withColumn("day", lit(2L)))
+      .groupBy("day", "source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("kept"),
+        sum(when(col("status") === "dup_vs_old", 1L).otherwise(0L)).as("dup_vs_old"),
+        sum(when(col("status") === "dup_within", 1L).otherwise(0L)).as("dup_within"))
+      .orderBy("day", "source")
+  }
+
+  val q173Sql: String =
+    s"""WITH d AS (SELECT doc_id, source, md5($normSql) AS h FROM documents),
+       | oldh AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 NOT IN (0, 1)),
+       | st1 AS MATERIALIZED (SELECT doc_id, source, h,
+       |   CASE WHEN o.h IS NOT NULL THEN 'dup_vs_old'
+       |    WHEN rn > 1 THEN 'dup_within' ELSE 'kept' END AS status
+       |  FROM (SELECT doc_id, source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |   FROM d WHERE doc_id % 5 = 0) nw LEFT JOIN oldh o USING (h)),
+       | kept1 AS (SELECT doc_id FROM st1 WHERE status = 'kept'),
+       | oldh2 AS (SELECT DISTINCT h FROM d
+       |  WHERE doc_id % 5 NOT IN (0, 1) OR doc_id IN (SELECT doc_id FROM kept1)),
+       | st2 AS (SELECT doc_id, source, h,
+       |   CASE WHEN o.h IS NOT NULL THEN 'dup_vs_old'
+       |    WHEN rn > 1 THEN 'dup_within' ELSE 'kept' END AS status
+       |  FROM (SELECT doc_id, source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |   FROM d WHERE doc_id % 5 = 1) nw LEFT JOIN oldh2 o USING (h))
+       |SELECT CAST(1 AS BIGINT) AS day, source, COUNT(*) AS n_new,
+       | CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       | CAST(SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_old,
+       | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
+       |FROM st1 GROUP BY source
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS day, source, COUNT(*) AS n_new,
+       | CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       | CAST(SUM(CASE WHEN status = 'dup_vs_old' THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_old,
+       | CAST(SUM(CASE WHEN status = 'dup_within' THEN 1 ELSE 0 END) AS BIGINT) AS dup_within
+       |FROM st2 GROUP BY source ORDER BY day, source""".stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q114 — sliding n-gram duplication profile (the memorization-risk
   // audit of Lee et al. 2022, "Deduplicating Training Data Makes
   // Language Models Better"): for every OVERLAPPING 5-gram position in
@@ -4025,6 +4106,7 @@ object TextOps {
     "q114_ngram_dup_profile" -> (q114NgramDupProfile _),
     "q115_mixture_weights" -> (q115MixtureWeights _),
     "q110_incremental_dedup" -> (q110IncrementalDedup _),
+    "q173_exact_roll" -> (q173ExactRoll _),
     "q108_token_budget" -> (q108TokenBudget _),
     "q99_boilerplate" -> (q99Boilerplate _),
     "q74_inverted_index" -> (q74InvertedIndex _),
@@ -4088,6 +4170,7 @@ object TextOps {
     "q114_ngram_dup_profile" -> q114Sql,
     "q115_mixture_weights" -> q115Sql,
     "q110_incremental_dedup" -> q110Sql,
+    "q173_exact_roll" -> q173Sql,
     "q108_token_budget" -> q108Sql,
     "q99_boilerplate" -> q99Sql,
     "q74_inverted_index" -> q74Sql,

@@ -57,4 +57,20 @@ object StreamDedup {
       .drop("__snapshot_bits")
     withinWatermark(gated, eventTimeCol, delayThreshold, Seq(keyCol))
   }
+
+  /** Fold a day's KEPT digests into the snapshot's Bloom bits WITHOUT
+    * rescanning the old corpus — the q171 roll contract on the
+    * exact-dedup state (its near-dup sibling is
+    * NearDupStream.rollSnapshot; the digest-set form is q173). Per-key
+    * bit-setting is independent (each key ORs its own probe bits), so
+    * bits(old ∪ kept) == bits(old) | bits(kept) EXACTLY at the same
+    * (m, probes): the Bloom roll is LOSSLESS versus a full recompute —
+    * StreamDedupSpec asserts bitwise equality, not just verdict parity.
+    * `keptDigests` is the day's kept keys — the stream's own output. */
+  def rollSnapshotBits(oldBits: Seq[Long], keptDigests: Seq[Long],
+                       numProbes: Int): Seq[Long] = {
+    val sketch = new BloomSketch(oldBits.size * 64, numProbes)
+    val folded = keptDigests.foldLeft(sketch.zero)(sketch.reduce)
+    oldBits.zip(folded).map { case (a, b) => a | b }
+  }
 }

@@ -97,6 +97,48 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(out.count() == 0, "a snapshot digest survived its own bloom filter")
   }
 
+  test("rolling kept digests into the snapshot bits ≡ recomputing the filter (lossless OR)") {
+    import graft.functions.BloomSketch
+    // the daily loop on the Bloom state form: day 1's kept output folds
+    // into the snapshot bits WITHOUT rescanning the old corpus, and the
+    // rolled filter is BIT-IDENTICAL to one rebuilt from old ∪ kept —
+    // per-key bit-setting is independent, so OR is exact, not approximate
+    val m = 4096; val probes = 5
+    val baseKeys = (2000L until 2300L)
+    val bloom = new BloomSketch(m, probes)
+    val baseBits = baseKeys.foldLeft(bloom.zero)(bloom.reduce).toSeq
+
+    def inFilter(bits: Seq[Long], k: Long): Boolean = (0 until probes).forall { i =>
+      val bit = BloomSketch.probeBit(k, i, m)
+      (bits(bit >>> 6) >> (bit & 63) & 1L) == 1L
+    }
+    // day-1 arrivals: two base dups + three fresh keys (non-colliding)
+    val fresh1 = (1L to 500L).filterNot(inFilter(baseBits, _)).take(3)
+    val day1 = Seq(baseKeys.head, baseKeys.last) ++ fresh1
+    // the day-1 stream's own kept output (batch form is equivalent here)
+    val kept1 = StreamDedup.againstSnapshot(
+        day1.zipWithIndex.map { case (k, i) => DigestRec(k, new Timestamp(1700000000000L + i * 1000L)) }.toDF(),
+        "ts", "10 minutes", "digest", baseBits, probes)
+      .collect().map(_.getAs[Long]("digest")).toSeq
+    assert(kept1.sorted == fresh1.sorted)
+
+    // ROLL vs RECOMPUTE: bitwise equality of the two filters
+    val rolled = StreamDedup.rollSnapshotBits(baseBits, kept1, probes)
+    val recomputed = (baseKeys ++ kept1).foldLeft(bloom.zero)(bloom.reduce).toSeq
+    assert(rolled == recomputed, "rolled bits diverged from a full recompute")
+
+    // day 2 behaves identically under either filter: day-1 kept keys are
+    // now snapshot dups, genuinely-new keys survive
+    val fresh2 = (500L to 1500L).filterNot(inFilter(rolled, _)).take(2)
+    val day2 = Seq(fresh1.head, baseKeys.head) ++ fresh2
+    def runDay2(bits: Seq[Long]): Seq[Long] = StreamDedup.againstSnapshot(
+        day2.zipWithIndex.map { case (k, i) => DigestRec(k, new Timestamp(1700003600000L + i * 1000L)) }.toDF(),
+        "ts", "10 minutes", "digest", bits, probes)
+      .collect().map(_.getAs[Long]("digest")).sorted.toSeq
+    assert(runDay2(rolled) == fresh2.sorted)
+    assert(runDay2(rolled) == runDay2(recomputed))
+  }
+
   test("batch fallback: same call on a batch frame dedups on the keys") {
     val df = Seq(
       IngestRec("x", new Timestamp(0L), "p1"),
