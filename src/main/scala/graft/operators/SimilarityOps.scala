@@ -1201,11 +1201,12 @@ object SimilarityOps {
 
   /** SemDeDup-style auto-K target cluster mass: K ∝ n / this, so
     * per-cluster pairwise work stays constant as the corpus grows
-    * (SemDeDup trains 50k clusters for LAION-scale corpora for exactly
-    * this reason — fixed K degrades in-cluster work quadratically).
-    * 1024 keeps the derived K at the oracle's pinned [[KmeansK]] through
-    * the 10×-replica scale gate (~5k docs) and starts scaling past ~9k. */
-  val TargetClusterSize = 1024L
+    * (SemDeDup trains 50k clusters for LAION-scale corpora — a few
+    * thousand vectors per cluster — for exactly this reason: fixed K
+    * degrades in-cluster work quadratically). 8192 keeps the derived K
+    * at the oracle's pinned [[KmeansK]] through the 10×-replica scale
+    * gate (20k vectors) and starts scaling past ~74k vectors. */
+  val TargetClusterSize = 8192L
 
   /** The corpus-count-derived K every coarse-quantizer training uses by
     * default: floored at [[KmeansK]] (the oracle's literal — equal at
@@ -1782,7 +1783,7 @@ object SimilarityOps {
   // K ∝ n / targetClusterSize rule is IN CODE since r14: every
   // kmeansTrainOn call derives K via autoK (floored at the oracle's
   // pinned KmeansK — equal on every verify corpus, so hashes stay exact;
-  // scaling past ~9k docs), and nothing in the plan shape changes with K
+  // scaling past ~74k vectors), and nothing in the plan shape changes with K
   // (centroids stay driver-resident literals up to ~10⁵ — QueriesSpec
   // asserts the map-only assignment at a forced larger K).
   // ===========================================================

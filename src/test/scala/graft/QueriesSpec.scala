@@ -950,10 +950,11 @@ class QueriesSpec extends AnyFunSuite {
     val ops = graft.operators.SimilarityOps
     // the formula: fixed per-cluster mass, floored at the oracle's pinned
     // K (equal at every verify corpus INCLUDING the 10x-replica gate's
-    // ~5k docs), capped where literal centroids stop being driver-sane
+    // 20k-vector embeddings corpus), capped where literal centroids stop
+    // being driver-sane
     assert(ops.autoK(500) == ops.KmeansK)
-    assert(ops.autoK(5000) == ops.KmeansK)
-    assert(ops.autoK(1024L * 100) == 100)
+    assert(ops.autoK(20000) == ops.KmeansK)
+    assert(ops.autoK(ops.TargetClusterSize * 100) == 100)
     assert(ops.autoK(Long.MaxValue) == 100000)
     // both verify SFs flow through the auto-K path and land on the
     // oracle's K: the trained quantizer reports exactly KmeansK clusters
