@@ -201,6 +201,10 @@ object CurationExec {
       else Seq(f)
     val desc = tables.sorted.map { t =>
       val root = new java.io.File(s"$sfDir/$t.parquet")
+      // a missing table must fail LOUDLY, not hash a stable "no input"
+      // stamp that a later resume would treat as a legitimate identity
+      require(root.exists(),
+        s"inputFingerprint: $root does not exist — refusing to stamp a missing input")
       walk(root).map(x => s"${x.getName}:${x.length}:${x.lastModified}")
         .mkString(s"$t[", ",", "]")
     }.mkString("|")

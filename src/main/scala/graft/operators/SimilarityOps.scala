@@ -347,50 +347,25 @@ object SimilarityOps {
   private[graft] def q161CandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = q41Sig(spark, dir).localCheckpoint()
     val newSig = sig.filter(col("doc_id") % 5 === 0)
-    val oldSig = sig.filter(col("doc_id") % 5 =!= 0)
-    val newBands = bandedSigs(newSig, BandSize)
-    // snapshot probe table: keep size-1 buckets, cap the degenerate ones
-    val oldBuckets = bandedSigs(oldSig, BandSize)
-      .groupBy("band", "band_sig")
-      .agg(graft.functions.SmallestK.smallest_k(col("doc_id"), MaxBucketSize + 1).as("ids"))
-      .filter(size(col("ids")) <= MaxBucketSize)
+    // snapshot probe table (probeBuckets ∘ bandState — q171's rollable
+    // state filtered to servable buckets): size-1 buckets kept, the
+    // degenerate above-cap ones dropped
+    val oldBuckets = probeBuckets(bandState(sig.filter(col("doc_id") % 5 =!= 0)))
       .select(col("band"), col("band_sig"), explode(col("ids")).as("old_id"))
-    val crossPairs = newBands.join(oldBuckets, Seq("band", "band_sig"))
+    val crossPairs = bandedSigs(newSig, BandSize).join(oldBuckets, Seq("band", "band_sig"))
       .select(col("doc_id").as("a"), col("old_id").as("b")).distinct()
     val withinPairs = q41Candidates(bucketsForBand(newSig, BandSize))
     crossPairs.unionByName(withinPairs).distinct()
   }
 
   def q161IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val allPairs = q161CandidatePairs(spark, dir).localCheckpoint()
-    // persist + count: the count IS the materialization job (where the
-    // eager localCheckpoint it replaces ran one anyway), and its value
-    // doubles as the broadcast gate below — one fewer blocking job in
-    // the query path than checkpoint-then-count-the-flags (r11 verdict)
-    val verdict = jaccardVerify(spark, dir, allPairs)
-      .filter(col("inter") * lit(2L) >= col("uni"))
-      .select("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVerified = verdict.count()
-    // per-arrival flags from the verified pair sliver: any old partner /
-    // any smaller new partner
-    val members = verdict.select(col("a").as("m"), col("b").as("p"))
-      .unionByName(verdict.select(col("b").as("m"), col("a").as("p")))
-    val flags = members.filter(col("m") % 5 === 0)
-      .groupBy("m").agg(
-        max(when(col("p") % 5 =!= 0, 1L).otherwise(0L)).as("has_old"),
-        max(when(col("p") % 5 === 0 && col("p") < col("m"), 1L).otherwise(0L))
-          .as("has_prior"))
-    // flags rows ≤ distinct arrival members ≤ 2·|verified pairs|
-    val smallFlags = nVerified * 2 <= (1L << 20)
-    val fl = if (smallFlags) broadcast(flags) else flags
-    docs(spark, dir).filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("source"))
-      .join(fl.withColumnRenamed("m", "doc_id"), Seq("doc_id"), "left_outer")
-      .withColumn("status",
-        when(col("has_old") === 1L, "dup_vs_old")
-          .when(col("has_prior") === 1L, "dup_within")
-          .otherwise("kept"))
+    // ONE copy of the incremental dataflow: q161 is the single-day form
+    // of the q171/q172 helper (same probe construction, same verify,
+    // same precedence) — the rollup is the only thing local here
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val probe = probeBuckets(bandState(sig.filter(col("doc_id") % 5 =!= 0)))
+    incrementalDayVerdicts(spark, dir,
+        sig.filter(col("doc_id") % 5 === 0), probe, c => c % 5 === 0)
       .groupBy("source")
       .agg(count(lit(1)).as("n_new"),
         sum(when(col("status") === "kept", 1L).otherwise(0L)).as("kept"),
@@ -524,11 +499,16 @@ object SimilarityOps {
     val nVerified = verdict.count()
     val members = verdict.select(col("a").as("m"), col("b").as("p"))
       .unionByName(verdict.select(col("b").as("m"), col("a").as("p")))
+    // flags materialize here (they are arrival-bounded and feed the final
+    // join), so the pair-sized verdict cache releases immediately instead
+    // of stranding blocks for the session (q165's memo-eviction rule)
     val flags = members.filter(isArrival(col("m")))
       .groupBy("m").agg(
         max(when(!isArrival(col("p")), 1L).otherwise(0L)).as("has_old"),
         max(when(isArrival(col("p")) && col("p") < col("m"), 1L).otherwise(0L))
           .as("has_prior"))
+      .localCheckpoint()
+    verdict.unpersist(blocking = false)
     val smallFlags = nVerified * 2 <= (1L << 20)
     val fl = if (smallFlags) broadcast(flags) else flags
     // the verdict universe is exactly newSig's ids: the modulus filter
@@ -1709,22 +1689,39 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(outPath)
 
   /** The stored-index artifact location for a data dir — keyed by the
-    * embeddings table's content identity (CurationExec.inputFingerprint),
-    * so a changed input lands at a NEW path and stale artifacts are
-    * never consumed. */
-  private[graft] def ivfIndexArtifactPath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-      CurationExec.inputFingerprint(dir, Seq("embeddings"))
+    * embeddings table's content identity (CurationExec.inputFingerprint)
+    * AND the training code's constants (the parquetBoundary
+    * version-tag rule: a KmeansK/iters/quantization/auto-K change must
+    * land at a NEW path, or the old artifact would silently serve an
+    * index trained by old code). */
+  private[graft] def ivfIndexArtifactPath(dir: String): String = {
+    val codeTag = s"v2|k=$KmeansK|it=$KmeansIters|q=$Q|tcs=$TargetClusterSize"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((CurationExec.inputFingerprint(dir, Seq("embeddings")) + "|" + codeTag)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$fp"
+  }
 
   /** The persisted old index, built on first use: q169's old side is a
     * parquet SCAN of this artifact (ShardWriteSpec's write→read
     * discipline), not an inline retraining — a production index already
-    * exists on disk when a rebuild is evaluated (What q58 serves from). */
+    * exists on disk when a rebuild is evaluated (what q58 serves from).
+    * Concurrent first-users race safely: each builder writes to its own
+    * temp path and publishes with an atomic rename — the loser deletes
+    * its copy and reads the winner's (never a half-written overwrite of
+    * a directory another session is reading). */
   private[graft] def q169StoredOldIndex(spark: SparkSession, dir: String): DataFrame = {
     val p = ivfIndexArtifactPath(dir)
+    val dest = new org.apache.hadoop.fs.Path(p)
     val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) q58WriteIndex(spark, dir, p)
+    if (!fs.exists(marker)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$p.build.${java.util.UUID.randomUUID().toString.take(8)}")
+      q58WriteIndex(spark, dir, tmp.toString)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race — read the winner's
+    }
     spark.read.parquet(p)
   }
 

@@ -354,6 +354,13 @@ final class MultiplexedHttp2Dispatcher(
     var nextStream = 1 // writer-lock-guarded; client streams are odd
     val pending = new ConcurrentHashMap[Integer, (CompletableFuture[DispatchResult], Long)]()
     @volatile var dead = false
+    /** Set when the 31-bit stream space runs out: the slot dials a
+      * REPLACEMENT for new dispatches while this connection keeps
+      * serving its in-flight streams — graceful retirement, never a
+      * poison (the sync dispatcher's retire-after-response rule, lifted
+      * to many streams). The reader closes the connection once retiring
+      * and idle. */
+    @volatile var retiring = false
 
     out.write(Preface)
     writeFrame(out, SETTINGS, 0, 0, Array.emptyByteArray)
@@ -371,11 +378,27 @@ final class MultiplexedHttp2Dispatcher(
       try sock.close() catch { case _: IOException => () }
     }
 
+    /** Abandon one stream: forget it in BOTH maps so late frames are
+      * dropped and nothing accumulates. Used by the deadline sweep and
+      * by dispatch's wedged-reader backstop. */
+    def abandon(sid: Int): Unit = {
+      pending.remove(sid: Integer)
+      trailerAcc.remove(sid: Integer)
+      ()
+    }
+
     /** Expired streams are abandoned, not poisoned: complete the caller
       * with DEADLINE_EXCEEDED and forget the stream — its late frames
-      * will miss the pending lookup and be dropped. */
+      * will miss the pending lookup and be dropped. Throttled to one
+      * pass per 10 ms: it runs from BOTH the idle branch and the
+      * after-frame path, so a continuously busy connection still
+      * enforces deadlines at rpcTimeoutMs (+10 ms), not only at the
+      * caller's 2× backstop. */
+    private var lastSweepNs = 0L
     private def sweepExpired(): Unit = {
       val now = System.nanoTime()
+      if (now - lastSweepNs < 10L * 1000 * 1000) return
+      lastSweepNs = now
       val it = pending.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -413,8 +436,12 @@ final class MultiplexedHttp2Dispatcher(
 
     val reader = new Thread(() => {
       try {
-        while (!dead && !closed.get()) {
+        while (!dead && !closed.get() &&
+            !(retiring && pending.isEmpty)) { // retired + drained → close
           val f = readFrameOrNull()
+          // deadline enforcement must not depend on the connection going
+          // idle: sweep (throttled) on the busy path too
+          if (f != null) sweepExpired()
           if (f != null) f.tpe match {
             case SETTINGS =>
               if ((f.flags & ACK) == 0) synchronized {
@@ -463,7 +490,7 @@ final class MultiplexedHttp2Dispatcher(
     val cf = new CompletableFuture[DispatchResult]()
     val conn =
       try slotLocks(i).synchronized {
-        if (slots(i) == null || slots(i).dead) slots(i) = new Conn
+        if (slots(i) == null || slots(i).dead || slots(i).retiring) slots(i) = new Conn
         slots(i)
       } catch {
         case _: IOException =>
@@ -474,7 +501,12 @@ final class MultiplexedHttp2Dispatcher(
       if (conn.dead) throw new IOException("connection retired")
       sid = conn.nextStream
       conn.nextStream += 2
-      if (conn.nextStream > Int.MaxValue - 2) conn.dead = true // retire after this one
+      // stream space exhausted: RETIRE gracefully — the slot dials a
+      // replacement for the next dispatch; this connection (and this very
+      // request) keep serving until the in-flight streams drain, at which
+      // point the reader closes it. Setting `dead` here instead would
+      // spuriously fail this request and poison every in-flight sibling.
+      if (conn.nextStream > Int.MaxValue - 2) conn.retiring = true
       conn.pending.put(sid, (cf, deadlineNs))
       val reqHeaders =
         Seq(":method" -> "POST", ":scheme" -> "http",
@@ -496,14 +528,16 @@ final class MultiplexedHttp2Dispatcher(
     // poison sets dead before draining, so dead==false here means our put
     // is covered by any later drain; dead==true means nobody may drain it
     if (conn.dead && !cf.isDone) {
-      if (sid >= 0) conn.pending.remove(Integer.valueOf(sid))
+      if (sid >= 0) conn.abandon(sid)
       cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
       ()
     }
     try cf.get(rpcTimeoutMs * 2 + 1000, TimeUnit.MILLISECONDS)
     catch {
       case _: TimeoutException => // reader wedged — abandon the stream
-        if (sid >= 0) conn.pending.remove(Integer.valueOf(sid))
+        // both maps: leaving the accumulated response headers behind
+        // would grow trailerAcc forever on a long-lived flaky connection
+        if (sid >= 0) conn.abandon(sid)
         DispatchResult(graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true)
       case _: InterruptedException =>
         Thread.currentThread().interrupt()

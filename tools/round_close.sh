@@ -38,7 +38,12 @@ if [ "$SKIP_SCALE" != "--skip-scale-gate" ]; then
   echo "[round_close] 3/4 scale gate (10x replicas)"
   tools/scale_gate.sh
 else
-  echo "[round_close] 3/4 scale gate SKIPPED by flag"
+  # the header's "N/N oracle queries hash-match" claim is MEASURED by the
+  # scale gate; without it the rewrite would re-introduce the
+  # claimed-vs-measured drift this script exists to prevent
+  echo "[round_close] 3/4 scale gate SKIPPED by flag — header NOT rewritten"
+  echo "[round_close] (re-run without --skip-scale-gate to stamp SURVEY)"
+  exit 0
 fi
 
 echo "[round_close] 4/4 regenerate SURVEY §2.0 header"
