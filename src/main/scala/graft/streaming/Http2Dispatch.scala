@@ -337,7 +337,8 @@ final case class Http2DispatcherFactory(host: String, port: Int, rpcTimeoutMs: L
  * connection dies.
  */
 final class MultiplexedHttp2Dispatcher(
-    host: String, port: Int, rpcTimeoutMs: Long, connections: Int = 4)
+    host: String, port: Int, rpcTimeoutMs: Long, connections: Int = 4,
+    firstStreamId: Int = 1) // test seam: start near Int.MaxValue to reach the retirement boundary
     extends Dispatcher {
   import Http2._
   import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, TimeUnit, TimeoutException}
@@ -351,7 +352,16 @@ final class MultiplexedHttp2Dispatcher(
     sock.setTcpNoDelay(true)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16))
     val in = new DataInputStream(new java.io.BufferedInputStream(sock.getInputStream, 1 << 16))
-    var nextStream = 1 // writer-lock-guarded; client streams are odd
+    var nextStream = firstStreamId // writer-lock-guarded; client streams are odd
+    // in-flight stream cap, matching the reference's 250-streams/channel
+    // pool shape (GrpcDispatcherConfiguration.maxConcurrentStreams). NOTE
+    // on flow control: this dispatcher tracks stream COUNT, not the peer's
+    // connection/stream send windows (WINDOW_UPDATE frames are read and
+    // discarded) — a deliberate subset valid against the bundled
+    // Http2ConsumerServer, whose receive windows never shrink; a
+    // general-purpose client would also have to budget DATA bytes against
+    // SETTINGS_INITIAL_WINDOW_SIZE.
+    val inFlight = new java.util.concurrent.Semaphore(MultiplexedHttp2Dispatcher.MaxConcurrentStreams)
     val pending = new ConcurrentHashMap[Integer, (CompletableFuture[DispatchResult], Long)]()
     @volatile var dead = false
     /** Set when the 31-bit stream space runs out: the slot dials a
@@ -496,18 +506,32 @@ final class MultiplexedHttp2Dispatcher(
         case _: IOException =>
           return DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
       }
+    // per-connection concurrency cap (the reference pools channels at 250
+    // concurrent streams each — GrpcDispatcherConfiguration.java:10): a
+    // compliant server advertises SETTINGS_MAX_CONCURRENT_STREAMS and gRPC
+    // respects it; without a cap this client could exceed the peer's limit
+    // under a wide engine stage. Acquire BEFORE taking a stream id; the
+    // permit releases when the stream completes (any path — response,
+    // deadline sweep, poison — completes the future).
+    if (!conn.inFlight.tryAcquire(rpcTimeoutMs, TimeUnit.MILLISECONDS))
+      return DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+    cf.whenComplete((_, _) => conn.inFlight.release())
     var sid = -1
     try conn.synchronized {
       if (conn.dead) throw new IOException("connection retired")
       sid = conn.nextStream
       conn.nextStream += 2
+      conn.pending.put(sid, (cf, deadlineNs))
       // stream space exhausted: RETIRE gracefully — the slot dials a
       // replacement for the next dispatch; this connection (and this very
       // request) keep serving until the in-flight streams drain, at which
       // point the reader closes it. Setting `dead` here instead would
       // spuriously fail this request and poison every in-flight sibling.
+      // ORDER MATTERS: the pending.put above must precede this flag — the
+      // reader exits on (retiring && pending.isEmpty), so flag-first would
+      // let it observe the boundary request's empty window and poison the
+      // socket before the frames below are even written.
       if (conn.nextStream > Int.MaxValue - 2) conn.retiring = true
-      conn.pending.put(sid, (cf, deadlineNs))
       val reqHeaders =
         Seq(":method" -> "POST", ":scheme" -> "http",
           ":path" -> "/kafka.consumerproxy.Consumer/Dispatch",
@@ -532,18 +556,24 @@ final class MultiplexedHttp2Dispatcher(
       cf.complete(DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow))
       ()
     }
+    // every abnormal exit COMPLETES cf (a no-op if the reader won the
+    // race): the in-flight permit releases via whenComplete, so a wedged
+    // reader or an interrupt can't leak stream-cap permits
     try cf.get(rpcTimeoutMs * 2 + 1000, TimeUnit.MILLISECONDS)
     catch {
       case _: TimeoutException => // reader wedged — abandon the stream
         // both maps: leaving the accumulated response headers behind
         // would grow trailerAcc forever on a long-lived flaky connection
         if (sid >= 0) conn.abandon(sid)
-        DispatchResult(graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true)
+        val r = DispatchResult(graft.model.GrpcStatus.DEADLINE_EXCEEDED, None, overdue = true)
+        cf.complete(r); r
       case _: InterruptedException =>
         Thread.currentThread().interrupt()
-        DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+        val r = DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+        cf.complete(r); r
       case _: Exception =>
-        DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+        val r = DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+        cf.complete(r); r
     }
   }
 
@@ -555,6 +585,13 @@ final class MultiplexedHttp2Dispatcher(
       }
     }
   }
+}
+
+object MultiplexedHttp2Dispatcher {
+  /** Per-connection in-flight stream cap — the reference's channel pool
+    * runs 250 concurrent streams per channel
+    * (uforwarder/src/main/java/com/uber/data/kafka/consumerproxy/config/GrpcDispatcherConfiguration.java:10). */
+  val MaxConcurrentStreams = 250
 }
 
 /** Serializable factory for the multiplexed HTTP/2 dispatcher. */

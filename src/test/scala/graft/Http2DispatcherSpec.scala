@@ -293,6 +293,109 @@ class Http2DispatcherSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("multiplexed dispatcher: per-connection in-flight streams capped at 250 (reference's channel shape)") {
+    // A raw-frame server that ANSWERS NOTHING until the client stops
+    // sending: with 260 concurrent callers on one connection, a compliant
+    // client must stop opening streams at SETTINGS_MAX_CONCURRENT_STREAMS-
+    // scale (we cap at the reference's 250/channel); the 10 over-cap
+    // callers block on the permit and proceed only as responses free
+    // streams. Without the cap the server would see all 260 END_STREAMs
+    // before any reply.
+    val n = MultiplexedHttp2Dispatcher.MaxConcurrentStreams + 10
+    val server = new java.net.ServerSocket(0)
+    @volatile var seenBeforeReplies = -1
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        sock.setTcpNoDelay(true)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val preface = new Array[Byte](Http2.Preface.length)
+        in.readFully(preface)
+        Http2.writeFrame(out, Http2.SETTINGS, 0, 0, Array.emptyByteArray)
+        out.flush()
+        val open = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def answer(sid: Int): Unit = {
+          Http2.writeFrame(out, Http2.HEADERS, Http2.END_HEADERS, sid,
+            Http2.encodeHeaders(Seq(":status" -> "200", "content-type" -> "application/grpc")))
+          Http2.writeData(out, sid, Http2.grpcFrame(Array.emptyByteArray), endStream = false)
+          Http2.writeFrame(out, Http2.HEADERS, Http2.END_HEADERS | Http2.END_STREAM, sid,
+            Http2.encodeHeaders(Seq("grpc-status" -> "0")))
+          out.flush()
+        }
+        var quiet = false
+        var answered = 0
+        while (answered < n) {
+          val f =
+            try { sock.setSoTimeout(if (quiet) 10000 else 700); Some(Http2.readFrame(in)) }
+            catch { case _: java.net.SocketTimeoutException => None }
+          f match {
+            case Some(fr) if fr.tpe == Http2.DATA && (fr.flags & Http2.END_STREAM) != 0 =>
+              if (quiet) { answer(fr.streamId); answered += 1 }
+              else open += fr.streamId
+            case Some(_) => ()
+            case None => // the client has stopped opening streams: record and drain
+              if (!quiet) {
+                seenBeforeReplies = open.size
+                quiet = true
+                open.foreach(answer)
+                answered += open.size
+                open.clear()
+              }
+          }
+        }
+      } catch { case _: java.io.IOException => () }
+    })
+    t.setDaemon(true); t.start()
+    val d = new MultiplexedHttp2Dispatcher("127.0.0.1", server.getLocalPort,
+      rpcTimeoutMs = 30000, connections = 1)
+    try {
+      val results = new java.util.concurrent.ConcurrentHashMap[Int, DispatchResult]()
+      val ts = (0 until n).map { i =>
+        val th = new Thread(() => {
+          results.put(i, d.dispatch(DispatchRequest(s"p$i".getBytes("UTF-8"), Map.empty))); ()
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join(60000))
+      assert(results.size == n, s"only ${results.size}/$n callers completed")
+      assert(seenBeforeReplies == MultiplexedHttp2Dispatcher.MaxConcurrentStreams,
+        s"server saw $seenBeforeReplies unanswered streams — the in-flight cap " +
+          s"(${MultiplexedHttp2Dispatcher.MaxConcurrentStreams}) did not hold")
+      (0 until n).foreach(i =>
+        assert(results.get(i).statusCode == GrpcStatus.OK, s"caller $i: ${results.get(i)}"))
+    } finally { d.close(); server.close() }
+  }
+
+  test("stream-space exhaustion retires gracefully: the boundary request itself succeeds") {
+    // the r14-advisory race: `retiring` was set BEFORE the request entered
+    // `pending`, so on the exhaustion boundary the reader could observe
+    // retiring && pending.isEmpty, exit, and poison the socket before the
+    // boundary request's frames were written — spuriously failing exactly
+    // the request the graceful-retirement comment promises keeps serving.
+    // The firstStreamId seam starts one step from the 31-bit boundary.
+    val server = new Http2ConsumerServer(req =>
+      DispatchResult(GrpcStatus.OK, Some(digestOf(req.payload)), overdue = false))
+    try {
+      val d = new MultiplexedHttp2Dispatcher("127.0.0.1", server.port,
+        rpcTimeoutMs = 5000, connections = 1,
+        firstStreamId = Int.MaxValue - 2) // the NEXT take exhausts the space
+      try {
+        val p1 = "boundary".getBytes("UTF-8")
+        val r1 = d.dispatch(DispatchRequest(p1, Map.empty))
+        assert(r1.statusCode == GrpcStatus.OK && r1.action.contains(digestOf(p1)),
+          s"the stream-space boundary request failed: $r1")
+        // the retired connection is replaced for the next dispatch
+        val p2 = "after-retire".getBytes("UTF-8")
+        val r2 = d.dispatch(DispatchRequest(p2, Map.empty))
+        assert(r2.statusCode == GrpcStatus.OK && r2.action.contains(digestOf(p2)), r2.toString)
+        assert(server.acceptedConnections.get() == 2,
+          s"expected a replacement dial after retirement, saw " +
+            s"${server.acceptedConnections.get()} connections")
+      } finally d.close()
+    } finally server.close()
+  }
+
   test("engine E2E: multiplexed and sync HTTP/2 dispatchers route every record identically") {
     val server = new Http2ConsumerServer(req => {
       val off = req.headers("kafka-offset").toLong
