@@ -2841,6 +2841,175 @@ object SimilarityOps {
        |FROM cc, tt ORDER BY cc.cid""".stripMargin).replace("\n", " ")
 
   // ===========================================================
+  // q174 — IVF cell-split EXECUTION (q113's audit acted on): the
+  // audit→execution bridge pattern (q151/q155/q157/q158/q159's shape)
+  // applied to index maintenance. q113 FLAGS over-grown cells; this pass
+  // actually re-trains them — a LOCAL K=2 Lloyd inside each flagged
+  // cell, every other centroid frozen (FAISS's split discipline: cell
+  // membership is already partitioned, so the split never touches
+  // un-flagged cells' vectors). Trigger: any cell strictly over the
+  // mean (size × n_cells > total) — the maintenance cadence splits
+  // proactively at over-mean, a strict superset of q113's 2×-mean ALERT
+  // flag (which a balanced-but-growing index never trips even as every
+  // cell doubles). Output: per (flagged cell, sub-cell) the before/after
+  // sizes and inertias — q169's migration-matrix shape scoped to the
+  // flagged cells (sub-cell sizes ARE the moved-vector matrix: every
+  // member moves old cell → one of its two children).
+  //
+  // Scale path: training is bounded to the FLAGGED cells' members (the
+  // member→flagged semi-join prunes the corpus before any vector data
+  // moves); the sub-centroid table is 2×|flagged| rows — driver-resident
+  // like every centroid table here — so assignment is one map-only
+  // codegen'd nearest_centroid whose per-row book is selected from a
+  // literal by cell; each local-Lloyd round's distributed work is one
+  // (cell, sub, dim) partial-sum aggregate. The cell-count trigger is a
+  // K-row collect (K ≤ 10⁵, the same bound as the centroids). Nothing
+  // corpus-sized shuffles; un-flagged cells are never read.
+  // ===========================================================
+  def q174IvfSplitExec(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+    // same frozen base model as q113 — the index under maintenance
+    val (centFinal, assignedBase) =
+      storedIvfModel(spark, dir, "mod10ne9", _.filter(col("vec_id") % 10 =!= 9))
+    val newAssigned = all.filter(col("vec_id") % 10 === 9)
+      .withColumn("best", graft.plans.NearestCentroid.nearest_centroid(
+        col("qv"), typedlit(driverCents(centFinal))))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    // the index's current membership: base assignment + the q113-absorbed
+    // arrival batch. Scanned by the trigger, the training, and the
+    // before-inertia — checkpoint once.
+    val member = assignedBase.select(col("vec_id"), col("cid"))
+      .unionByName(newAssigned).localCheckpoint()
+    // over-mean trigger on the K-row cell-count table (driver arithmetic —
+    // exact integers, no totals crossJoin needed)
+    val cellCounts = member.groupBy("cid").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val tot = cellCounts.map(_._2).sum
+    val nCells = cellCounts.length
+    val flagged: Seq[Int] =
+      cellCounts.filter { case (_, n) => n * nCells > tot }.map(_._1).sorted.toSeq
+    // flagged cells' members WITH their vectors — the training set, and
+    // the ONLY vector data this query reads beyond the arrival assignment
+    val fv = member.filter(col("cid").isin(flagged: _*))
+      .join(all, Seq("vec_id")).localCheckpoint()
+    // local K=2 Lloyd per flagged cell: init = the 2 lowest member ids
+    // (kmeansTrainOn's subset seed rule), sub-centroids keyed (cell, sub)
+    val wInit = Window.partitionBy("cid").orderBy("vec_id")
+    var books: Map[Int, Seq[(Int, Seq[Long])]] = fv
+      .withColumn("rn", row_number().over(wInit)).filter(col("rn") <= 2)
+      .select(col("cid"), (col("rn") - 1).cast("int").as("sub"), col("qv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+      .groupBy(_._1).map { case (cid, rs) =>
+        (cid, rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+      }
+    // per-row book selection from ONE literal (the pqTrainOn discipline):
+    // generated code size independent of how many cells are flagged
+    def subAssigned(bks: Map[Int, Seq[(Int, Seq[Long])]]): DataFrame = {
+      val booksLit = typedlit(flagged.map(bks(_)))
+      fv.withColumn("best", graft.plans.NearestCentroid.nearest_centroid(col("qv"),
+          element_at(booksLit, array_position(typedlit(flagged), col("cid")).cast("int"))))
+        .select(col("vec_id"), col("cid"), col("qv"),
+          col("best.cid").as("sub"), col("best.d2").as("d2"))
+    }
+    for (_ <- 1 to KmeansIters) {
+      val sums = subAssigned(books)
+        .select(col("cid"), col("sub"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy("cid", "sub", "pos")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      books = sums.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        (cid, rs.groupBy(_.getInt(1)).toSeq.map { case (sub, rows) =>
+          (sub, rows.sortBy(_.getInt(2)).map(r =>
+            math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong).toSeq)
+        }.sortBy(_._1))
+      }
+    }
+    val after = subAssigned(books).groupBy("cid", "sub")
+      .agg(count(lit(1)).as("n_after"), sum("d2").as("inertia_after"))
+    // the cell's PRE-split inertia against the frozen centroid it splits:
+    // exact integer d2 = |v|² + |c|² − 2·v·c via the codegen'd dot
+    val ib = member.filter(col("cid").isin(flagged: _*))
+      .join(all, Seq("vec_id"))
+      .join(broadcast(centFinal), Seq("cid"))
+      .withColumn("d2",
+        graft.plans.ArrayDot.array_dot(col("qv"), col("qv")) +
+          graft.plans.ArrayDot.array_dot(col("cq"), col("cq")) -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("qv"), col("cq")))
+      .groupBy("cid").agg(sum("d2").as("inertia_before"))
+    val nb = spark.createDataFrame(flagged.map(c =>
+        (c, cellCounts.toMap.apply(c)))).toDF("cid", "n_before")
+    after
+      .join(broadcast(nb), Seq("cid"))
+      .join(broadcast(ib), Seq("cid"))
+      .select(col("cid"), col("sub").as("sub_cid"), col("n_before"),
+        col("n_after"), col("inertia_before"), col("inertia_after"))
+      .orderBy("cid", "sub_cid")
+  }
+
+  /** q174 oracle: the same base training + arrival assignment as q113Sql,
+    * then the over-mean trigger and a per-cell K=2 Lloyd keyed (cell,
+    * sub) — pqAssignCte/pqUpdateCte's keyed-Lloyd pattern with the
+    * subspace key replaced by the cell. */
+  val q174Sql: String = {
+    def saCte(prev: String, out: String) =
+      s""" ${out}_d AS (SELECT fv.vec_id, fv.cid, fv.qv, c.sub,
+         |   list_reduce(list_transform(range(1, len(fv.qv) + 1),
+         |     i -> (fv.qv[i] - c.cq[i]) * (fv.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+         |  FROM fv JOIN $prev c USING (cid)),
+         | $out AS MATERIALIZED (SELECT vec_id, cid, qv, sub, d2 FROM (SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, sub) AS rn FROM ${out}_d)
+         |  WHERE rn = 1)""".stripMargin
+    def scCte(assigned: String, out: String) =
+      s""" ${out}_s AS (SELECT a.cid, a.sub, p.pos,
+         |   CAST(floor(CAST(SUM(a.qv[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM $assigned a, LATERAL (SELECT unnest(range(1, len(a.qv) + 1)) AS pos) p
+         |  GROUP BY a.cid, a.sub, p.pos),
+         | $out AS MATERIALIZED (SELECT cid, sub, list(c ORDER BY pos) AS cq
+         |  FROM ${out}_s GROUP BY cid, sub)""".stripMargin
+    val rounds = (1 to KmeansIters).map(i =>
+      saCte(if (i == 1) "sc0" else s"sc${i - 1}", s"sa$i") + "," +
+        scCte(s"sa$i", s"sc$i")).mkString(",")
+    (kmeansCtesFrom(
+      s"""all0 AS (SELECT vec_id,
+         |   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         | e AS (SELECT * FROM all0 WHERE vec_id % 10 <> 9),
+         | nb AS (SELECT * FROM all0 WHERE vec_id % 10 = 9)""".stripMargin) +
+    s""",
+       | nbd AS (SELECT nb.vec_id, c.cid,
+       |   list_reduce(list_transform(range(1, len(nb.qv) + 1),
+       |     i -> (nb.qv[i] - c.cq[i]) * (nb.qv[i] - c.cq[i])), (s, x) -> s + x) AS d2
+       |  FROM nb, c$KmeansIters c),
+       | na AS (SELECT vec_id, cid FROM (SELECT *,
+       |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM nbd)
+       |  WHERE rn = 1),
+       | mem AS (SELECT vec_id, cid FROM af UNION ALL SELECT vec_id, cid FROM na),
+       | cnts AS (SELECT cid, COUNT(*) AS n FROM mem GROUP BY cid),
+       | ctt AS (SELECT SUM(n) AS tot, COUNT(*) AS n_cells FROM cnts),
+       | flg AS (SELECT cid, n AS n_before FROM cnts, ctt WHERE n * n_cells > tot),
+       | fv AS MATERIALIZED (SELECT m.vec_id, m.cid, a.qv
+       |  FROM mem m JOIN flg USING (cid) JOIN all0 a USING (vec_id)),
+       | sc0 AS (SELECT cid, sub, qv AS cq FROM (SELECT cid, qv,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS INTEGER) - 1 AS sub
+       |  FROM fv) WHERE sub <= 1),
+       |$rounds,
+       |${saCte(s"sc$KmeansIters", "saf")},
+       | aft AS (SELECT cid, sub, COUNT(*) AS n_after,
+       |   CAST(SUM(d2) AS BIGINT) AS inertia_after FROM saf GROUP BY cid, sub),
+       | ib AS (SELECT m.cid, CAST(SUM(
+       |   list_reduce(list_transform(range(1, len(a.qv) + 1),
+       |     i -> (a.qv[i] - c.cq[i]) * (a.qv[i] - c.cq[i])), (s, x) -> s + x)) AS BIGINT)
+       |   AS inertia_before
+       |  FROM mem m JOIN flg USING (cid) JOIN all0 a USING (vec_id)
+       |   JOIN c$KmeansIters c USING (cid) GROUP BY m.cid)
+       |SELECT aft.cid, aft.sub AS sub_cid, flg.n_before, aft.n_after,
+       | ib.inertia_before, aft.inertia_after
+       |FROM aft JOIN flg USING (cid) JOIN ib USING (cid)
+       |ORDER BY cid, sub_cid""").stripMargin.replace("\n", " ")
+  }
+
+  // ===========================================================
   // q120 — cross-modal retrieval evaluation (the CLIP-eval shape: does
   // each caption retrieve its OWN media?): every query caption's hashed
   // 8-dim text vector scores all pooled media vectors by integer dot
@@ -3858,6 +4027,7 @@ object SimilarityOps {
     "q120_crossmodal_retrieval" -> (q120CrossmodalRetrieval _),
     "q112_crossmodal_align" -> (q112CrossmodalAlign _),
     "q113_ivf_maintenance" -> (q113IvfMaintenance _),
+    "q174_ivf_split_exec" -> (q174IvfSplitExec _),
     "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
@@ -4103,6 +4273,7 @@ object SimilarityOps {
     "q120_crossmodal_retrieval" -> q120Sql,
     "q112_crossmodal_align" -> q112Sql,
     "q113_ivf_maintenance" -> q113Sql,
+    "q174_ivf_split_exec" -> q174Sql,
     "q97_ann_mrr" -> q97Sql,
     "q40_ann_cosine" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,

@@ -292,6 +292,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q174 splits exactly the over-mean cells and conserves their membership") {
+    val audit = SparkEntry.queries("q113_ivf_maintenance")(spark, dir).collect()
+    val totalAll = audit.map(r => r.getLong(1) + r.getLong(2)).sum
+    val nCells = audit.length
+    // the execution trigger: strictly-over-mean cells — a superset of the
+    // 2x-mean needs_split ALERT (every flagged cell is a fortiori over mean)
+    val expected = audit.filter(r =>
+      (r.getLong(1) + r.getLong(2)) * nCells > totalAll).map(r => r.getInt(0)).toSet
+    val alerted = audit.filter(_.getLong(4) == 1L).map(_.getInt(0)).toSet
+    assert(alerted.subsetOf(expected), "needs_split cells must all be split")
+
+    val rows = SparkEntry.queries("q174_ivf_split_exec")(spark, dir).collect()
+    assert(rows.nonEmpty, "no cell was over mean — the trigger is degenerate on this corpus")
+    val byCell = rows.groupBy(_.getInt(0))
+    assert(byCell.keySet == expected,
+      s"split set ${byCell.keySet} != over-mean set $expected")
+    val auditSize = audit.map(r => r.getInt(0) -> (r.getLong(1) + r.getLong(2))).toMap
+    byCell.foreach { case (cid, subs) =>
+      // membership conservation: the sub-cells partition the old cell —
+      // the per-(cell, sub) sizes ARE the moved-vector matrix
+      assert(subs.map(_.getLong(3)).sum == subs.head.getLong(2),
+        s"cell $cid: sub-cell sizes do not sum to n_before")
+      assert(subs.head.getLong(2) == auditSize(cid),
+        s"cell $cid: n_before disagrees with the q113 audit")
+      assert(subs.map(_.getInt(1)).sorted.toSeq == subs.indices.toSeq,
+        s"cell $cid: sub-cell labels not dense from 0")
+      // a 2-way local Lloyd over the members can only tighten the cell
+      // (each member's nearest-of-2 distance <= its old single-centroid
+      // distance whenever the old centroid's mass is split around it)
+      assert(subs.map(_.getLong(5)).sum <= subs.head.getLong(4),
+        s"cell $cid: split INCREASED inertia — the local Lloyd regressed")
+    }
+  }
+
   test("q120 reports one bounded rank row per query with consistent hit/mrr") {
     val rows = SparkEntry.queries("q120_crossmodal_retrieval")(spark, dir).collect()
     val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
