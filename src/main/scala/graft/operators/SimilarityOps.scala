@@ -476,6 +476,31 @@ object SimilarityOps {
           .stripMargin.replace("\n", " ")).as("ids"))
   }
 
+  /** COMPACTION for the rolled band state after curation REMOVES
+    * documents (the r14 gap: nothing ever shrank the state). Each ≤cap
+    * bucket's member list filters against the live-document set — an
+    * EXACT operation, because a non-tombstoned bucket's list is its
+    * complete membership — and buckets emptied entirely drop.
+    * Length-(cap+1) TOMBSTONES pass through UNCHANGED: their membership
+    * beyond the stored smallest cap+1 is unknown, so filtering would
+    * fabricate a live-looking bucket out of a degenerate one; the
+    * serving rule must keep treating that signature as no-signal. The
+    * tombstone residue is the price of the O(day) roll — the periodic
+    * full rebuild (q41's batch pass, run at a long cadence) is what
+    * retires it.
+    *
+    * Scale path: one explode + doc-id semi-join + band-keyed re-group —
+    * state-sized work, never corpus-sized, no driver traffic. */
+  private[graft] def compactBandState(state: DataFrame, liveIds: DataFrame): DataFrame = {
+    val tombstones = state.filter(size(col("ids")) === MaxBucketSize + 1)
+    val compacted = state.filter(size(col("ids")) <= MaxBucketSize)
+      .select(col("band"), col("band_sig"), explode(col("ids")).as("doc_id"))
+      .join(liveIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    compacted.unionByName(tombstones)
+  }
+
   /** One day's incremental near-dup verdicts (q161's dataflow with the
     * probe table passed in): arrivals' bands probe `probe` by equi-join,
     * within-day candidates come from the arrivals' own capped buckets,

@@ -1062,6 +1062,92 @@ class QueriesSpec extends AnyFunSuite {
     assert(c.values.map(_.getLong(11)).sum > 0, "no novel types — stage D vacuous")
   }
 
+  test("N-day roll: 4-day fold ≡ full recompute at every step, state bounded, compaction shrinks it") {
+    // q171 proves a 2-day roll; production runs the fold for months. This
+    // chains FOUR arrival days through the rolled band state and asserts
+    // at EVERY step that the rolled state is row-identical to a from-
+    // scratch rebuild over (base ∪ all kept arrivals so far) — the
+    // smallest-k merge is exact under iteration, not just one fold — and
+    // that the state stays bounded: rows ≤ distinct (band, band_sig) of
+    // the union corpus, tombstone count monotone. Then curation removes a
+    // slice of the corpus and compactBandState must shrink the state to
+    // exactly the live-corpus rebuild (no tombstones exist on this data,
+    // so compaction is fully exact here; the synthetic test below pins
+    // the tombstone pass-through rule).
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.SimilarityOps
+    val sig = ops.q41Sig(spark, dir).localCheckpoint()
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getString(1), r.getSeq[Long](2).toList)
+    def stateSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "band_sig", "ids").collect().map(keyOf).toSet
+    def tombs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(size(col("ids")) === ops.MaxBucketSize + 1).count()
+
+    val baseSig = sig.filter(col("doc_id") % 6 >= 4)
+    var state = ops.bandState(baseSig).localCheckpoint()
+    var corpusSig = baseSig // base ∪ kept arrivals folded so far
+    var lastTombs = tombs(state)
+    (0 to 3).foreach { day =>
+      val daySig = sig.filter(col("doc_id") % 6 === day)
+      val verdicts = ops.incrementalDayVerdicts(spark, dir, daySig,
+        ops.probeBuckets(state), c => c % 6 === day)
+      val kept = verdicts.filter(col("status") === "kept").select("doc_id")
+      assert(kept.count() > 0, s"day $day kept nothing — the fold is untested")
+      val keptSig = daySig.join(kept, Seq("doc_id"), "left_semi")
+      state = ops.rollBandState(state, keptSig).localCheckpoint()
+      corpusSig = corpusSig.unionByName(keptSig)
+      // roll ≡ recompute, exactly, at THIS step (not just at the end)
+      val rebuilt = ops.bandState(corpusSig)
+      assert(stateSet(state) == stateSet(rebuilt),
+        s"day $day: rolled state diverged from the from-scratch rebuild")
+      // bounded: one row per distinct (band, band_sig) of the union corpus
+      val distinctKeys = ops.bandedSigs(corpusSig, ops.BandSize)
+        .select("band", "band_sig").distinct().count()
+      assert(state.count() <= distinctKeys)
+      val t = tombs(state)
+      assert(t >= lastTombs, s"day $day: tombstone count shrank ($lastTombs -> $t)")
+      lastTombs = t
+    }
+
+    // curation removes a deterministic slice; compaction = exact rebuild
+    // over the live corpus (every bucket's membership list is complete
+    // here — no tombstones on this corpus)
+    val liveSig = corpusSig.filter(col("doc_id") % 7 =!= 0)
+    val removed = corpusSig.select("doc_id").distinct().count() -
+      liveSig.select("doc_id").distinct().count()
+    assert(removed > 0, "curation removed nothing — compaction untested")
+    val compacted = ops.compactBandState(state, liveSig.select("doc_id").distinct())
+    assert(stateSet(compacted) == stateSet(ops.bandState(liveSig)),
+      "compacted state != live-corpus rebuild")
+    assert(compacted.count() <= state.count())
+  }
+
+  test("compaction passes tombstones through unchanged and drops emptied buckets") {
+    // the tombstone rule, pinned synthetically (real buckets top out far
+    // below the cap on this corpus): a length-(cap+1) tombstone's true
+    // membership is unknown, so compaction must NOT filter it — a
+    // filtered tombstone would re-admit a duplicate of the unknown
+    // members as "kept"; emptied ≤cap buckets vanish; survivors filter
+    // exactly and stay sorted
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ops = graft.operators.SimilarityOps
+    val cap = ops.MaxBucketSize
+    val state = Seq(
+      (0, "t", (1L to (cap + 1).toLong).toSeq), // tombstone
+      (0, "a", Seq(2L, 3L, 9L)),
+      (1, "b", Seq(4L)),
+      (1, "c", Seq(2L, 6L))
+    ).toDF("band", "band_sig", "ids")
+    val live = Seq(2L, 3L, 6L, 100L).toDF("doc_id")
+    val out = ops.compactBandState(state, live)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2).toList)).toSet
+    assert(out == Set(
+      (0, "t", (1L to (cap + 1).toLong).toList), // untouched: membership unknown
+      (0, "a", List(2L, 3L)),                    // 9 removed, order kept
+      (1, "c", List(2L, 6L))))                   // bucket "b" emptied → dropped
+  }
+
   test("q169 migration matrix marginals reconcile with the curated corpus and both indexes") {
     // the matrix's total mass must be exactly the curated-corpus size
     // (every curated vector appears once), its row marginals the OLD
