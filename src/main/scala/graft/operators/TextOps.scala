@@ -22,9 +22,10 @@ object TextOps {
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** normalized text: lowercase, whitespace squeezed, trimmed.
-    * Package-visible so composite pipelines (q38) use the SAME
-    * normalization as the dedup/fingerprint operators. */
-  private[operators] def norm =
+    * Graft-visible so composite pipelines (q38) AND the streaming twins
+    * (IngestFunnel's exact-dedup digest) use the SAME normalization as
+    * the dedup/fingerprint operators. */
+  private[graft] def norm =
     trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
   private[operators] val normSql =
     "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'))"

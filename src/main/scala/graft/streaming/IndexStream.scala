@@ -37,7 +37,8 @@ object IndexStream {
     * watermark) — how the spec cross-checks stream ≡ batch. */
   def windowedCellLoad(df: DataFrame, eventTimeCol: String, windowLength: String,
                        watermarkDelay: String, centroids: Seq[(Int, Seq[Long])],
-                       baseCounts: Map[Int, Long], splitFactor: Long): DataFrame = {
+                       baseCounts: Map[Int, Long], splitFactor: Long,
+                       extraKeys: Seq[String] = Nil): DataFrame = {
     require(centroids.nonEmpty, "need a trained centroid table")
     require(baseCounts.nonEmpty,
       "need the trained base distribution (an empty baseline would flag every cell)")
@@ -51,7 +52,9 @@ object IndexStream {
         expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))"))
       .withColumn("cid",
         graft.plans.NearestCentroid.nearest_centroid(col("qv"), typedlit(centroids))("cid"))
-      .groupBy(window(col(eventTimeCol), windowLength), col("cid"))
+      // extraKeys (e.g. source) subdivide the per-cell load for funnel
+      // rollups without a second pass; the default shape is unchanged
+      .groupBy(window(col(eventTimeCol), windowLength) +: extraKeys.map(col) :+ col("cid"): _*)
       .agg(count(lit(1)).as("n_new"))
       .withColumn("n_base", coalesce(element_at(baseLit, col("cid")), lit(0L)))
       .withColumn("growth_permille", expr("n_new * 1000 DIV greatest(n_base, 1L)"))
@@ -59,8 +62,8 @@ object IndexStream {
       // multiply through by the cell count instead of truncating the mean
       .withColumn("needs_split",
         (col("n_base") + col("n_new")) * lit(nCells) > lit(splitFactor * totBase))
-      .select(col("window.start").as("window_start"),
-        col("cid").cast("string").as("cell"),
-        col("n_new"), col("n_base"), col("growth_permille"), col("needs_split"))
+      .select(col("window.start").as("window_start") +: extraKeys.map(col) :+
+        col("cid").cast("string").as("cell") :+
+        col("n_new") :+ col("n_base") :+ col("growth_permille") :+ col("needs_split"): _*)
   }
 }

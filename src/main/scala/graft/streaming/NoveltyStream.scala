@@ -46,16 +46,18 @@ object NoveltyStream {
   final case class Hist(bits: Array[Long], trigger: Long, cumNovel: Long, setBits: Long)
 
   /** 60-bit gram digests for `text`, q138's gram definition: lowercased
-    * whitespace tokens, 3-gram, md5 → first 15 hex digits. */
-  def gramHashes(df: DataFrame): DataFrame =
+    * whitespace tokens, 3-gram, md5 → first 15 hex digits. `carry` names
+    * extra input columns to keep on the output (e.g. the event-time
+    * column, so a funnel stage can watermark the gram stream). */
+  def gramHashes(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
     df.withColumn("toks",
         regexp_extract_all(lower(col("text")), lit(graft.operators.TextOps.wsTokenRe), lit(0)))
       .filter(size(col("toks")) >= 3)
-      .select(col("source"), explode(expr(
+      .select(col("source") +: carry.map(col) :+ explode(expr(
         """transform(sequence(1, size(toks) - 2),
           |  i -> CAST(conv(substring(md5(CAST(concat_ws(' ', element_at(toks, i),
           |    element_at(toks, i + 1), element_at(toks, i + 2)) AS BINARY)),
-          |    1, 15), 16, 10) AS BIGINT))""".stripMargin)).as("h"))
+          |    1, 15), 16, 10) AS BIGINT))""".stripMargin)).as("h"): _*)
 
   /** Monitor novelty per source over `docs` (columns: source, text).
     * `numBits` must be a positive multiple of 64. Requires the RocksDB
