@@ -108,17 +108,17 @@ object Bench {
     // the JSON instead of masquerading as a round-over-round regression —
     // round 4's recorded ~1.17x uniform slowdown was exactly this blind
     // spot.
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("pmod(h, 1024) AS k", "h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     def sanityProbe(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 20000000L, 1L, 32)
-          .selectExpr("xxhash64(id) AS h")
-          .selectExpr("pmod(h, 1024) AS k", "h")
-          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h")).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // compile/JIT once, unmeasured
-      (1 to 3).map(_ => once()).min
+      probeOnce() // compile/JIT once, unmeasured
+      (1 to 3).map(_ => probeOnce()).min
     }
     // JIT code-cache occupancy (MB): the suite + streaming legs compile
     // thousands of codegen classes; if the reserved code cache fills, the
@@ -506,13 +506,25 @@ object Bench {
             System.err.println(s"[bench] $name rep failed: ${e.getMessage}"); 0.0
         }
       }.getOrElse(0.0)
+    // Per-rep HOST-PHASE TAGS (r14 verdict #2): the official r14 board was
+    // depressed by host interference the notes could only diagnose after
+    // the fact — all three wire forms' reps collapsed and recovered
+    // TOGETHER, including the unchanged sync leg. Detection is now built
+    // IN: one probeOnce() reading is recorded immediately after every rep
+    // of every leg (same host phase as the rep it tags), the arrays ship
+    // in the JSON, and each leg also reports a CLEAN median over the reps
+    // whose probe stayed within DegradedFactor of the run's best probe —
+    // so an interference-hit rep is visible in the artifact itself instead
+    // of silently dragging the official median.
+    val DegradedFactor = 1.4
     val legPairs = (1 to 5).map { _ =>
       coolDown(); val m = safeRep(memLegThunk, "memory-stream")
       coolDown(); val c = safeRep(queueLegThunk, "queue-connector")
-      (m, c)
+      (m, c, probeOnce())
     }
     val streamReps = legPairs.map(_._1)
     val queueStreamReps = legPairs.map(_._2)
+    val streamPairProbes = legPairs.map(_._3)
 
     // the broker is a JVM-global object: leave it empty so the last
     // rep's replayed corpus doesn't occupy heap during the query suite
@@ -555,6 +567,8 @@ object Bench {
       private var closeServer: () => Unit = () => ()
       private var run: () => Double = () => 0.0
       val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // one host-phase probe reading per rep, recorded right after it
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       def open(): Unit =
         try {
           val (port, closer) = mkServer(_ =>
@@ -612,9 +626,9 @@ object Bench {
     if (!legsOnly && onlyQuery.isEmpty) {
       socketSyncLeg.open(); socketLeg.open(); h2Leg.open()
       (1 to 5).foreach { _ =>
-        coolDown(); socketSyncLeg.rep()
-        coolDown(); socketLeg.rep()
-        coolDown(); h2Leg.rep()
+        coolDown(); socketSyncLeg.rep(); socketSyncLeg.probes += probeOnce()
+        coolDown(); socketLeg.rep(); socketLeg.probes += probeOnce()
+        coolDown(); h2Leg.rep(); h2Leg.probes += probeOnce()
       }
       socketSyncLeg.close(); socketLeg.close(); h2Leg.close()
     }
@@ -640,6 +654,7 @@ object Bench {
     // across the two sizes like every other paired leg here.
     class ByteLeg(val payloadBytes: Int, nRecords: Int) {
       val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
       private var closeServer: () => Unit = () => ()
       private var cached: org.apache.spark.sql.Dataset[graft.streaming.ForwardingEngine.KafkaRecord] = null
       private var run: () => Double = () => 0.0
@@ -691,8 +706,8 @@ object Bench {
     if (!legsOnly && onlyQuery.isEmpty) {
       byteLeg1k.open(); byteLeg16k.open()
       (1 to 3).foreach { _ =>
-        coolDown(); byteLeg1k.rep()
-        coolDown(); byteLeg16k.rep()
+        coolDown(); byteLeg1k.rep(); byteLeg1k.probes += probeOnce()
+        coolDown(); byteLeg16k.rep(); byteLeg16k.probes += probeOnce()
       }
       byteLeg1k.close(); byteLeg16k.close()
     }
@@ -719,9 +734,15 @@ object Bench {
         }
       }.getOrElse(SustainStats.zero)
     coolDown()
+    // a 60 s window can straddle a host-phase shift the rep tags can't
+    // see — bracket each window with its own probe pair
+    val susStreamProbePre = probeOnce()
     val susStreamStats = safeSustain(memSustainThunk, "memory-stream")
+    val susStreamProbePost = probeOnce()
     coolDown()
+    val susQueueProbePre = probeOnce()
     val susQueueStats = safeSustain(queueSustainThunk, "queue-connector")
+    val susQueueProbePost = probeOnce()
     graft.sources.GraftBroker.reset()
     val (susStream, susStreamFirst, susStreamLast) =
       (susStreamStats.whole, susStreamStats.first, susStreamStats.last)
@@ -754,7 +775,7 @@ object Bench {
     // The tracked value is the MEDIAN OF PER-PAIR ratios from the
     // interleaved reps: each pair shares one host-load regime, so the ratio
     // tracks protocol overhead, not drift between two sequential blocks.
-    val pairRatios = legPairs.collect { case (m, c) if m > 0 && c > 0 => c / m }
+    val pairRatios = legPairs.collect { case (m, c, _) if m > 0 && c > 0 => c / m }
     val queueRatio = median(pairRatios)
     val ratioMin = sys.env.get("SPARK_GRAFT_QUEUE_RATIO_MIN")
       .flatMap(_.toDoubleOption).getOrElse(0.6)
@@ -764,6 +785,26 @@ object Bench {
     // this JSON is unreliable
     val sanityEnd = sanityProbe()
     val (ccEnd, _) = codeCacheMb()
+
+    // degraded-rep accounting from the per-rep tags: the run's BEST TAG is
+    // the host's clean capacity; any rep whose tag exceeds it by
+    // DegradedFactor ran in a degraded phase. Clean medians exclude those
+    // reps; the raw arrays ship so the exclusion is auditable. Only the
+    // single-shot tags enter the baseline — the min-of-3 sanity probes
+    // read systematically lower than a single shot taken right after a
+    // heavy leg (GC/JIT residue), and mixing them in flags healthy reps.
+    val allProbes = (socketSyncLeg.probes ++ socketLeg.probes ++ h2Leg.probes ++
+      byteLeg1k.probes ++ byteLeg16k.probes ++ streamPairProbes ++
+      Seq(susStreamProbePre, susStreamProbePost,
+        susQueueProbePre, susQueueProbePost)).filter(_ > 0)
+    val probeBase = if (allProbes.isEmpty) 0.0 else allProbes.min
+    def isDegraded(p: Double): Boolean = probeBase > 0 && p > probeBase * DegradedFactor
+    def cleanMedian(reps: Seq[Double], probes: Seq[Double]): Double = {
+      val ok = reps.zip(probes)
+        .collect { case (r, p) if r > 0 && !isDegraded(p) => r }.sorted
+      if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+    }
+    val degradedTotal = allProbes.count(isDegraded)
 
     // One compact JSON line. Rounding keeps the line SHORT enough to
     // survive log-tail capture windows intact (full-precision doubles for
@@ -803,7 +844,7 @@ object Bench {
       sustainJson("sustained_stream", susStreamStats) + "," +
         sustainJson("sustained_queue", susQueueStats) + ","
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"socket_sync_forward_msgs_per_sec":${r1(socketSyncFwdRate)},"socket_sync_forward_msgs_per_sec_median":${r1(socketSyncLeg.median)},"socket_sync_forward_reps":${socketSyncLeg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"socket_forward_probe_sec":${socketLeg.probes.map(r4).mkString("[", ",", "]")},"socket_forward_msgs_per_sec_median_clean":${r1(cleanMedian(socketLeg.reps.toSeq, socketLeg.probes.toSeq))},"socket_forward_form":"pipelined","socket_sync_forward_msgs_per_sec":${r1(socketSyncFwdRate)},"socket_sync_forward_msgs_per_sec_median":${r1(socketSyncLeg.median)},"socket_sync_forward_reps":${socketSyncLeg.reps.map(r1).mkString("[", ",", "]")},"socket_sync_forward_probe_sec":${socketSyncLeg.probes.map(r4).mkString("[", ",", "]")},"socket_sync_forward_msgs_per_sec_median_clean":${r1(cleanMedian(socketSyncLeg.reps.toSeq, socketSyncLeg.probes.toSeq))},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_probe_sec":${h2Leg.probes.map(r4).mkString("[", ",", "]")},"http2_forward_msgs_per_sec_median_clean":${r1(cleanMedian(h2Leg.reps.toSeq, h2Leg.probes.toSeq))},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_probe_sec_1k":${byteLeg1k.probes.map(r4).mkString("[", ",", "]")},"wire_bytes_per_sec_1k_median_clean":${r1(cleanMedian(byteLeg1k.reps.toSeq, byteLeg1k.probes.toSeq))},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_probe_sec_16k":${byteLeg16k.probes.map(r4).mkString("[", ",", "]")},"wire_bytes_per_sec_16k_median_clean":${r1(cleanMedian(byteLeg16k.reps.toSeq, byteLeg16k.probes.toSeq))},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"stream_pair_probe_sec":${streamPairProbes.map(r4).mkString("[", ",", "]")},"stream_msgs_per_sec_median_clean":${r1(cleanMedian(streamReps, streamPairProbes))},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec_median_clean":${r1(cleanMedian(queueStreamReps, streamPairProbes))},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sustained_stream_probe_pre_sec":${r4(susStreamProbePre)},"sustained_stream_probe_post_sec":${r4(susStreamProbePost)},"sustained_queue_probe_pre_sec":${r4(susQueueProbePre)},"sustained_queue_probe_post_sec":${r4(susQueueProbePost)},"probe_base_sec":${r4(probeBase)},"degraded_factor":$DegradedFactor,"degraded_reps_total":$degradedTotal,"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
