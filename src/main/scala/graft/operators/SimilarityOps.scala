@@ -642,6 +642,91 @@ object SimilarityOps {
        |ORDER BY day, source""").stripMargin.replace("\n", " ")
 
   // ===========================================================
+  // q176 — state COMPACTION after curation (the roll's other half):
+  // q171 proves the band state GROWS correctly; production also REMOVES
+  // documents (curation, erasure) and the state must shrink to match the
+  // live corpus — today's near-dup verdicts must not cite docs curation
+  // already deleted. The chain: base snapshot (doc_id % 5 ∉ {0, 1}) →
+  // day-1 arrivals (% 5 = 0) dedup against it (q161's dataflow) → kept
+  // day-1 docs ROLL into the state (q171's fold) → curation removes
+  // doc_id % 7 = 0 from the accumulated corpus → compactBandState
+  // filters every complete bucket's member list against the live set
+  // (exact — a ≤cap list is full membership), drops emptied buckets, and
+  // passes length-(cap+1) TOMBSTONES through unchanged (their membership
+  // is truncated; filtering would fabricate a live-looking bucket from a
+  // degenerate one). Output: the compacted state summarized per band —
+  // bucket/tombstone/member counts and the exact member-id sum, so any
+  // divergence in any bucket's membership moves the hash.
+  //
+  // The oracle rebuilds the post-compaction state FROM SCRATCH over
+  // (base ∪ kept day 1): capped sorted lists per bucket, tombstones
+  // marked where the TRUE bucket size exceeds the cap (kept as their
+  // capped lists), live-filtering applied only to complete buckets —
+  // so the hash compare proves roll + compact ≡ recompute-and-compact,
+  // tombstone rule included.
+  //
+  // Scale path: one signature pass feeds everything; the roll is the
+  // q171 band-keyed merge; compaction is STATE-sized work (explode +
+  // doc-id semi-join + band-keyed regroup) — never corpus-sized; the
+  // summary reduces to 4 band rows map-side.
+  // ===========================================================
+  def q176RollCompact(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val baseSig = sig.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val day1Sig = sig.filter(col("doc_id") % 5 === 0)
+    val state0 = bandState(baseSig).localCheckpoint()
+    val d1 = incrementalDayVerdicts(spark, dir, day1Sig,
+      probeBuckets(state0), c => c % 5 === 0)
+    val kept1Sig = day1Sig.join(
+      d1.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"), "left_semi")
+    val state1 = rollBandState(state0, kept1Sig)
+    val live = baseSig.select("doc_id").unionByName(kept1Sig.select("doc_id"))
+      .filter(col("doc_id") % 7 =!= 0).distinct()
+    compactBandState(state1, live)
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(size(col("ids")) === MaxBucketSize + 1, 1L).otherwise(0L))
+          .as("n_tombstones"),
+        sum(size(col("ids")).cast("long")).as("n_members"),
+        sum(expr("aggregate(ids, 0L, (s, x) -> s + x)")).as("sum_ids"))
+      .orderBy("band")
+  }
+
+  /** q176 oracle: day 1's verdicts via q171's chain, then the
+    * post-compaction state rebuilt from scratch — capped sorted member
+    * lists over (base ∪ kept day 1), tombstones = true-size > cap kept
+    * as their capped lists, complete buckets live-filtered, emptied
+    * buckets dropped. */
+  lazy val q176Sql: String =
+    (s"""$minhashSigCtes,
+       | bandsx AS (SELECT doc_id, bb.band AS band,
+       |   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig
+       |  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),
+       | n1 AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 = 0),
+       | obuck1 AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |  GROUP BY band, band_sig HAVING COUNT(*) <= $MaxBucketSize),
+       |${rollDayCtes("1", 0)},
+       | kept1 AS (SELECT doc_id FROM st1 WHERE status = 'kept'),
+       | ub AS (SELECT band, band_sig,
+       |   (list(doc_id ORDER BY doc_id))[1 : ${MaxBucketSize + 1}] AS ids,
+       |   COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |   UNION ALL
+       |   SELECT bx.doc_id, bx.band, bx.band_sig FROM bandsx bx JOIN kept1 USING (doc_id))
+       |  GROUP BY band, band_sig),
+       | cmp AS (SELECT band, band_sig,
+       |   CASE WHEN cnt > $MaxBucketSize THEN ids
+       |    ELSE list_filter(ids, x -> x % 7 <> 0) END AS ids,
+       |   cnt > $MaxBucketSize AS tomb FROM ub),
+       | cmp2 AS (SELECT * FROM cmp WHERE tomb OR len(ids) > 0)
+       |SELECT CAST(band AS INTEGER) AS band, COUNT(*) AS n_buckets,
+       | CAST(SUM(CASE WHEN tomb THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+       | CAST(SUM(len(ids)) AS BIGINT) AS n_members,
+       | CAST(SUM(list_aggregate(ids, 'sum')) AS BIGINT) AS sum_ids
+       |FROM cmp2 GROUP BY band ORDER BY band""").stripMargin.replace("\n", " ")
+
+  // ===========================================================
   // q172 — the INCREMENTAL q164: one arrival batch (doc_id % 5 = 0,
   // q110/q161's split) through the whole daily-ingest gauntlet as ONE
   // dataflow, cheapest stage first:
@@ -1921,6 +2006,51 @@ object SimilarityOps {
       publishArtifact(fs, tmp, dest)
     }
     (spark.read.parquet(s"$p/books"), spark.read.parquet(s"$p/codes"))
+  }
+
+  // ===========================================================
+  // q175 — PQ ADC SERVING from the stored model: q59's search path with
+  // the training REMOVED from the query — codes and codebooks enter as
+  // parquet scans of the persisted artifact (the q169/q113 frozen-model
+  // contract applied to the PQ quantizer: a serving tier loads its
+  // compressed index, it never retrains on read). Only the QUERY
+  // vectors' subvectors are derived from the embeddings table at query
+  // time — the corpus's vector data is never touched, which is product
+  // quantization's entire point. The oracle replays the training inline
+  // (q59's SQL verbatim — both produce the identical ADC top-3), so the
+  // hash compare proves the stored codes/books ARE that training's
+  // output.
+  //
+  // Scale path: dt is |Q|×M×K rows (broadcast); the ADC join ships only
+  // (vec_id, m, cid) codes — 2 bytes of payload per vector against the
+  // 128× raw vectors — and reduces map-side on (qid, vec_id). Zero Lloyd
+  // subtrees, zero corpus vector reads.
+  // ===========================================================
+  def q175PqServeStored(spark: SparkSession, dir: String): DataFrame = {
+    val (books, codes) = storedPqModel(spark, dir)
+    // query subvectors only (vec_id < 10): the one embeddings read left
+    val esQ = emb(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv"))
+      .select(col("vec_id").as("qid"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(qv, m * (size(qv) div $PqM) + 1, size(qv) div $PqM))")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "sqv")
+    val dt = esQ
+      .join(broadcast(books.withColumn("ncq",
+        graft.plans.ArrayDot.array_dot(col("cq"), col("cq")))), Seq("m"))
+      .withColumn("ld2",
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")) + col("ncq") -
+          lit(2L) * graft.plans.ArrayDot.array_dot(col("sqv"), col("cq")))
+      .select(col("qid"), col("m"), col("cid"), col("ld2"))
+    val w = Window.partitionBy("qid").orderBy("adq", "vec_id")
+    codes.join(broadcast(dt), Seq("m", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("ld2").as("adq"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "vec_id", "adq")
+      .orderBy("qid", "rank")
   }
 
   def q169CuratedIndexRebuild(spark: SparkSession, dir: String): DataFrame = {
@@ -4053,6 +4183,8 @@ object SimilarityOps {
     "q112_crossmodal_align" -> (q112CrossmodalAlign _),
     "q113_ivf_maintenance" -> (q113IvfMaintenance _),
     "q174_ivf_split_exec" -> (q174IvfSplitExec _),
+    "q175_pq_serve_stored" -> (q175PqServeStored _),
+    "q176_roll_compact" -> (q176RollCompact _),
     "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
@@ -4299,6 +4431,11 @@ object SimilarityOps {
     "q112_crossmodal_align" -> q112Sql,
     "q113_ivf_maintenance" -> q113Sql,
     "q174_ivf_split_exec" -> q174Sql,
+    // q175 serves the STORED model; the oracle replays q59's inline
+    // training — identical ADC top-3 by construction, so the hash compare
+    // proves the artifact equals the training
+    "q175_pq_serve_stored" -> q59Sql,
+    "q176_roll_compact" -> q176Sql,
     "q97_ann_mrr" -> q97Sql,
     "q40_ann_cosine" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,

@@ -249,6 +249,36 @@ class ShardWriteSpec extends AnyFunSuite {
     assert(inline.nonEmpty) // q59 trains inline; its determinism backs the compare above
   }
 
+  test("q175 serves ADC from the stored PQ model — zero training subtrees on warm runs") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.pqModelArtifactPath(spark, dir))
+    // the PQ-artifact test above may have built it; exercise BOTH paths
+    val first = SparkEntry.queries("q175_pq_serve_stored")(spark, dir)
+    val rows1 = first.collect()
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")))
+    val mtimes = listDir(artifact)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    val second = SparkEntry.queries("q175_pq_serve_stored")(spark, dir)
+    assert(second.collect().toSeq == rows1.toSeq)
+    listDir(artifact).foreach { f =>
+      assert(Files.getLastModifiedTime(f) == mtimes(f.toString),
+        s"PQ artifact file $f rewritten on the warm run — q175 retrained")
+    }
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_full_"),
+      "q175's plan does not scan the stored PQ artifact")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "q175's plan still contains a training-checkpoint scan — the PQ " +
+        "training was supposed to be replaced by the artifact read")
+    // and the served result IS the inline-training search's result
+    // (deterministic Lloyd: the artifact equals what q59 derives)
+    val inline = SparkEntry.queries("q59_pq_ann")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(rows1.map(_.toString).toSeq == inline,
+      "stored-model ADC diverged from the inline-training search")
+  }
+
   test("a crashed half-publish (no ready marker) is cleared and rebuilt, never nested") {
     val ops = graft.operators.SimilarityOps
     val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "full"))
