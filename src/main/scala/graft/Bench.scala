@@ -517,14 +517,19 @@ object Bench {
     // so an interference-hit rep is visible in the artifact itself instead
     // of silently dragging the official median.
     val DegradedFactor = 1.4
+    // each leg of the pair gets its OWN probe (r15 advisory): one probe
+    // per pair only tagged the queue leg's host phase — interference
+    // confined to the memory rep was missed, and a clean memory rep
+    // could be excluded by the queue leg's degraded phase
     val legPairs = (1 to 5).map { _ =>
-      coolDown(); val m = safeRep(memLegThunk, "memory-stream")
-      coolDown(); val c = safeRep(queueLegThunk, "queue-connector")
-      (m, c, probeOnce())
+      coolDown(); val m = safeRep(memLegThunk, "memory-stream"); val pm = probeOnce()
+      coolDown(); val c = safeRep(queueLegThunk, "queue-connector"); val pc = probeOnce()
+      (m, pm, c, pc)
     }
     val streamReps = legPairs.map(_._1)
-    val queueStreamReps = legPairs.map(_._2)
-    val streamPairProbes = legPairs.map(_._3)
+    val streamProbes = legPairs.map(_._2)
+    val queueStreamReps = legPairs.map(_._3)
+    val queueStreamProbes = legPairs.map(_._4)
 
     // the broker is a JVM-global object: leave it empty so the last
     // rep's replayed corpus doesn't occupy heap during the query suite
@@ -775,7 +780,7 @@ object Bench {
     // The tracked value is the MEDIAN OF PER-PAIR ratios from the
     // interleaved reps: each pair shares one host-load regime, so the ratio
     // tracks protocol overhead, not drift between two sequential blocks.
-    val pairRatios = legPairs.collect { case (m, c, _) if m > 0 && c > 0 => c / m }
+    val pairRatios = legPairs.collect { case (m, _, c, _) if m > 0 && c > 0 => c / m }
     val queueRatio = median(pairRatios)
     val ratioMin = sys.env.get("SPARK_GRAFT_QUEUE_RATIO_MIN")
       .flatMap(_.toDoubleOption).getOrElse(0.6)
@@ -794,15 +799,18 @@ object Bench {
     // read systematically lower than a single shot taken right after a
     // heavy leg (GC/JIT residue), and mixing them in flags healthy reps.
     val allProbes = (socketSyncLeg.probes ++ socketLeg.probes ++ h2Leg.probes ++
-      byteLeg1k.probes ++ byteLeg16k.probes ++ streamPairProbes ++
+      byteLeg1k.probes ++ byteLeg16k.probes ++ streamProbes ++ queueStreamProbes ++
       Seq(susStreamProbePre, susStreamProbePost,
         susQueueProbePre, susQueueProbePost)).filter(_ > 0)
     val probeBase = if (allProbes.isEmpty) 0.0 else allProbes.min
     def isDegraded(p: Double): Boolean = probeBase > 0 && p > probeBase * DegradedFactor
-    def cleanMedian(reps: Seq[Double], probes: Seq[Double]): Double = {
+    // an empty clean subset (every rep tagged degraded — the official r15
+    // run) must read as "no clean reading", not as zero throughput: the
+    // key goes JSON null, never a fabricated 0.0 (r15 verdict #3)
+    def cleanMedian(reps: Seq[Double], probes: Seq[Double]): String = {
       val ok = reps.zip(probes)
         .collect { case (r, p) if r > 0 && !isDegraded(p) => r }.sorted
-      if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+      if (ok.isEmpty) "null" else (math.rint(ok(ok.size / 2) * 10) / 10).toString
     }
     val degradedTotal = allProbes.count(isDegraded)
 
@@ -844,7 +852,7 @@ object Bench {
       sustainJson("sustained_stream", susStreamStats) + "," +
         sustainJson("sustained_queue", susQueueStats) + ","
     val jsonLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"socket_forward_probe_sec":${socketLeg.probes.map(r4).mkString("[", ",", "]")},"socket_forward_msgs_per_sec_median_clean":${r1(cleanMedian(socketLeg.reps.toSeq, socketLeg.probes.toSeq))},"socket_forward_form":"pipelined","socket_sync_forward_msgs_per_sec":${r1(socketSyncFwdRate)},"socket_sync_forward_msgs_per_sec_median":${r1(socketSyncLeg.median)},"socket_sync_forward_reps":${socketSyncLeg.reps.map(r1).mkString("[", ",", "]")},"socket_sync_forward_probe_sec":${socketSyncLeg.probes.map(r4).mkString("[", ",", "]")},"socket_sync_forward_msgs_per_sec_median_clean":${r1(cleanMedian(socketSyncLeg.reps.toSeq, socketSyncLeg.probes.toSeq))},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_probe_sec":${h2Leg.probes.map(r4).mkString("[", ",", "]")},"http2_forward_msgs_per_sec_median_clean":${r1(cleanMedian(h2Leg.reps.toSeq, h2Leg.probes.toSeq))},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_probe_sec_1k":${byteLeg1k.probes.map(r4).mkString("[", ",", "]")},"wire_bytes_per_sec_1k_median_clean":${r1(cleanMedian(byteLeg1k.reps.toSeq, byteLeg1k.probes.toSeq))},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_probe_sec_16k":${byteLeg16k.probes.map(r4).mkString("[", ",", "]")},"wire_bytes_per_sec_16k_median_clean":${r1(cleanMedian(byteLeg16k.reps.toSeq, byteLeg16k.probes.toSeq))},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"stream_pair_probe_sec":${streamPairProbes.map(r4).mkString("[", ",", "]")},"stream_msgs_per_sec_median_clean":${r1(cleanMedian(streamReps, streamPairProbes))},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_msgs_per_sec_median_clean":${r1(cleanMedian(queueStreamReps, streamPairProbes))},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sustained_stream_probe_pre_sec":${r4(susStreamProbePre)},"sustained_stream_probe_post_sec":${r4(susStreamProbePost)},"sustained_queue_probe_pre_sec":${r4(susQueueProbePre)},"sustained_queue_probe_post_sec":${r4(susQueueProbePost)},"probe_base_sec":${r4(probeBase)},"degraded_factor":$DegradedFactor,"degraded_reps_total":$degradedTotal,"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact$qsReps$qsRerunFail,"sf":"$sfDir","forward_msgs_per_sec":${r1(fwdRate)},"forward_bytes_per_sec":${r1(fwdBytes)},"socket_forward_msgs_per_sec":${r1(socketFwdRate)},"socket_forward_msgs_per_sec_median":${r1(socketLeg.median)},"socket_forward_reps":${socketLeg.reps.map(r1).mkString("[", ",", "]")},"socket_forward_probe_sec":${socketLeg.probes.map(r4).mkString("[", ",", "]")},"socket_forward_msgs_per_sec_median_clean":${cleanMedian(socketLeg.reps.toSeq, socketLeg.probes.toSeq)},"socket_forward_form":"pipelined","socket_sync_forward_msgs_per_sec":${r1(socketSyncFwdRate)},"socket_sync_forward_msgs_per_sec_median":${r1(socketSyncLeg.median)},"socket_sync_forward_reps":${socketSyncLeg.reps.map(r1).mkString("[", ",", "]")},"socket_sync_forward_probe_sec":${socketSyncLeg.probes.map(r4).mkString("[", ",", "]")},"socket_sync_forward_msgs_per_sec_median_clean":${cleanMedian(socketSyncLeg.reps.toSeq, socketSyncLeg.probes.toSeq)},"http2_forward_msgs_per_sec":${r1(h2FwdRate)},"http2_forward_msgs_per_sec_median":${r1(h2Leg.median)},"http2_forward_reps":${h2Leg.reps.map(r1).mkString("[", ",", "]")},"http2_forward_probe_sec":${h2Leg.probes.map(r4).mkString("[", ",", "]")},"http2_forward_msgs_per_sec_median_clean":${cleanMedian(h2Leg.reps.toSeq, h2Leg.probes.toSeq)},"wire_bytes_per_sec_1k":${r1(byteLeg1k.best)},"wire_bytes_per_sec_1k_median":${r1(byteLeg1k.median)},"wire_bytes_reps_1k":${byteLeg1k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_probe_sec_1k":${byteLeg1k.probes.map(r4).mkString("[", ",", "]")},"wire_bytes_per_sec_1k_median_clean":${cleanMedian(byteLeg1k.reps.toSeq, byteLeg1k.probes.toSeq)},"wire_bytes_per_sec_16k":${r1(byteLeg16k.best)},"wire_bytes_per_sec_16k_median":${r1(byteLeg16k.median)},"wire_bytes_reps_16k":${byteLeg16k.reps.map(r1).mkString("[", ",", "]")},"wire_bytes_probe_sec_16k":${byteLeg16k.probes.map(r4).mkString("[", ",", "]")},"wire_bytes_per_sec_16k_median_clean":${cleanMedian(byteLeg16k.reps.toSeq, byteLeg16k.probes.toSeq)},"stream_msgs_per_sec":${r1(streamRate)},"stream_msgs_per_sec_median":${r1(streamMedian)},"stream_msgs_per_sec_min":${r1(streamMin)},"stream_reps":${streamReps.map(r1).mkString("[", ",", "]")},"stream_probe_sec":${streamProbes.map(r4).mkString("[", ",", "]")},"stream_msgs_per_sec_median_clean":${cleanMedian(streamReps, streamProbes)},"queue_stream_msgs_per_sec":${r1(queueStreamRate)},"queue_stream_msgs_per_sec_median":${r1(queueStreamMedian)},"queue_stream_msgs_per_sec_min":${r1(queueStreamMin)},"queue_stream_reps":${queueStreamReps.map(r1).mkString("[", ",", "]")},"queue_stream_probe_sec":${queueStreamProbes.map(r4).mkString("[", ",", "]")},"queue_stream_msgs_per_sec_median_clean":${cleanMedian(queueStreamReps, queueStreamProbes)},"queue_stream_pair_ratios":${pairRatios.map(r4).mkString("[", ",", "]")},"queue_stream_ratio":${r4(queueRatio)},"sustained_sec":$sustainSec,"sustained_stream_msgs_per_sec":${r1(susStream)},"sustained_stream_first_third":${r1(susStreamFirst)},"sustained_stream_last_third":${r1(susStreamLast)},"sustained_queue_msgs_per_sec":${r1(susQueue)},"sustained_queue_first_third":${r1(susQueueFirst)},"sustained_queue_last_third":${r1(susQueueLast)},$sustainTelemetryJson"sustained_stream_probe_pre_sec":${r4(susStreamProbePre)},"sustained_stream_probe_post_sec":${r4(susStreamProbePost)},"sustained_queue_probe_pre_sec":${r4(susQueueProbePre)},"sustained_queue_probe_post_sec":${r4(susQueueProbePost)},"probe_base_sec":${r4(probeBase)},"degraded_factor":$DegradedFactor,"degraded_reps_total":$degradedTotal,"sanity_probe_sec":${r4(sanityStart)},"sanity_probe_end_sec":${r4(sanityEnd)},"code_cache_mb_start":${r1(ccStart)},"code_cache_mb_end":${r1(ccEnd)},"code_cache_mb_max":${r1(ccMax)},"measured_runs":3,"stream_reps_n":${streamReps.size},"n_queries":${results.size},"failed":${results.count(_._3 < 0)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     try {
       val p = java.nio.file.Paths.get(outFile)

@@ -62,7 +62,8 @@ final class ControlPlane(
       started: Seq[String],
       cancelled: Seq[String],
       quotaUpdated: Seq[String],
-      decisions: Seq[ScalingLoop#Decision])
+      decisions: Seq[ScalingLoop#Decision],
+      retained: Seq[String] = Seq.empty)
 
   // group -> the FlowControl quota its RUNNING query was started with, so a
   // scale decision only restarts the query when the quota materially moved
@@ -70,6 +71,7 @@ final class ControlPlane(
 
   @volatile private var tickThread: Option[Thread] = None
   @volatile private var watchThread: Option[Thread] = None
+  private var tickCount = 0L
 
   /** One rebalance-loop body (reference: JobManager.rebalanceJobGroups):
     * heartbeat this driver, read the admin store, place + diff, execute
@@ -123,7 +125,27 @@ final class ControlPlane(
       }
     }
     jobManager.gc()
-    TickReport(started.toSeq, cancelled.toSeq, quotaUpdated.toSeq, decisions)
+
+    // RETENTION duty cycle (reference: ParquetJobStore.prune is ticked on
+    // a cadence; the controller yaml's store TTLs): every
+    // `retentionEveryTicks`-th tick — including the boot tick, so a
+    // restarted controller reclaims immediately — run the wired duties:
+    // job-store prune, model-artifact prune (SimilarityOps
+    // .pruneModelArtifacts), band-state compaction, … . Each duty is
+    // isolated: one failing duty logs and never breaks the rebalance
+    // loop, and never blocks the others.
+    tickCount += 1
+    val retained =
+      if ((tickCount - 1) % wiring.retentionEveryTicks != 0) Seq.empty[String]
+      else wiring.retentionDuties.flatMap { case (name, duty) =>
+        try { duty(); Some(name) }
+        catch {
+          case e: Exception =>
+            System.err.println(s"[control-plane] retention duty $name failed: ${e.getMessage}")
+            None
+        }
+      }
+    TickReport(started.toSeq, cancelled.toSeq, quotaUpdated.toSeq, decisions, retained)
   }
 
   /** Start the HTTP surface, the progress listener, the tick loop, and the
@@ -183,5 +205,14 @@ object ControlPlane {
       partitionsOf: JobSpec => Int,
       streamOf: (SparkSession, JobSpec) => Dataset[KafkaRecord] =
         (s: SparkSession, spec: JobSpec) => QueueJobs.liveStream(s, spec),
-      scalerConfig: AutoScaler.Config = AutoScaler.Config())
+      scalerConfig: AutoScaler.Config = AutoScaler.Config(),
+      // named retention duties run on the duty cycle (reference pattern:
+      // retention is TICKED, not manual — ParquetJobStore.prune cadence,
+      // controller-yaml TTLs). Deployments add the warehouse-side duties
+      // here, e.g. `"model-artifacts" -> (() => SimilarityOps
+      // .pruneModelArtifacts(spark, keepLast = 4))` and a band-state
+      // compaction closure; they run inside tick() with per-duty fault
+      // isolation.
+      retentionDuties: Seq[(String, () => Unit)] = Seq.empty,
+      retentionEveryTicks: Int = 360) // 1 h at the 10 s reference cadence
 }

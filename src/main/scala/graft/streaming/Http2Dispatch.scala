@@ -512,8 +512,21 @@ final class MultiplexedHttp2Dispatcher(
     // respects it; without a cap this client could exceed the peer's limit
     // under a wide engine stage. Acquire BEFORE taking a stream id; the
     // permit releases when the stream completes (any path — response,
-    // deadline sweep, poison — completes the future).
-    if (!conn.inFlight.tryAcquire(rpcTimeoutMs, TimeUnit.MILLISECONDS))
+    // deadline sweep, poison — completes the future). The wait is bounded
+    // by the REMAINING request deadline (not a fresh rpcTimeoutMs — that
+    // pushed worst-case dispatch latency toward 3× the timeout), and a
+    // task interrupt while blocked maps to UNAVAILABLE with the interrupt
+    // flag restored, the same contract as every other abnormal exit here
+    // (r15 advisory).
+    val permitWaitMs = math.max(0L, (deadlineNs - System.nanoTime()) / 1000000L)
+    val acquired =
+      try conn.inFlight.tryAcquire(permitWaitMs, TimeUnit.MILLISECONDS)
+      catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          return DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
+      }
+    if (!acquired)
       return DispatchResult(graft.model.GrpcStatus.UNAVAILABLE, None, overdue = overdueNow)
     cf.whenComplete((_, _) => conn.inFlight.release())
     var sid = -1

@@ -188,6 +188,63 @@ class ControlPlaneBootSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("retention duty cycle: the tick prunes an over-retention artifact root on cadence") {
+    GraftBroker.reset()
+    val storeDir = java.nio.file.Files.createTempDirectory("cp-store-ret").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("cp-ckpt-ret").toString
+    val root = java.nio.file.Files.createTempDirectory("cp-models-ret")
+    spark.conf.set("spark.graft.artifact.root", root.toString)
+    try {
+      // an over-retention model-artifact root: three superseded ivf_full
+      // generations + the live one (all aged mtimes, no held locks)
+      (1 to 4).foreach { i =>
+        val d = root.resolve(s"ivf_full_000$i")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.writeString(d.resolve("_GRAFT_MODEL_READY"), "")
+        java.nio.file.Files.setLastModifiedTime(d,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L * i))
+      }
+      var flaky = 0
+      val cp = new ControlPlane(spark, storeDir, ckptDir,
+        ControlPlane.Wiring(
+          dispatcherFactory = MockDispatcherFactory("cp-ok"),
+          localCluster = "local-cluster",
+          queueStore = BrokerQueueStore,
+          partitionsOf = _ => 1,
+          scalerConfig = AutoScaler.Config(calibrateMs = 0L),
+          retentionDuties = Seq(
+            "model-artifacts" -> (() => {
+              graft.operators.SimilarityOps.pruneModelArtifacts(spark, keepLast = 1); ()
+            }),
+            // a failing duty must be isolated: logged, skipped, and never
+            // allowed to break the rebalance loop or the other duties
+            "flaky" -> (() => { flaky += 1; sys.error("duty boom") })),
+          retentionEveryTicks = 2))
+      cp.start(autoTick = false)
+      try {
+        // boot tick runs the duty cycle immediately: the root shrinks to
+        // the newest ivf_full artifact; the failing duty is not reported
+        val r1 = cp.tick()
+        assert(r1.retained == Seq("model-artifacts"),
+          s"expected the model prune (and only it) reported, got ${r1.retained}")
+        assert(flaky == 1, "the failing duty must still have been attempted")
+        val left = java.nio.file.Files.list(root).toArray.map(_.toString).sorted
+        assert(left.length == 1 && left.head.endsWith("ivf_full_0004"),
+          s"expected only the newest artifact kept, got ${left.mkString(", ")}")
+
+        // off-cadence tick: no duties run
+        val r2 = cp.tick()
+        assert(r2.retained.isEmpty && flaky == 1, "duties ran off-cadence")
+        // next cadence boundary: duties run again (idempotent no-op prune)
+        val r3 = cp.tick()
+        assert(r3.retained == Seq("model-artifacts") && flaky == 2)
+      } finally cp.stop()
+    } finally {
+      spark.conf.unset("spark.graft.artifact.root")
+      TestFs.deleteRecursively(root)
+    }
+  }
+
   test("lease watchdog: a silent tick loop stops dispatch after the lease") {
     GraftBroker.reset(); TestConsumer.reset()
     TestConsumer.behaviors += "cp-lease" -> (_ => DispatchResult("OK", None, overdue = false))

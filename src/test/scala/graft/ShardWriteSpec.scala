@@ -279,6 +279,50 @@ class ShardWriteSpec extends AnyFunSuite {
       "stored-model ADC diverged from the inline-training search")
   }
 
+  test("the whole IVF/PQ serving-evaluation matrix reads stored models — zero training subtrees on warm plans") {
+    val ops = graft.operators.SimilarityOps
+    // cold-build every artifact in the chain once (coarse "full", PQ,
+    // residual-PQ — the resid build itself consumes the coarse artifact)
+    SparkEntry.queries("q150_ivfpq_recall")(spark, dir)
+    SparkEntry.queries("q152_ivfpq_residual")(spark, dir)
+    assert(Files.exists(java.nio.file.Paths.get(
+      ops.residPqModelArtifactPath(spark, dir)).resolve("_GRAFT_MODEL_READY")),
+      "the residual-PQ artifact was not materialized")
+
+    // which artifact each query's warm plan must SCAN. Queries that only
+    // need the CENTROIDS consume them as a driver-collected literal (the
+    // serving assignment is map-only nearest_centroid — by design no scan
+    // appears in the final plan), so the scan assertion applies where a
+    // stored TABLE (assign/, codes/, or a broadcast-joined centroid
+    // frame) enters the dataflow; the zero-ExistingRDD assertion below
+    // covers every query either way.
+    val expects = Map(
+      "q57_kmeans" -> Seq("ivf_full_"), // assign/ + centroids/ scans
+      "q58_ann_ivf_trained" -> Seq.empty[String], // centroid literal only
+      "q69_cluster_outliers" -> Seq("ivf_full_"), // assign/ scan
+      "q72_ann_recall" -> Seq.empty[String],
+      "q97_ann_mrr" -> Seq.empty[String],
+      "q106_hard_negatives" -> Seq.empty[String],
+      "q107_coverage_sample" -> Seq("ivf_full_"), // assign/ scan
+      "q148_ivf_probe_sweep" -> Seq.empty[String],
+      "q149_probe_plan" -> Seq.empty[String],
+      "q59_pq_ann" -> Seq("pq_full_"),
+      "q146_pq_distortion" -> Seq("pq_full_"),
+      "q147_pq_recall" -> Seq("pq_full_"),
+      "q150_ivfpq_recall" -> Seq("pq_full_"),
+      "q153_ivfpq_refine" -> Seq("pq_full_"),
+      "q152_ivfpq_residual" -> Seq("ivf_full_", "pqres_full_"), // centroid join + resid codes
+      "q156_ivfpq_resid_refine" -> Seq("ivf_full_", "pqres_full_"))
+    expects.foreach { case (k, artifacts) =>
+      val plan = SparkEntry.queries(k)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"$k's warm plan still contains a training-checkpoint scan — the " +
+          "serving matrix was supposed to read the stored models only")
+      artifacts.foreach(a => assert(plan.contains(a),
+        s"$k's warm plan does not scan the stored $a artifact"))
+    }
+  }
+
   test("a crashed half-publish (no ready marker) is cleared and rebuilt, never nested") {
     val ops = graft.operators.SimilarityOps
     val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "full"))
@@ -302,7 +346,7 @@ class ShardWriteSpec extends AnyFunSuite {
     }
   }
 
-  test("pruneModelArtifacts keeps the newest artifacts per kind and drops the rest") {
+  test("pruneModelArtifacts keeps the newest artifacts per kind+subset family") {
     val ops = graft.operators.SimilarityOps
     val root = Files.createTempDirectory("graft_models_prune_")
     spark.conf.set("spark.graft.artifact.root", root.toString)
@@ -315,21 +359,55 @@ class ShardWriteSpec extends AnyFunSuite {
       }
       mk("ivf_full_aaaa", 1000000L)
       mk("ivf_full_bbbb", 2000000L)
-      mk("ivf_mod10ne9_cccc", 3000000L)
+      // a DIFFERENT live slice of the same kind and an old mtime: by-kind
+      // pooling would evict it at keepLast=1; family grouping must not
+      mk("ivf_mod10ne9_cccc", 300000L)
       mk("pq_full_dddd", 500000L)
-      Files.writeString(root.resolve("ivf_full_aaaa.lock"), "") // a stale lock leftover
-      val deleted = ops.pruneModelArtifacts(spark, 2)
-      assert(deleted == 1, s"expected 1 deletion (oldest ivf), got $deleted")
-      assert(!Files.exists(root.resolve("ivf_full_aaaa")), "oldest ivf artifact kept")
+      Files.setLastModifiedTime( // aged: stale-lock leftovers never shield a prune
+        Files.writeString(root.resolve("ivf_full_aaaa.lock"), ""),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      val deleted = ops.pruneModelArtifacts(spark, 1)
+      assert(deleted == 1, s"expected 1 deletion (superseded ivf_full), got $deleted")
+      assert(!Files.exists(root.resolve("ivf_full_aaaa")), "oldest ivf_full artifact kept")
       assert(!Files.exists(root.resolve("ivf_full_aaaa.lock")), "stale lock kept")
       assert(Files.exists(root.resolve("ivf_full_bbbb")) &&
         Files.exists(root.resolve("ivf_mod10ne9_cccc")) &&
         Files.exists(root.resolve("pq_full_dddd")),
-        "retention must keep the newest artifacts per kind")
+        "retention must keep the newest artifact of EVERY (kind, subset) family — " +
+          "an old-but-only slice artifact is live, not prunable")
+
+      // an artifact whose lock is HELD (fresh mtime — a publish in flight)
+      // is excluded from pruning even when superseded
+      mk("pq_full_eeee", 600000L)
+      Files.writeString(root.resolve("pq_full_dddd.lock"), "") // fresh = held
+      assert(ops.pruneModelArtifacts(spark, 1) == 0,
+        "a lock-held artifact must never be pruned mid-publish")
+      assert(Files.exists(root.resolve("pq_full_dddd")))
     } finally {
       spark.conf.unset("spark.graft.artifact.root")
       deleteRecursively(root)
     }
+  }
+
+  test("a stale lock (hard-killed winner) is broken and the artifact still publishes") {
+    val ops = graft.operators.SimilarityOps
+    val artifact = java.nio.file.Paths.get(ops.ivfModelArtifactPath(spark, dir, "full"))
+    deleteRecursively(artifact)
+    // simulate a winner killed between the exclusive create and the
+    // finally-delete: an AGED lock file with no artifact and no marker
+    val lock = artifact.resolveSibling(artifact.getFileName.toString + ".lock")
+    Files.createDirectories(lock.getParent)
+    Files.writeString(lock, "")
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - ops.ArtifactLockStaleMs - 60000L))
+
+    // before the r16 fix this call waited 300 s for a marker that could
+    // never appear, then threw — a permanent wedge
+    val (cent, assign) = ops.storedIvfModel(spark, dir, "full", identity)
+    assert(cent.count() > 0 && assign.count() > 0)
+    assert(Files.exists(artifact.resolve("_GRAFT_MODEL_READY")),
+      "the stale lock was not broken — the artifact never published")
+    assert(!Files.exists(lock), "the publisher must clean up the broken lock")
   }
 
   test("written CURATED shards realize the q167 capstone manifest exactly") {
