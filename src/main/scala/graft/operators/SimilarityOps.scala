@@ -486,8 +486,8 @@ object SimilarityOps {
     * fabricate a live-looking bucket out of a degenerate one; the
     * serving rule must keep treating that signature as no-signal. The
     * tombstone residue is the price of the O(day) roll — the periodic
-    * full rebuild (q41's batch pass, run at a long cadence) is what
-    * retires it.
+    * full rebuild ([[q177StateRebuild]], run at a long cadence, e.g. as
+    * a ControlPlane retention duty) is what retires it.
     *
     * Scale path: one explode + doc-id semi-join + band-keyed re-group —
     * state-sized work, never corpus-sized, no driver traffic. */
@@ -725,6 +725,125 @@ object SimilarityOps {
        | CAST(SUM(len(ids)) AS BIGINT) AS n_members,
        | CAST(SUM(list_aggregate(ids, 'sum')) AS BIGINT) AS sum_ids
        |FROM cmp2 GROUP BY band ORDER BY band""").stripMargin.replace("\n", " ")
+
+  // ===========================================================
+  // q177 — tombstone RETIREMENT: the long-cadence full rebuild that
+  // closes compactBandState's contract (its Scaladoc defers over-cap
+  // residue to "the periodic full rebuild" — this query IS that
+  // rebuild, as code). A tombstone says "this signature was over-cap at
+  // some point"; after curation removes members, the TRUE bucket may be
+  // small again, but the roll/compact path cannot know — its membership
+  // beyond the stored cap+1 ids is lost — so the signature keeps serving
+  // as no-signal. The rebuild recomputes the band state from the LIVE
+  // corpus's signatures (q41's batch pass restricted to the live set):
+  // exact membership everywhere, tombstones only where the live corpus
+  // is truly over-cap. Output per band: the compacted state's
+  // bucket/tombstone counts next to the rebuilt state's, the number of
+  // RETIRED tombstones (degenerate in the rolled+compacted state, live
+  // again — or gone — in the rebuilt one), and the rebuilt membership
+  // sums so any divergent bucket moves the hash.
+  //
+  // The chain is q176's (base → day-1 verdicts → roll → curation −
+  // doc_id % 7 = 0 → compact) with the rebuild appended. The oracle
+  // re-derives EVERYTHING from scratch — day-1 verdicts, the live set,
+  // the compacted state, and the rebuilt state — so the hash compare
+  // proves the chain's bookkeeping (rolled digests, compaction rule,
+  // live-set algebra) lands byte-exactly on the state a from-scratch
+  // pass would build. QueriesSpec additionally pins the semantics:
+  // complete buckets agree row-for-row between compacted and rebuilt,
+  // the rebuilt tombstone set IS the true over-cap set, and a retired
+  // signature's dup signal is recoverable again.
+  //
+  // Scale path: the rebuild is q41's one-signature-pass batch shape over
+  // the live corpus (band explode → capped smallest-k per bucket) — the
+  // long-cadence cost the daily O(day) roll amortizes against; the
+  // comparison join is state-sized on (band, band_sig), and the summary
+  // reduces to 4 band rows map-side. Nothing corpus².
+  // ===========================================================
+  def q177StateRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val sig = q41Sig(spark, dir).localCheckpoint()
+    val baseSig = sig.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val day1Sig = sig.filter(col("doc_id") % 5 === 0)
+    val state0 = bandState(baseSig).localCheckpoint()
+    val d1 = incrementalDayVerdicts(spark, dir, day1Sig,
+      probeBuckets(state0), c => c % 5 === 0)
+    val kept1Sig = day1Sig.join(
+      d1.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"), "left_semi")
+    val state1 = rollBandState(state0, kept1Sig)
+    val live = baseSig.select("doc_id").unionByName(kept1Sig.select("doc_id"))
+      .filter(col("doc_id") % 7 =!= 0).distinct().localCheckpoint()
+    val compacted = compactBandState(state1, live)
+    // THE REBUILD: band state recomputed from the live corpus signatures
+    val rebuilt = bandState(sig.join(live, Seq("doc_id"), "left_semi"))
+    val cSide = compacted.select(col("band"), col("band_sig"),
+      (size(col("ids")) === MaxBucketSize + 1).as("c_tomb"))
+    val rSide = rebuilt.select(col("band"), col("band_sig"),
+      (size(col("ids")) === MaxBucketSize + 1).as("r_tomb"),
+      size(col("ids")).cast("long").as("r_n"),
+      expr("aggregate(ids, 0L, (s, x) -> s + x)").as("r_sum"))
+    cSide.join(rSide, Seq("band", "band_sig"), "full_outer")
+      .groupBy("band").agg(
+        sum(when(col("c_tomb").isNotNull, 1L).otherwise(0L)).as("compact_buckets"),
+        sum(when(col("c_tomb") === true, 1L).otherwise(0L)).as("compact_tombstones"),
+        sum(when(col("r_tomb").isNotNull, 1L).otherwise(0L)).as("rebuilt_buckets"),
+        sum(when(col("r_tomb") === true, 1L).otherwise(0L)).as("rebuilt_tombstones"),
+        sum(when(col("c_tomb") === true &&
+          (col("r_tomb").isNull || col("r_tomb") === false), 1L).otherwise(0L))
+          .as("retired_tombstones"),
+        sum(coalesce(col("r_n"), lit(0L))).as("rebuilt_members"),
+        sum(coalesce(col("r_sum"), lit(0L))).as("rebuilt_sum_ids"))
+      .orderBy("band")
+  }
+
+  /** q177 oracle: the whole chain from scratch — day-1 verdicts (q171's
+    * chain), live set, the compacted state (q176's construction), and
+    * the rebuilt state as capped sorted lists over the live corpus —
+    * full-outer-compared per (band, band_sig). */
+  lazy val q177Sql: String =
+    (s"""$minhashSigCtes,
+       | bandsx AS (SELECT doc_id, bb.band AS band,
+       |   array_to_string(sv[bb.band * $BandSize + 1 : bb.band * $BandSize + $BandSize], ':') AS band_sig
+       |  FROM sig, LATERAL (SELECT unnest(range(0, ${NumHashes / BandSize})) AS band) bb),
+       | n1 AS (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 = 0),
+       | obuck1 AS (SELECT band, band_sig, list(doc_id ORDER BY doc_id) AS ids
+       |  FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |  GROUP BY band, band_sig HAVING COUNT(*) <= $MaxBucketSize),
+       |${rollDayCtes("1", 0)},
+       | kept1 AS (SELECT doc_id FROM st1 WHERE status = 'kept'),
+       | ub AS (SELECT band, band_sig,
+       |   (list(doc_id ORDER BY doc_id))[1 : ${MaxBucketSize + 1}] AS ids,
+       |   COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |   UNION ALL
+       |   SELECT bx.doc_id, bx.band, bx.band_sig FROM bandsx bx JOIN kept1 USING (doc_id))
+       |  GROUP BY band, band_sig),
+       | cmp AS (SELECT band, band_sig,
+       |   CASE WHEN cnt > $MaxBucketSize THEN ids
+       |    ELSE list_filter(ids, x -> x % 7 <> 0) END AS ids,
+       |   cnt > $MaxBucketSize AS tomb FROM ub),
+       | cmp2 AS (SELECT * FROM cmp WHERE tomb OR len(ids) > 0),
+       | rb AS (SELECT band, band_sig,
+       |   (list(doc_id ORDER BY doc_id))[1 : ${MaxBucketSize + 1}] AS ids,
+       |   COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, band, band_sig FROM bandsx WHERE doc_id % 5 NOT IN (0, 1)
+       |   UNION ALL
+       |   SELECT bx.doc_id, bx.band, bx.band_sig FROM bandsx bx JOIN kept1 USING (doc_id))
+       |  WHERE doc_id % 7 <> 0 GROUP BY band, band_sig),
+       | fj AS (SELECT COALESCE(c.band, r.band) AS band,
+       |   c.band_sig IS NOT NULL AS has_c, c.tomb AS c_tomb,
+       |   r.band_sig IS NOT NULL AS has_r, r.cnt > $MaxBucketSize AS r_tomb,
+       |   COALESCE(len(r.ids), 0) AS r_n,
+       |   COALESCE(list_aggregate(r.ids, 'sum'), 0) AS r_sum
+       |  FROM cmp2 c FULL JOIN rb r ON c.band = r.band AND c.band_sig = r.band_sig)
+       |SELECT CAST(band AS INTEGER) AS band,
+       | CAST(SUM(CASE WHEN has_c THEN 1 ELSE 0 END) AS BIGINT) AS compact_buckets,
+       | CAST(SUM(CASE WHEN has_c AND c_tomb THEN 1 ELSE 0 END) AS BIGINT) AS compact_tombstones,
+       | CAST(SUM(CASE WHEN has_r THEN 1 ELSE 0 END) AS BIGINT) AS rebuilt_buckets,
+       | CAST(SUM(CASE WHEN has_r AND r_tomb THEN 1 ELSE 0 END) AS BIGINT) AS rebuilt_tombstones,
+       | CAST(SUM(CASE WHEN has_c AND c_tomb AND (NOT has_r OR NOT r_tomb) THEN 1 ELSE 0 END) AS BIGINT) AS retired_tombstones,
+       | CAST(SUM(r_n) AS BIGINT) AS rebuilt_members,
+       | CAST(SUM(r_sum) AS BIGINT) AS rebuilt_sum_ids
+       |FROM fj GROUP BY band ORDER BY band""").stripMargin.replace("\n", " ")
 
   // ===========================================================
   // q172 — the INCREMENTAL q164: one arrival batch (doc_id % 5 = 0,
@@ -2069,9 +2188,10 @@ object SimilarityOps {
   /** The PQ model artifact path — same keying rule as the IVF model
     * ([[ivfModelArtifactPath]]) with the PQ training constants. */
   private[graft] def pqModelArtifactPath(spark: SparkSession, dir: String): String = {
-    // v2: codes/ gained the d2 column (q146's distortion audit reads the
-    // compressed index, not a retraining)
-    val codeTag = s"v2|m=$PqM|k=$PqK|it=$PqIters|q=$Q"
+    // v3: codes/ gained the d2 and nsq columns (q146's distortion audit
+    // reads the compressed index alone — numerator AND denominator —
+    // instead of retraining or re-scanning vectors)
+    val codeTag = s"v3|m=$PqM|k=$PqK|it=$PqIters|q=$Q"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest((CurationExec.inputFingerprint(dir, Seq("embeddings")) + "|" + codeTag)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2090,9 +2210,12 @@ object SimilarityOps {
         books.flatMap { case (m, book) => book.map { case (cid, cq) => (m, cid, cq) } })
       .toDF("m", "cid", "cq")
       .write.mode("overwrite").parquet(s"$outPath/books")
-    // per-subspace d2 rides along: the distortion audit (q146) then reads
-    // the compressed index alone — one artifact scan, zero Lloyd subtrees
-    afin.select(col("vec_id"), col("m"), col("cid"), col("d2"))
+    // per-subspace d2 AND subvector energy ride along (16 B/subspace):
+    // the distortion audit (q146) then reads the compressed index alone —
+    // numerator and denominator both — with zero vector scans and zero
+    // Lloyd subtrees
+    afin.select(col("vec_id"), col("m"), col("cid"), col("d2"),
+        graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv")).as("nsq"))
       .write.mode("overwrite").parquet(s"$outPath/codes")
   }
 
@@ -3842,18 +3965,15 @@ object SimilarityOps {
   // L-row rollup with its worst-vector window over L partitions.
   // ===========================================================
   def q146PqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    // the distortion audit reads the STORED compressed index — the codes
-    // table carries per-subspace d2, so tot_d2 is one artifact scan;
-    // only the energy denominator reads the vectors (column-pruned).
-    // Oracle retrains inline; hash compare proves artifact ≡ training.
+    // the distortion audit reads the STORED compressed index alone — the
+    // codes table carries per-subspace d2 (numerator) and nsq
+    // (denominator), so the whole audit is one artifact scan + the
+    // broadcast label join; no vector data, no Lloyd subtree. Oracle
+    // retrains inline; hash compare proves artifact ≡ training.
     val (_, codes) = storedPqModel(spark, dir)
     val lb = emb(spark, dir).select(col("vec_id"), col("label").cast("int").as("label"))
-    val es = subvecFrame(spark, dir)
     val per = codes.groupBy("vec_id")
-      .agg(sum("d2").as("tot_d2"))
-      .join(es.groupBy("vec_id")
-        .agg(sum(graft.plans.ArrayDot.array_dot(col("sqv"), col("sqv"))).as("energy")),
-        Seq("vec_id"))
+      .agg(sum("d2").as("tot_d2"), sum("nsq").as("energy"))
       .join(lb, "vec_id")
       // DECIMAL(38,0) intermediates (HUGEINT in the oracle): tot_d2 is
       // ~2^48 at sf0.1, so the ×10^6 scale-up overflows int64
@@ -4356,6 +4476,7 @@ object SimilarityOps {
     "q174_ivf_split_exec" -> (q174IvfSplitExec _),
     "q175_pq_serve_stored" -> (q175PqServeStored _),
     "q176_roll_compact" -> (q176RollCompact _),
+    "q177_state_rebuild" -> (q177StateRebuild _),
     "q97_ann_mrr" -> (q97AnnMrr _),
     "q40_ann_cosine" -> (q40AnnCosine _),
     "q41_minhash_lsh" -> (q41MinHashLsh _),
@@ -4607,6 +4728,7 @@ object SimilarityOps {
     // proves the artifact equals the training
     "q175_pq_serve_stored" -> q59Sql,
     "q176_roll_compact" -> q176Sql,
+    "q177_state_rebuild" -> q177Sql,
     "q97_ann_mrr" -> q97Sql,
     "q40_ann_cosine" -> q40Sql,
     "q41_minhash_lsh" -> q41Sql,

@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
  *      NoveltyStream's gram digests, deduped within the watermark and
  *      probed against the snapshot gram Bloom bits.
  *
- * Stage handoffs are STREAM OUTPUTS (in production: topics through the
- * graft-queue sink; in specs: MemoryStream re-feeds) because stages A and
- * B each own a stateful operator with its own watermark/state lifecycle —
- * the same decomposition the reference runs as separate consumer jobs
- * chained by retry/result topics (uforwarder's RetryTopic pipeline shape).
+ * Stage handoffs are STREAM OUTPUTS — topics through the graft-queue
+ * sink — because stages A and B each own a stateful operator with its own
+ * watermark/state lifecycle: the same decomposition the reference runs as
+ * separate consumer jobs chained by retry/result topics (uforwarder's
+ * RetryTopic pipeline shape). IngestFunnelSpec exercises BOTH wirings:
+ * MemoryStream re-feeds (stage isolation) and the full topic chain
+ * (arrivals topic → A → survivors topic → B → kept topic → C/D) with a
+ * checkpoint restart mid-funnel, each reconciled row-for-row with batch
+ * q172.
  *
  * EVERY piece of cross-day state rolls forward in O(day), never by
  * rescanning the old corpus: stage A's Bloom bits

@@ -432,32 +432,39 @@ class PlanSpec extends AnyFunSuite {
         "longer reuses the window's user_id partitioning:\n" + p141.take(2500))
   }
 
-  test("q146 audits the checkpointed PQ assignment with a broadcast label join") {
-    // the audit must read q59's final assignment from the training
-    // checkpoint (no embeddings re-scan for the distance side), join the
-    // vec-sized label table by BROADCAST, and roll up to L rows — one
-    // parquet scan total (the labels), never a second shuffle join of
-    // two vector-sized tables
+  test("q146 audits the stored PQ codes alone — no vectors, no training subtree") {
+    // since r16 the audit reads the PERSISTED compressed index: the codes
+    // artifact carries per-subspace d2 + energy, so the plan is the
+    // artifact scan + the broadcast label join rolled up to L rows —
+    // exactly two parquet scans (codes, labels), zero Scan ExistingRDD
+    // (no training checkpoint), never a shuffle join of vector-sized
+    // tables
     val p = plan("q146_pq_distortion")
-    assert(p.contains("Scan ExistingRDD"),
-      "q146 no longer reads the checkpointed PQ assignment:\n" + p.take(2000))
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      "q146 should scan parquet exactly once (the label projection):\n" + p.take(2000))
+    assert(!p.contains("Scan ExistingRDD"),
+      "q146 regressed to a training-checkpoint scan:\n" + p.take(2000))
+    assert(p.contains("pq_full_"),
+      "q146 no longer reads the stored PQ artifact:\n" + p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      "q146 should scan parquet exactly twice (codes + labels):\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin"),
       "q146 label join no longer broadcasts:\n" + p.take(2500))
     assert(!p.contains("SortMergeJoin"),
       "q146 plans a shuffle join of vector-sized tables:\n" + p.take(2500))
   }
 
-  test("q147 legs are heap-bounded top-k over broadcast probes of the PQ checkpoint") {
-    // both the exact ground-truth leg and the ADC leg must: read the
-    // training checkpoint (no embeddings re-scan), broadcast their
-    // query-sized probe side, and cap per-query rank lists via the
+  test("q147 legs are heap-bounded top-k over broadcast probes of the stored PQ model") {
+    // both legs serve from the PERSISTED model since r16: the ADC leg
+    // joins the codes artifact to broadcast distance tables built from
+    // the stored books; the exact ground-truth leg re-derives subvectors
+    // from the embeddings scan (its point is exact distances). No
+    // training subtree anywhere; per-query rank lists cap via the
     // TopKPerKey rewrite (map-side bounded heaps) — never a full
     // per-query window sort of corpus-sized distance lists
     val p = plan("q147_pq_recall")
-    assert("Scan parquet".r.findAllIn(p).isEmpty,
-      "q147 re-scans embeddings — the legs no longer read the PQ checkpoint:\n" + p.take(2000))
+    assert(!p.contains("Scan ExistingRDD"),
+      "q147 regressed to a training-checkpoint scan:\n" + p.take(2000))
+    assert(p.contains("pq_full_"),
+      "q147 no longer reads the stored PQ artifact:\n" + p.take(2000))
     assert("GraftTopKPerKey\\(final\\)".r.findAllIn(p).size == 2,
       "q147 legs lost the bounded-heap top-k rewrite:\n" + p.take(2500))
     assert(p.contains("BroadcastHashJoin"),

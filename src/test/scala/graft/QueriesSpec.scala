@@ -1148,6 +1148,55 @@ class QueriesSpec extends AnyFunSuite {
       (1, "c", List(2L, 6L))))                   // bucket "b" emptied → dropped
   }
 
+  test("q177 rebuild retires tombstones compaction cannot, and recovers their dup signal") {
+    // the retirement rule, pinned synthetically (real buckets never
+    // over-cap on this corpus — q177's retired count is 0 at every SF):
+    // replicate one real signature across cap+5 doc ids so every band's
+    // bucket goes over-cap (tombstones), curate all but two replicas
+    // away, and assert the division of labor q177 measures — compaction
+    // MUST pass the tombstones through (no signal: probeBuckets serves
+    // nothing), while the full rebuild over the live corpus retires every
+    // one of them into a true 2-member bucket that probes again
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.SimilarityOps
+    val cap = ops.MaxBucketSize
+    val one = ops.q41Sig(spark, dir).limit(1).select(col("sig"))
+    val repl = spark.range((cap + 5).toLong).select(col("id").as("doc_id"))
+      .crossJoin(one).localCheckpoint()
+    val full = ops.bandState(repl).localCheckpoint()
+    val nBands = full.count()
+    assert(nBands > 0 &&
+      full.filter(size(col("ids")) === cap + 1).count() == nBands,
+      "setup: every bucket of the replicated corpus must be a tombstone")
+
+    val live = spark.range(2L).toDF("doc_id")
+    val compacted = ops.compactBandState(full, live).localCheckpoint()
+    // compaction: tombstones pass through unchanged; serving sees nothing
+    assert(compacted.filter(size(col("ids")) === cap + 1).count() == nBands)
+    assert(ops.probeBuckets(compacted).count() == 0,
+      "a tombstoned signature must keep serving as no-signal after compaction")
+
+    // the rebuild: every tombstone retires to the exact live membership
+    val rebuilt = ops.bandState(
+      repl.join(live, Seq("doc_id"), "left_semi")).localCheckpoint()
+    assert(rebuilt.filter(size(col("ids")) === cap + 1).count() == 0,
+      "rebuild left a tombstone whose true live size is under the cap")
+    assert(rebuilt.count() == nBands &&
+      rebuilt.collect().forall(_.getSeq[Long](2).toList == List(0L, 1L)),
+      "rebuilt buckets must hold exactly the live membership")
+    // the signal is recoverable again: the retired signatures all probe
+    assert(ops.probeBuckets(rebuilt).count() == nBands)
+
+    // and q177's retirement accounting sees exactly this: every compacted
+    // tombstone is live-or-gone in the rebuilt state
+    val retired = compacted.filter(size(col("ids")) === cap + 1)
+      .select("band", "band_sig")
+      .join(rebuilt.filter(size(col("ids")) === cap + 1)
+        .select("band", "band_sig"), Seq("band", "band_sig"), "left_anti")
+      .count()
+    assert(retired == nBands, s"expected all $nBands tombstones retired, got $retired")
+  }
+
   test("q169 migration matrix marginals reconcile with the curated corpus and both indexes") {
     // the matrix's total mass must be exactly the curated-corpus size
     // (every curated vector appears once), its row marginals the OLD
