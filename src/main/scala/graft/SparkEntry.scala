@@ -117,7 +117,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    oracle recomputes from scratch — roll ≡ recompute by hash),
   *    q172 daily-increment composition (one arrival batch through
   *    exact dedup → near-dup → IVF maintenance → novelty as one
-  *    per-source funnel; reconciles with q110/q161 standalones)
+  *    per-source funnel; reconciles with q110/q161 standalones),
+  *    q174 IVF cell-split execution (q113's audit acted on: local K=2
+  *    Lloyd inside flagged cells, every other centroid frozen),
+  *    q175 PQ ADC serving from the stored model artifact (training
+  *    removed from the query; oracle retrains inline so the hash
+  *    compare proves artifact ≡ training), q176 roll-then-compact
+  *    (curation shrinks the rolled band state, tombstone rule pinned),
+  *    q177 tombstone-retiring state rebuild (the long-cadence
+  *    maintenance pass: band state recomputed from the live corpus,
+  *    compacted-vs-rebuilt comparison + retired-tombstone accounting)
   *  - MultimodalOps: q44-q45 multimodal plumbing, q49 frame sampling,
   *    q81 perceptual-hash near-dup, q82 audio energy windows,
   *    q111 scene-cut detection
