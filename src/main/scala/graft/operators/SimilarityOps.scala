@@ -1433,37 +1433,17 @@ object SimilarityOps {
   def autoK(n: Long): Int =
     math.min(math.max(KmeansK.toLong, n / TargetClusterSize), 100000L).toInt
 
-  // one-element memo (q165PerDoc's eviction rule) for the FULL-corpus
-  // vector count autoK derives K from: without it every kmeansTrain call
-  // fired an extra count() job per training — one more pass over the
-  // cached blocks per training, and the r14 bench's only real per-query
-  // regressions (q147/q148, multi-training IVF-eval queries) were paying
-  // it repeatedly. The count is a pure function of (session, dir); one
-  // slot covers the real reuse (many trainings in one Verify/bench run).
-  // keyed by the embeddings table's CONTENT identity, not the raw dir
-  // string: a same-dir rewrite mid-session must invalidate the memo the
-  // same way it re-keys the model-artifact paths (r15 advisory)
-  @volatile private var embCountCache: ((SparkSession, String), Long) = null
-  private def embCount(spark: SparkSession, dir: String): Long = {
-    val key = (spark, CurationExec.inputFingerprint(dir, Seq("embeddings")))
-    val cached = embCountCache
-    if (cached != null && cached._1 == key) cached._2
-    else {
-      val n = emb(spark, dir).count()
-      embCountCache = (key, n)
-      n
-    }
-  }
+  // (the r14 corpus-count memo is gone with the read-path trainer it
+  // served: the only remaining autoK count() runs inside kmeansTrainOn,
+  // once per artifact build / per training query, over the already-
+  // checkpointed frame — a cached-block job with nothing to memoize and
+  // no stale-key risk, which also discharges the r15 advisory about the
+  // memo's dir-string keying)
 
-  /** Trains the quantizer and returns (final centroids (cid, cq),
-    * final assignment (vec_id, qv, cid, d2)) — shared by q57 (training
-    * diagnostics) and q58 (the IVF index built from it). K is threaded
-    * in from the memoized corpus count so the training itself runs no
-    * count() job. */
-  private def kmeansTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    kmeansTrainOn(emb(spark, dir).select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Q}d) AS BIGINT))").as("qv")),
-      k = autoK(embCount(spark, dir)))
+  // (the old full-corpus kmeansTrain(spark, dir) read-path trainer is
+  // gone: since r16 every serving/evaluation consumer goes through
+  // storedCoarse/storedIvfModel, and training runs only inside the
+  // artifact writers — writeIvfModel via kmeansTrainOn below)
 
   /** Lloyd training over any quantized corpus (vec_id, qv: array<bigint>);
     * init = the K lowest vec_ids. Also the quantizer behind q68's
