@@ -204,6 +204,17 @@ class ControlPlaneBootSpec extends AnyFunSuite {
         java.nio.file.Files.setLastModifiedTime(d,
           java.nio.file.attribute.FileTime.fromMillis(1000000L * i))
       }
+      // a rolled band-state table with buckets whose members curation has
+      // since removed: the compaction duty must shrink it on the tick
+      // (the warehouse-side sibling of the model prune — verdict's
+      // "wire band-state compaction into the duty cycle")
+      import spark.implicits._
+      val bandStatePath = root.resolve("band_state.parquet").toString
+      Seq((0, "a", Seq(2L, 3L, 9L)), (1, "b", Seq(4L)), (1, "c", Seq(2L, 6L)))
+        .toDF("band", "band_sig", "ids")
+        .write.mode("overwrite").parquet(bandStatePath)
+      val liveIds = Seq(2L, 3L, 6L).toDF("doc_id")
+
       var flaky = 0
       val cp = new ControlPlane(spark, storeDir, ckptDir,
         ControlPlane.Wiring(
@@ -216,28 +227,45 @@ class ControlPlaneBootSpec extends AnyFunSuite {
             "model-artifacts" -> (() => {
               graft.operators.SimilarityOps.pruneModelArtifacts(spark, keepLast = 1); ()
             }),
+            "band-compaction" -> (() => {
+              // materialize BEFORE the overwrite (read-your-own-input)
+              val st = spark.read.parquet(bandStatePath)
+              val schema = st.schema
+              val compacted = graft.operators.SimilarityOps
+                .compactBandState(st, liveIds).collect()
+              spark.createDataFrame(
+                  spark.sparkContext.parallelize(compacted.toIndexedSeq), schema)
+                .write.mode("overwrite").parquet(bandStatePath)
+            }),
             // a failing duty must be isolated: logged, skipped, and never
             // allowed to break the rebalance loop or the other duties
             "flaky" -> (() => { flaky += 1; sys.error("duty boom") })),
           retentionEveryTicks = 2))
       cp.start(autoTick = false)
       try {
-        // boot tick runs the duty cycle immediately: the root shrinks to
-        // the newest ivf_full artifact; the failing duty is not reported
+        // boot tick runs the duty cycle immediately: the artifact root
+        // shrinks to the newest ivf_full artifact, the band state
+        // compacts (bucket "b" emptied → dropped, 9 filtered from "a"),
+        // and the failing duty is not reported
         val r1 = cp.tick()
-        assert(r1.retained == Seq("model-artifacts"),
-          s"expected the model prune (and only it) reported, got ${r1.retained}")
+        assert(r1.retained == Seq("model-artifacts", "band-compaction"),
+          s"expected both healthy duties reported, got ${r1.retained}")
         assert(flaky == 1, "the failing duty must still have been attempted")
-        val left = java.nio.file.Files.list(root).toArray.map(_.toString).sorted
+        val left = java.nio.file.Files.list(root).toArray.map(_.toString)
+          .filterNot(_.contains("band_state")).sorted
         assert(left.length == 1 && left.head.endsWith("ivf_full_0004"),
           s"expected only the newest artifact kept, got ${left.mkString(", ")}")
+        val compacted = spark.read.parquet(bandStatePath)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2).toList)).toSet
+        assert(compacted == Set((0, "a", List(2L, 3L)), (1, "c", List(2L, 6L))),
+          s"band state not compacted on tick: $compacted")
 
         // off-cadence tick: no duties run
         val r2 = cp.tick()
         assert(r2.retained.isEmpty && flaky == 1, "duties ran off-cadence")
-        // next cadence boundary: duties run again (idempotent no-op prune)
+        // next cadence boundary: duties run again (idempotent re-runs)
         val r3 = cp.tick()
-        assert(r3.retained == Seq("model-artifacts") && flaky == 2)
+        assert(r3.retained == Seq("model-artifacts", "band-compaction") && flaky == 2)
       } finally cp.stop()
     } finally {
       spark.conf.unset("spark.graft.artifact.root")
