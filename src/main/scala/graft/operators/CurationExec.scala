@@ -45,8 +45,7 @@ object CurationExec {
     * funnel spine. */
   private def qualFrame(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("tk", regexp_extract_all(lower(col("text")),
-        lit(TextOps.wsTokenRe), lit(0)))
+      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         size(col("tk")).cast("long").as("tokens0"),
         expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
@@ -99,7 +98,12 @@ object CurationExec {
     val f0 = qual.select("doc_id", "source", "lang", "text", "tokens0")
       .join(gated(losers1), Seq("doc_id"), "left_outer")
       .withColumn("kept1", col("dropped1").isNull)
-    val c1 = f0.filter(col("kept1")).select("doc_id", "source", "lang", "text")
+    // stage 2's dup-run rediscovery + rewrite is per-gram/per-token CPU
+    // work: spread the survivor frame across the box when the corpus scan
+    // under it is smaller than the core count (identity at scale)
+    val tinyScan = graft.Tables.fewScanSplits(spark, s"$dir/documents.parquet")
+    val c1 = graft.Tables.spreadIfTiny(
+      f0.filter(col("kept1")).select("doc_id", "source", "lang", "text"), tinyScan)
 
     // ---- stage 2: substring removal (q157's rewrite) on the survivors —
     // dup-run spans are REDISCOVERED on the stage-1 corpus: a span whose
@@ -110,7 +114,7 @@ object CurationExec {
         (col("start") + col("run") + lit(NgramW - 2L)).as("e"))
       .groupBy("doc_id").agg(collect_list(struct(col("s"), col("e"))).as("iv"))
     val c2 = c1
-      .withColumn("otoks", regexp_extract_all(col("text"), lit(wsTokenRe), lit(0)))
+      .withColumn("otoks", graft.plans.TextKernels.ws_tokens(col("text")))
       .join(iv, Seq("doc_id"), "left_outer")
       .withColumn("kept", when(col("iv").isNull, col("otoks")).otherwise(expr(
         "transform(filter(sequence(1, size(otoks)), i -> " +
@@ -119,8 +123,7 @@ object CurationExec {
         when(col("iv").isNull, col("text")).otherwise(concat_ws(" ", col("kept"))))
       .select(col("doc_id"), col("source"), col("lang"), col("text2"),
         size(col("kept")).cast("long").as("tokens2"),
-        conv(substring(md5(col("text2").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h2"))
+        graft.plans.TextKernels.md5_prefix60(col("text2").cast("binary")).as("h2"))
       .transform(stageBoundary) // stage boundary: the rewritten corpus ships downstream
 
     // ---- stage 3: quality filter (q139's calibration + q159's gate),
@@ -144,12 +147,11 @@ object CurationExec {
 
     // ---- stage 4: DSIR resample (q124's weights through q151's gate),
     // bucket histogram recomputed on the quality-filtered corpus
-    val toks = s3.filter(col("kept3"))
+    val toks = graft.Tables.spreadIfTiny(s3.filter(col("kept3")), tinyScan)
       .select(col("doc_id"), col("lang"),
-        explode(regexp_extract_all(lower(col("text2")), lit(wsTokenRe), lit(0))).as("tok"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text2")))).as("tok"))
       .withColumn("b",
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long") % DsirBuckets)
+        graft.plans.TextKernels.md5_prefix60(col("tok").cast("binary")) % DsirBuckets)
       .drop("tok")
       .localCheckpoint() // one tokenize scan feeds histogram AND scoring (q124's move)
     val buckets = toks.groupBy("b")
@@ -177,8 +179,8 @@ object CurationExec {
     val benchNg = TextOps.wordTrigrams(
         docs(spark, dir).filter(col("doc_id") % 97 === 0))
       .select("ng").distinct()
-    val flagged = TextOps.wordTrigrams(
-        s4.filter(col("kept4")).select(col("doc_id"), col("text2").as("text")))
+    val flagged = TextOps.wordTrigrams(graft.Tables.spreadIfTiny(
+        s4.filter(col("kept4")).select(col("doc_id"), col("text2").as("text")), tinyScan))
       .join(broadcast(benchNg), Seq("ng"), "left_semi")
       .select("doc_id").distinct()
     val s5 = s4.join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left_outer")
@@ -473,9 +475,8 @@ object CurationExec {
     * domain; shared by the replica frame and the from-files recomputation,
     * which never trusts a written column. */
   private def cmatOrderKey: org.apache.spark.sql.Column =
-    conv(substring(md5(concat(lit("cmat:"), col("doc_id").cast("string"),
-      lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    graft.plans.TextKernels.md5_prefix60(concat(lit("cmat:"), col("doc_id").cast("string"),
+      lit(":"), col("k").cast("string")).cast("binary"))
 
   /** The sharded curated-replica frame (doc_id, tokens, k, ok, shard). */
   private[graft] def q167Replicas(spark: SparkSession, dir: String,
@@ -483,8 +484,8 @@ object CurationExec {
     val cur = q167Curated(spark, dir, stageBoundary)
     cur.join(broadcast(q167Plan(cur)), Seq("source"))
       .withColumn("gate",
-        conv(substring(md5(concat(lit("cepoch:"), col("doc_id").cast("string"))
-          .cast("binary")), 1, 15), 16, 10).cast("long") % 1000)
+        graft.plans.TextKernels.md5_prefix60(concat(lit("cepoch:"), col("doc_id").cast("string"))
+          .cast("binary")) % 1000)
       .withColumn("copies",
         expr("ep DIV 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END"))
       .filter(col("copies") > 0)

@@ -45,7 +45,7 @@ object CurationPipeline {
     GateStage("too_short", _ =>
       graft.plans.WsTokenCount.ws_token_count(col("text")) >= minTokens),
     GateStage("repetitive", _ => {
-      val toks = regexp_extract_all(lower(col("text")), lit(TextOps.wsTokenRe), lit(0))
+      val toks = graft.plans.TextKernels.ws_tokens(lower(col("text")))
       size(array_distinct(toks)).cast("long") * 1000 >=
         size(toks).cast("long") * minDistinctPermille
     }),

@@ -503,8 +503,7 @@ object ForwardingOps {
       // 60-bit hash = 15 hex chars of md5 of the decimal-string offset:
       // exactly representable as a non-negative BIGINT in any engine
       .withColumn("h",
-        conv(substring(md5(col("offset").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("offset").cast("string").cast("binary")))
       .groupBy("topic")
       .agg(
         count(lit(1)).as("n"),
@@ -766,8 +765,7 @@ object ForwardingOps {
   def q83AggStateMerge(spark: SparkSession, dir: String): DataFrame = {
     val m = messages(events(spark, dir))
       .withColumn("h",
-        conv(substring(md5(col("offset").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("offset").cast("string").cast("binary")))
       .withColumn("half", pmod(col("offset"), lit(2)))
     val parts = m.groupBy("topic", "half").agg(
       count(lit(1)).as("pn"),
@@ -1120,8 +1118,7 @@ object ForwardingOps {
       df.select(col(key).cast("long").as("k"))
         .filter(col("k").isNotNull)
         .withColumn("h",
-          conv(substring(md5(col("k").cast("string").cast("binary")), 1, 15), 16, 10)
-            .cast("long"))
+          graft.plans.TextKernels.md5_prefix60(col("k").cast("string").cast("binary")))
     val ev = events(spark, dir)
     // scan 1: every fact-side figure (sketch state, exact distinct, row
     // count) from ONE aggregation

@@ -152,8 +152,8 @@ object SimilarityOps {
     * expression over a `text` column — the one definition shared by batch
     * verification (jaccardVerify's default) and the streaming twin, so
     * stream and batch verify candidates over identical sets. */
-  private[graft] def charShingles: Column = expr(
-    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))")
+  private[graft] def charShingles: Column =
+    graft.plans.TextKernels.char_shingles(col("text"), 5)
 
   /** Banded buckets for a given rows-per-band r over a signature frame. */
   private def bucketsForBand(sig: DataFrame, r: Int): DataFrame = {
@@ -216,11 +216,19 @@ object SimilarityOps {
     // SAME broadcast subtree (aliases applied via the join condition, not
     // before the exchange) so ReuseExchange ships it once.
     val candB = if (smallCandSet) broadcast(candidateIds) else candidateIds
-    val shingleSets = docs(spark, dir)
+    // the shingle projection is the price of this subtree (per-doc
+    // substring explosion + array_distinct, ~ms per document): read the
+    // corpus through the scale-adaptive spread so it runs cores-wide even
+    // when the local corpus is a single parquet split (identity at scale)
+    val shingleSets = graft.Tables.spreadRead(spark, s"$dir/documents.parquet")
       .join(candB, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles.as("sh"))
     val shB = if (smallCandSet) broadcast(shingleSets) else shingleSets
-    cand
+    // the per-pair intersect below is priced per ROW; the checkpointed
+    // candidate frame often materialized AQE-coalesced to one partition
+    // (it is byte-tiny), which would run the whole verify single-task —
+    // re-spread it across the box (identity when already ≥ cores parts)
+    graft.Tables.spreadParts(cand)
       .join(shB.as("x"), col("a") === col("x.doc_id"))
       .join(shB.as("y"), col("b") === col("y.doc_id"))
       .withColumn("sha", col("x.sh")).withColumn("shb", col("y.sh"))
@@ -936,13 +944,8 @@ object SimilarityOps {
     // ---- stage D: 3-gram novelty vs the snapshot type set (q138) ----
     def grams(df: DataFrame): DataFrame = df
       .withColumn("toks",
-        regexp_extract_all(lower(col("text")), lit(TextOps.wsTokenRe), lit(0)))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2),
-          |    i -> md5(CAST(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |      element_at(toks, i + 2)) AS BINARY)))
-          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+        graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(graft.plans.TextKernels.ws_gram_md5_hex(col("toks"), 3)).as("g"))
     val snapG = grams(docs(spark, dir).filter(col("doc_id") % 5 =!= 0))
       .select("g").distinct()
     val arrG = grams(docs(spark, dir).join(ingested, Seq("doc_id"), "left_semi"))
@@ -1091,9 +1094,8 @@ object SimilarityOps {
     val d = docs(spark, dir)
       .join(broadcast(needed), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        expr("""transform(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+', 0),
-          | t -> CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
-          .as("hashes"))
+        transform(graft.plans.TextKernels.ws_tokens(lower(col("text"))),
+          t => graft.plans.TextKernels.md5_prefix60(t)).as("hashes"))
     // per bit i: sum over tokens of (bit set ? 1 : -1); simhash bit = vote > 0
     val simNeeded = d.withColumn("simhash", expr(
       """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
@@ -3009,7 +3011,7 @@ object SimilarityOps {
       .select("a", "b")
       .localCheckpoint() // pair discovery is the dominant cost; scan it once
     val qual = docs(spark, dir)
-      .withColumn("tk", regexp_extract_all(lower(col("text")), lit("[^ \\t\\n\\r\\f]+"), lit(0)))
+      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .select(col("doc_id"), col("source"),
         size(col("tk")).cast("long").as("tokens"),
         expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
@@ -3067,8 +3069,7 @@ object SimilarityOps {
     // labeling's own path choice — no extra count() job in the query path
     val (labels, activeBound) = minLabelComponentsBounded(dups)
     val qual = docs(spark, dir)
-      .withColumn("tk", regexp_extract_all(lower(col("text")),
-        lit(graft.operators.TextOps.wsTokenRe), lit(0)))
+      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .select(col("doc_id"), col("source"), col("text"),
         size(col("tk")).cast("long").as("tokens"),
         expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
@@ -3086,7 +3087,7 @@ object SimilarityOps {
       .select(col("doc_id"), lit(1L).as("dropped"))
     qual.join(gated(losers), Seq("doc_id"), "left_outer")
       .withColumn("h",
-        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("text").cast("binary")))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(coalesce(col("dropped"), lit(0L))).as("docs_dropped"),
@@ -3129,10 +3130,9 @@ object SimilarityOps {
   private def textDims(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")),
-          lit(graft.operators.TextOps.wsTokenRe), lit(0))).as("tok"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
       .withColumn("h",
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("tok").cast("binary")))
       .groupBy(col("doc_id"), (col("h") % AlignDims).as("dim"))
       .agg(sum(expr("IF((h DIV 8) % 2 = 0, 1L, -1L)")).as("tval"))
 
@@ -3584,7 +3584,7 @@ object SimilarityOps {
       .select("doc_id", "lex_rank")
     val qd = graft.operators.TextOps.Bm25Terms.toDF("tok")
       .withColumn("h",
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("tok").cast("binary")))
       .groupBy((col("h") % AlignDims).as("dim"))
       .agg(sum(expr("IF((h DIV 8) % 2 = 0, 1L, -1L)")).as("qval"))
     val den = textDims(spark, dir)
@@ -3664,8 +3664,7 @@ object SimilarityOps {
   def q134SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextOps.{TrainBound, ValBound}
     def splitOf(c: Column): Column = {
-      val h = conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.plans.TextKernels.md5_prefix60(c.cast("string").cast("binary"))
       when(h < TrainBound, "train").when(h < ValBound, "val").otherwise("test")
     }
     val dups = q41Scored(spark, dir)
@@ -3903,8 +3902,7 @@ object SimilarityOps {
   def q144SplitRepair(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextOps.{TrainBound, ValBound}
     def splitOf(c: Column): Column = {
-      val h = conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.plans.TextKernels.md5_prefix60(c.cast("string").cast("binary"))
       when(h < TrainBound, "train").when(h < ValBound, "val").otherwise("test")
     }
     val dups = q41Scored(spark, dir)

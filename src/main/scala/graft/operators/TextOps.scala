@@ -376,8 +376,7 @@ object TextOps {
   def q53HashSplit(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("doc_id").cast("string").cast("binary")))
       .withColumn("split",
         when(col("h") < TrainBound, "train")
           .when(col("h") < ValBound, "val")
@@ -411,12 +410,8 @@ object TextOps {
     * `text`. ONE definition feeds the q54 audit and the q163 execution,
     * so the applied verdicts cannot drift from the audited ones. */
   private[operators] def wordTrigrams(df: DataFrame): DataFrame =
-    df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
-      .withColumn("ng", explode(expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2),
-          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+    df.withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+      .withColumn("ng", explode(graft.plans.TextKernels.ws_grams(col("toks"), 3)))
       .select(col("doc_id"), col("ng"))
 
   def q54Decontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -466,7 +461,7 @@ object TextOps {
 
   def q55Chunking(spark: SparkSession, dir: String): DataFrame = {
     val chunks = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .filter(size(col("toks")) > 0)
       .withColumn("chunk", explode(expr(
         s"""transform(sequence(0, int(floor((size(toks) - 1) / $ChunkStride))),
@@ -509,13 +504,10 @@ object TextOps {
 
   def q56RepetitionGate(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("total", greatest(size(col("toks")) - 2, lit(0)).cast("long"))
-      .withColumn("uniq", expr(
-        """CAST(size(array_distinct(CASE WHEN size(toks) >= 3 THEN
-          | transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-          | ELSE CAST(array() AS ARRAY<STRING>) END)) AS BIGINT)""".stripMargin))
+      .withColumn("uniq", size(array_distinct(
+        graft.plans.TextKernels.ws_grams(col("toks"), 3))).cast("long"))
       // flag on integer cross-multiplication: (total-uniq)*1000 > permille*total
       .withColumn("flagged",
         (col("total") - col("uniq")) * 1000 > lit(RepFlagPermille) * col("total"))
@@ -564,7 +556,7 @@ object TextOps {
 
   def q60SpanDedup(spark: SparkSession, dir: String): DataFrame = {
     val blocks = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("ntok", size(col("toks")))
       .select(col("doc_id"), col("source"), col("ntok"),
         posexplode(expr(
@@ -624,8 +616,7 @@ object TextOps {
       .withColumn("rate_permille",
         (lit(100) + lit(45) * (expr("CAST(substring(source, 4) AS INT)") % 20)).cast("long"))
       .withColumn("gate",
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long") % 1000)
+        graft.plans.TextKernels.md5_prefix60(col("doc_id").cast("string").cast("binary")) % 1000)
       .withColumn("kept", col("gate") < col("rate_permille"))
     d.groupBy("source")
       .agg(
@@ -799,9 +790,8 @@ object TextOps {
     * shared by the manifest prediction and the from-files recomputation so
     * both derive the key from the stored document, never trusting a
     * written column. */
-  private def shuffleOrderKey: Column = conv(substring(
-    md5(concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")),
-    1, 15), 16, 10).cast("long")
+  private def shuffleOrderKey: Column = graft.plans.TextKernels.md5_prefix60(
+    concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary"))
 
   /** The shuffle-enriched corpus frame (docs + tokens, ok, shard) shared
     * by the manifest (q162) and the shard writer ([[q162WriteShards]]). */
@@ -935,7 +925,7 @@ object TextOps {
       .withColumn("tokens", ws_token_count(col("text")).cast("long"))
       .join(flagged.withColumn("dropped", lit(1L)), Seq("doc_id"), "left_outer")
       .withColumn("h",
-        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("text").cast("binary")))
       .select(col("doc_id"), col("lang"), col("source"), col("tokens"),
         col("h"), col("dropped"))
   }
@@ -1031,8 +1021,8 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(col("raw"),
           emailPat, "<PII>"), ipv4Pat, "<PII>"), phonePat, "<PII>"))
       .withColumn("h_red",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-          col("text_red")).cast("binary")), 1, 15), 16, 10).cast("long"))
+        graft.plans.TextKernels.md5_prefix60(concat(col("doc_id").cast("string"), lit(":"),
+          col("text_red")).cast("binary")))
     red.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("text_red") =!= col("raw"), 1L).otherwise(0L)).as("docs_touched"),
@@ -1133,8 +1123,8 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("tokens"))
       .join(broadcast(plan), Seq("source"))
       .withColumn("gate",
-        conv(substring(md5(concat(lit("epoch:"), col("doc_id").cast("string"))
-          .cast("binary")), 1, 15), 16, 10).cast("long") % 1000)
+        graft.plans.TextKernels.md5_prefix60(concat(lit("epoch:"), col("doc_id").cast("string"))
+          .cast("binary")) % 1000)
       .withColumn("copies",
         expr("ep DIV 1000 + CASE WHEN gate < ep % 1000 THEN 1 ELSE 0 END"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1152,9 +1142,8 @@ object TextOps {
       .select(col("source"), col("doc_id"),
         explode(expr("sequence(0L, copies - 1L)")).as("k"))
       .withColumn("rfp",
-        conv(substring(md5(concat(lit("epochfp:"), col("doc_id").cast("string"),
-          lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.plans.TextKernels.md5_prefix60(concat(lit("epochfp:"), col("doc_id").cast("string"),
+          lit(":"), col("k").cast("string")).cast("binary")))
       .groupBy("source").agg(expr("bit_xor(rfp)").as("replica_fp"))
     base.join(fp, Seq("source"), "left_outer")
       .withColumn("replica_fp", coalesce(col("replica_fp"), lit(0L)))
@@ -1232,10 +1221,9 @@ object TextOps {
   /** The per-replica materialization order key over (`doc_id`, `k`) —
     * shared by the manifest and the from-files recomputation, which never
     * trusts a written column. */
-  private def matOrderKey: Column = conv(substring(
-    md5(concat(lit("mat:"), col("doc_id").cast("string"),
-      lit(":"), col("k").cast("string")).cast("binary")), 1, 15), 16, 10)
-    .cast("long")
+  private def matOrderKey: Column = graft.plans.TextKernels.md5_prefix60(
+    concat(lit("mat:"), col("doc_id").cast("string"),
+      lit(":"), col("k").cast("string")).cast("binary"))
 
   /** The sharded replica frame (doc_id, tokens, k, ok, shard) — q165's
     * multiset under the materialization shuffle; shared by the manifest
@@ -1354,7 +1342,7 @@ object TextOps {
   def q65LmQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("source"),
-        regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+        graft.plans.TextKernels.ws_tokens(lower(col("text"))).as("ts"))
       .filter(size(col("ts")) >= 2)
     val bigrams = toks.select(col("doc_id"), col("source"),
       explode(expr(
@@ -1408,15 +1396,10 @@ object TextOps {
   def q66BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.BloomSketch
     def ngramHashes(df: DataFrame): DataFrame =
-      df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
-        .withColumn("ng", explode(expr(
-          """CASE WHEN size(toks) >= 3 THEN
-            |  transform(sequence(1, size(toks) - 2),
-            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      df.withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+        .withColumn("ng", explode(graft.plans.TextKernels.ws_grams(col("toks"), 3)))
         .select(col("doc_id"),
-          conv(substring(md5(col("ng").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.plans.TextKernels.md5_prefix60(col("ng").cast("binary")).as("h"))
     val d = docs(spark, dir)
     // bench-slice digest set: THREE consumers (the bloom aggregate, the
     // exact-verify broadcast, and the scalar-subquery view) — materialize
@@ -1484,8 +1467,7 @@ object TextOps {
   def q67GroupSample(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("doc_id").cast("string").cast("binary")))
     val winners = d.groupBy("source")
       .agg(graft.functions.SmallestK.smallest_k(col("h"), SamplePerSource).as("hs"))
       .select(col("source"), explode(col("hs")).as("h"))
@@ -1518,7 +1500,7 @@ object TextOps {
   def q71VocabOov(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("source"),
-        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
     val vocab = toks.filter(col("doc_id") % 2 === 0).select("tok").distinct()
     toks.filter(col("doc_id") % 2 === 1)
       .join(broadcast(vocab.withColumn("known", lit(1L))), Seq("tok"), "left_outer")
@@ -1563,7 +1545,7 @@ object TextOps {
     // per reference (the q65 lesson)
     val tf = docs(spark, dir)
       .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
       .groupBy("tok", "doc_id")
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1616,7 +1598,7 @@ object TextOps {
     // both sides reference it (the q65 lesson)
     val toks = docs(spark, dir)
       .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+        graft.plans.TextKernels.ws_tokens(lower(col("text"))).as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
@@ -1672,7 +1654,7 @@ object TextOps {
     val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val tf = docs(spark, dir)
       .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
       .filter(col("tok").isin(Bm25Terms: _*))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
@@ -1770,7 +1752,7 @@ object TextOps {
     // union of two selects would tokenize the corpus twice
     val edges = docs(spark, dir)
       .select(col("doc_id"), col("source"),
-        regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)).as("ts"))
+        graft.plans.TextKernels.ws_tokens(lower(col("text"))).as("ts"))
       .filter(size(col("ts")) >= EdgeTokens)
       .select(col("doc_id"), col("source"), explode(expr(
         s"""array(struct('head' AS kind, array_join(slice(ts, 1, $EdgeTokens), ' ') AS edge),
@@ -1819,7 +1801,7 @@ object TextOps {
 
   def q108TokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("tokens", size(col("toks")).cast("long"))
       .filter(col("tokens") > 0)
       .withColumn("ttr", expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 DIV tokens"))
@@ -2010,12 +1992,11 @@ object TextOps {
 
   def q114NgramDupProfile(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("ntok", size(col("toks")))
       .filter(col("ntok") >= NgramW)
-      .select(col("source"), explode(expr(
-        s"transform(sequence(1, ntok - ${NgramW - 1}), " +
-          s"i -> md5(CAST(concat_ws(' ', slice(toks, i, $NgramW)) AS BINARY)))")).as("g"))
+      .select(col("source"), explode(
+        graft.plans.TextKernels.ws_gram_md5_hex(col("toks"), NgramW)).as("g"))
     // materialize the (digest, source) aggregate ONCE: both the corpus
     // frequency and the instance side derive from it, and without the cut
     // the plan re-scans and re-explodes the corpus for each (verified in
@@ -2121,7 +2102,7 @@ object TextOps {
 
   def q116BpeMergeCandidates(spark: SparkSession, dir: String): DataFrame = {
     val words = docs(spark, dir)
-      .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
+      .select(explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
     val pairCounts = words
       .filter(length(col("word")) >= 2)
@@ -2167,7 +2148,7 @@ object TextOps {
   // ===========================================================
   def q117SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val spans = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("ntok", size(col("toks")))
       .filter(col("ntok") > 0)
       .select(col("source"), explode(expr(
@@ -2237,7 +2218,7 @@ object TextOps {
   private def bpeTrain(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) =
     bpeTrainOn(docs(spark, dir)
-      .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
+      .select(explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c")))
 
   /** Trainer over any (word, c) vocabulary frame — q119 feeds it the
@@ -2351,7 +2332,7 @@ object TextOps {
     // (via its word-sums) and receives the trained segmentation
     val ws = docs(spark, dir)
       .select(col("source"),
-        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("word"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("k"))
       .localCheckpoint()
     val (_, vocab) = bpeTrainOn(ws.groupBy("word").agg(sum("k").as("c")))
@@ -2484,10 +2465,9 @@ object TextOps {
       : (DataFrame, DataFrame) = {
     val toks = docs(spark, dir)
       .select(col("source"), col("lang"), col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+        explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
       .withColumn("b",
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long") % DsirBuckets)
+        graft.plans.TextKernels.md5_prefix60(col("tok").cast("binary")) % DsirBuckets)
       .drop("tok")
       .localCheckpoint()
     // ONE aggregation yields raw and target counts per bucket together;
@@ -2566,8 +2546,7 @@ object TextOps {
     * → mod 1000; pinned bit-for-bit by a QueriesSpec test against a pure
     * JVM MessageDigest reference. */
   def dsirGate(docId: Column): Column =
-    conv(substring(md5(concat(lit("dsir:"), docId.cast("string")).cast("binary")), 1, 15), 16, 10)
-      .cast("long") % 1000
+    graft.plans.TextKernels.md5_prefix60(concat(lit("dsir:"), docId.cast("string")).cast("binary")) % 1000
 
   def q151DsirResample(spark: SparkSession, dir: String): DataFrame = {
     val (toks, cls) = dsirToksAndClasses(spark, dir)
@@ -2634,17 +2613,17 @@ object TextOps {
     * q125 (longest run per doc) and q128 (token-coverage accounting). */
   private[operators] def dupRunSpans(d: DataFrame, carry: Seq[String]): DataFrame = {
     val base = d
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("ntok", size(col("toks")))
       .filter(col("ntok") >= NgramW)
-    val gramStruct = explode(expr(
-      s"transform(sequence(1, ntok - ${NgramW - 1}), " +
-        s"i -> struct(i AS i, md5(CAST(concat_ws(' ', slice(toks, i, $NgramW)) AS BINARY)) AS g))"))
-      .as("p")
+    // native gram digests (TextKernels): posexplode's 0-based pos maps to
+    // the transform form's 1-based i
     val positions = base
-      .select((Seq(col("doc_id")) ++ carry.map(col) ++ Seq(gramStruct)): _*)
+      .select((Seq(col("doc_id")) ++ carry.map(col) ++ Seq(posexplode(
+        graft.plans.TextKernels.ws_gram_md5_hex(col("toks"), NgramW))
+        .as(Seq("pos", "g")))): _*)
       .select((Seq(col("doc_id")) ++ carry.map(col) ++
-        Seq(col("p.i").as("i"), col("p.g").as("g"))): _*)
+        Seq((col("pos") + 1).cast("int").as("i"), col("g"))): _*)
     val repeated = positions.groupBy("g").agg(count(lit(1)).as("f"))
       .filter(col("f") >= 2).select("g")
     val dup = positions.join(repeated, Seq("g"), "left_semi")
@@ -2726,7 +2705,7 @@ object TextOps {
   def q127DistinctNgrams(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("source"),
-        posexplode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+        posexplode(graft.plans.TextKernels.ws_tokens(lower(col("text"))))
           .as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // a null lead means the gram would run off the doc end — and since
@@ -2872,7 +2851,7 @@ object TextOps {
         (col("start") + col("run") + lit(NgramW - 2L)).as("e"))
       .groupBy("doc_id").agg(collect_list(struct(col("s"), col("e"))).as("iv"))
     docs(spark, dir)
-      .withColumn("otoks", regexp_extract_all(col("text"), lit(wsTokenRe), lit(0)))
+      .withColumn("otoks", graft.plans.TextKernels.ws_tokens(col("text")))
       .join(iv, Seq("doc_id"), "left_outer")
       // kept = tokens at positions outside the interval union; intervals
       // can overlap (q128's point) — the exists() test handles overlap
@@ -2885,10 +2864,9 @@ object TextOps {
       // untouched docs fingerprint their ORIGINAL bytes (spacing intact);
       // modified docs are rebuilt from kept tokens, so the single-space
       // join IS their cleaned byte form by definition
-      .withColumn("h", conv(substring(
-        md5(when(col("iv").isNull, col("text"))
-          .otherwise(concat_ws(" ", col("kept"))).cast("binary")), 1, 15), 16, 10)
-        .cast("long"))
+      .withColumn("h", graft.plans.TextKernels.md5_prefix60(
+        when(col("iv").isNull, col("text"))
+          .otherwise(concat_ws(" ", col("kept"))).cast("binary")))
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("docs_modified"),
@@ -3040,8 +3018,7 @@ object TextOps {
   def q129QualityPerceptron(spark: SparkSession, dir: String): DataFrame = {
     val f = qualityFeatures(docs(spark, dir)
       .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long")))
+        graft.plans.TextKernels.md5_prefix60(col("doc_id").cast("string").cast("binary"))))
     val (w, trainN) = trainQualityPerceptron(f.filter(col("h") < TrainBound))
     f.filter(col("h") >= ValBound)
       .withColumn("pred", when(qualityMargin(w) > 0, 1L).otherwise(-1L))
@@ -3134,7 +3111,7 @@ object TextOps {
 
   def q130SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir).select(col("source"),
-      explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+      explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(VocabTopK)
       .select("tok").collect().map(_.getString(0)).toSeq
@@ -3254,12 +3231,8 @@ object TextOps {
 
   def q132BenchLeaks(spark: SparkSession, dir: String): DataFrame = {
     def ngrams(df: DataFrame): DataFrame =
-      df.withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
-        .withColumn("ng", explode(expr(
-          """CASE WHEN size(toks) >= 3 THEN
-            |  transform(sequence(1, size(toks) - 2),
-            |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      df.withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+        .withColumn("ng", explode(graft.plans.TextKernels.ws_grams(col("toks"), 3)))
         .select(col("doc_id"), col("ng"))
     val d = docs(spark, dir)
     val benchG = ngrams(d.filter(col("doc_id") % 97 === 0))
@@ -3325,7 +3298,7 @@ object TextOps {
   def q133VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val freq = docs(spark, dir)
-      .select(explode(regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0))).as("tok"))
+      .select(explode(graft.plans.TextKernels.ws_tokens(lower(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .localCheckpoint() // types-sized; ranked and totals both consume it
     val ranked = freq.withColumn("rank",
@@ -3549,13 +3522,8 @@ object TextOps {
 
   def q137ContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2),
-          |    i -> md5(CAST(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |      element_at(toks, i + 2)) AS BINARY)))
-          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(graft.plans.TextKernels.ws_gram_md5_hex(col("toks"), 3)).as("g"))
       .distinct()
       .localCheckpoint() // one tokenize scan feeds buckets AND both count legs
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -3635,16 +3603,11 @@ object TextOps {
   def q138NoveltyDecay(spark: SparkSession, dir: String): DataFrame = {
     val denom = docs(spark, dir).agg((max("doc_id") + 1L).as("denom"))
     val g = docs(spark, dir)
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .crossJoin(broadcast(denom))
       .withColumn("batch",
         expr(s"least(doc_id * $NoveltyBatches DIV denom, ${NoveltyBatches - 1})"))
-      .select(col("batch"), explode(expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2),
-          |    i -> md5(CAST(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |      element_at(toks, i + 2)) AS BINARY)))
-          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+      .select(col("batch"), explode(graft.plans.TextKernels.ws_gram_md5_hex(col("toks"), 3)).as("g"))
     val presence = g.distinct()
       .localCheckpoint() // one tokenize scan feeds first-seen AND per-batch
     val firstSeen = presence.groupBy("g").agg(min("batch").as("minb"))
@@ -3775,7 +3738,7 @@ object TextOps {
     scored.join(broadcast(thr), Seq("source"))
       .withColumn("kept", col("score") >= col("threshold"))
       .withColumn("h",
-        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("text").cast("binary")))
       .groupBy("source").agg(
         max("threshold").as("threshold"), // constant within the group
         count(lit(1)).as("n_docs"),
@@ -4023,8 +3986,7 @@ object TextOps {
     val d = docs(spark, dir).select(col("doc_id"), col("n_chars"))
       .localCheckpoint() // sample histogram + full assignment
     val sample = d.filter(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % RngSampleMod < RngSamplePct)
+      graft.plans.TextKernels.md5_prefix60(col("doc_id").cast("string").cast("binary")) % RngSampleMod < RngSamplePct)
     val hist = sample.groupBy("n_chars").agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum", sum("c").over(
       Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)))

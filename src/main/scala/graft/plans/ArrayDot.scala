@@ -164,6 +164,34 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("rolling_hash_grams"),
       new ExpressionInfo(classOf[RollingHashGrams].getName, "rolling_hash_grams"),
       (children: Seq[Expression]) => RollingHashGrams(children.head)))
+    // the text kernels (TextKernels.scala): literal int params resolve at
+    // registration — a non-literal there is a caller bug, failed loudly
+    def litInt(e: Expression): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => sys.error(s"expected an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[TextKernels.WsTokens].getName, "ws_tokens"),
+      (children: Seq[Expression]) => TextKernels.WsTokens(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ws_grams"),
+      new ExpressionInfo(classOf[TextKernels.WsGrams].getName, "ws_grams"),
+      (children: Seq[Expression]) => TextKernels.WsGrams(children(0), litInt(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("ws_gram_md5_hex"),
+      new ExpressionInfo(classOf[TextKernels.WsGramMd5Hex].getName, "ws_gram_md5_hex"),
+      (children: Seq[Expression]) => TextKernels.WsGramMd5Hex(children(0), litInt(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[TextKernels.CharShingles].getName, "char_shingles"),
+      (children: Seq[Expression]) => TextKernels.CharShingles(children(0),
+        if (children.size > 1) litInt(children(1)) else 5)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[TextKernels.Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => TextKernels.Md5Prefix60(children.head)))
     // per-key top-k: rewrite row_number-window + rank filter into the
     // two-phase (map-side-pruned) TopKPerKey operator
     ext.injectOptimizerRule(_ => RewriteWindowTopK)

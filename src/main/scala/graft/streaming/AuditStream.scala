@@ -36,8 +36,7 @@ object AuditStream {
     val base = if (df.isStreaming) df.withWatermark(eventTimeCol, watermarkDelay) else df
     base
       .withColumn("h",
-        conv(substring(md5(col("offset").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.plans.TextKernels.md5_prefix60(col("offset").cast("string").cast("binary")))
       .groupBy(window(col(eventTimeCol), windowLength), col("topic"))
       .agg(
         count(lit(1)).as("n"),

@@ -52,14 +52,13 @@ object DiversityStream {
     val baselineLit =
       if (baseline.isEmpty) typedlit(Map("" -> 0L)) else typedlit(baseline)
     base
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("ntok", size(col("toks")))
       .filter(col("ntok") >= n)
       // 60-bit gram digests, one array per doc — q127's gram definition
-      .withColumn("hs", expr(
-        s"transform(sequence(1, ntok - ${n - 1}), i -> " +
-          s"CAST(conv(substring(md5(CAST(concat_ws(' ', slice(toks, i, $n)) AS BINARY)), " +
-          s"1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("hs", transform(
+        graft.plans.TextKernels.ws_grams(col("toks"), n),
+        g => graft.plans.TextKernels.md5_prefix60(g)))
       .select(col(eventTimeCol), col("source"), posexplode(col("hs")).as(Seq("pos", "h")))
       .groupBy(window(col(eventTimeCol), windowLength), col("source"))
       .agg(

@@ -53,8 +53,7 @@ object IngestFunnel {
     * one day's scale, and exactly reconciled against the batch md5-128
     * dedup by the spec. */
   private[graft] def normDigest =
-    conv(substring(md5(graft.operators.TextOps.norm.cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    graft.plans.TextKernels.md5_prefix60(graft.operators.TextOps.norm.cast("binary"))
 
   /** The snapshot's exact-dedup Bloom bits over DISTINCT normalized-text
     * digests — stage A's rollable state, built once per snapshot (one

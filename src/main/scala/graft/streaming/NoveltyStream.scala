@@ -51,13 +51,11 @@ object NoveltyStream {
     * column, so a funnel stage can watermark the gram stream). */
   def gramHashes(df: DataFrame, carry: Seq[String] = Nil): DataFrame =
     df.withColumn("toks",
-        regexp_extract_all(lower(col("text")), lit(graft.operators.TextOps.wsTokenRe), lit(0)))
+        graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .filter(size(col("toks")) >= 3)
-      .select(col("source") +: carry.map(col) :+ explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> CAST(conv(substring(md5(CAST(concat_ws(' ', element_at(toks, i),
-          |    element_at(toks, i + 1), element_at(toks, i + 2)) AS BINARY)),
-          |    1, 15), 16, 10) AS BIGINT))""".stripMargin)).as("h"): _*)
+      .select(col("source") +: carry.map(col) :+ explode(transform(
+        graft.plans.TextKernels.ws_grams(col("toks"), 3),
+        g => graft.plans.TextKernels.md5_prefix60(g))).as("h"): _*)
 
   /** Monitor novelty per source over `docs` (columns: source, text).
     * `numBits` must be a positive multiple of 64. Requires the RocksDB

@@ -62,7 +62,7 @@ object TokenizerStream {
     val baselineLit =
       if (baseline.isEmpty) typedlit(Map("" -> 0L)) else typedlit(baseline)
     base
-      .withColumn("toks", regexp_extract_all(lower(col("text")), lit(wsTokenRe), lit(0)))
+      .withColumn("toks", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .withColumn("words", size(col("toks")).cast("long"))
       .withColumn("symbols",
         aggregate(transform(col("toks"), t => symbolsOf(t, merges)),
