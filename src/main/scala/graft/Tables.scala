@@ -76,6 +76,13 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Label the Spark jobs an eager step schedules (guide §1.5: label your
+    * jobs) — thread-local, cleared after, zero cost when no job runs. */
+  def labeled[T](spark: SparkSession, desc: String)(f: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** events table with `ts` normalized to epoch-nanoseconds Long. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

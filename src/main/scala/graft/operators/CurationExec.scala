@@ -42,19 +42,26 @@ object CurationExec {
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** The S0 quality projection shared by stage 1's ranking and the
-    * funnel spine. */
+    * funnel spine. tokens0 counts via the no-allocation kernel instead of
+    * size(ws_tokens(...)): lower() is token-count-neutral (no case mapping
+    * crosses the whitespace class), so consumers that prune down to
+    * tokens0 — the funnel's f0 leg — never build the token array at all;
+    * ttr still derives from the array, computed only where a consumer
+    * actually reads it (the stage-1 ranking of label-matched docs). */
   private def qualFrame(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        size(col("tk")).cast("long").as("tokens0"),
+        graft.plans.WsTokenCount.ws_token_count(col("text")).as("tokens0"),
         expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
           .as("ttr"))
 
   /** Stage 1's pre-checkpoint loser subtree plus the labeling's active
     * bound — graft-visible so PlanSpec can assert the component-keyed
     * canonical window that the checkpoint hides from the final plan
-    * (the q161CandidatePairs pattern). */
+    * (the q161CandidatePairs pattern). `qual` lets the spine pass its
+    * materialized quality-metadata sliver so the ttr ranking reads the
+    * one tokenize pass instead of re-tokenizing the corpus. */
   private[graft] def q164Losers1(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val dups = SimilarityOps.q41Scored(spark, dir)
       .filter(col("inter") * lit(2L) >= col("uni"))
@@ -62,8 +69,14 @@ object CurationExec {
     val (labels, activeBound) = SimilarityOps.minLabelComponentsBounded(dups)
     val lab = if (activeBound <= (1L << 20)) broadcast(labels) else labels
     val wc = Window.partitionBy("comp").orderBy(col("ttr").desc, col("doc_id"))
-    val losers = qualFrame(spark, dir)
+    // restrict to the label-matched docs FIRST, then derive ttr — the join
+    // does not commute below the projection on its own, so ranking over
+    // qualFrame tokenized + array_distinct'd EVERY doc to rank a sliver
+    val losers = docs(spark, dir).select(col("doc_id"), col("text"))
       .join(lab.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+      .withColumn("ttr",
+        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END"))
       .withColumn("rk", row_number().over(wc))
       .filter(col("rk") > 1)
       .select(col("doc_id"), lit(1L).as("dropped1"))
@@ -88,12 +101,18 @@ object CurationExec {
     import TextOps.{wsTokenRe, RunThr, NgramW, CalibTargetPermille, DsirBuckets, DsirTargetLang}
 
     // ---- stage 1: near-dup removal (q158's selection, verbatim) ----
+    // (An S0 "materialize the quality metadata once" variant was measured
+    // and REVERTED: Catalyst already prunes the tokenize out of the c1 and
+    // f0 legs — the losers window computes ttr only on label-matched docs
+    // and c1 carries text untouched — so an eager all-docs tokens+distinct
+    // checkpoint did strictly more work. Same-host A/B: q164 0.94x.)
     val (losers1Pre, activeBound) = q164Losers1(spark, dir)
     val smallSet = activeBound <= (1L << 20)
     def gated(df: DataFrame): DataFrame = if (smallSet) broadcast(df) else df
     val qual = qualFrame(spark, dir)
     // pair-bounded sliver; its upstream is the whole LSH chain
-    val losers1 = losers1Pre.localCheckpoint()
+    val losers1 = graft.Tables.labeled(spark, "q164 spine: stage-1 loser sliver ckpt")(
+      losers1Pre.localCheckpoint())
     // every S0 doc with its stage-1 verdict — the funnel's spine
     val f0 = qual.select("doc_id", "source", "lang", "text", "tokens0")
       .join(gated(losers1), Seq("doc_id"), "left_outer")
@@ -124,7 +143,8 @@ object CurationExec {
       .select(col("doc_id"), col("source"), col("lang"), col("text2"),
         size(col("kept")).cast("long").as("tokens2"),
         graft.plans.TextKernels.md5_prefix60(col("text2").cast("binary")).as("h2"))
-      .transform(stageBoundary) // stage boundary: the rewritten corpus ships downstream
+      .transform(df => graft.Tables.labeled(spark, "q164 spine: stage-2 rewrite boundary")(
+        stageBoundary(df))) // stage boundary: the rewritten corpus ships downstream
 
     // ---- stage 3: quality filter (q139's calibration + q159's gate),
     // calibrated on the CURRENT corpus — scores re-derive from the
@@ -146,24 +166,35 @@ object CurationExec {
       .withColumn("kept3", col("score") >= col("threshold"))
 
     // ---- stage 4: DSIR resample (q124's weights through q151's gate),
-    // bucket histogram recomputed on the quality-filtered corpus
-    val toks = graft.Tables.spreadIfTiny(s3.filter(col("kept3")), tinyScan)
+    // bucket histogram recomputed on the quality-filtered corpus.
+    // ONE tokenize scan, reduced map-side to per-(doc, bucket) counts
+    // BEFORE anything materializes or shuffles (guide §2.3 "aggregate
+    // before you shuffle"): the bucket histogram and the per-doc score
+    // both derive from the (doc_id, lang, b, n) frame — strictly fewer
+    // rows than the exploded token table the previous formulation
+    // checkpointed and re-shuffled twice. Σ_tokens cls ≡ Σ_buckets cls·n.
+    val db = graft.Tables.spreadIfTiny(s3.filter(col("kept3")), tinyScan)
       .select(col("doc_id"), col("lang"),
         explode(graft.plans.TextKernels.ws_tokens(lower(col("text2")))).as("tok"))
       .withColumn("b",
         graft.plans.TextKernels.md5_prefix60(col("tok").cast("binary")) % DsirBuckets)
-      .drop("tok")
-      .localCheckpoint() // one tokenize scan feeds histogram AND scoring (q124's move)
-    val buckets = toks.groupBy("b")
-      .agg(count(lit(1)).as("r_c"),
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t_c"))
-      .localCheckpoint()
-    val totals = buckets.agg(sum("r_c").as("r_tot"), sum("t_c").as("t_tot"))
-    val cls = buckets.crossJoin(broadcast(totals))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      .transform(df => graft.Tables.labeled(spark, "q164 spine: stage-4 doc-bucket ckpt")(
+        df.localCheckpoint())) // one tokenize scan feeds histogram AND scoring (q124's move)
+    // bucket classes with the totals folded in as an unpartitioned window
+    // over the ≤DsirBuckets-row histogram (constant-width at any corpus
+    // size) — replaces a checkpointed bucket frame + 1-row totals
+    // crossJoin with a single aggregation subtree the perDoc broadcast
+    // builds in-job
+    val cls = db.groupBy("b")
+      .agg(sum("n").as("r_c"),
+        sum(when(col("lang") === DsirTargetLang, col("n")).otherwise(0L)).as("t_c"))
+      .withColumn("r_tot", sum("r_c").over(Window.partitionBy()))
+      .withColumn("t_tot", sum("t_c").over(Window.partitionBy()))
       .select(col("b"),
         (expr("(t_c + 1) * r_tot * 1000 DIV ((r_c + 1) * t_tot)") - 1000L).as("cls"))
-    val perDoc = toks.join(broadcast(cls), Seq("b"))
-      .groupBy("doc_id").agg(sum("cls").as("w"))
+    val perDoc = db.join(broadcast(cls), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("cls") * col("n")).as("w"))
     // a doc emitting no tokens has no weight row: it carries no target
     // signal, so the resampler drops it (rate 0) — COALESCE'd explicitly
     val s4 = s3.join(perDoc, Seq("doc_id"), "left_outer")
@@ -171,7 +202,8 @@ object CurationExec {
         (TextOps.dsirGate(col("doc_id")) <
           greatest(least(coalesce(col("w"), lit(0L)), lit(1000L)), lit(0L))))
       .select("doc_id", "source", "lang", "text2", "tokens2", "h2", "kept3", "kept4")
-      .transform(stageBoundary) // stage boundary: the gated corpus feeds probe + rollup
+      .transform(df => graft.Tables.labeled(spark, "q164 spine: stage-4 gate boundary")(
+        stageBoundary(df))) // stage boundary: the gated corpus feeds probe + rollup
 
     // ---- stage 5: decontamination (q163's drop) — the SHIPPING text
     // (stage-2 bytes) is probed against the ORIGINAL benchmark slice,
@@ -459,17 +491,20 @@ object CurationExec {
   }
 
   /** q131's epoch math over the curated per-source masses (same budget ×
-    * cap; divisors guarded — a post-curation source CAN be degenerate). */
-  private[graft] def q167Plan(cur: DataFrame): DataFrame = {
-    val per = cur.groupBy("source").agg(sum("tokens").as("tokens"))
+    * cap; divisors guarded — a post-curation source CAN be degenerate).
+    * The grand totals fold in as an unpartitioned window over the S-row
+    * per-source aggregate (S = |sources|, constant-width at any corpus
+    * size) instead of a 1-row crossJoin — one aggregation subtree, no
+    * second pass over `cur`. */
+  private[graft] def q167Plan(cur: DataFrame): DataFrame =
+    cur.groupBy("source").agg(sum("tokens").as("tokens"))
       .withColumn("weight", floor(sqrt(col("tokens").cast("double"))).cast("long"))
-    val totals = per.agg(sum("tokens").as("tot_tokens"), sum("weight").as("tot_weight"))
-    per.crossJoin(broadcast(totals))
+      .withColumn("tot_tokens", sum("tokens").over(Window.partitionBy()))
+      .withColumn("tot_weight", sum("weight").over(Window.partitionBy()))
       .select(col("source"), least(expr(
         s"((weight * 1000 DIV greatest(tot_weight, 1L)) * tot_tokens * ${TextOps.EpochBudgetX} DIV 1000) " +
           s"* 1000 DIV greatest(tokens, 1L)"),
         lit(TextOps.EpochCapPermille)).as("ep"))
-  }
 
   /** The per-replica curated order key over (`doc_id`, `k`) — fresh 'cmat:'
     * domain; shared by the replica frame and the from-files recomputation,

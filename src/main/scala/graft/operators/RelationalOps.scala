@@ -570,8 +570,12 @@ object RelationalOps {
     // adaptive pattern): the degree aggregations are node-sized and
     // scan the checkpointed pair set, so counting them here is cheap.
     // Past the cap the SAME loop body runs as shuffle joins — a runtime
-    // decision, not a code edit.
-    val nodeCount = degC.count() + degS.count()
+    // decision, not a code edit. ONE job: both distinct-node counts come
+    // from a single aggregation over the checkpointed pair set instead of
+    // two sequential count() jobs (each a full scan + its planning gap).
+    val nodeCountRow = trade.agg(
+      countDistinct(col("cust")), countDistinct(col("supp"))).head()
+    val nodeCount = nodeCountRow.getLong(0) + nodeCountRow.getLong(1)
     val gateBroadcast = nodeCount <= broadcastNodeCap
     val half = trade.join(degC, "cust").join(degS, "supp").localCheckpoint()
     // Each round reads rank(cust) and rank(supp) for every edge — HOW it
@@ -601,20 +605,33 @@ object RelationalOps {
     var ranks = degC.select(col("cust").as("node"), lit(PrScale).as("rank"))
       .union(degS.select(col("supp").as("node"), lit(PrScale).as("rank")))
     for (_ <- 1 to PrIters) {
-      val ckpt = ranks.localCheckpoint()
       val contribs =
         if (gateBroadcast) {
-          // both probes share the SAME broadcast (ReuseExchange ships it
-          // once); one scan of half per round
-          val rb = broadcast(ckpt)
+          // ONE reference to the rank table per round: emit each edge's two
+          // directed halves map-side FIRST (explode of a 2-struct array),
+          // then a single broadcast probe src→rank. NO per-round
+          // checkpoint — all rounds fuse into the FINAL job as PrIters
+          // nested node-sized broadcast builds instead of PrIters eager
+          // checkpoint jobs plus their driver planning gaps. The single
+          // reference is load-bearing: a double-probe formulation (rank
+          // joined at both endpoints) embeds the whole previous round's
+          // subtree under TWO BroadcastExchanges that do NOT canonicalize
+          // equal, so the un-checkpointed plan doubled per round
+          // (measured: 28 exchanges, 0 reused) — same contribution
+          // multiset either way, same integer math per directed edge.
           half
-            .join(rb.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
-            .join(rb.select(col("node").as("supp"), col("rank").as("ranks_")), "supp")
             .select(explode(array(
-              struct(col("supp").as("dst"), expr("rankc DIV degc").as("contrib")),
-              struct(col("cust").as("dst"), expr("ranks_ DIV degs").as("contrib")))).as("e"))
-            .select(col("e.dst").as("dst"), col("e.contrib").as("contrib"))
+              struct(col("cust").as("src"), col("supp").as("dst"), col("degc").as("outdeg")),
+              struct(col("supp").as("src"), col("cust").as("dst"), col("degs").as("outdeg")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.outdeg").as("outdeg"))
+            .join(broadcast(ranks).withColumnRenamed("node", "src"), "src")
+            .select(col("dst"), expr("rank DIV outdeg").as("contrib"))
         } else {
+          // shuffle mode keeps the per-round checkpoint: the rank subtree
+          // is referenced through two DIFFERENT single-key joins (no
+          // exchange reuse possible), so without materialization each
+          // round would compute its predecessor twice
+          val ckpt = ranks.localCheckpoint()
           halfC
             .join(ckpt.select(col("node").as("cust"), col("rank").as("rankc")), "cust")
             .select(col("supp").as("dst"), expr("rankc DIV degc").as("contrib"))

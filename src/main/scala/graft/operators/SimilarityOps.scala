@@ -182,7 +182,8 @@ object SimilarityOps {
     // localCheckpoint: cand feeds the broadcast candidate-id union (two
     // references) AND the final verify join — without it the whole
     // sig→band→bucket pipeline replays three times per run
-    jaccardVerify(spark, dir, q41Candidates(buckets).localCheckpoint())
+    jaccardVerify(spark, dir, graft.Tables.labeled(spark, "q41: candidate-pair ckpt")(
+      q41Candidates(buckets).localCheckpoint()))
   }
 
   /** True-Jaccard verification of a (a, b) candidate-pair frame — the
@@ -204,10 +205,14 @@ object SimilarityOps {
     // on a duplicate-dense corpus the candidate set approaches the corpus
     // itself, and broadcasting either the candidate-id set (semi-join) or
     // the candidates' shingle arrays (verify joins) would OOM the driver.
-    // The count is cheap — cand is checkpointed — and past ~256k distinct
-    // candidate docs every hint drops and all three joins run as shuffles.
-    val nCandDocs = candidateIds.count()
-    val smallCandSet = nCandDocs <= (1L << 18)
+    // Gate on the PAIR count: cand is checkpointed, so this count is a
+    // single-stage read of its blocks (the previous distinct-doc count ran
+    // a union+distinct shuffle as its own blocking job at every verify call
+    // site). Distinct docs ≤ 2·pairs, so pairs ≤ 2^17 bounds the candidate
+    // doc set at the same ~256k broadcast ceiling — strictly conservative:
+    // any corpus the old gate sent to shuffle joins still goes there.
+    val smallCandSet = graft.Tables.labeled(spark, "jaccardVerify: pair-count gate")(
+      cand.count()) <= (1L << 17)
     // restrict to candidate docs FIRST (semi-join), THEN project the shingle
     // arrays — the expensive shingling runs on the candidate set, not the
     // corpus. Broadcast hints (when small): Spark's stats can't see the
@@ -524,25 +529,32 @@ object SimilarityOps {
     val crossPairs = newBands.join(oldIds, Seq("band", "band_sig"))
       .select(col("doc_id").as("a"), col("old_id").as("b")).distinct()
     val withinPairs = q41Candidates(bucketsForBand(newSig, BandSize))
-    val allPairs = crossPairs.unionByName(withinPairs).distinct().localCheckpoint()
-    val verdict = jaccardVerify(spark, dir, allPairs)
+    val allPairs = graft.Tables.labeled(spark, "dayVerdicts: candidate-pair ckpt")(
+      crossPairs.unionByName(withinPairs).distinct().localCheckpoint())
+    // Each verified pair contributes to BOTH endpoints via a 2-struct
+    // explode — a SINGLE reference to the verify subtree, so the flags
+    // checkpoint below runs the Jaccard verify exactly once with no
+    // persist/count/unpersist priming choreography (the previous
+    // formulation referenced the verdict twice through a union and needed
+    // a cache + a blocking count to avoid computing the verify twice).
+    // Same (m, p) multiset as the old verdict-union, row for row.
+    val flags = jaccardVerify(spark, dir, allPairs)
       .filter(col("inter") * lit(2L) >= col("uni"))
-      .select("a", "b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVerified = verdict.count()
-    val members = verdict.select(col("a").as("m"), col("b").as("p"))
-      .unionByName(verdict.select(col("b").as("m"), col("a").as("p")))
-    // flags materialize here (they are arrival-bounded and feed the final
-    // join), so the pair-sized verdict cache releases immediately instead
-    // of stranding blocks for the session (q165's memo-eviction rule)
-    val flags = members.filter(isArrival(col("m")))
+      .select(explode(array(
+        struct(col("a").as("m"), col("b").as("p")),
+        struct(col("b").as("m"), col("a").as("p")))).as("e"))
+      .select(col("e.m").as("m"), col("e.p").as("p"))
+      .filter(isArrival(col("m")))
       .groupBy("m").agg(
         max(when(!isArrival(col("p")), 1L).otherwise(0L)).as("has_old"),
         max(when(isArrival(col("p")) && col("p") < col("m"), 1L).otherwise(0L))
           .as("has_prior"))
-      .localCheckpoint()
-    verdict.unpersist(blocking = false)
-    val smallFlags = nVerified * 2 <= (1L << 20)
+      .transform(df => graft.Tables.labeled(spark, "dayVerdicts: verify + flag ckpt")(
+        df.localCheckpoint()))
+    // size gate for the final join's broadcast, read off the materialized
+    // flags (one row per flagged arrival ≤ the old 2·nVerified member
+    // bound, so the same ~1M-row broadcast ceiling applies)
+    val smallFlags = flags.count() <= (1L << 20)
     val fl = if (smallFlags) broadcast(flags) else flags
     // the verdict universe is exactly newSig's ids: the modulus filter
     // prunes the scan, the semi-join restricts to the actual arrival set
@@ -1288,8 +1300,10 @@ object SimilarityOps {
     // default: dup components are a sliver of the corpus (here ~hundreds of
     // rows; at 100 TB still ≪ corpus), so a fixed 32-partition shuffle per
     // round is pure scheduling overhead. One partition per ~1M active edges,
-    // growing with the data.
-    val nActiveEdges = undirected.count()
+    // growing with the data. |undirected| is exactly 2·|p| (a union of the
+    // pair frame with its swap — no dedup), so count the CHECKPOINTED frame
+    // once instead of running the union as its own two-scan job.
+    val nActiveEdges = 2L * p.count()
     val loopParts = math.max(1, (nActiveEdges / 1000000L).toInt)
 
     if (nActiveEdges <= smallGraphEdges) {
@@ -3010,12 +3024,18 @@ object SimilarityOps {
       .filter(col("inter") * lit(2L) >= col("uni"))
       .select("a", "b")
       .localCheckpoint() // pair discovery is the dominant cost; scan it once
+    // token COUNT via the no-allocation kernel (lower() is count-neutral);
+    // ttr derives AFTER each pair join below — a join does not commute
+    // below a projection on its own, so computing ttr here ran the
+    // tokenize + array_distinct over EVERY doc per consumer to rank the
+    // pair-bounded sliver
     val qual = docs(spark, dir)
-      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .select(col("doc_id"), col("source"),
-        size(col("tk")).cast("long").as("tokens"),
-        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
-          .as("ttr"))
+        graft.plans.WsTokenCount.ws_token_count(col("text")).as("tokens"))
+    def ttrOf(df: DataFrame): DataFrame = df
+      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+      .withColumn("ttr",
+        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END"))
     // pairs are tiny (LSH-bounded): broadcast them through both quality
     // lookups, then broadcast the distinct losers into the final corpus
     // pass. Same size gate as q41's candidate broadcasts — on a
@@ -3023,9 +3043,11 @@ object SimilarityOps {
     // three joins must fall back to shuffles instead of OOMing the driver.
     val smallPairSet = dups.count() <= (1L << 20)
     def gated(df: DataFrame): DataFrame = if (smallPairSet) broadcast(df) else df
-    val withQ = qual.join(gated(dups), col("doc_id") === col("a"))
+    val withQ = ttrOf(docs(spark, dir).select(col("doc_id"), col("text"))
+        .join(gated(dups), col("doc_id") === col("a")))
       .select(col("a"), col("b"), col("ttr").as("qa"))
-    val losers = qual.join(gated(withQ), col("doc_id") === col("b"))
+    val losers = ttrOf(docs(spark, dir).select(col("doc_id"), col("text"))
+        .join(gated(withQ), col("doc_id") === col("b")))
       .select(when(col("qa") > col("ttr"), col("b"))
         .when(col("ttr") > col("qa"), col("a"))
         .otherwise(greatest(col("a"), col("b"))).as("doc_id"))
@@ -3068,20 +3090,26 @@ object SimilarityOps {
     // (vec_id, comp), checkpointed; the active bound rides along from the
     // labeling's own path choice — no extra count() job in the query path
     val (labels, activeBound) = minLabelComponentsBounded(dups)
+    // token COUNT via the no-allocation kernel (lower() is count-neutral):
+    // the rollup leg below prunes to `tokens` and never builds the array
     val qual = docs(spark, dir)
-      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
       .select(col("doc_id"), col("source"), col("text"),
-        size(col("tk")).cast("long").as("tokens"),
-        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END")
-          .as("ttr"))
+        graft.plans.WsTokenCount.ws_token_count(col("text")).as("tokens"))
     // active docs rank INSIDE their component by quality; every copy but
     // rank 1 drops. The labels/losers slivers are pair-bounded: broadcast
     // them unless the corpus is duplicate-dense (q41's size gate).
     val smallSet = activeBound <= (1L << 20)
     def gated(df: DataFrame): DataFrame = if (smallSet) broadcast(df) else df
     val wc = Window.partitionBy("comp").orderBy(col("ttr").desc, col("doc_id"))
-    val losers = qual
+    // restrict to the ACTIVE (label-matched) docs FIRST, then derive ttr:
+    // a join does not commute below a projection on its own, so computing
+    // ttr inside `qual` ran the tokenize + array_distinct over EVERY doc
+    // before the join threw the inactive rows away
+    val losers = docs(spark, dir).select(col("doc_id"), col("text"))
       .join(gated(labels.withColumnRenamed("vec_id", "doc_id")), Seq("doc_id"))
+      .withColumn("tk", graft.plans.TextKernels.ws_tokens(lower(col("text"))))
+      .withColumn("ttr",
+        expr("CASE WHEN size(tk) > 0 THEN CAST(size(array_distinct(tk)) AS BIGINT) * 1000 DIV size(tk) ELSE 0 END"))
       .withColumn("rk", row_number().over(wc))
       .filter(col("rk") > 1)
       .select(col("doc_id"), lit(1L).as("dropped"))

@@ -2624,9 +2624,20 @@ object TextOps {
         .as(Seq("pos", "g")))): _*)
       .select((Seq(col("doc_id")) ++ carry.map(col) ++
         Seq((col("pos") + 1).cast("int").as("i"), col("g"))): _*)
-    val repeated = positions.groupBy("g").agg(count(lit(1)).as("f"))
-      .filter(col("f") >= 2).select("g")
-    val dup = positions.join(repeated, Seq("g"), "left_semi")
+    // repeated-position selection as ONE pass: count-over-window keyed by
+    // the gram digest, f >= 2 kept. The previous [groupBy(g) ⋈ positions
+    // semi] formulation evaluated the positions subtree TWICE (the scan +
+    // tokenize + per-gram digests — the dominant CPU of every consumer)
+    // and shuffled it twice (the aggregation's partials PLUS the full
+    // position rows for the join): 5-gram digests of natural text are
+    // nearly all distinct, so the map-side combine never shrank the
+    // aggregation leg below the position count anyway. One compute, one
+    // exchange, same rows out; gram groups are duplication-bounded, so the
+    // window partitioning cannot skew.
+    val dup = positions
+      .withColumn("f", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("f") >= 2)
+      .drop("f")
     val w = Window.partitionBy("doc_id").orderBy("i")
     val runKeys = (Seq("doc_id") ++ carry ++ Seq("grp")).map(col)
     dup

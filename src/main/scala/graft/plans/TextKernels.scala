@@ -61,8 +61,17 @@ object TextKernels {
 
   private val HexDigits = "0123456789abcdef".getBytes
 
+  // one MessageDigest per executor thread: getInstance("MD5") walks the
+  // JCA provider tables per call, which at one digest PER TOKEN/GRAM is
+  // measurable against the ~0.5µs digest itself. digest() resets the
+  // instance, so reuse across calls is exact.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def md5HexOf(bytes: Array[Byte], off: Int, len: Int): UTF8String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     md.update(bytes, off, len)
     val d = md.digest()
     val hex = new Array[Byte](32)
@@ -155,7 +164,7 @@ object TextKernels {
   /** First 60 bits of the MD5 digest as a non-negative long — the numeric
     * value of the first 15 hex digits. */
   def md5Prefix60(bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val d = md.digest(bytes)
     var v = 0L
     var i = 0
